@@ -119,6 +119,158 @@ object SparkEntry {
       metricsDf(s, c.metricResults(t(s, dir, "orders")))
         .select("metric_name", "value_double")
     }),
+    // --- text analysis (SURVEY §2c extension; documents table) ---
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.text.TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      import graft.text.TextAnalysis._
+      d.select(col("doc_id"),
+        langScore(col("text"), "en").as("s_en"),
+        langScore(col("text"), "es").as("s_es"),
+        langScore(col("text"), "de").as("s_de"),
+        langScore(col("text"), "fr").as("s_fr"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "q_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      import graft.text.TextAnalysis._
+      val feats = qualityFeatures(col("text")).toMap
+      d.select(col("doc_id"),
+        round(feats("alpha_ratio"), 6).as("alpha_ratio"),
+        round(feats("punct_ratio"), 6).as("punct_ratio"),
+        round(feats("mean_token_len"), 6).as("mean_token_len"),
+        feats("stopword_hits").cast("long").as("stopword_hits"),
+        round(qualityScore(col("text")), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // --- dedup (SURVEY §2c north-star; exact + fuzzy) ---
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.dedup.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      graft.dedup.Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("ida", "idb")
+    }),
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      graft.dedup.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 1, threshold = 0.9, blockCols = Seq("lang"))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("ida", "idb")
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      // no SQL oracle (simhash not expressible in DuckDB) → rows-only check.
+      // maxHamming=6 catches the planted near-dups (measured hamming <= 6,
+      // mean 2.5) while the background word-salad noise ramps up from 4.
+      graft.dedup.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6).orderBy("ida", "idb")
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      graft.dedup.Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("ida", "idb")
+    }),
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      // rows-only: approximate (recall<1) variant of q_dedup_embedding
+      graft.dedup.Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.45)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("ida", "idb")
+    }),
+    // --- similarity search (ANN top-k) ---
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_topk_lsh" -> ((s, dir) => {
+      // rows-only: LSH-bucketed ANN (recall<1 vs q_ann_topk)
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    // --- multimodal (binary payload plumbing; bytes are UTF-8 of text) ---
+    "q_multimodal_bytes" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val media = d.select(col("source"), encode(col("text"), "UTF-8").as("payload"))
+      media.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(length(col("payload"))).as("max_bytes"))
+        .withColumn("avg_bytes", round(col("total_bytes").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+    // --- events: JSON props + tumbling event-time windows (batch twin of
+    //     the streaming runner; ts is INT64 nanos) ---
+    "q_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+        .orderBy("event_type")
+    }),
+    "q_events_window" -> ((s, dir) => {
+      graft.streaming.StreamingDQ.nanosTumblingAgg(
+        t(s, dir, "events"), "ts", 3600L * 1000 * 1000 * 1000, Seq("event_type"),
+        Seq(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value")))
+        .orderBy("window_start", "event_type")
+    }),
+    // --- analytics shapes (agg / join / window over the TPC-H-ish tables;
+    //     decimal sums so values are exact and partition-order-independent) ---
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(15,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_window_topn" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    }),
     // --- full manager report (fused single-job metrics across checks) ---
     "q_dq_report" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -195,6 +347,129 @@ object SparkEntry {
       """SELECT 'fresh' AS metric_name,
         |  (epoch(TIMESTAMP '2030-01-01 00:00:00') - epoch(max(o_orderdate))) / 86400.0 AS value_double
         |FROM orders""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::INT AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  len(list_intersect(toks, ['the','of','and','to','in','is','that','it','a']))::INT AS s_en,
+        |  len(list_intersect(toks, ['el','la','de','que','y','en','los','se','un']))::INT AS s_es,
+        |  len(list_intersect(toks, ['der','die','und','das','ist','nicht','mit','ein']))::INT AS s_de,
+        |  len(list_intersect(toks, ['le','les','des','et','une','dans','est','pour']))::INT AS s_fr
+        |FROM t)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id, alpha_ratio, punct_ratio, mtl, stops,
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0) AS raw FROM g)
+        |SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio, round(punct_ratio, 6) AS punct_ratio,
+        |  round(mtl, 6) AS mean_token_len, stops::BIGINT AS stopword_hits,
+        |  round(least(greatest(raw, 0.0), 1.0), 6) AS score
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM sh),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida, idb, round(CAST(m AS DOUBLE) / (ca.c + cb.c - m), 6) AS jaccard
+        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.5 ORDER BY ida, idb""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, round(CAST(m AS DOUBLE) / (ca.c + cb.c - m), 6) AS jaccard
+        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9 ORDER BY ida, idb""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY ida, idb""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_multimodal_bytes" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  max(octet_length(encode(text)))::INT AS max_bytes,
+        |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*), 6) AS avg_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_window" ->
+      """SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS window_start, event_type,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_topn" ->
+      """WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rn::INT AS rn, o_orderkey, o_totalprice
+        |FROM j WHERE rn <= 3 ORDER BY 1, 2""".stripMargin,
     "q_dq_report" ->
       """SELECT * FROM (
         |  SELECT 'completeness_ratio' AS metric_name, 'l_shipdate' AS "column", 'completeness' AS dimension, 'high' AS severity_level, 0.95 AS threshold, avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS value_double FROM lineitem

@@ -1,0 +1,204 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{cosine_sim, dot_product, minhash_signature, simhash64}
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2c
+  * north-star extension; `documents`/`embeddings` tables are the fixtures).
+  *
+  * Scale design (the point of each algorithm here is avoiding the O(n²)
+  * all-pairs join at 100 TB):
+  *  - exact: one hash-aggregate on a 128-bit content fingerprint — a single
+  *    shuffle on the fingerprint, map-side combined.
+  *  - MinHash-LSH: per-doc signature (narrow, codegen'd one-pass kernel) →
+  *    explode b bands → shuffle on (band, bandHash) — candidate pairs only
+  *    ever meet inside a bucket, so the join is |buckets|-local, never n².
+  *    Hot buckets (degenerate shingles) are capped with `maxBucketSize`.
+  *  - SimHash: 64-bit signature, 4×16-bit bands (any pair within Hamming
+  *    distance 3 shares ≥1 band by pigeonhole) → same bucket-join shape.
+  *  - embedding near-dup: random-hyperplane LSH sign-buckets then exact
+  *    cosine verify inside buckets; brute-force variant kept for oracle
+  *    checks and small inputs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-content fingerprint.
+    * Returns (fingerprint, keep_id, dup_count). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup, row-preserving: keeps one arbitrary row per fingerprint. */
+  def exactDedup(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__graft_fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicates("__graft_fp")
+      .drop("__graft_fp")
+
+  /** MinHash + banded LSH near-duplicate pairs, verified with exact Jaccard
+    * over distinct word-n-gram shingles. Output: (ida, idb, jaccard) with
+    * ida < idb, jaccard >= `threshold`. */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val banded = base
+      .select(col("id"), minhash_signature(col("sh"), numHashes, seed).as("sig"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+
+    // cap degenerate buckets: a bucket of size m yields m²/2 candidates
+    val capped = banded
+      .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+
+    val candidates = capped
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .distinct()
+
+    verifyJaccard(candidates, base, threshold)
+  }
+
+  private def verifyJaccard(candidates: DataFrame, base: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(base.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(base.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+
+  /** SimHash near-dup pairs: 64-bit signature over tokens, 4×16-bit band
+    * blocking, Hamming-distance verify. Any pair with distance <= 3 is
+    * guaranteed caught (pigeonhole over 4 bands). Output:
+    * (ida, idb, hamming). */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      seed: Long = 0L
+  ): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhash64(col("toks"), seed).as("sig"))
+
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+
+    val l = banded.select(col("id").as("ida"), col("sig").as("siga"), col("band"), col("bucket"))
+    val rt = banded.select(col("id").as("idb"), col("sig").as("sigb"), col("band"), col("bucket"))
+    l.join(rt, Seq("band", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Token-set (word n-gram) Jaccard pairs with block-key join (brute force
+    * within a block; use [[minHashLshPairs]] when blocks are large). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      blockCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val setCol = if (n == 1) array_distinct(TextAnalysis.tokens(col(textCol)))
+                 else TextAnalysis.shingles(col(textCol), n)
+    val base = df.select(col(idCol).as("id") +: setCol.as("s") +: blockCols.map(col): _*)
+      .filter(size(col("s")) > 0)
+    val l = base.select(col("id").as("ida") +: col("s").as("sa") +: blockCols.map(col): _*)
+    val rt = base.select(col("id").as("idb") +: col("s").as("sb") +: blockCols.map(col): _*)
+    val joined = if (blockCols.isEmpty) l.crossJoin(rt) else l.join(rt, blockCols)
+    joined
+      .filter(col("ida") < col("idb"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (driver-side, seeded). */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Sign-LSH signature: bit p set iff vec · plane_p > 0. */
+  private[graft] def signBits(vec: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot_product(vec, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs via random-hyperplane LSH buckets + exact
+    * cosine verify. nPlanes sign bits, banded into `bands` groups — a pair
+    * is a candidate if any band matches. Output: (ida, idb, cosine). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.45,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(nPlanes % bands == 0)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", signBits(col("v"), planes))
+    val banded = base.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("id").as("ida"), col("v").as("va"), col("band"), col("bucket"))
+    val rt = banded.select(col("id").as("idb"), col("v").as("vb"), col("band"), col("bucket"))
+    l.join(rt, Seq("band", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), cosine_sim(col("va"), col("vb")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Brute-force cosine pairs (oracle/baseline; O(n²) — small inputs only). */
+  def embeddingNearDupBrute(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val l = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
+    val rt = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
+    l.crossJoin(rt)
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), cosine_sim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

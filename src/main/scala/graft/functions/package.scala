@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.{functions => F}
+
+/** Public Column API for the graft extension functions.
+  *
+  * Catalyst-native expressions (with codegen) are preferred over UDFs per
+  * the reference's own guidance (`/root/reference/README.md:168` steers away
+  * from Python UDFs) and for whole-stage-codegen friendliness at scale.
+  */
+package object functions {
+
+  private def expr(c: Column) = Bridge.expression(c)
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+
+  /** Cosine similarity of two `array<float>` vectors (codegen'd kernel). */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Dot product of two `array<float>` vectors. */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** Euclidean distance of two `array<float>` vectors. */
+  def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
+
+  /** k-hash MinHash signature (`array<long>`) of a token/shingle array. */
+  def minhash_signature(tokens: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    col(MinHashSignature(expr(tokens), numHashes, seed))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column, seed: Long = 0L): Column =
+    col(SimHash64(expr(tokens), seed))
+
+  /** Portable (built-in HOF) cosine, for environments where the native
+    * expression can't be used; slower — kept for cross-checking the kernel. */
+  def cosine_sim_hof(a: Column, b: Column): Column = {
+    val dot = F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+    val na = F.sqrt(F.aggregate(a, F.lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = F.sqrt(F.aggregate(b, F.lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    F.when(na * nb === 0.0, 0.0).otherwise(dot / (na * nb))
+  }
+}

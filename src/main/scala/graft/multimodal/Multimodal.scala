@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque binary payload + typed metadata. The Spark-side
+  * contract for image/audio/video columns at 100 TB: payload stays an
+  * opaque `binary` column (never parsed by Catalyst), metadata is columnar
+  * and prunable, and decode runs partition-wise so one task amortizes
+  * decoder init over a whole batch of rows. */
+final case class MediaRecord(
+    mediaId: Long,
+    mediaType: String,
+    payload: Array[Byte],
+    meta: Map[String, String])
+
+final case class MediaFeatures(
+    mediaId: Long,
+    mediaType: String,
+    nBytes: Long,
+    features: Array[Float])
+
+/** Pluggable decoder. Decoding real image/audio bytes needs codec libraries
+  * not present in this container — implementations are STUBS behind this
+  * trait; the Spark plumbing (schema, partitioning, batch shape) is real. */
+trait MediaDecoder extends Serializable {
+  /** Fixed-length feature vector from raw bytes. */
+  def decode(mediaType: String, payload: Array[Byte]): Array[Float]
+}
+
+/** Deterministic fake decoder (clearly marked stand-in for a real codec):
+  * features are a seeded hash-fold of the payload bytes — stable across
+  * runs/executors so tests and oracles can pin outputs. A real deployment
+  * swaps this for a JNI/FFI codec without touching the pipeline. */
+final class DeterministicFakeDecoder(val dim: Int = 8) extends MediaDecoder {
+  override def decode(mediaType: String, payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < payload.length) {
+      h = 31 * h + payload(i)
+      out(i % dim) += (payload(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    out(0) += (h & 0xffff).toFloat / 65535f
+    out
+  }
+}
+
+/** Multimodal-column operators (SURVEY.md §2c north-star extension).
+  * Fixture: payloads are synthesized deterministically from `documents.text`
+  * (UTF-8 bytes) so byte-level stats are DuckDB-oracle-checkable. */
+object Multimodal {
+
+  /** Attach a synthetic binary payload (UTF-8 bytes of a text column) plus
+    * sniffed type + metadata — stands in for reading real media blobs. */
+  def synthesizePayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      map(lit("origin"), lit("synthetic"), lit("codec"), lit("utf8")).as("meta"))
+
+  /** Magic-byte content sniffing on the binary payload (first bytes; real
+    * signatures for png/jpeg/riff, 'bin' otherwise). Pure column ops —
+    * codegen'd, no decode. */
+  def sniffType(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(payload, 1, 4)) === "89504E47", "png")
+      .when(hex(substring(payload, 1, 3)) === "FFD8FF", "jpeg")
+      .when(hex(substring(payload, 1, 4)) === "52494646", "riff")
+      .otherwise("bin")
+
+  /** Byte-level stats per payload — scan-speed, no decode. */
+  def byteStats(df: DataFrame): DataFrame =
+    df.select(
+      col("media_id"),
+      length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      sniffType(col("payload")).as("sniffed_type"))
+
+  /** Partition-wise feature extraction: the decoder is instantiated once per
+    * partition (amortizing codec init), rows stream through in one pass.
+    * This is the Scala/Dataset equivalent of a Pandas-UDF `mapInPandas`
+    * batch loop. */
+  def extractFeatures(
+      ds: Dataset[MediaRecord],
+      decoder: () => MediaDecoder
+  ): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val d = decoder() // one decoder per partition, not per row
+      it.map { r =>
+        MediaFeatures(r.mediaId, r.mediaType, r.payload.length.toLong,
+          d.decode(r.mediaType, r.payload))
+      }
+    }
+  }
+
+  /** Typed view over a payload DataFrame. */
+  def asRecords(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(
+      col("media_id").as("mediaId"),
+      sniffType(col("payload")).as("mediaType"),
+      col("payload"),
+      col("meta")).as[MediaRecord]
+  }
+}

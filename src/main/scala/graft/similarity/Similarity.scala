@@ -1,0 +1,77 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.cosine_sim
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — SURVEY.md §2c north-star extension; fixture:
+  * `embeddings.parquet` (64-dim float vectors).
+  *
+  * Scale design: the query set is broadcast (it is small by construction —
+  * you search FOR a few thousand probes, not 100 TB of them), so the scan
+  * of the corpus is shuffle-free; the per-partition top-k is folded by the
+  * ranking window on (query, -cosine). The LSH variant prunes the corpus to
+  * sign-bucket collisions first — recall < 1 traded for touching only
+  * ~1/2^bitsPerBand of the corpus per band.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k: every query scored against every corpus row.
+    * One broadcast join, one shuffle for the per-query ranking. Baseline
+    * for recall measurement of the approximate variants. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k: corpus and queries signed with the same random
+    * hyperplanes; candidates = rows sharing any band bucket with the query;
+    * exact cosine + ranking within candidates only. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(nPlanes % bands == 0)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planes = Dedup.hyperplanes(nPlanes, dim, seed)
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn("sig", Dedup.signBits(col(v), planes))
+        .select(col(id), col(v),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+            .as(Seq("band", "bucket")))
+    val c = banded(corpus, "id", "v")
+    val q = banded(queries, "query_id", "qv")
+    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("qv"), col("v"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"), cosine_sim(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+import graft.checks.BaseCheck
+
+/** Structured-Streaming data-quality runner (SURVEY.md §2c: the reference is
+  * batch-only; the `events` table — bigint nanos `ts` — is the fixture).
+  *
+  * Two modes:
+  *  1. [[observedMetrics]] — attach every check's observable aggregates to
+  *     the stream via `df.observe` (`CollectMetrics`); per-micro-batch
+  *     metric rows arrive on a [[StreamingQueryListener]] with zero extra
+  *     scans or state. Uniqueness uses HLL++ (observe forbids exact
+  *     distinct).
+  *  2. [[windowedCompleteness]] — event-time tumbling-window completeness
+  *     ratios with a watermark: late data beyond the watermark is dropped
+  *     by Spark's state eviction, state is bounded by (windows in
+  *     watermark) × (groups).
+  */
+object StreamingDQ {
+
+  /** Nanos-bigint (the `events.ts` encoding) → TIMESTAMP column. */
+  def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros((c / 1000L).cast("long"))
+
+  /** Attach checks' observable aggregates to a (streaming or batch) frame.
+    * Returns the observed frame; read per-batch values via
+    * [[MetricsListener]]. */
+  def observedMetrics(df: DataFrame, checks: Seq[BaseCheck], name: String = "graft_dq_stream"): DataFrame = {
+    val aggs = checks.flatMap(_.observableAggs(df))
+    require(aggs.nonEmpty, "no observable aggregates")
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** Collects observed metric maps per (observation name, batch). */
+  final class MetricsListener(observationName: String) extends StreamingQueryListener {
+    val batches = mutable.ArrayBuffer.empty[Map[String, Any]]
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      if (om.containsKey(observationName)) {
+        val row = om.get(observationName)
+        batches += row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
+      }
+    }
+  }
+
+  /** Event-time tumbling-window completeness ratios per group, with
+    * watermarked state. `attrs` get a non-null ratio each. */
+  def windowedCompleteness(
+      df: DataFrame,
+      tsCol: String,
+      attrs: Seq[String],
+      groupCols: Seq[String],
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val aggs = attrs.map(a => avg(col(a).isNotNull.cast("double")).as(s"${a}_ratio")) :+
+      count(lit(1)).as("n_rows")
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Batch-equivalent tumbling window on raw nanos (integer bucketing) —
+    * used by the oracle-checked `q_events_window` query; semantics match
+    * [[windowedCompleteness]]'s tumbling windows. */
+  def nanosTumblingAgg(
+      df: DataFrame,
+      nanosCol: String,
+      windowNanos: Long,
+      groupCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]
+  ): DataFrame =
+    // pmod keeps the bucketing in exact integer arithmetic — ts is up to
+    // ~2^60 nanos, beyond double's 53-bit mantissa, so `/` then cast would
+    // mis-bucket boundary rows
+    df.withColumn("window_start", col(nanosCol) - pmod(col(nanosCol), lit(windowNanos)))
+      .groupBy(col("window_start") +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+}

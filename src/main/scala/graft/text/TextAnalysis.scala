@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2c extension; `documents` table is the fixture).
+  *
+  * All operators are pure `org.apache.spark.sql.functions` compositions —
+  * fully codegen'd, no UDFs — so they pipeline inside one WholeStageCodegen
+  * over the scan, shuffle nothing, and scale linearly with input bytes.
+  * Regexes use plain ASCII character classes so DuckDB oracles can mirror
+  * them exactly (Java vs RE2 dialect differences avoided).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-free (split of trimmed text on `\s+`). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, and non-alnum
+    * punctuation each count as one token (a cheap stand-in for a real BPE
+    * vocab; deliberately regex-only so it runs at scan speed). */
+  def approxBpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Word n-grams as space-joined strings (empty array when < n tokens). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Distinct word n-gram shingles — the dedup/minhash input. */
+  def shingles(text: Column, n: Int = 3): Column = array_distinct(wordNgrams(text, n))
+
+  /** Character n-grams (for fingerprinting / language ID). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = text
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+  }
+
+  // --- language ID (n-gram/stopword heuristic) ---
+
+  /** Tiny public stopword marker sets per language — a heuristic scorer, not
+    * a model: score(lang) = count of distinct marker words present. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans", "est", "pour")
+  )
+
+  def langScore(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** CJK character presence → zh short-circuit; otherwise argmax of marker
+    * scores with a deterministic en>es>de>fr tie-break chain (expressed as a
+    * CASE chain so a SQL oracle can mirror it verbatim). */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val es = langScore(text, "es")
+    val de = langScore(text, "de"); val fr = langScore(text, "fr")
+    when(size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))) > 0, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  // --- quality scoring ---
+
+  /** Length / punctuation / stopword / token-shape heuristics combined into
+    * a [0,1] quality score (the standard pretraining-filter features). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val stops = langScore(text, "en").cast("double")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "alpha_ratio" -> when(nChars > 0, alpha / nChars).otherwise(0.0),
+      "punct_ratio" -> when(nChars > 0, punct / nChars).otherwise(0.0),
+      "mean_token_len" -> when(nToks > 0, (nChars - nToks + 1.0) / nToks).otherwise(0.0),
+      "stopword_hits" -> stops
+    )
+  }
+
+  /** Composite score: rewards alpha-heavy, stopword-bearing, mid-length
+    * docs; penalizes punctuation walls. Clamped to [0,1]. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lengthOk = when(f("n_chars").between(20.0, 100000.0), 1.0).otherwise(0.0)
+    val tokenShape = when(f("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    val stopSig = least(f("stopword_hits") / 4.0, lit(1.0))
+    val raw = lit(0.3) * f("alpha_ratio") + lit(0.2) * (lit(1.0) - least(f("punct_ratio") * 5.0, lit(1.0))) +
+      lit(0.2) * lengthOk + lit(0.15) * tokenShape + lit(0.15) * stopSig
+    least(greatest(raw, lit(0.0)), lit(1.0))
+  }
+
+  // --- fingerprinting ---
+
+  /** Content fingerprint of whitespace-normalized lowercase text (md5 —
+    * identical in DuckDB, so exact-dedup keys are oracle-checkable). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling fingerprints: xxhash64 each char k-gram, then
+    * keep the min hash of every w-window (distinct). Local algorithm —
+    * no shuffle; output is a small `array<long>` per doc for containment /
+    * plagiarism-style matching. */
+  def winnowingFingerprints(text: Column, k: Int = 7, w: Int = 4): Column = {
+    val hashes = transform(charNgrams(regexp_replace(lower(trim(text)), "\\s+", " "), k), g => xxhash64(g))
+    when(size(hashes) === 0, array().cast("array<bigint>"))
+      .otherwise(when(size(hashes) <= w, array(array_min(hashes)))
+        .otherwise(array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w)))))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.multimodal._
+import graft.streaming.StreamingDQ
+import graft.checks.CompletenessColRatioCheck
+import graft.core.SeverityLevel
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("multimodal: payload synthesis, byte stats, partition-wise feature extraction") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.synthesizePayload(docs, "doc_id", "text")
+    val stats = Multimodal.byteStats(media)
+    assert(stats.columns.toSeq == Seq("media_id", "n_bytes", "sha256", "sniffed_type"))
+    // UTF-8 byte length >= char length (multibyte text) and > 0
+    val joined = stats.join(docs.select(col("doc_id").as("media_id"), length(col("text")).as("n_chars")), "media_id")
+    assert(joined.filter(col("n_bytes") < col("n_chars")).count() == 0)
+    assert(stats.filter(col("sniffed_type") =!= "bin").count() == 0) // text payloads
+
+    val records = Multimodal.asRecords(spark, media)
+    val feats = Multimodal.extractFeatures(records, () => new DeterministicFakeDecoder(8))
+    val f1 = feats.collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(records, () => new DeterministicFakeDecoder(8))
+      .collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    assert(f1 == f2, "fake decoder must be deterministic")
+    assert(f1.values.forall(_.length == 8))
+
+    // magic-byte sniffing on real signatures
+    val s = spark
+    import s.implicits._
+    val bins = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      (3L, Array[Byte](0x52, 0x49, 0x46, 0x46, 0x00))).toDF("media_id", "payload")
+    val types = bins.select(col("media_id"), Multimodal.sniffType(col("payload")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(types == Map(1L -> "png", 2L -> "jpeg", 3L -> "riff"))
+  }
+
+  test("streaming: windowed completeness with watermark over MemoryStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, java.lang.Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingDQ.windowedCompleteness(df, "ts", Seq("value"), Seq("event_type"),
+      windowDuration = "10 minutes", watermark = "20 minutes")
+    val q = agg.writeStream.format("memory").queryName("dq_windows").outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      mem.addData((ts(1), "a", 1.0), (ts(2), "a", null), (ts(11), "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dq_windows").collect()
+      assert(rows.nonEmpty)
+      val aRow = rows.find(r => r.getAs[String]("event_type") == "a").get
+      assert(aRow.getAs[Double]("value_ratio") == 0.5)
+      assert(aRow.getAs[Long]("n_rows") == 2L)
+    } finally q.stop()
+  }
+
+  test("streaming: observed check metrics arrive per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("id", "name")
+    val check = new CompletenessColRatioCheck("stream", "r", SeverityLevel.High,
+      "sc", Seq("name"), 0.5)
+    val observed = StreamingDQ.observedMetrics(df, Seq(check), "dq_obs")
+    val listener = new StreamingDQ.MetricsListener("dq_obs")
+    spark.streams.addListener(listener)
+    val q = observed.writeStream.format("noop").start()
+    try {
+      mem.addData((1L, "x"), (2L, null), (3L, "y"), (4L, "z"))
+      q.processAllAvailable()
+      // listener delivery is async relative to processAllAvailable
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.batches.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(listener.batches.nonEmpty, "no observed metrics arrived")
+      val ratio = listener.batches.head("sc__name") // aggAlias(metricName, col)
+      assert(ratio.asInstanceOf[Double] == 0.75)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
