@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{cosine_sim, dot_product, minhash_signature, simhash64}
+import graft.functions.{cosine_sim, dot_product, minhash_from_hashes, shingle_hashes, simhash64}
 import graft.text.TextAnalysis
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2c
@@ -49,16 +49,34 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5,
       seed: Long = 42L,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      /** the shingle-set frame is consumed three times (signature/banding +
+        * both sides of the Jaccard verify join); caching it avoids
+        * re-tokenizing the corpus thrice. MEMORY_AND_DISK — spills rather
+        * than OOMs when the corpus is large. Disable for one-shot runs on
+        * inputs too large to want cached. */
+      cacheIntermediate: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = df
-      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    // sorted distinct SHINGLE HASHES, not shingle strings: one codegen'd
+    // kernel per doc (hash each token once, fold n-windows, sort+dedupe
+    // longs). Shingle strings would cost an interpreted lambda + two
+    // allocations per shingle and then ride every downstream shuffle; the
+    // hashes are 8 bytes each and the verify step merges them linearly.
+    // Repartition first: a small/compacted source (one parquet file = one
+    // partition) would otherwise run the whole signature pass on one core.
+    val base0 = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleN, seed).as("sh"))
       .filter(size(col("sh")) > 0)
+    val base = if (cacheIntermediate)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
 
     val banded = base
-      .select(col("id"), minhash_signature(col("sh"), numHashes, seed).as("sig"))
+      .select(col("id"), minhash_from_hashes(col("sh"), numHashes).as("sig"))
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
 
@@ -76,13 +94,17 @@ object Dedup {
     verifyJaccard(candidates, base, threshold)
   }
 
+  /** Exact Jaccard verify over SORTED distinct sets: |A∩B| via linear merge,
+    * |A∪B| = |A|+|B|−|A∩B|. Same values as array_intersect/array_union but
+    * allocation-free per pair. */
   private def verifyJaccard(candidates: DataFrame, base: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(base.select(col("id").as("ida"), col("sh").as("sha")), "ida")
       .join(base.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("__inter", graft.functions.sorted_intersection_count(col("sha"), col("shb")))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        col("__inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
 
@@ -98,6 +120,7 @@ object Dedup {
       seed: Long = 0L
   ): DataFrame = {
     val sigs = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"), simhash64(col("toks"), seed).as("sig"))
@@ -127,18 +150,33 @@ object Dedup {
       threshold: Double = 0.8,
       blockCols: Seq[String] = Seq.empty
   ): DataFrame = {
-    val setCol = if (n == 1) array_distinct(TextAnalysis.tokens(col(textCol)))
-                 else TextAnalysis.shingles(col(textCol), n)
-    val base = df.select(col(idCol).as("id") +: setCol.as("s") +: blockCols.map(col): _*)
+    // Inverted-index formulation: explode the (distinct) gram sets, self-join
+    // on (block, gram) to count common grams per pair, then derive Jaccard
+    // from the set sizes. Only (ida, idb) long-pairs flow through the big
+    // shuffle — the naive pair-join materializes BOTH gram arrays into every
+    // pair row (O(pairs × doc_bytes) row traffic); this is O(pairs) longs
+    // plus a map-side-combined count aggregate. Identical values: m common
+    // distinct grams, union = |A|+|B|−m.
+    // gram sets as sorted distinct 64-bit hashes (collision odds negligible;
+    // the exploded join then moves 8-byte longs, not gram strings)
+    val setCol = shingle_hashes(TextAnalysis.tokens(col(textCol)), n)
+    val base = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id") +: setCol.as("s") +: blockCols.map(col): _*)
       .filter(size(col("s")) > 0)
-    val l = base.select(col("id").as("ida") +: col("s").as("sa") +: blockCols.map(col): _*)
-    val rt = base.select(col("id").as("idb") +: col("s").as("sb") +: blockCols.map(col): _*)
-    val joined = if (blockCols.isEmpty) l.crossJoin(rt) else l.join(rt, blockCols)
-    joined
+    val sizes = base.select(col("id"), size(col("s")).as("c"))
+    val ex = base.select(col("id") +: explode(col("s")).as("g") +: blockCols.map(col): _*)
+    val l = ex.select(col("id").as("ida") +: col("g") +: blockCols.map(col): _*)
+    val rt = ex.select(col("id").as("idb") +: col("g") +: blockCols.map(col): _*)
+    val inter = l.join(rt, blockCols :+ "g")
       .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.select(col("id").as("ida"), col("c").as("ca")), "ida")
+      .join(sizes.select(col("id").as("idb"), col("c").as("cb")), "idb")
       .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+        col("m").cast("double") / (col("ca") + col("cb") - col("m")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
   }
@@ -172,7 +210,8 @@ object Dedup {
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1
     val planes = hyperplanes(nPlanes, dim, seed)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", signBits(col("v"), planes))
     val banded = base.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(b =>
@@ -194,7 +233,10 @@ object Dedup {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val l = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
+    // left side repartitioned so the nested-loop pair scan parallelizes even
+    // when the source is a single parquet file
+    val l = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("ida"), col(vecCol).as("va"))
     val rt = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
     l.crossJoin(rt)
       .filter(col("ida") < col("idb"))

@@ -23,7 +23,21 @@ object HashOps {
   private def tokenHash(t: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), seed)
 
-  /** MinHash signature: sig[i] = min over tokens of xxh64(token, seed+i). */
+  /** splitmix64 finalizer — full-avalanche 64-bit mix (public domain
+    * constant set, Steele et al.). */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: sig[i] = min over tokens of h_i(token), where
+    * h_i = splitmix64(xxh64(token) + i·φ) — the token's bytes are hashed
+    * ONCE and the k per-function values derive from cheap integer mixing
+    * (k independent-enough permutations at 1/k of the string-hashing cost;
+    * at 100 TB the signature pass dominates MinHash dedup, so this is the
+    * hot loop). */
   def minHash(tokens: ArrayData, numHashes: Int, seed: Long): ArrayData = {
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -31,13 +45,73 @@ object HashOps {
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val tok = tokens.getUTF8String(t)
+        val base = tokenHash(tokens.getUTF8String(t), seed)
         var i = 0
+        var acc = base
         while (i < numHashes) {
-          val h = tokenHash(tok, seed + i)
+          val h = mix64(acc)
           if (h < sig(i)) sig(i) = h
+          acc += 0x9e3779b97f4a7c15L // golden-ratio increment per hash fn
           i += 1
         }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Sorted DISTINCT rolling word-n-gram hashes in one pass: each token's
+    * bytes are hashed once, each n-window combines the token hashes with an
+    * order-sensitive splitmix fold. Replaces materializing shingle STRINGS
+    * (`transform` + `concat_ws` + `slice` = interpreted lambda + 2
+    * allocations per shingle) with zero-allocation long arithmetic — at
+    * 100 TB the shingling pass is the single hottest loop of MinHash dedup.
+    * 64-bit hashes stand in for the shingles themselves downstream
+    * (collision odds within any pair's union are ~1e-14). */
+  def shingleHashes(tokens: ArrayData, n: Int, seed: Long): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      th(i) = if (tokens.isNullAt(i)) 0L else tokenHash(tokens.getUTF8String(i), seed)
+      i += 1
+    }
+    val out = new Array[Long](nt - n + 1)
+    var w = 0
+    while (w <= nt - n) {
+      var h = seed
+      var j = 0
+      while (j < n) { h = mix64(h ^ th(w + j)); j += 1 }
+      out(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var m = 0
+    var k = 1
+    while (k < out.length) {
+      if (out(k) != out(m)) { m += 1; out(m) = out(k) }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m + 1))
+  }
+
+  /** MinHash signature over precomputed shingle hashes (see [[minHash]] for
+    * the mixing scheme). */
+  def minHashFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var t = 0
+    while (t < n) {
+      var acc = hashes.getLong(t)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(acc)
+        if (h < sig(i)) sig(i) = h
+        acc += 0x9e3779b97f4a7c15L
+        i += 1
       }
       t += 1
     }
@@ -74,6 +148,118 @@ private[functions] object HashExprChecks {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$name requires array<string>, got ${other.simpleString}")
   }
+}
+
+/** `shingle_hashes(array<string>) -> array<long>` — sorted distinct rolling
+  * n-gram hashes (codegen'd via static call). */
+case class ShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.tokenArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  protected override def nullSafeEval(tokens: Any): Any =
+    HashOps.shingleHashes(tokens.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.shingleHashes($c, $n, ${seed}L);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `minhash_from_hashes(array<long>) -> array<long>` (codegen'd). */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_from_hashes"
+
+  protected override def nullSafeEval(hashes: Any): Any =
+    HashOps.minHashFromHashes(hashes.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.minHashFromHashes($c, $numHashes);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object SetOps {
+  /** Intersection size of two individually SORTED, DISTINCT string arrays
+    * via linear merge — no hash-set allocation per pair. The all-pairs
+    * Jaccard verify step evaluates this O(pairs) times; `array_intersect` +
+    * `array_union` would build two hash maps per pair instead. */
+  def sortedIntersectionCount(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Long-array variant (for shingle-hash sets). */
+  def sortedLongIntersectionCount(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** `sorted_intersection_count(array<string>|array<long> ×2) -> long` over
+  * pre-sorted distinct arrays (codegen'd; dispatches on element type). */
+case class SortedIntersectionCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isLongs = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(StringType, LongType).exists(et =>
+      children.forall(_.dataType match {
+        case ArrayType(t, _) => t == et
+        case _ => false
+      }))
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> or two array<bigint> arguments")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersection_count"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (isLongs)
+      SetOps.sortedLongIntersectionCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SetOps.sortedIntersectionCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isLongs) "sortedLongIntersectionCount" else "sortedIntersectionCount"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetOps.$m($a, $b);")
+  }
+
+  protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** `minhash_signature(array<string>) -> array<long>` — k-permutation MinHash

@@ -33,6 +33,20 @@ package object functions {
   def simhash64(tokens: Column, seed: Long = 0L): Column =
     col(SimHash64(expr(tokens), seed))
 
+  /** Intersection size of two pre-sorted distinct string/long arrays
+    * (linear merge, no per-pair hash sets). */
+  def sorted_intersection_count(a: Column, b: Column): Column =
+    col(SortedIntersectionCount(expr(a), expr(b)))
+
+  /** Sorted distinct rolling word-n-gram hashes of a token array — the
+    * allocation-free stand-in for string shingles in dedup pipelines. */
+  def shingle_hashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =
+    col(ShingleHashes(expr(tokens), n, seed))
+
+  /** MinHash signature from precomputed shingle hashes. */
+  def minhash_from_hashes(hashes: Column, numHashes: Int = 128): Column =
+    col(MinHashFromHashes(expr(hashes), numHashes))
+
   /** Portable (built-in HOF) cosine, for environments where the native
     * expression can't be used; slower — kept for cross-checking the kernel. */
   def cosine_sim_hof(a: Column, b: Column): Column = {

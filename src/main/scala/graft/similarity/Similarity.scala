@@ -29,7 +29,8 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
