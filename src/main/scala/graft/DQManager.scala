@@ -64,6 +64,19 @@ final class ResultObj(
   def getInvalidDf: DataFrame =
     checks.foldLeft(df)((d, c) => c.getInvalidDf(d))
 
+  /** Per-check invalid rows as ONE schema-preserving union, each row tagged
+    * with the failing check's metric name (`__graft_failed_check`). This is
+    * the D2 companion to the fold: the fold composes filters (rows invalid
+    * under check 1 never reach check 2's invalid set), while this union
+    * attributes every row to every check it violates — the shape a
+    * quarantine/repair pipeline wants. One scan per check; Catalyst merges
+    * the scans when the source supports it. */
+  def getInvalidUnionDf(tagCol: String = "__graft_failed_check"): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val tagged = checks.map(c => c.invalid(df).withColumn(tagCol, lit(c.metricName)))
+    tagged.reduceLeft(_.unionByName(_))
+  }
+
   /** All checks' metric rows. Checks whose metrics are plain aggregates are
     * fused into a single aggregation job over one scan; checks needing their
     * own plan (e.g. cross-dataset joins) run standalone. */

@@ -271,6 +271,26 @@ object SparkEntry {
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rn")
     }),
+    // --- column profiler (one-pass summary stats) ---
+    "q_profile" -> ((s, dir) => {
+      graft.operators.Profiler.profileExact(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+        .withColumn("mean_val", round(col("mean_val"), 6))
+        .orderBy("column")
+    }),
+    // --- per-check invalid attribution (D2 union with rule tag) ---
+    "q_invalid_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mgr = new DQManager(s, "lineitem")
+      mgr.setData(li)
+      mgr.addCheck(new ValidityCheck("lineitem", "r1", SEV, "qty_le_45",
+        col("l_quantity") <= 45.0, 0.9))
+      mgr.addCheck(new ValidityCheck("lineitem", "r1", SEV, "disc_le_008",
+        col("l_discount") <= 0.08, 0.9))
+      mgr.run().getInvalidUnionDf("failed_check")
+        .select("l_orderkey", "l_linenumber", "failed_check")
+        .orderBy("l_orderkey", "l_linenumber", "failed_check")
+    }),
     // --- full manager report (fused single-job metrics across checks) ---
     "q_dq_report" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -464,6 +484,35 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_extendedprice' AS "column", count(l_extendedprice) AS n_non_null,
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT l_extendedprice) AS n_distinct,
+        |    min(l_extendedprice) AS min_val, max(l_extendedprice) AS max_val,
+        |    round(sum(l_extendedprice) / count(l_extendedprice), 6) AS mean_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(l_quantity),
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT l_quantity), min(l_quantity), max(l_quantity),
+        |    round(sum(l_quantity) / count(l_quantity), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(l_returnflag),
+        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT l_returnflag), NULL, NULL, NULL FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(l_shipdate),
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT l_shipdate), NULL, NULL, NULL FROM lineitem
+        |) ORDER BY "column"""".stripMargin,
+    "q_invalid_union" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty_le_45' AS failed_check FROM lineitem
+        |  WHERE NOT coalesce(l_quantity <= 45.0, FALSE)
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'disc_le_008' FROM lineitem
+        |  WHERE NOT coalesce(l_discount <= 0.08, FALSE)
+        |) ORDER BY l_orderkey, l_linenumber, failed_check""".stripMargin,
     "q_window_topn" ->
       """WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn

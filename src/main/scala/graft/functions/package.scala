@@ -47,6 +47,12 @@ package object functions {
   def minhash_from_hashes(hashes: Column, numHashes: Int = 128): Column =
     col(MinHashFromHashes(expr(hashes), numHashes))
 
+  /** Bounded-heap top-k aggregate: best-k (score, id) pairs per group,
+    * (score desc, id asc), map-side combined — ≤ k rows per group per
+    * partition reach the shuffle. */
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    col(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
+
   /** Portable (built-in HOF) cosine, for environments where the native
     * expression can't be used; slower — kept for cross-checking the kernel. */
   def cosine_sim_hof(a: Column, b: Column): Column = {

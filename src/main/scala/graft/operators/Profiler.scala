@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass column profiler: the standard DQ summary block (count, nulls,
+  * distinct, min/max/mean/stddev, approximate quantiles) for every requested
+  * column of any DataFrame.
+  *
+  * The reference has no profiler; this rounds out its metric surface with
+  * the sketch-based statistics the README's roadmap implies
+  * (`/root/reference/README.md:192-196`) using only built-in aggregates.
+  *
+  * Scale: ALL columns profile in a single partial+final aggregate pass over
+  * one scan — no per-column jobs. Distinct counts use HLL++
+  * (`approx_count_distinct`) and quantiles use `percentile_approx`
+  * (Greenwald-Khanna-style sketch, mergeable map-side), so memory per
+  * column is bounded regardless of cardinality.
+  */
+object Profiler {
+
+  final val QuantileProbs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Wide one-row profile: per column `<c>__count/nulls/approx_distinct`,
+    * plus `min/max/mean/stddev/q25/q50/q75` for numeric columns. */
+  def profileRow(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"${c}__count"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__approx_distinct"))
+      val numeric =
+        if (isNumeric(fields(c)))
+          Seq(
+            min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"),
+            avg(col(c)).as(s"${c}__mean"),
+            stddev_samp(col(c)).as(s"${c}__stddev"),
+            percentile_approx(col(c), typedLit(QuantileProbs), lit(10000))
+              .cast("array<double>").as(s"${c}__quantiles"))
+        else Seq.empty
+      base ++ numeric
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-format profile: one row per (column, stat). Exact stats only —
+    * suitable for oracle checks; sketch stats stay in [[profileRow]]. */
+  def profileExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rows = cols.map { c =>
+      val numeric = isNumeric(fields(c))
+      struct(
+        lit(c).as("column"),
+        count(col(c)).as("n_non_null"),
+        count(when(col(c).isNull, 1)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        (if (numeric) min(col(c)).cast("double") else lit(null).cast("double")).as("min_val"),
+        (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as("max_val"),
+        (if (numeric) avg(col(c)) else lit(null).cast("double")).as("mean_val"))
+    }
+    df.agg(rows.head.as("s0"), rows.tail.zipWithIndex.map { case (r, i) => r.as(s"s${i + 1}") }: _*)
+      .select(explode(array(rows.indices.map(i => col(s"s$i")): _*)).as("p"))
+      .select("p.*")
+  }
+}

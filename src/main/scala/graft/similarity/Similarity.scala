@@ -20,8 +20,11 @@ import graft.functions.cosine_sim
 object Similarity {
 
   /** Exact brute-force top-k: every query scored against every corpus row.
-    * One broadcast join, one shuffle for the per-query ranking. Baseline
-    * for recall measurement of the approximate variants. */
+    * One broadcast join; ranking via the bounded-heap [[graft.functions.topk_pairs]]
+    * aggregate, so the map side reduces each partition to ≤ k rows per query
+    * BEFORE the shuffle — the exchange carries k × partitions rows instead
+    * of the whole scored corpus (a full ranking window would sort and
+    * shuffle all |corpus| × |queries| scores). */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -31,6 +34,35 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cosine"))
+    topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
+  }
+
+  /** Per-key exact top-k of a scored frame via the heap aggregate; output
+    * ranks match `row_number() OVER (PARTITION BY key ORDER BY score DESC,
+    * id)` exactly. */
+  def topKByKey(scored: DataFrame, keyCol: String, scoreCol: String, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(keyCol)
+      .agg(graft.functions.topk_pairs(col(scoreCol), col(idCol), k).as("__tk"))
+      .select(col(keyCol), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col(keyCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__p.id").as(idCol), col("__p.score").as(scoreCol))
+
+  /** Window-ranking variant (full sort + shuffle of all scores) — kept as
+    * the correctness baseline for [[bruteForceTopK]] and for callers that
+    * need arbitrary extra columns carried through. */
+  def bruteForceTopKWindow(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -70,9 +102,8 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"), col("qv"), col("v"))
       .distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
+    val scored = candidates
       .select(col("query_id"), col("neighbor_id"), cosine_sim(col("qv"), col("v")).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
   }
 }

@@ -68,6 +68,15 @@ object StreamingDQ {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact dedup by key columns with bounded state: rows whose
+    * key was already seen within the watermark are dropped; state for keys
+    * older than the watermark is evicted (`dropDuplicatesWithinWatermark`),
+    * so state size is O(keys per watermark window) — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]]. */
+  def streamingDedup(df: DataFrame, tsCol: String, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch-equivalent tumbling window on raw nanos (integer bucketing) —
     * used by the oracle-checked `q_events_window` query; semantics match
     * [[windowedCompleteness]]'s tumbling windows. */
