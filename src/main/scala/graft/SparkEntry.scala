@@ -271,6 +271,33 @@ object SparkEntry {
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rn")
     }),
+    // --- rollup / set-op coverage (SURVEY §2c categories) ---
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q_setops" -> ((s, dir) => {
+      // customers that placed a high-value order but none below 50k:
+      // intersect/except over key sets
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000.0).select("o_custkey")
+      val lo = o.filter(col("o_totalprice") < 50000.0).select("o_custkey")
+      val all = o.select("o_custkey")
+      hi.intersect(all).except(lo).orderBy("o_custkey")
+    }),
+    "q_freshness_events" -> ((s, dir) => {
+      // events.ts is INT64 nanos (legacy read); convert and run the real
+      // freshness check against a fixed anchor
+      val anchor = java.sql.Timestamp.valueOf("2026-06-01 00:00:00")
+      val ev = t(s, dir, "events")
+        .withColumn("ts_ts", graft.streaming.StreamingDQ.nanosToTs(col("ts")))
+      val c = new FreshnessCheck("events", "r1", SEV, "fresh_events", "ts_ts",
+        FreshnessPeriod.Hour, 24.0, anchor = Some(anchor))
+      metricsDf(s, c.metricResults(ev))
+        .select(col("metric_name"), round(col("value_double"), 6).as("value_double"))
+    }),
     // --- column profiler (one-pass summary stats) ---
     "q_profile" -> ((s, dir) => {
       graft.operators.Profiler.profileExact(t(s, dir, "lineitem"),
@@ -484,6 +511,22 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "q_freshness_events" ->
+      """SELECT 'fresh_events' AS metric_name,
+        |  round((epoch(TIMESTAMP '2026-06-01 00:00:00')
+        |    - (max(epoch_ns(ts)) // 1000) / 1000000.0) / 3600.0, 6) AS value_double
+        |FROM events""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_extendedprice' AS "column", count(l_extendedprice) AS n_non_null,

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQueryListener}
 import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
 import graft.checks.BaseCheck
 
@@ -23,9 +23,11 @@ import graft.checks.BaseCheck
   */
 object StreamingDQ {
 
-  /** Nanos-bigint (the `events.ts` encoding) → TIMESTAMP column. */
+  /** Nanos-bigint (the `events.ts` encoding) → TIMESTAMP column. The nanos
+    * value (~2^60) exceeds double's 53-bit mantissa, so `c / 1000` would
+    * round before truncation; decimal division keeps it exact. */
   def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((c / 1000L).cast("long"))
+    timestamp_micros(floor(c.cast("decimal(25,0)") / 1000).cast("long"))
 
   /** Attach checks' observable aggregates to a (streaming or batch) frame.
     * Returns the observed frame; read per-batch values via
@@ -66,6 +68,43 @@ object StreamingDQ {
     df.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Running per-key DQ state carried ACROSS micro-batches. */
+  final case class RunningDQState(total: Long, valid: Long) {
+    def ratio: Double = if (total == 0) 0.0 else valid.toDouble / total
+  }
+  final case class RunningDQUpdate(key: String, total: Long, valid: Long, ratio: Double)
+
+  /** Custom-state streaming metrics via `mapGroupsWithState`: maintains a
+    * running (total, valid) pair per key so each micro-batch emits the
+    * CUMULATIVE completeness ratio — something windowed aggregation can't
+    * express (it forgets rows outside the window) and `observe` can't
+    * either (per-batch only). Input frame must carry `key: string` and
+    * `ok: int` (1 = row passes) columns; state is two longs per key.
+    *
+    * State is unbounded in the number of KEYS (not rows). For an unbounded
+    * key space, production deployments should bound it with
+    * `ProcessingTimeTimeout` + `state.setTimeoutDuration` — not used here
+    * because a pending processing-time timeout makes the no-data
+    * micro-batch loop re-trigger continuously (verified: thousands of empty
+    * batches), which breaks `processAllAvailable`-style quiescence in tests
+    * and burns cluster cycles on idle streams. */
+  def runningCompleteness(df: DataFrame): Dataset[RunningDQUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("key").cast("string"), col("ok").cast("int")).as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningDQState, RunningDQUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[RunningDQState]) =>
+          val prev = state.getOption.getOrElse(RunningDQState(0, 0))
+          var t = prev.total; var v = prev.valid
+          rows.foreach { case (_, ok) => t += 1; v += ok }
+          val next = RunningDQState(t, v)
+          state.update(next)
+          RunningDQUpdate(key, next.total, next.valid, next.ratio)
+      }
   }
 
   /** Streaming exact dedup by key columns with bounded state: rows whose

@@ -60,6 +60,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: mapGroupsWithState carries running metrics across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("key", "ok")
+    val out = graft.streaming.StreamingDQ.runningCompleteness(df)
+    val q = out.writeStream.format("memory").queryName("running_dq").outputMode("update").start()
+    try {
+      mem.addData(("a", 1), ("a", 0), ("b", 1))
+      q.processAllAvailable()
+      mem.addData(("a", 1), ("a", 1))
+      q.processAllAvailable()
+      val rows = spark.table("running_dq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // batch 1: a → (2,1); batch 2 CUMULATIVE: a → (4,3)
+      assert(rows.contains(("a", 2L, 1L)))
+      assert(rows.contains(("a", 4L, 3L)))
+      assert(rows.contains(("b", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming: observed check metrics arrive per micro-batch") {
     val s = spark
     import s.implicits._

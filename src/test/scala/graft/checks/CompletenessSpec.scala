@@ -95,6 +95,27 @@ class CompletenessSpec extends SparkSpec {
     assert(observed.size == res.metricRows.size)
   }
 
+  test("memoization + shared df_count cache (base_check.py:62-92 parity)") {
+    val df = smokeDf(1000)
+    val mgr = new DQManager(spark, "memo")
+    mgr.setData(df)
+    val c1 = new CompletenessColRatioCheck("memo", "r", SeverityLevel.Low, "c1", Seq("age"), 0.5)
+    val c2 = new CompletenessRawRatioCheck("memo", "r", SeverityLevel.Low, "c2", Seq("age"), 0.5)
+    mgr.addCheck(c1); mgr.addCheck(c2)
+    mgr.run()
+    // valid df memoized: same instance on re-entry
+    val v1 = c1.getValidDf(df)
+    assert(c1.getValidDf(df) eq v1)
+    // df_count computed once, shared across checks via the manager cache
+    c1.df = df; c2.df = df
+    assert(c1.dfCount == 1000L)
+    assert(mgr.cacheObj.get("df_count").contains(1000L))
+    assert(c2.dfCount == 1000L) // served from the shared per-manager cache
+    // separate manager (D3): no leakage
+    val mgr2 = new DQManager(spark, "memo2")
+    assert(mgr2.cacheObj.get("df_count").isEmpty)
+  }
+
   test("consistency + freshness + validity checks") {
     val s = spark
     import s.implicits._
