@@ -14,7 +14,7 @@ import graft.core._
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.load(spark, dir, name)
 
   private val SEV = SeverityLevel.High
 
