@@ -233,6 +233,71 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value")))
         .orderBy("window_start", "event_type")
     }),
+    // --- temporal joins + sessionization (SURVEY §2c: joins/windows absent
+    //     in reference; core training-pipeline shapes) ---
+    "q_asof_join" -> ((s, dir) => {
+      // for each click, the most recent prior purchase by the same user.
+      // ts is truncated to MICROS (exact integer div) because the DuckDB
+      // oracle reads parquet TIMESTAMP(NANOS) at microsecond precision.
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"),
+          col("value").as("prev_purchase_value"))
+      graft.operators.Joins.asofJoin(clicks, purchases,
+        keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
+        valueCols = Seq("prev_purchase_value"))
+        .select("event_id", "user_id", "ts_us", "prev_purchase_value")
+        .orderBy("event_id")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // lineitems whose unit price falls in each part's ±1% retail band.
+      // bucketWidth ≈ interval length (~19) keeps replication ≈ 2 bands per
+      // interval; candidate pairs stay proportional to true matches.
+      val points = t(s, dir, "lineitem")
+        .select((col("l_extendedprice") / col("l_quantity")).as("up"))
+      val intervals = t(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 0.99).as("lo"),
+          (col("p_retailprice") * 1.01).as("hi"))
+      graft.operators.Joins.rangeJoinBanded(points, intervals, "up", "lo", "hi", 20.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_in_band"), min(col("up")).as("min_up"), max(col("up")).as("max_up"))
+        .orderBy("p_partkey")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-safe equi-join; output provably identical to the plain join
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Joins.saltedJoin(t(s, dir, "lineitem"), o, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // 2-hour-gap sessions per user; micros (exact integer div) so gap
+      // classification and boundaries agree with the µs-precision oracle
+      graft.operators.Sessionize.sessionAgg(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", gap = 7200L * 1000 * 1000)
+        .orderBy("user_id", "session_idx")
+    }),
+    // --- similarity: IVF coarse-quantizer ANN (rows-only: recall < 1 by
+    //     design; recall vs brute force is asserted in IvfSpec) ---
+    "q_ann_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ivf.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    // --- sketch profile (rows-only: HLL++/GK sketches are approximate by
+    //     contract; error bounds asserted in OperatorsSpec) ---
+    "q_profile_approx" -> ((s, dir) => {
+      graft.operators.Profiler.profileRow(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_orderkey"))
+    }),
     // --- analytics shapes (agg / join / window over the TPC-H-ish tables;
     //     decimal sums so values are exact and partition-order-independent) ---
     "q1_agg" -> ((s, dir) => {
@@ -259,6 +324,41 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment")
+    }),
+    "q5_star_join" -> ((s, dir) => {
+      // TPC-H Q5 shape: full star join; every dimension side broadcast, the
+      // only shuffle is the final small groupBy on n_name.
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      // left-semi: customers that placed at least one URGENT order
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     }),
     "q_window_topn" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -497,6 +597,51 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS window_start, event_type,
         |  count(*) AS n, round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS prev_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p_partkey, count(*) AS n_in_band, min(up) AS min_up, max(up) AS max_up
+        |FROM part JOIN (SELECT l_extendedprice / l_quantity AS up FROM lineitem) l
+        |  ON l.up BETWEEN p_retailprice * 0.99 AND p_retailprice * 1.01
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |m AS (SELECT user_id, tsu,
+        |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |s AS (SELECT user_id, tsu,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS session_idx FROM m)
+        |SELECT user_id, session_idx::BIGINT AS session_idx, min(tsu) AS session_start,
+        |  max(tsu) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

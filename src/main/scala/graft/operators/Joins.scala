@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes the reference has none of (SURVEY.md §2c: "Joins ... absent")
+  * but a large-scale analytics/training-data pipeline needs: as-of join,
+  * range (interval) join, and a skew-safe salted equi-join.
+  *
+  * All three are built so the expensive part stays an EQUI-join or a single
+  * hash exchange — the shapes that scale on a 1000-executor cluster:
+  *  - as-of: union + one window over the key partitioning (one shuffle,
+  *    streaming-frame window, no join explosion);
+  *  - range: band-bucketing turns point-in-interval into an equi-join on
+  *    the bucket id (never a cartesian/BroadcastNestedLoop);
+  *  - salted: hot keys spread across `saltFactor` sub-keys so no single
+  *    reducer owns a whale key (the manual twin of AQE skew-join, usable
+  *    when the small side is replicable).
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, attach `valueCols` from the
+    * right row with the same `keyCols` and the greatest right `ts` that is
+    * `<=` the left `ts` (inclusive — matches DuckDB/pandas `ASOF JOIN` with
+    * `left.ts >= right.ts`). Left rows with no earlier right row keep nulls
+    * (LEFT as-of semantics).
+    *
+    * Strategy (scale-first): instead of a range self-join, both sides are
+    * unioned and sorted once per key — a single hash exchange on `keyCols`,
+    * then a running `last(value, ignoreNulls)` window with a growing frame,
+    * which Spark evaluates incrementally (UnboundedPreceding→CurrentRow is
+    * the streaming-friendly frame — no per-partition buffering of the whole
+    * group). Right rows that tie on (key, ts) resolve to the LAST one under
+    * (`ts`, side, `tieBreak`) ordering; pre-aggregate the right side if that
+    * ambiguity matters.
+    *
+    * `valueCols` must not collide with left column names.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    require(valueCols.forall(v => !left.columns.contains(v)),
+      s"right value columns ${valueCols.mkString(",")} collide with left schema")
+    val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    // Common shape: keys ++ __ts ++ __side ++ left payload ++ right values
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftPayload.map(col) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val projected = l.unionByName(r).select(
+      (keyCols ++ leftPayload).map(col) ++ Seq(col("__side")) ++
+        valueCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+    projected.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Point-in-interval range join via band bucketing: every interval row is
+    * replicated into each width-`bucketWidth` band it overlaps, every point
+    * row lands in exactly one band, and the join becomes an EQUI-join on the
+    * band id followed by the exact `between` filter. Output: inner-join rows
+    * `pointDf.* ++ intervalDf.*` for every (point, interval) containment.
+    *
+    * Choose `bucketWidth` ≈ the typical interval length: replication factor
+    * is `len/width + 1` per interval, and each point-band pair is matched by
+    * the equi-join instead of a nested-loop over all intervals. Points fall
+    * in exactly one band, so no dedup is needed.
+    */
+  def rangeJoinBanded(
+      pointDf: DataFrame,
+      intervalDf: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double
+  ): DataFrame = {
+    require(bucketWidth > 0)
+    val p = pointDf.withColumn("__band", floor(col(pointCol) / bucketWidth).cast("long"))
+    val i = intervalDf
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__band",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(i, Seq("__band"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__band")
+  }
+
+  /** Skew-safe equi-join: semantically identical to
+    * `big.join(small, keyCols)` but hot keys on the big side are spread over
+    * `saltFactor` sub-keys while the small side is replicated `saltFactor`×.
+    * Use when one/few key values dominate the big side (a "whale" key would
+    * otherwise pin a single reducer); the small side must be cheap to
+    * replicate. AQE's skew-join handles sort-merge skew automatically —
+    * this operator is for when you must force the layout (e.g. the skewed
+    * side feeds a downstream keyed op that AQE can't split).
+    *
+    * The salt is derived from `rand(seed)`; output content does not depend
+    * on which salt bucket a row lands in, so nondeterministic assignment is
+    * safe (every bucket joins against a full copy of `small`).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keyCols: Seq[String],
+      saltFactor: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(saltFactor >= 1)
+    val b = big.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    b.join(s, keyCols :+ "__salt").drop("__salt")
+  }
+}

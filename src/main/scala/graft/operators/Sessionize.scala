@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream/table — a core
+  * training-data-pipeline shape (group raw events into user sessions before
+  * feature extraction). The reference has no time-series operators at all
+  * (SURVEY.md §1: `FreshnessPeriod` enum is unused); this and
+  * [[graft.streaming.StreamingDQ]] round out the temporal surface.
+  *
+  * Batch strategy: one hash exchange on the key + two window passes over the
+  * same partitioning (Catalyst plans them in a single sort): a `lag` marks
+  * session starts (gap exceeded), a running sum turns marks into session
+  * ordinals. No self-join, no state blowup — cost is one shuffle + one sort
+  * per key partition regardless of session count, so it scales linearly at
+  * 100 TB. The streaming twin is Spark's built-in
+  * `session_window(ts, gap)` aggregation (see [[sessionAggStreaming]]).
+  */
+object Sessionize {
+
+  /** Assign a per-key session ordinal (`session_idx`, 1-based, ordered by
+    * `tsCol`) to every row: a new session starts when the gap since the
+    * previous event of the same key exceeds `gap` (same units as `tsCol`,
+    * e.g. nanos for `events.ts`). */
+  def assignSessions(df: DataFrame, keyCol: String, tsCol: String, gap: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val newSession: Column =
+      when(col(tsCol) - lag(col(tsCol), 1).over(byKey) > gap, 1)
+        .otherwise(when(lag(col(tsCol), 1).over(byKey).isNull, 1).otherwise(0))
+    df.withColumn("__new", newSession)
+      .withColumn("session_idx",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Sessionize and aggregate: one row per (key, session) with start/end
+    * (in `tsCol` units), event count, and any extra aggregates. */
+  def sessionAgg(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: Long,
+      extraAggs: Seq[Column] = Seq.empty
+  ): DataFrame = {
+    val aggs = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events")) ++ extraAggs
+    assignSessions(df, keyCol, tsCol, gap)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming sessionization: built-in gap-based `session_window` over an
+    * event-time timestamp column with a watermark bounding state. Works on
+    * batch frames too (Spark evaluates session_window in batch), but the
+    * batch path above is preferred there — it also yields per-row session
+    * ids, not just aggregates. */
+  def sessionAggStreaming(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapDuration: String,
+      watermark: String,
+      extraAggs: Seq[Column] = Seq.empty
+  ): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_events")) ++ extraAggs
+    val out = df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gapDuration))
+      .agg(aggs.head, aggs.tail: _*)
+    val aggCols = out.columns.filterNot(c => c == keyCol || c == "session_window")
+    out.select(
+      col(keyCol) +:
+        col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        aggCols.map(col).toSeq: _*)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+
+  test("asofJoin: backward inclusive match, nulls when no earlier right row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), // before any right row -> null
+      (2L, "u1", 200L), // exactly at right ts 200 -> inclusive match 200
+      (3L, "u1", 350L), // between 300 and 400 -> 300
+      (4L, "u2", 500L), // other key -> its own timeline
+      (5L, "u3", 999L)  // key with no right rows at all -> null
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("u1", 200L, 2.0),
+      ("u1", 300L, 3.0),
+      ("u1", 400L, 4.0),
+      ("u2", 450L, 45.0)
+    ).toDF("k", "rts", "v")
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
+  }
+
+  test("asofJoin equals the naive per-row max-<=-ts lookup on real events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("pv"))
+    val got = Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts", Seq("pv"))
+    // naive oracle: range join + argmax(p_ts) per left row
+    val naive = clicks.join(purchases, Seq("user_id"), "left")
+      .filter(col("p_ts").isNull || col("p_ts") <= col("ts"))
+      .groupBy("event_id")
+      .agg(max(struct(col("p_ts"), col("pv"))).getField("pv").as("pv_naive"))
+    val joined = got.join(naive, Seq("event_id"), "full")
+    val mismatches = joined.filter(
+      !(col("pv") <=> col("pv_naive"))).count()
+    assert(mismatches === 0)
+    assert(got.count() === clicks.count()) // left semantics: no row lost/duplicated
+  }
+
+  test("rangeJoinBanded equals cross-join + between filter") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_extendedprice") / col("l_quantity")).as("up"))
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), (col("p_retailprice") * 0.95).as("lo"),
+        (col("p_retailprice") * 1.05).as("hi"))
+    val banded = Joins.rangeJoinBanded(li, part, "up", "lo", "hi", 10.0)
+      .groupBy("p_partkey").count()
+    val brute = li.crossJoin(part)
+      .filter(col("up").between(col("lo"), col("hi")))
+      .groupBy("p_partkey").count()
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+    assert(brute.count() > 0) // fixture actually exercises the operator
+  }
+
+  test("saltedJoin output equals plain equi-join") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = Joins.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+    val plain = li.join(o, Seq("l_orderkey"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
