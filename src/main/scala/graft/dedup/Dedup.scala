@@ -140,45 +140,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Token-set (word n-gram) Jaccard pairs with block-key join (brute force
-    * within a block; use [[minHashLshPairs]] when blocks are large). */
+  /** Token-set (word n-gram) Jaccard pairs via prefix-filtered inverted
+    * index + exact merge verify (use [[minHashLshPairs]] for probabilistic
+    * blocking at lower thresholds).
+    *
+    * Prefix filter (AllPairs/PPJoin family, Bayardo et al., WWW'07 — public
+    * result): under ANY global canonical order of grams (here: the 64-bit
+    * gram hash order the sets are already sorted by), two sets with
+    * `J(A,B) >= t` MUST share a gram within the first
+    * `|A| - ceil(t*|A|) + 1` grams of A (resp. B). So only that prefix is
+    * exploded into the inverted index — at t=0.9 that's ~10% of each set,
+    * which cuts hot-gram bucket sizes ~10x and their pairwise blowup ~100x
+    * versus indexing every gram. Candidates then get an exact
+    * allocation-free linear-merge Jaccard verify, so output is IDENTICAL to
+    * the brute-force definition — the filter only prunes work.
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 1,
       threshold: Double = 0.8,
-      blockCols: Seq[String] = Seq.empty
+      blockCols: Seq[String] = Seq.empty,
+      cacheIntermediate: Boolean = true
   ): DataFrame = {
-    // Inverted-index formulation: explode the (distinct) gram sets, self-join
-    // on (block, gram) to count common grams per pair, then derive Jaccard
-    // from the set sizes. Only (ida, idb) long-pairs flow through the big
-    // shuffle — the naive pair-join materializes BOTH gram arrays into every
-    // pair row (O(pairs × doc_bytes) row traffic); this is O(pairs) longs
-    // plus a map-side-combined count aggregate. Identical values: m common
-    // distinct grams, union = |A|+|B|−m.
     // gram sets as sorted distinct 64-bit hashes (collision odds negligible;
-    // the exploded join then moves 8-byte longs, not gram strings)
+    // the exploded index then moves 8-byte longs, not gram strings)
     val setCol = shingle_hashes(TextAnalysis.tokens(col(textCol)), n)
-    val base = df
+    val base0 = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id") +: setCol.as("s") +: blockCols.map(col): _*)
-      .filter(size(col("s")) > 0)
-    val sizes = base.select(col("id"), size(col("s")).as("c"))
-    val ex = base.select(col("id") +: explode(col("s")).as("g") +: blockCols.map(col): _*)
-    val l = ex.select(col("id").as("ida") +: col("g") +: blockCols.map(col): _*)
-    val rt = ex.select(col("id").as("idb") +: col("g") +: blockCols.map(col): _*)
-    val inter = l.join(rt, blockCols :+ "g")
-      .filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb")
-      .agg(count(lit(1)).as("m"))
-    inter
-      .join(sizes.select(col("id").as("ida"), col("c").as("ca")), "ida")
-      .join(sizes.select(col("id").as("idb"), col("c").as("cb")), "idb")
-      .withColumn("jaccard",
-        col("m").cast("double") / (col("ca") + col("cb") - col("m")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
+      .select(col(idCol).as("id") +: setCol.as("sh") +: blockCols.map(col): _*)
+      .filter(size(col("sh")) > 0)
+    // consumed thrice (prefix index + both verify sides)
+    val base = if (cacheIntermediate)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    // ceil(t*|A|) with a tiny slack so an off-by-one-ulp product can only
+    // LENGTHEN the prefix (correctness is one-sided; extra grams cost only
+    // a few more candidates)
+    val prefLen = (size(col("sh")).cast("long") -
+      ceil(lit(threshold) * size(col("sh")).cast("double") - lit(1e-9)) + 1).cast("int")
+    val ex = base.select(
+      col("id") +: size(col("sh")).as("c") +:
+        explode(slice(col("sh"), lit(1), prefLen)).as("g") +: blockCols.map(col): _*)
+    val l = ex.select(col("id").as("ida") +: col("c").as("ca") +: col("g") +: blockCols.map(col): _*)
+    val rt = ex.select(col("id").as("idb") +: col("c").as("cb") +: col("g") +: blockCols.map(col): _*)
+    // size filter (same family of bounds): J >= t forces t*|B| <= |A|; the
+    // check is one int compare per matched posting pair, BEFORE the
+    // distinct shuffle
+    val candidates = l.join(rt, blockCols :+ "g")
+      .filter(col("ida") < col("idb") &&
+        col("ca").cast("double") >= lit(threshold) * col("cb").cast("double") &&
+        col("cb").cast("double") >= lit(threshold) * col("ca").cast("double"))
+      .select("ida", "idb")
+      .distinct()
+    verifyJaccard(candidates, base.select("id", "sh"), threshold)
   }
 
   /** Deterministic random hyperplanes for sign-LSH (driver-side, seeded). */
