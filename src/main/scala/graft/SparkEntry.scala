@@ -283,6 +283,58 @@ object SparkEntry {
         "user_id", "ts_us", gap = 7200L * 1000 * 1000)
         .orderBy("user_id", "session_idx")
     }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs -> connected components -> (doc_id, cluster_rep)
+      graft.dedup.Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
+        n = 1, threshold = 0.9, blockCols = Seq("lang"))
+        .orderBy("doc_id")
+    }),
+    // --- outlier / distribution checks (accuracy dimension) ---
+    "q_outlier_metric" -> ((s, dir) => {
+      // events.value has a genuine heavy tail (unlike the uniform TPC-H
+      // price columns, which never exceed ~1.8 sigma)
+      val c = new OutlierCheck("events", "r1", SEV, "value_outlier",
+        "value", zMax = 3.0, threshold = 0.01)
+      metricsDf(s, c.metricResults(t(s, dir, "events")))
+        .select(col("metric_name"), round(col("value_double"), 6).as("value_double"))
+    }),
+    "q_outlier_invalid" -> ((s, dir) => {
+      val c = new OutlierCheck("events", "r1", SEV, "value_outlier",
+        "value", zMax = 3.0, threshold = 0.01)
+      c.invalid(t(s, dir, "events"))
+        .select("event_id", "value")
+        .orderBy("event_id")
+    }),
+    // --- profiling: histogram + exact quantiles ---
+    "q_histogram" -> ((s, dir) => {
+      graft.operators.Profiler.histogram(t(s, dir, "lineitem"), "l_extendedprice", 5000.0)
+        .orderBy("bucket")
+    }),
+    "q_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q25"),
+        expr("percentile(l_extendedprice, 0.5)").as("q50"),
+        expr("percentile(l_extendedprice, 0.75)").as("q75"))
+    }),
+    // --- pivot (conditional-aggregation twin of GROUP BY + CASE) ---
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_returnflag")
+    }),
+    // --- text: top-k terms per language (rank window over token counts) ---
+    "q_top_terms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("tok"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    }),
     // --- similarity: IVF coarse-quantizer ANN (rows-only: recall < 1 by
     //     design; recall vs brute force is asserted in IvfSpec) ---
     "q_ann_topk_ivf" -> ((s, dir) => {
@@ -597,6 +649,57 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS window_start, event_type,
         |  count(*) AS n, round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang,
+        |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ida, idb FROM inter
+        |  JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+        |lbl(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
+        |SELECT node AS doc_id, min(label) AS cluster_rep
+        |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q_outlier_metric" ->
+      """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+        |SELECT 'value_outlier' AS metric_name,
+        |  round(CAST(sum(CASE WHEN abs(value - s.m) > 3.0 * s.sd THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS value_double
+        |FROM events, s""".stripMargin,
+    "q_outlier_invalid" ->
+      """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
+        |SELECT event_id, value FROM events, s
+        |WHERE abs(value - s.m) > 3.0 * s.sd
+        |ORDER BY event_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT floor(l_extendedprice / 5000.0)::BIGINT AS bucket,
+        |  floor(l_extendedprice / 5000.0) * 5000.0 AS lo,
+        |  (floor(l_extendedprice / 5000.0) + 1) * 5000.0 AS hi,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+    "q_quantiles" ->
+      """SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+        |  quantile_cont(l_extendedprice, 0.5) AS q50,
+        |  quantile_cont(l_extendedprice, 0.75) AS q75
+        |FROM lineitem""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_top_terms" ->
+      """WITH tk AS (SELECT lang, unnest(regexp_extract_all(trim(text), '\S+')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk FROM c)
+        |SELECT lang, tok, n, rnk::INT AS rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS prev_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l

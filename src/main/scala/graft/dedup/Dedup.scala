@@ -197,6 +197,69 @@ object Dedup {
     verifyJaccard(candidates, base.select("id", "sh"), threshold)
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — turns near-dup PAIRS into dedup CLUSTERS
+    * ("keep one doc per component"), the form a training-data pipeline
+    * actually consumes. Returns (node, component) where component = the
+    * smallest node id reachable from `node`; only nodes that appear in an
+    * edge are returned (singletons are trivially their own component).
+    *
+    * Scale design: each round is one equi-join (edges ⋈ labels on the key
+    * partitioning) + one min-aggregate — the MapReduce-CC shape of
+    * Rastogi et al., "Finding Connected Components in Map-Reduce"
+    * (ICDE'13, public). Rounds needed = graph diameter, and near-dup
+    * graphs are unions of near-cliques (diameter ~2-3), so convergence is
+    * fast; every round materializes via `localCheckpoint` to truncate
+    * lineage (swap for `checkpoint(dir)` on a real cluster).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // push every node's current label to its neighbors, keep the min
+      val prop = sym.join(labels, sym("a") === labels("node"))
+        .select(col("b").as("node"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** End-to-end fuzzy dedup clustering: near-dup pairs (prefix-filtered
+    * exact Jaccard) → connected components → (doc_id, cluster_rep) with
+    * cluster_rep = smallest doc_id of the cluster. Docs with no near-dup
+    * are omitted (they are their own cluster). */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.9,
+      blockCols: Seq[String] = Seq.empty
+  ): DataFrame =
+    connectedComponents(
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, blockCols), "ida", "idb")
+      .select(col("node").as(idCol), col("component").as("cluster_rep"))
+
   /** Deterministic random hyperplanes for sign-LSH (driver-side, seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

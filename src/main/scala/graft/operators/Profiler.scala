@@ -70,4 +70,19 @@ object Profiler {
       .select(explode(array(rows.indices.map(i => col(s"s$i")): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Fixed-width histogram of a numeric column: one row per non-empty
+    * bucket, `bucket = floor(value / width)` (exact integer bucketing —
+    * deterministic and oracle-checkable, unlike quantile sketches).
+    * One partial+final aggregate pass; bucket count is bounded by the value
+    * range, not the row count. */
+  def histogram(df: DataFrame, column: String, width: Double): DataFrame = {
+    require(width > 0)
+    df.filter(col(column).isNotNull)
+      .groupBy(floor(col(column) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bucket") * width)
+      .withColumn("hi", (col("bucket") + 1) * width)
+      .select("bucket", "lo", "hi", "n")
+  }
 }
