@@ -227,6 +227,32 @@ object SparkEntry {
         .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
         .orderBy("event_type")
     }),
+    "q_skew_agg" -> ((s, dir) => {
+      // two-stage salted aggregation; provably equal to the plain groupBy
+      graft.operators.SkewAgg.aggBySalt(t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq(("count", "*"), ("sum", "l_quantity"), ("min", "l_extendedprice"), ("max", "l_extendedprice")),
+        saltFactor = 16)
+        .orderBy("l_returnflag")
+    }),
+    "q_events_schema" -> ((s, dir) => {
+      // from_json into a typed struct (vs get_json_object string probing)
+      val parsed = t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+      parsed.groupBy("event_type")
+        .agg(min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"),
+          count(col("p.k")).as("n_parsed"))
+        .orderBy("event_type")
+    }),
+    "q_frame_sample" -> ((s, dir) => {
+      // video-shaped frame sampling over binary payloads (every 4th 256-byte
+      // frame); payload = UTF-8 bytes of text so DuckDB can mirror exactly
+      val media = graft.multimodal.Multimodal.synthesizePayload(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 256, step = 4)
+        .orderBy("media_id", "frame_idx")
+    }),
     "q_events_window" -> ((s, dir) => {
       graft.streaming.StreamingDQ.nanosTumblingAgg(
         t(s, dir, "events"), "ts", 3600L * 1000 * 1000 * 1000, Seq("event_type"),
@@ -645,6 +671,29 @@ object SparkEntry {
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag, count(*) AS count_rows, sum(l_quantity) AS sum_l_quantity,
+        |  min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_schema" ->
+      """SELECT event_type,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_frame_sample" ->
+      // DuckDB cannot slice BLOBs; every fixture doc is pure ASCII
+      // (octet_length == length for all 500 docs, verified), so char
+      // slicing on the VARCHAR + encode is byte-identical
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 100),
+        |f AS (SELECT media_id, text,
+        |  unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS frame_idx
+        |  FROM m WHERE length(text) > 0)
+        |SELECT media_id, frame_idx::INT AS frame_idx,
+        |  octet_length(encode(substring(text, frame_idx::INT * 256 + 1, 256)))::INT AS frame_bytes,
+        |  sha256(substring(text, frame_idx::INT * 256 + 1, 256)) AS frame_sha256
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q_events_window" ->
       """SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS window_start, event_type,
         |  count(*) AS n, round(avg(value), 6) AS avg_value

@@ -96,6 +96,46 @@ object Multimodal {
     }
   }
 
+  /** Fixed-size frame sampling over a binary payload: the payload is cut
+    * into `frameBytes`-sized frames and every `step`-th frame is kept — the
+    * Spark-side shape of video frame sampling (schema, fan-out, per-frame
+    * stats); a real deployment swaps byte-chunking for codec keyframe
+    * extraction inside the same plumbing. One row per sampled frame,
+    * all column ops (substring/sha2 are codegen'd), no UDFs.
+    * Expects `media_id` + `payload` columns. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, step: Int): DataFrame = {
+    require(frameBytes > 0 && step > 0)
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    df.filter(length(col("payload")) > 0)
+      .withColumn("frame_idx", explode(filter(
+        sequence(lit(0), nFrames - 1), i => i % step === 0)))
+      .withColumn("frame", substring_index_bytes(col("payload"), col("frame_idx"), frameBytes))
+      .select(
+        col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        sha2(col("frame"), 256).as("frame_sha256"))
+  }
+
+  /** `substring` on binary with a column offset (frame_idx * frameBytes). */
+  private def substring_index_bytes(
+      payload: org.apache.spark.sql.Column,
+      frameIdx: org.apache.spark.sql.Column,
+      frameBytes: Int): org.apache.spark.sql.Column =
+    expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+
+  /** Deterministic feature "resize": mean-pool an `array<float>` vector
+    * down to `outDim` buckets (the plumbing twin of image resize — a real
+    * pipeline resizes inside the decoder; this keeps downstream schema and
+    * cost shape honest). Built-in HOFs only. */
+  def resizeVector(vec: org.apache.spark.sql.Column, inDim: Int, outDim: Int): org.apache.spark.sql.Column = {
+    require(outDim > 0 && inDim >= outDim)
+    val pool = math.ceil(inDim.toDouble / outDim).toInt
+    transform(sequence(lit(0), lit(outDim - 1)), i => {
+      val chunk = slice(vec, i * pool + 1, lit(pool))
+      (aggregate(chunk, lit(0.0d), (a, x) => a + x.cast("double")) / size(chunk)).cast("float")
+    })
+  }
+
   /** Typed view over a payload DataFrame. */
   def asRecords(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._

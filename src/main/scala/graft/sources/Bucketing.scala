@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle a fact table ONCE at write time so
+  * every later equi-join/aggregation on the bucket keys runs with ZERO
+  * exchanges (Spark reads each bucket as one partition already hashed by
+  * key). This is the canonical way to amortize the biggest shuffle of a
+  * 100 TB pipeline across all downstream queries.
+  *
+  * The reference has no sinks at all (SURVEY.md §2b: results are returned
+  * as DataFrames); bucketing is the one write-side feature the engine adds
+  * because it changes READ-side plans.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table (overwrites). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on the bucket keys — planner emits a
+    * SortMergeJoin with NO ShuffleExchange on either side. */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      keys: Seq[String]
+  ): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class FrameSampleSpec extends SparkSpec {
+
+  test("sampleFrames: exact frame count, sizes, and step selection") {
+    import spark.implicits._
+    // 1000-byte payload, 256-byte frames -> frames 0..3 (last = 232 bytes);
+    // step 2 keeps frames 0 and 2
+    val payload = Array.fill[Byte](1000)(7)
+    val df = Seq((1L, payload)).toDF("media_id", "payload")
+    val got = Multimodal.sampleFrames(df, frameBytes = 256, step = 2)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(got.toSeq === Seq((0, 256), (2, 256)))
+    // step 1 keeps all 4, last frame is the 232-byte remainder
+    val all = Multimodal.sampleFrames(df, frameBytes = 256, step = 1)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(all.toSeq === Seq((0, 256), (1, 256), (2, 256), (3, 232)))
+  }
+
+  test("sampleFrames: frame hashes reassemble the original payload identity") {
+    import spark.implicits._
+    val payload = (0 until 600).map(_.toByte).toArray
+    val df = Seq((9L, payload)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 200, step = 1)
+    assert(frames.count() === 3)
+    // distinct content -> distinct hashes; deterministic across runs
+    assert(frames.select("frame_sha256").distinct().count() === 3)
+    val again = Multimodal.sampleFrames(df, frameBytes = 200, step = 1)
+    assert(frames.exceptAll(again).isEmpty)
+  }
+
+  test("resizeVector: mean-pooling to a smaller dim") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 3f, 5f, 7f))).toDF("id", "v")
+    val out = df.select(Multimodal.resizeVector(col("v"), inDim = 4, outDim = 2).as("r"))
+      .head().getSeq[Float](0)
+    assert(out === Seq(2f, 6f)) // mean(1,3), mean(5,7)
+  }
+}
