@@ -218,9 +218,14 @@ object Dedup {
       dstCol: String,
       maxIter: Int = 20
   ): DataFrame = {
-    val sym = edges
+    // persist the edge projection FIRST: `sym` reads it twice (forward +
+    // swapped), and without the cache the whole upstream pair-generation
+    // pipeline would execute twice
+    val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -241,6 +246,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    e0.unpersist()
     labels
   }
 

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Gap-based sessionization over an event stream/table — a core
   * training-data-pipeline shape (group raw events into user sessions before
@@ -76,5 +77,66 @@ object Sessionize {
         col("session_window.start").as("session_start") +:
         col("session_window.end").as("session_end") +:
         aggCols.map(col).toSeq: _*)
+  }
+
+  /** Open-session state per key: bounds in epoch millis + event count. */
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** A CLOSED session, emitted once its gap has provably expired. */
+  final case class ClosedSession(key: String, startMs: Long, endMs: Long, nEvents: Long)
+
+  /** Custom-state streaming sessionization via `flatMapGroupsWithState` +
+    * event-time timeout — for when the built-in `session_window` aggregate
+    * isn't enough (emit exactly-once CLOSED sessions, keep arbitrary extra
+    * state, or emit mid-session signals). A session closes when the
+    * watermark passes `session_end + gap`; state per key is three longs,
+    * evicted on close, so total state is O(open keys).
+    *
+    * Input needs a watermark on `tsCol` (event-time timeouts require it).
+    * Output: one row per closed session, append semantics.
+    */
+  def sessionsCustomState(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapMs: Long,
+      watermark: String
+  ): Dataset[ClosedSession] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"), col(tsCol).cast("timestamp").as("__t"))
+      .withWatermark("__t", watermark) // after the cast, so the tag survives
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(key, s.startMs, s.endMs, s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var open = state.getOption
+            times.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) => // gap exceeded inside the batch: close eagerly
+                  closed ::= ClosedSession(key, s.startMs, s.endMs, s.n)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must stay ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
   }
 }

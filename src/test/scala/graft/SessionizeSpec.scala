@@ -69,4 +69,36 @@ class SessionizeSpec extends SparkSpec {
       assert(got === Set(("a", 2L), ("a", 1L), ("b", 2L)))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessions: closed exactly once when watermark passes gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val base = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(base + offsetSec * 1000)
+    mem.addData(
+      ("a", ts(0)), ("a", ts(30)), ("a", ts(500)), // in-batch gap: [0,30] closes eagerly
+      ("b", ts(10)))
+    val df = mem.toDF().toDF("key", "event_ts")
+    val sessions = Sessionize.sessionsCustomState(df, "key", "event_ts",
+      gapMs = 60000L, watermark = "10 seconds")
+    val q = sessions.toDF()
+      .writeStream.format("memory").queryName("sess_custom").outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData(("c", ts(100000))) // watermark -> 99990s: a/b sessions time out
+      q.processAllAvailable()
+      mem.addData(("c", ts(100001)))
+      q.processAllAvailable()
+      val got = spark.table("sess_custom")
+        .filter(col("key").isin("a", "b"))
+        .select("key", "startMs", "endMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        ("a", base, base + 30000L, 2L),
+        ("a", base + 500000L, base + 500000L, 1L),
+        ("b", base + 10000L, base + 10000L, 1L)))
+    } finally q.stop()
+  }
 }
