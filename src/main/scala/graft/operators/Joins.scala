@@ -54,7 +54,10 @@ object Joins {
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         leftPayload.map(col) ++
         valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
-    val r = right.select(
+    // a null right ts matches nothing (ASOF comparison semantics); without
+    // this filter it would sort first (nulls-first asc) and its values
+    // would leak into every left row of the key
+    val r = right.filter(col(rightTs).isNotNull).select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

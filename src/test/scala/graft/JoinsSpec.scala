@@ -26,6 +26,20 @@ class JoinsSpec extends SparkSpec {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("asofJoin: null timestamps — null right ts matches nothing, null left ts gets nulls") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 300L)).toDF("id", "k", "ts")
+      .union(Seq((3L, "u1")).toDF("id", "k").withColumn("ts", lit(null).cast("long")))
+    val right = Seq(("u1", 50L, 5.0)).toDF("k", "rts", "v")
+      .union(Seq(("u1", 99.0)).toDF("k", "v")
+        .select(col("k"), lit(null).cast("long").as("rts"), col("v")))
+    // output column order: keyCols ++ leftPayload ++ valueCols = (k, id, ts, v)
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    // 99.0 (null rts) must never surface; null left ts row gets null
+    assert(got === Map(1L -> Some(5.0), 2L -> Some(5.0), 3L -> None))
+  }
+
   test("asofJoin equals the naive per-row max-<=-ts lookup on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
