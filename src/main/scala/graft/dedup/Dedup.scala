@@ -182,18 +182,32 @@ object Dedup {
       ceil(lit(threshold) * size(col("sh")).cast("double") - lit(1e-9)) + 1).cast("int")
     val ex = base.select(
       col("id") +: size(col("sh")).as("c") +:
-        explode(slice(col("sh"), lit(1), prefLen)).as("g") +: blockCols.map(col): _*)
-    val l = ex.select(col("id").as("ida") +: col("c").as("ca") +: col("g") +: blockCols.map(col): _*)
-    val rt = ex.select(col("id").as("idb") +: col("c").as("cb") +: col("g") +: blockCols.map(col): _*)
-    // size filter (same family of bounds): J >= t forces t*|B| <= |A|; the
-    // check is one int compare per matched posting pair, BEFORE the
-    // distinct shuffle
-    val candidates = l.join(rt, blockCols :+ "g")
+        posexplode(slice(col("sh"), lit(1), prefLen)).as(Seq("p", "g")) +: blockCols.map(col): _*)
+    val l = ex.select(col("id").as("ida") +: col("c").as("ca") +: col("p").as("pa") +:
+      col("g") +: blockCols.map(col): _*)
+    val rt = ex.select(col("id").as("idb") +: col("c").as("cb") +: col("p").as("pb") +:
+      col("g") +: blockCols.map(col): _*)
+    // size filter (same bound family): J >= t forces t*|B| <= |A| — one int
+    // compare per matched posting pair, BEFORE the pair shuffle
+    val postings = l.join(rt, blockCols :+ "g")
       .filter(col("ida") < col("idb") &&
         col("ca").cast("double") >= lit(threshold) * col("cb").cast("double") &&
         col("cb").cast("double") >= lit(threshold) * col("ca").cast("double"))
+    // positional filter (PPJoin): by the canonical-order argument, no
+    // shared gram precedes the EARLIEST prefix-matched position, so
+    // overlap <= |A| - min(pa) (0-based) and likewise for B — i.e. the
+    // per-side bound is max(ca - pa), NOT min (min would take the worst
+    // matched gram and over-prune). Required overlap for J >= t is
+    // t/(1+t) * (|A|+|B|); pairs that cannot reach it never hit the
+    // verify join. Exact — both bounds are one-sided.
+    val alpha = threshold / (1.0 + threshold)
+    val candidates = postings
+      .groupBy("ida", "idb")
+      .agg(max(col("ca") - col("pa")).as("ba"), max(col("cb") - col("pb")).as("bb"),
+        first(col("ca")).as("ca"), first(col("cb")).as("cb"))
+      .filter(least(col("ba"), col("bb")).cast("double") >=
+        lit(alpha) * (col("ca") + col("cb")).cast("double") - lit(1e-9))
       .select("ida", "idb")
-      .distinct()
     verifyJaccard(candidates, base.select("id", "sh"), threshold)
   }
 
