@@ -87,7 +87,7 @@ object Ivf {
 
   /** Column: array of dot products of `vec` against each centroid. */
   private def centroidScores(vec: Column, centroids: Array[Array[Float]]): Column =
-    array(centroids.map(c => dot_product(vec, typedLit(c.toSeq))): _*)
+    array(centroids.toIndexedSeq.map(c => dot_product(vec, typedLit(c.toSeq))): _*)
 
   /** Column: 0-based index of the best-scoring centroid (ties → first). */
   private def argmaxList(vec: Column, centroids: Array[Array[Float]]): Column = {
