@@ -151,6 +151,17 @@ object SparkEntry {
         round(qualityScore(col("text")), 6).as("score"))
         .orderBy("doc_id")
     }),
+    "q_chunk" -> ((s, dir) => {
+      // sliding 64-token chunks with 16-token overlap (training-data split)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+      d.select(col("doc_id"),
+        posexplode(graft.text.TextAnalysis.tokenChunks(col("text"), 64, 16))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("n_chars"),
+          graft.text.TextAnalysis.tokenCount(col("chunk")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -616,6 +627,16 @@ object SparkEntry {
         |  round(mtl, 6) AS mean_token_len, stops::BIGINT AS stopword_hits,
         |  round(least(greatest(raw, 0.0), 1.0), 6) AS score
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+        |  FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, t,
+        |  unnest(range(0, 1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS BIGINT))) AS chunk_idx
+        |  FROM d WHERE len(t) > 0)
+        |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+        |  length(array_to_string(t[chunk_idx::INT * 48 + 1 : chunk_idx::INT * 48 + 64], ' ')) AS n_chars,
+        |  len(t[chunk_idx::INT * 48 + 1 : chunk_idx::INT * 48 + 64])::INT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -95,6 +95,79 @@ object Ivf {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
+  /** Materialize an IVF index on disk: corpus assigned to lists and
+    * written `partitionBy(list_id)` — every probe then reads ONLY the
+    * probed lists' files (partition pruning, visible as PartitionFilters
+    * in the scan). This is how the coarse quantizer actually pays off at
+    * 100 TB: the per-query scan cost drops to nProbe/nLists of the corpus
+    * without any custom reader. Returns the trained centroids (persist
+    * them alongside the index for future sessions). */
+  def buildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = 16,
+      iters: Int = 8,
+      sampleSize: Int = 2048
+  ): Array[Array[Float]] = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nLists, iters, sampleSize)
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list_id", argmaxList(col("v"), centroids))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    centroids
+  }
+
+  /** Query a disk IVF index built by [[buildIndex]]: per-query probe lists
+    * become a pushed-down `list_id IN (...)` partition filter. */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Float]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val nLists = centroids.length
+    require(nProbe >= 1 && nProbe <= nLists)
+    val probes = probeLists(queries, idCol, vecCol, centroids, nProbe)
+    // partition pruning: restrict the scan to the union of probed lists
+    val probedListIds = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedListIds: _*))
+    val scored = index.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cosine"))
+    Similarity.topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
+  }
+
+  /** (query_id, qv, list_id) rows: each query's nProbe best centroid lists. */
+  private def probeLists(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      nProbe: Int
+  ): DataFrame = {
+    val nLists = centroids.length
+    val qScores = centroidScores(col("qv"), centroids)
+    val probeIdx = slice(
+      reverse(array_sort(zip_with(qScores,
+        sequence(lit(0), lit(nLists - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))),
+      1, nProbe)
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__probe", explode(probeIdx))
+      .withColumn("list_id", col("__probe.i").cast("int"))
+      .drop("__probe")
+  }
+
   /** End-to-end IVF top-k. Output schema matches
     * [[Similarity.bruteForceTopK]]: (query_id, rank, neighbor_id, cosine). */
   def ivfTopK(
@@ -114,19 +187,7 @@ object Ivf {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("list_id", argmaxList(col("v"), centroids))
-    // per-query probe lists: top-nProbe centroid indices by score.
-    // arrays_zip(struct) sorts by (score, idx) asc → reverse → slice nProbe.
-    val qScores = centroidScores(col("qv"), centroids)
-    val probeIdx = slice(
-      reverse(array_sort(zip_with(qScores,
-        sequence(lit(0), lit(nLists - 1)),
-        (s, i) => struct(s.as("s"), i.as("i"))))),
-      1, nProbe)
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("__probe", explode(probeIdx))
-      .withColumn("list_id", col("__probe.i").cast("int"))
-      .drop("__probe")
+    val probes = probeLists(queries, idCol, vecCol, centroids, nProbe)
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

@@ -26,6 +26,26 @@ object TextAnalysis {
   def approxBpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** Sliding token-window chunks (space-rejoined), `chunkSize` tokens with
+    * `overlap` tokens shared between consecutive chunks — the standard
+    * document-splitting step before training/embedding. The last chunk may
+    * be shorter; a doc with <= chunkSize tokens yields exactly one chunk.
+    * Pure HOF composition — chunking runs at scan speed, and the explode
+    * that usually follows fans out WITHOUT shuffling (narrow). */
+  def tokenChunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // number of chunks = 1 + ceil(max(n - chunkSize, 0) / stride)
+    val extra = greatest(n - chunkSize, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize)))))
+  }
+
   /** Word n-grams as space-joined strings (empty array when < n tokens). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -26,6 +26,19 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall too low for nProbe=4/16")
   }
 
+  test("disk index: search equals in-memory ivfTopK and the scan is partition-pruned") {
+    val path = "/tmp/graft_ivf_index"
+    val centroids = Ivf.buildIndex(emb, "vec_id", "embedding", path, nLists = 16)
+    val fromDisk = Ivf.searchIndex(spark, path, centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val inMem = Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 5, nLists = 16, nProbe = 4)
+    assert(fromDisk.exceptAll(inMem).isEmpty && inMem.exceptAll(fromDisk).isEmpty)
+    // the probed-list filter must reach the scan as a partition filter
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"expected list_id partition pruning in:\n$plan")
+  }
+
   test("every corpus vector is assigned to exactly one list (partition of corpus)") {
     // at nProbe = nLists every query touches all lists, so candidate set per
     // query = corpus minus itself; k = corpus-1 returns every vector once
