@@ -494,6 +494,11 @@ object SparkEntry {
         .withColumn("mean_val", round(col("mean_val"), 6))
         .orderBy("column")
     }),
+    "q_key_skew" -> ((s, dir) => {
+      graft.operators.Profiler.keySkew(t(s, dir, "events"), "user_id", topN = 10)
+        .withColumn("share", round(col("share"), 6))
+        .orderBy(col("n").desc, col("user_id"))
+    }),
     // --- per-check invalid attribution (D2 union with rule tag) ---
     "q_invalid_union" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -866,6 +871,11 @@ object SparkEntry {
         |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
         |    count(DISTINCT l_shipdate), NULL, NULL, NULL FROM lineitem
         |) ORDER BY "column"""".stripMargin,
+    "q_key_skew" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events), 6) AS share
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q_invalid_union" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, 'qty_le_45' AS failed_check FROM lineitem

@@ -71,6 +71,23 @@ object Profiler {
       .select("p.*")
   }
 
+  /** Key-skew diagnostic: the topN heaviest key values with their row count
+    * and share of the table — what you run BEFORE deciding whether a join
+    * or aggregation on `keyCol` needs salting ([[graft.operators.Joins.saltedJoin]],
+    * [[graft.operators.SkewAgg.aggBySalt]]) or can rely on AQE. One
+    * aggregation + a broadcast scalar total; ties broken by key for
+    * determinism. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN > 0)
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__total").cast("double"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(topN)
+      .select(col(keyCol), col("n"), col("share"))
+  }
+
   /** Fixed-width histogram of a numeric column: one row per non-empty
     * bucket, `bucket = floor(value / width)` (exact integer bucketing —
     * deterministic and oracle-checkable, unlike quantile sketches).
