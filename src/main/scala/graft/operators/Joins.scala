@@ -20,22 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Backward as-of join: for every left row, attach `valueCols` from the
-    * right row with the same `keyCols` and the greatest right `ts` that is
-    * `<=` the left `ts` (inclusive — matches DuckDB/pandas `ASOF JOIN` with
-    * `left.ts >= right.ts`). Left rows with no earlier right row keep nulls
-    * (LEFT as-of semantics).
+  /** As-of join: for every left row, attach `valueCols` from the right row
+    * with the same `keyCols` and the nearest right `ts` that is `<=` the
+    * left `ts` (backward, the default — matches DuckDB/pandas `ASOF JOIN`
+    * with `left.ts >= right.ts`) or `>=` it (`forward = true`). Matches are
+    * inclusive; left rows with no matching right row keep nulls (LEFT as-of
+    * semantics). `tolerance` (same units as the ts columns) additionally
+    * requires `|left.ts - right.ts| <= tolerance`.
     *
     * Strategy (scale-first): instead of a range self-join, both sides are
     * unioned and sorted once per key — a single hash exchange on `keyCols`,
     * then a running `last(value, ignoreNulls)` window with a growing frame,
     * which Spark evaluates incrementally (UnboundedPreceding→CurrentRow is
     * the streaming-friendly frame — no per-partition buffering of the whole
-    * group). Right rows that tie on (key, ts) resolve to the LAST one under
-    * (`ts`, side, `tieBreak`) ordering; pre-aggregate the right side if that
+    * group). The forward direction reuses the same machinery on negated
+    * timestamps. Right rows that tie on (key, ts) resolve to the LAST one
+    * under (`ts`, side) ordering; pre-aggregate the right side if that
     * ambiguity matters.
     *
-    * `valueCols` must not collide with left column names.
+    * `valueCols` must not collide with left column names; ts columns must
+    * be numeric (negatable) when `forward = true`.
     */
   def asofJoin(
       left: DataFrame,
@@ -43,33 +47,49 @@ object Joins {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]
+      valueCols: Seq[String],
+      forward: Boolean = false,
+      tolerance: Option[Long] = None
   ): DataFrame = {
     require(valueCols.forall(v => !left.columns.contains(v)),
       s"right value columns ${valueCols.mkString(",")} collide with left schema")
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    def ts(c: org.apache.spark.sql.Column) = if (forward) -c else c
+    val matchedTs = "__graft_matched_ts"
     // Common shape: keys ++ __ts ++ __side ++ left payload ++ right values
     val l = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        Seq(ts(col(leftTs)).as("__ts"), lit(1).as("__side")) ++
         leftPayload.map(col) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
+        lit(null).cast("long").as(matchedTs): _*)
     // a null right ts matches nothing (ASOF comparison semantics); without
     // this filter it would sort first (nulls-first asc) and its values
     // would leak into every left row of the key
     val r = right.filter(col(rightTs).isNotNull).select(
       keyCols.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        Seq(ts(col(rightTs)).as("__ts"), lit(0).as("__side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+        valueCols.map(col) :+
+        ts(col(rightTs)).cast("long").as(matchedTs): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols :+ matchedTs
     val projected = l.unionByName(r).select(
-      (keyCols ++ leftPayload).map(col) ++ Seq(col("__side")) ++
-        valueCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
-    projected.filter(col("__side") === 1).drop("__side")
+      (keyCols ++ leftPayload).map(col) ++ Seq(col("__side"), col("__ts")) ++
+        carried.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+    val leftRows = projected.filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case None => leftRows
+      case Some(tol) =>
+        // stale match -> null out the carried values (row is kept)
+        val fresh = col("__ts").cast("long") - col(matchedTs) <= tol
+        valueCols.foldLeft(leftRows)((d, v) =>
+          d.withColumn(v, when(fresh, col(v))))
+    }
+    bounded.drop("__side", "__ts", matchedTs)
   }
 
   /** Point-in-interval range join via band bucketing: every interval row is

@@ -26,6 +26,26 @@ class JoinsSpec extends SparkSpec {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("asofJoin forward: nearest right ts at-or-after each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 300L), (3L, "u", 500L)).toDF("id", "k", "ts")
+    val right = Seq(("u", 250L, 2.5), ("u", 300L, 3.0), ("u", 450L, 4.5)).toDF("k", "rts", "v")
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"), forward = true)
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(2.5), 2L -> Some(3.0), 3L -> None))
+  }
+
+  test("asofJoin tolerance: stale matches are nulled, rows kept") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 1000L)).toDF("id", "k", "ts")
+    val right = Seq(("u", 90L, 9.0)).toDF("k", "rts", "v")
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+      tolerance = Some(50L))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // id=1: 100-90=10 <= 50 -> match; id=2: 1000-90=910 -> stale -> null
+    assert(got === Map(1L -> Some(9.0), 2L -> None))
+  }
+
   test("asofJoin: null timestamps — null right ts matches nothing, null left ts gets nulls") {
     import spark.implicits._
     val left = Seq((1L, "u1", 100L), (2L, "u1", 300L)).toDF("id", "k", "ts")
