@@ -210,6 +210,33 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    "q_ann_topk_l2" -> ((s, dir) => {
+      // euclidean nearest neighbors via the codegen'd l2 kernel; heap top-k
+      // on negated distance (smallest distance = best)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .join(broadcast(q), col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          (-graft.functions.l2_distance(col("qv"), col("v"))).as("neg_dist"))
+      graft.similarity.Similarity.topKByKey(scored, "query_id", "neg_dist", "neighbor_id", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(-col("neg_dist"), 6).as("l2"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_media_features" -> ((s, dir) => {
+      // rows-only: partition-wise decode via the deterministic fake decoder
+      // (feature values are hash-folds, not SQL-expressible)
+      val media = graft.multimodal.Multimodal.synthesizePayload(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      val recs = graft.multimodal.Multimodal.asRecords(s, media)
+      graft.multimodal.Multimodal.extractFeatures(recs,
+        () => new graft.multimodal.DeterministicFakeDecoder(8)).toDF()
+        .select(col("mediaId"), col("nBytes"), round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("mediaId")
+    }),
     "q_ann_topk_lsh" -> ((s, dir) => {
       // rows-only: LSH-bucketed ANN (recall<1 vs q_ann_topk)
       val e = t(s, dir, "embeddings")
@@ -685,6 +712,15 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
         |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_topk_l2" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_distance(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS d
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, d,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, rank::INT AS rank, neighbor_id, round(d, 6) AS l2
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT source, count(*) AS n_docs,
