@@ -244,6 +244,12 @@ object Dedup {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
+    // convergence via a monotone checksum: components only ever DECREASE,
+    // so sum(component) is strictly decreasing until fixpoint — one tiny
+    // aggregate on the just-materialized frame instead of a join per round
+    def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = checksum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -253,10 +259,10 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") < col("old")).count()
+      val nextSum = checksum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist()
