@@ -487,6 +487,24 @@ object SparkEntry {
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rn")
     }),
+    "q_corr" -> ((s, dir) => {
+      // statistical aggregates: Pearson corr + sample covariance
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+    }),
+    "q_ntile" -> ((s, dir) => {
+      // quartile assignment per order within its priority class
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 6).as("min_price"),
+          round(max(col("o_totalprice")), 6).as("max_price"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
     // --- rollup / set-op coverage (SURVEY §2c categories) ---
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -870,6 +888,17 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+        |FROM lineitem""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, quartile, count(*) AS n,
+        |  round(min(o_totalprice), 6) AS min_price, round(max(o_totalprice), 6) AS max_price
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
