@@ -151,6 +151,29 @@ object SparkEntry {
         round(qualityScore(col("text")), 6).as("score"))
         .orderBy("doc_id")
     }),
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      // fixture text is PII-free; append a deterministic footer per doc so
+      // every redaction path is exercised (1 URL + 1 email + 1 number)
+      val d = t(s, dir, "documents").withColumn("txt",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://example.com/d/"), col("doc_id"),
+          lit(" ref 123456789")))
+      val counts = piiCounts(col("txt")).toMap
+      d.select(col("doc_id"),
+        counts("n_urls").as("n_urls"),
+        counts("n_emails").as("n_emails"),
+        counts("n_long_digits").as("n_long_digits"),
+        length(scrubPii(col("txt"))).as("n_chars_scrubbed"))
+        .orderBy("doc_id")
+    }),
+    "q_split" -> ((s, dir) => {
+      // deterministic md5-threshold train/val/test assignment
+      graft.operators.Splits.assignSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
+    }),
     "q_chunk" -> ((s, dir) => {
       // sliding 64-token chunks with 16-token overlap (training-data split)
       val d = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -677,6 +700,27 @@ object SparkEntry {
         |  round(mtl, 6) AS mean_token_len, stops::BIGINT AS stopword_hits,
         |  round(least(greatest(raw, 0.0), 1.0), 6) AS score
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or https://example.com/d/' || doc_id
+        |    || ' ref 123456789' AS txt FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt, 'https?://[^ \t\n]+')) AS n_urls,
+        |  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+        |  len(regexp_extract_all(txt, '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS n_long_digits,
+        |  length(regexp_replace(regexp_replace(regexp_replace(txt,
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS n_chars_scrubbed
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_split" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
         |  FROM documents WHERE doc_id < 50),

@@ -26,6 +26,28 @@ object TextAnalysis {
   def approxBpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** PII scrubbing: replace emails, URLs, and long digit runs (phone/account
+    * numbers) with typed placeholder tags — the standard redaction pass
+    * before texts enter a training corpus. Regexes use only ASCII classes
+    * valid in BOTH Java and RE2 dialects so the DuckDB oracle can mirror
+    * them byte-for-byte; applied in fixed order (URL first, since URLs can
+    * embed the other patterns). Scan-speed column ops, no UDFs. */
+  final val UrlRe = "https?://[^ \\t\\n]+"
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  final val LongDigitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    regexp_replace(noEmail, LongDigitsRe, "<NUM>")
+  }
+
+  /** Count of PII hits per kind (pre-scrub), for corpus audits. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_urls" -> size(regexp_extract_all(text, lit(UrlRe), lit(0))),
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    "n_long_digits" -> size(regexp_extract_all(text, lit(LongDigitsRe), lit(0))))
+
   /** Sliding token-window chunks (space-rejoined), `chunkSize` tokens with
     * `overlap` tokens shared between consecutive chunks — the standard
     * document-splitting step before training/embedding. The last chunk may
