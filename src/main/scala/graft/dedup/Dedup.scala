@@ -117,7 +117,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      seed: Long = 0L
+      seed: Long = 0L,
+      /** cap on bucket size: a bucket of m ids yields m²/2 candidates, so a
+        * degenerate hot bucket (boilerplate-heavy corpora) can go quadratic
+        * at scale. Capping SACRIFICES the pigeonhole guarantee for pairs
+        * routed through dropped buckets — keep at MaxValue when exactness
+        * within `maxHamming` matters more than the worst-case blowup. */
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
     val sigs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -125,10 +131,17 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .select(col("id"), simhash64(col("toks"), seed).as("sig"))
 
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        banded0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
 
     val l = banded.select(col("id").as("ida"), col("sig").as("siga"), col("band"), col("bucket"))
     val rt = banded.select(col("id").as("idb"), col("sig").as("sigb"), col("band"), col("bucket"))
@@ -309,7 +322,10 @@ object Dedup {
       threshold: Double = 0.45,
       nPlanes: Int = 16,
       bands: Int = 4,
-      seed: Long = 7L
+      seed: Long = 7L,
+      /** hot-bucket cap (see [[simHashPairs]]): trade recall through
+        * dropped degenerate buckets for bounded worst-case candidates. */
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
     require(nPlanes % bands == 0)
     val bitsPerBand = nPlanes / bands
@@ -318,10 +334,17 @@ object Dedup {
     val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", signBits(col("v"), planes))
-    val banded = base.select(col("id"), col("v"),
+    val banded0 = base.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        banded0.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= maxBucketSize).drop("__bs")
+      }
     val l = banded.select(col("id").as("ida"), col("v").as("va"), col("band"), col("bucket"))
     val rt = banded.select(col("id").as("idb"), col("v").as("vb"), col("band"), col("bucket"))
     l.join(rt, Seq("band", "bucket"))

@@ -18,6 +18,18 @@ class DedupClustersSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("hot-bucket caps bound candidate blowup (recall tradeoff is explicit)") {
+    import spark.implicits._
+    // 30 identical docs -> one hot simhash bucket in every band
+    val docs = (1 to 30).map(i => (i.toLong, "the same boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+    assert(uncapped.count() === 30L * 29 / 2) // full clique
+    val capped = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 10)
+    assert(capped.count() === 0) // every bucket exceeds the cap and is dropped
+  }
+
   test("connectedComponents equals driver-side union-find on real near-dup pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1,
