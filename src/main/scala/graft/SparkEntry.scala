@@ -185,6 +185,18 @@ object SparkEntry {
           graft.text.TextAnalysis.tokenCount(col("chunk")).as("n_tokens"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_winnow" -> ((s, dir) => {
+      // rows-only: winnowing (rolling char-k-gram min-hash) fingerprints —
+      // xxhash64 not reproducible in DuckDB; selection property asserted in
+      // ExtensionsSpec. Shared fingerprints indicate copied passages.
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("fp"))
+        .limit(100)
+    }),
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
