@@ -118,6 +118,53 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+    * algorithm) over a normalized string: hash every k-byte gram (XXH64,
+    * one pass), take the min of every w-window via a monotonic deque
+    * (O(grams) total, not O(grams·w)), return the SORTED DISTINCT minima.
+    * One allocation-bounded pass per document — replaces a HOF formulation
+    * whose per-window `slice`+`array_min` lambdas (and re-evaluated
+    * branches) were ~100× slower on long docs. Grams are byte-grams: equal
+    * to char-grams on ASCII; documented approximation elsewhere. */
+  def winnow(s: UTF8String, k: Int, w: Int, seed: Long): ArrayData = {
+    val n = s.numBytes()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val g = n - k + 1
+    val gh = new Array[Long](g)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    while (i < g) { gh(i) = XXH64.hashUnsafeBytes(base, off + i, k, seed); i += 1 }
+    val mins =
+      if (g <= w) {
+        var m = Long.MaxValue; var j = 0
+        while (j < g) { if (gh(j) < m) m = gh(j); j += 1 }
+        Array(m)
+      } else {
+        val nw = g - w + 1
+        val out = new Array[Long](nw)
+        val dq = new Array[Int](g) // deque of indices, increasing gh values
+        var head = 0; var tail = 0 // [head, tail)
+        var p = 0
+        while (p < g) {
+          while (tail > head && gh(dq(tail - 1)) >= gh(p)) tail -= 1
+          dq(tail) = p; tail += 1
+          if (dq(head) <= p - w) head += 1
+          if (p >= w - 1) out(p - w + 1) = gh(dq(head))
+          p += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(mins)
+    var m = 0
+    var t = 1
+    while (t < mins.length) {
+      if (mins(t) != mins(m)) { m += 1; mins(m) = mins(t) }
+      t += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, m + 1))
+  }
+
   /** 64-bit SimHash: bit j of the result is 1 iff the sum over tokens of
     * ±1 (sign of bit j of xxh64(token)) is positive. */
   def simHash(tokens: ArrayData, seed: Long): Long = {
@@ -279,6 +326,30 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.minHash($c, $numHashes, ${seed}L);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `winnow_fingerprints(string) -> array<long>` — sorted distinct winnowing
+  * minima over byte k-grams (codegen'd via static call). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  protected override def nullSafeEval(s: Any): Any =
+    HashOps.winnow(s.asInstanceOf[UTF8String], k, w, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.winnow($c, $k, $w, ${seed}L);")
 
   protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

@@ -38,6 +38,11 @@ package object functions {
   def sorted_intersection_count(a: Column, b: Column): Column =
     col(SortedIntersectionCount(expr(a), expr(b)))
 
+  /** Sorted distinct winnowing fingerprint minima of a (pre-normalized)
+    * string — byte k-grams, w-window minima (codegen'd one-pass kernel). */
+  def winnow_fingerprints(text: Column, k: Int = 7, w: Int = 4, seed: Long = 42L): Column =
+    col(WinnowFingerprints(expr(text), k, w, seed))
+
   /** Sorted distinct rolling word-n-gram hashes of a token array — the
     * allocation-free stand-in for string shingles in dedup pipelines. */
   def shingle_hashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =

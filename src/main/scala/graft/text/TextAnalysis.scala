@@ -154,15 +154,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Winnowing-style rolling fingerprints: xxhash64 each char k-gram, then
-    * keep the min hash of every w-window (distinct). Local algorithm —
-    * no shuffle; output is a small `array<long>` per doc for containment /
-    * plagiarism-style matching. */
-  def winnowingFingerprints(text: Column, k: Int = 7, w: Int = 4): Column = {
-    val hashes = transform(charNgrams(regexp_replace(lower(trim(text)), "\\s+", " "), k), g => xxhash64(g))
-    when(size(hashes) === 0, array().cast("array<bigint>"))
-      .otherwise(when(size(hashes) <= w, array(array_min(hashes)))
-        .otherwise(array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
-          i => array_min(slice(hashes, i, lit(w)))))))
-  }
+  /** Winnowing rolling fingerprints (Schleimer et al., SIGMOD'03): hash
+    * every k-gram of the whitespace-normalized lowercase text, keep the
+    * sorted distinct minima of all w-windows. Backed by a one-pass codegen
+    * kernel ([[graft.functions.winnow_fingerprints]], monotonic-deque
+    * window minima) — the earlier HOF formulation re-evaluated the full
+    * hash array per `when` branch and allocated a slice per window, ~100×
+    * slower on long documents. Grams are BYTE grams (== char grams on
+    * ASCII corpora; multi-byte text shifts gram boundaries, acceptable for
+    * a similarity fingerprint). */
+  def winnowingFingerprints(text: Column, k: Int = 7, w: Int = 4): Column =
+    graft.functions.winnow_fingerprints(
+      regexp_replace(lower(trim(text)), "\\s+", " "), k, w)
 }
