@@ -32,5 +32,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a token array"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+
+    ext.injectFunction((FunctionIdentifier("sorted_intersection_count"),
+      info("sorted_intersection_count",
+        "sorted_intersection_count(a, b) - |a ∩ b| of two sorted distinct arrays"),
+      (children: Seq[Expression]) => SortedIntersectionCount(children(0), children(1))))
+
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens[, n]) - sorted distinct rolling n-gram hashes (n default 3)"),
+      (children: Seq[Expression]) => ShingleHashes(children.head,
+        n = children.lift(1).map(foldableInt).getOrElse(3), seed = 42L)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(tokens[, k]) - k-hash MinHash signature (k default 128)"),
+      (children: Seq[Expression]) => MinHashSignature(children.head,
+        numHashes = children.lift(1).map(foldableInt).getOrElse(128), seed = 42L)))
+
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text[, k[, w]]) - sorted distinct winnowing minima (k=7, w=4)"),
+      (children: Seq[Expression]) => WinnowFingerprints(children.head,
+        k = children.lift(1).map(foldableInt).getOrElse(7),
+        w = children.lift(2).map(foldableInt).getOrElse(4))))
+  }
+
+  /** Literal int argument of a SQL call (e.g. `shingle_hashes(toks, 2)`). */
+  private def foldableInt(e: Expression): Int = {
+    require(e.foldable, s"expected a literal int argument, got $e")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
   }
 }

@@ -93,6 +93,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("SQL registration covers every native function incl. literal args") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text").createOrReplaceTempView("sqlreg_test")
+    val row = spark.sql(
+      """SELECT
+        |  size(shingle_hashes(split(text, ' '), 2)) AS n_sh,
+        |  size(minhash_signature(split(text, ' '), 16)) AS n_mh,
+        |  size(winnow_fingerprints(text, 5, 3)) AS n_wf,
+        |  sorted_intersection_count(shingle_hashes(split(text, ' ')),
+        |                            shingle_hashes(split(text, ' '))) AS self_inter,
+        |  simhash64(split(text, ' ')) AS sh
+        |FROM sqlreg_test""".stripMargin).head()
+    assert(row.getAs[Int]("n_sh") === 5)   // 6 tokens -> 5 bigrams
+    assert(row.getAs[Int]("n_mh") === 16)
+    assert(row.getAs[Int]("n_wf") > 0)
+    assert(row.getAs[Long]("self_inter") === 4L) // 4 distinct trigram hashes
+    assert(row.getAs[Long]("sh") !== 0L)
+  }
+
   test("text analysis: tokens, ngrams, lang-id, quality, fingerprints") {
     val s = spark
     import s.implicits._
