@@ -38,9 +38,12 @@ final class OutlierCheck(
 
   /** 1-row (mean, std) frame under the scope. */
   private def statsDf(d: DataFrame): DataFrame =
+    // cast to double IN the aggregate: avg() over a DecimalType column
+    // yields java.math.BigDecimal driver-side, which would break the
+    // Double extraction in metricResults (TPC-H prices are decimals)
     d.filter(scopeCol(d)).agg(
-      avg(col(column)).as("__mean"),
-      stddev_samp(col(column)).as("__std"))
+      avg(col(column)).cast("double").as("__mean"),
+      stddev_samp(col(column)).cast("double").as("__std"))
 
   /** |x − mean| > zMax·std, null-safe (null value / zero or null std ⇒ not
     * an outlier). */

@@ -53,8 +53,10 @@ object Dedup {
       /** the shingle-set frame is consumed three times (signature/banding +
         * both sides of the Jaccard verify join); caching it avoids
         * re-tokenizing the corpus thrice. MEMORY_AND_DISK — spills rather
-        * than OOMs when the corpus is large. Disable for one-shot runs on
-        * inputs too large to want cached. */
+        * than OOMs when the corpus is large. When enabled the verified pair
+        * list is materialized EAGERLY (one job at call time) so the cache
+        * can be released before returning — see [[finishPairs]]. Disable
+        * for one-shot lazy plans on inputs too large to want cached. */
       cacheIntermediate: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -91,8 +93,24 @@ object Dedup {
       .filter(col("ida") < col("idb"))
       .distinct()
 
-    verifyJaccard(candidates, base, threshold)
+    finishPairs(verifyJaccard(candidates, base, threshold), base, cacheIntermediate)
   }
+
+  /** When the shingle frame was cached, materialize the (much smaller)
+    * verified pair list eagerly via `localCheckpoint` and unpersist the
+    * cache before returning: the persisted corpus-sized frame would
+    * otherwise stay pinned in executor storage for as long as the returned
+    * lazy plan lives (a storage leak in long-running sessions). The
+    * checkpoint also truncates lineage, so downstream iterative consumers
+    * (connected components) never re-run the pair pipeline. Swap
+    * `localCheckpoint` for `checkpoint(dir)` on a real cluster if executor
+    * loss between here and consumption must be survivable. */
+  private def finishPairs(pairs: DataFrame, cached: DataFrame, wasCached: Boolean): DataFrame =
+    if (wasCached) {
+      val out = pairs.localCheckpoint()
+      cached.unpersist()
+      out
+    } else pairs
 
   /** Exact Jaccard verify over SORTED distinct sets: |A∩B| via linear merge,
     * |A∪B| = |A|+|B|−|A∩B|. Same values as array_intersect/array_union but
@@ -221,7 +239,8 @@ object Dedup {
       .filter(least(col("ba"), col("bb")).cast("double") >=
         lit(alpha) * (col("ca") + col("cb")).cast("double") - lit(1e-9))
       .select("ida", "idb")
-    verifyJaccard(candidates, base.select("id", "sh"), threshold)
+    finishPairs(verifyJaccard(candidates, base.select("id", "sh"), threshold),
+      base, cacheIntermediate)
   }
 
   /** Connected components over an undirected edge list by iterative
@@ -280,6 +299,11 @@ object Dedup {
     }
     sym.unpersist()
     e0.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); returning partial labels would " +
+          "silently mislabel long-chain components - raise maxIter")
     labels
   }
 

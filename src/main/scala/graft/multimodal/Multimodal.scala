@@ -129,9 +129,15 @@ object Multimodal {
     * cost shape honest). Built-in HOFs only. */
   def resizeVector(vec: org.apache.spark.sql.Column, inDim: Int, outDim: Int): org.apache.spark.sql.Column = {
     require(outDim > 0 && inDim >= outDim)
-    val pool = math.ceil(inDim.toDouble / outDim).toInt
+    // adaptive pooling boundaries: bucket i covers
+    // [i*inDim/outDim, (i+1)*inDim/outDim) — every bucket non-empty for any
+    // inDim >= outDim (a fixed ceil(inDim/outDim) pool width would leave
+    // trailing buckets empty, e.g. inDim=4/outDim=3, and divide by zero).
+    // Reduces to equal-width pooling when outDim divides inDim.
     transform(sequence(lit(0), lit(outDim - 1)), i => {
-      val chunk = slice(vec, i * pool + 1, lit(pool))
+      val start = floor(i.cast("double") * inDim / outDim).cast("int")
+      val end = floor((i + 1).cast("double") * inDim / outDim).cast("int")
+      val chunk = slice(vec, start + 1, end - start)
       (aggregate(chunk, lit(0.0d), (a, x) => a + x.cast("double")) / size(chunk)).cast("float")
     })
   }

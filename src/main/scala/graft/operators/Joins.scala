@@ -30,10 +30,15 @@ object Joins {
     *
     * Strategy (scale-first): instead of a range self-join, both sides are
     * unioned and sorted once per key — a single hash exchange on `keyCols`,
-    * then a running `last(value, ignoreNulls)` window with a growing frame,
+    * then a running `last(carry, ignoreNulls)` window with a growing frame,
     * which Spark evaluates incrementally (UnboundedPreceding→CurrentRow is
     * the streaming-friendly frame — no per-partition buffering of the whole
-    * group). The forward direction reuses the same machinery on negated
+    * group). The carried value is ONE struct `(matched_ts, valueCols...)`
+    * per right row — null for left filler rows — so every left row receives
+    * all value columns plus the matched timestamp from the SAME right row,
+    * and a genuine NULL inside a matched right row is preserved (it never
+    * falls through to an older right row, matching DuckDB/pandas ASOF).
+    * The forward direction reuses the same machinery on negated
     * timestamps. Right rows that tie on (key, ts) resolve to the LAST one
     * under (`ts`, side) ordering; pre-aggregate the right side if that
     * ambiguity matters.
@@ -55,41 +60,47 @@ object Joins {
       s"right value columns ${valueCols.mkString(",")} collide with left schema")
     val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
     def ts(c: org.apache.spark.sql.Column) = if (forward) -c else c
-    val matchedTs = "__graft_matched_ts"
-    // Common shape: keys ++ __ts ++ __side ++ left payload ++ right values
+    val carryCol = "__graft_carry"
+    val matchedTs = "__mts"
+    // One nullable struct per right row: (matched ts, all value cols). Left
+    // filler rows carry null, so last(ignoreNulls) skips them but NEVER
+    // skips a matched right row whose value fields happen to be null.
+    val carrySchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(matchedTs,
+        org.apache.spark.sql.types.LongType, nullable = true) +:
+        valueCols.map(v => right.schema(v).copy(nullable = true)))
+    // Common shape: keys ++ __ts ++ __side ++ left payload ++ carry struct
     val l = left.select(
       keyCols.map(col) ++
         Seq(ts(col(leftTs)).as("__ts"), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
-        lit(null).cast("long").as(matchedTs): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(carrySchema).as(carryCol): _*)
     // a null right ts matches nothing (ASOF comparison semantics); without
     // this filter it would sort first (nulls-first asc) and its values
     // would leak into every left row of the key
     val r = right.filter(col(rightTs).isNotNull).select(
       keyCols.map(col) ++
         Seq(ts(col(rightTs)).as("__ts"), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col) :+
-        ts(col(rightTs)).cast("long").as(matchedTs): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(ts(col(rightTs)).cast("long").as(matchedTs) +:
+          valueCols.map(col): _*).as(carryCol): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols :+ matchedTs
     val projected = l.unionByName(r).select(
-      (keyCols ++ leftPayload).map(col) ++ Seq(col("__side"), col("__ts")) ++
-        carried.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+      (keyCols ++ leftPayload).map(col) ++ Seq(col("__side"), col("__ts")) :+
+        last(col(carryCol), ignoreNulls = true).over(w).as(carryCol): _*)
     val leftRows = projected.filter(col("__side") === 1)
     val bounded = tolerance match {
       case None => leftRows
       case Some(tol) =>
-        // stale match -> null out the carried values (row is kept)
-        val fresh = col("__ts").cast("long") - col(matchedTs) <= tol
-        valueCols.foldLeft(leftRows)((d, v) =>
-          d.withColumn(v, when(fresh, col(v))))
+        // stale match -> drop the whole carried struct (row is kept)
+        val fresh = col("__ts").cast("long") - col(carryCol)(matchedTs) <= tol
+        leftRows.withColumn(carryCol, when(fresh, col(carryCol)))
     }
-    bounded.drop("__side", "__ts", matchedTs)
+    valueCols.foldLeft(bounded)((d, v) => d.withColumn(v, col(carryCol)(v)))
+      .drop("__side", "__ts", carryCol)
   }
 
   /** Point-in-interval range join via band bucketing: every interval row is

@@ -28,7 +28,7 @@ object Profiler {
   }
 
   /** Wide one-row profile: per column `<c>__count/nulls/approx_distinct`,
-    * plus `min/max/mean/stddev/q25/q50/q75` for numeric columns. */
+    * plus `min/max/mean/stddev/p25/p50/p75` for numeric columns. */
   def profileRow(df: DataFrame, cols: Seq[String]): DataFrame = {
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val aggs: Seq[Column] = cols.flatMap { c =>
@@ -48,7 +48,19 @@ object Profiler {
         else Seq.empty
       base ++ numeric
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    // Flatten each quantile sketch array into scalar p25/p50/p75 columns: one
+    // GK sketch per column in the agg, scalar-only output (array columns are
+    // hostile to downstream row-canonicalisation and columnar sinks).
+    val outCols = agged.schema.fieldNames.toSeq.flatMap { f =>
+      if (f.endsWith("__quantiles")) {
+        val c = f.stripSuffix("__quantiles")
+        QuantileProbs.zipWithIndex.map { case (p, i) =>
+          element_at(col(f), i + 1).as(s"${c}__p${(p * 100).round}")
+        }
+      } else Seq(col(f))
+    }
+    agged.select(outCols: _*)
   }
 
   /** Long-format profile: one row per (column, stat). Exact stats only —

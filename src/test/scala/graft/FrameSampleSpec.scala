@@ -41,4 +41,13 @@ class FrameSampleSpec extends SparkSpec {
       .head().getSeq[Float](0)
     assert(out === Seq(2f, 6f)) // mean(1,3), mean(5,7)
   }
+
+  test("resizeVector: uneven dims use adaptive boundaries — no empty buckets / NULLs") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("id", "v")
+    val out = df.select(Multimodal.resizeVector(col("v"), inDim = 4, outDim = 3).as("r"))
+      .head().getSeq[Float](0)
+    // buckets [0,1) [1,2) [2,4) -> 1, 2, mean(3,4)
+    assert(out === Seq(1f, 2f, 3.5f))
+  }
 }

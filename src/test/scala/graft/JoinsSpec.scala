@@ -26,6 +26,33 @@ class JoinsSpec extends SparkSpec {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("asofJoin: matched right row's NULL values are preserved, never filled from an older row") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 120L), (2L, "u", 60L)).toDF("id", "k", "ts")
+    // nearest right row for id=1 is rts=100 with v=NULL, w="new"; DuckDB/
+    // pandas ASOF takes THAT row's values verbatim — v must stay NULL and
+    // w must not pair with the older row's v (no cross-row mixing)
+    val right = Seq(
+      ("u", 50L, Some(5.0), "old"),
+      ("u", 100L, None, "new")
+    ).toDF("k", "rts", "v", "w")
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v", "w"))
+      .select("id", "v", "w").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getString(2)))).toMap
+    assert(got === Map(1L -> ((None, "new")), 2L -> ((Some(5.0), "old"))))
+  }
+
+  test("asofJoin tolerance freshness is judged on the matched row, not a stale carried value") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 120L)).toDF("id", "k", "ts")
+    // match is rts=100 (fresh, within 30); its NULL v must stay NULL rather
+    // than resurrecting v=5.0 from rts=50 and calling it fresh
+    val right = Seq(("u", 50L, Some(5.0)), ("u", 100L, None)).toDF("k", "rts", "v")
+    val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+      tolerance = Some(30L)).select("v").head()
+    assert(got.isNullAt(0))
+  }
+
   test("asofJoin forward: nearest right ts at-or-after each left ts") {
     import spark.implicits._
     val left = Seq((1L, "u", 100L), (2L, "u", 300L), (3L, "u", 500L)).toDF("id", "k", "ts")
