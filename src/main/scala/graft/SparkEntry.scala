@@ -610,6 +610,99 @@ object SparkEntry {
         "uniqueness_ratio", Seq("l_orderkey")))
       val res = mgr.run()
       metricsDf(s, res.metricRows).orderBy("metric_name", "column")
+    }),
+    // --- round 2: analytics shapes ---
+    "q6_filter" -> ((s, dir) => {
+      // TPC-H Q6 shape: pure filter + global agg — every predicate pushes to
+      // the parquet scan, zero shuffle before the single partial/final agg.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(20,6)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q18_top_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: groupBy-HAVING feeding a join — the aggregate output
+      // (rare keys) is small, so AQE broadcasts it against orders; customer
+      // dim broadcast explicitly. Top-k bounded by limit after sort.
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // --- round 2: funnel analysis over the event log ---
+    "q_funnel" -> ((s, dir) => {
+      // events.ts is INT64 nanos; truncate to µs so the DuckDB oracle (µs
+      // timestamps) sees identical ordering.
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Funnel.funnel(ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+    // --- round 2: distribution drift (PSI bins + exact KS) ---
+    "q_drift_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = new DriftCheck("orders", "r2", SEV, "price_drift", "o_totalprice",
+        baselineDf = o.filter(col("o_orderdate") < "1998-01-01"),
+        lo = 0.0, hi = 500000.0, nBins = 20)
+      c.psiDf(o.filter(col("o_orderdate") >= "1998-01-01"))
+        .select(col("bin"), round(col("p_base"), 6).as("p_base"),
+          round(col("p_curr"), 6).as("p_curr"), round(col("psi_term"), 6).as("psi_term"))
+        .orderBy("bin")
+    }),
+    "q_drift_ks" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = new DriftCheck("orders", "r2", SEV, "price_drift", "o_totalprice",
+        baselineDf = o.filter(col("o_orderdate") < "1998-01-01"),
+        lo = 0.0, hi = 500000.0, nBins = 20)
+      c.ksDf(o.filter(col("o_orderdate") >= "1998-01-01"))
+        .select(round(col("ks"), 6).as("ks"), col("n_base"), col("n_curr"))
+    }),
+    // --- round 2: deterministic corpus sampling / balancing ---
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.operators.Splits.stratifiedSample(t(s, dir, "customer"),
+        "c_mktsegment", "c_custkey",
+        Map("AUTOMOBILE" -> 26, "BUILDING" -> 51, "FURNITURE" -> 77,
+          "HOUSEHOLD" -> 128, "MACHINERY" -> 256))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+    "q_quota_cap" -> ((s, dir) => {
+      graft.operators.Splits.quotaCap(t(s, dir, "documents"), "source", "doc_id", cap = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    // --- round 2: repetition quality signals (Gopher-style) ---
+    "q_repetition" -> ((s, dir) => {
+      graft.text.TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // --- round 2: train/eval decontamination (cross-dataset 8-gram overlap) ---
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.crossNgramContamination(
+        train = d.filter(col("doc_id") % 10 =!= 0),
+        eval_ = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy("eval_id")
+    }),
+    // --- round 2: embedding norm + int8 quantization audit ---
+    "q_embed_quantize" -> ((s, dir) => {
+      graft.similarity.Similarity.quantizeSummary(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+    // --- round 2: robust (median/MAD) outlier summary ---
+    "q_mad_outlier" -> ((s, dir) => {
+      graft.operators.Profiler.madOutlierSummary(t(s, dir, "supplier"), "s_acctbal")
     })
   )
 
@@ -1028,6 +1121,129 @@ object SparkEntry {
         |  SELECT 'raw_completeness', '', 'completeness', 'medium', 0.95, CAST(sum(CASE WHEN l_shipdate IS NOT NULL AND l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) FROM lineitem
         |  UNION ALL
         |  SELECT 'uniqueness_ratio', 'l_orderkey', 'uniqueness', 'low', 1.0, CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(l_orderkey) FROM lineitem
-        |) ORDER BY metric_name, "column"""".stripMargin
+        |) ORDER BY metric_name, "column"""".stripMargin,
+    // --- round 2 ---
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q18_top_orders" ->
+      """WITH s AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM s JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_funnel" ->
+      """WITH m AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        |  FROM events GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0::INT AS stage_idx, 'view' AS stage,
+        |    count(*) FILTER (WHERE t0 IS NOT NULL)::BIGINT AS n_users FROM m
+        |  UNION ALL
+        |  SELECT 1::INT, 'click',
+        |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1)::BIGINT FROM m
+        |  UNION ALL
+        |  SELECT 2::INT, 'purchase',
+        |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |      AND t0 <= t1 AND t1 <= t2)::BIGINT FROM m
+        |) ORDER BY stage_idx""".stripMargin,
+    "q_drift_psi" ->
+      """WITH b AS (SELECT least(greatest(floor(o_totalprice / 25000.0), 0), 19)::BIGINT AS bin
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+        |c AS (SELECT least(greatest(floor(o_totalprice / 25000.0), 0), 19)::BIGINT AS bin
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL),
+        |bd AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM b) AS p FROM b GROUP BY 1),
+        |cd AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM c) AS p FROM c GROUP BY 1),
+        |j AS (SELECT coalesce(bd.bin, cd.bin) AS bin, coalesce(bd.p, 0.0) AS pb, coalesce(cd.p, 0.0) AS pc
+        |    FROM bd FULL OUTER JOIN cd ON bd.bin = cd.bin)
+        |SELECT bin, round(pb, 6) AS p_base, round(pc, 6) AS p_curr,
+        |  round((greatest(pc, 1e-6) - greatest(pb, 1e-6)) * ln(greatest(pc, 1e-6) / greatest(pb, 1e-6)), 6) AS psi_term
+        |FROM j ORDER BY bin""".stripMargin,
+    "q_drift_ks" ->
+      """WITH b AS (SELECT o_totalprice AS v, count(*) AS na, 0 AS nb FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |c AS (SELECT o_totalprice AS v, 0 AS na, count(*) AS nb FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |u AS (SELECT v, sum(na) AS na, sum(nb) AS nb
+        |    FROM (SELECT * FROM b UNION ALL SELECT * FROM c) GROUP BY 1),
+        |cum AS (SELECT
+        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |      / (SELECT sum(na) FROM u) AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |      / (SELECT sum(nb) FROM u) AS cb
+        |  FROM u)
+        |SELECT round(max(abs(ca - cb)), 6) AS ks,
+        |  (SELECT sum(na) FROM u)::BIGINT AS n_base,
+        |  (SELECT sum(nb) FROM u)::BIGINT AS n_curr
+        |FROM cum""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE md5(CAST(c_custkey AS VARCHAR)) < CASE c_mktsegment
+        |  WHEN 'AUTOMOBILE' THEN '1a' WHEN 'BUILDING' THEN '33' WHEN 'FURNITURE' THEN '4d'
+        |  WHEN 'HOUSEHOLD' THEN '80' WHEN 'MACHINERY' THEN 'zz' ELSE '00' END
+        |ORDER BY c_custkey""".stripMargin,
+    "q_quota_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+        |    max(c) AS top_c FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n_tokens,
+        |  round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+        |  round(top_c::DOUBLE / n_tokens, 6) AS top_token_frac,
+        |  CASE WHEN n_tokens > 1 THEN round(coalesce(bs.top_bg, 0)::DOUBLE / (n_tokens - 1), 6)
+        |       ELSE 0.0 END AS top_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g FROM toks WHERE len(t) >= 8),
+        |e AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 10 != 0),
+        |hits AS (SELECT e.doc_id AS eval_id, count(DISTINCT tr.doc_id) AS n_train_docs,
+        |    count(DISTINCT e.g) AS n_shared_grams FROM e JOIN tr ON e.g = tr.g GROUP BY 1),
+        |eg AS (SELECT doc_id AS eval_id,
+        |    (CASE WHEN len(t) >= 8 THEN len(list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) ELSE 0 END)::BIGINT AS n_eval_grams
+        |  FROM toks WHERE doc_id % 10 = 0)
+        |SELECT eg.eval_id, coalesce(n_train_docs, 0)::BIGINT AS n_train_docs,
+        |  coalesce(n_shared_grams, 0)::BIGINT AS n_shared_grams, n_eval_grams
+        |FROM eg LEFT JOIN hits ON eg.eval_id = hits.eval_id ORDER BY 1""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm,
+        |  list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx FROM v),
+        |t2 AS (SELECT vec_id, e, nrm, CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS sc FROM s),
+        |c AS (SELECT vec_id, nrm, sc, len(list_filter(e, x -> x > 0))::INT AS n_pos,
+        |  list_transform(e, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS codes FROM t2)
+        |SELECT vec_id, round(nrm, 4) AS l2_norm, n_pos,
+        |  list_aggregate(codes, 'sum')::BIGINT AS code_sum,
+        |  list_aggregate(list_transform(codes, x -> abs(x)), 'sum')::BIGINT AS code_l1,
+        |  round(sc, 6) AS scale
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "q_mad_outlier" ->
+      """WITH m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS med FROM supplier),
+        |d AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(s_acctbal - (SELECT med FROM m))) AS mad
+        |    FROM supplier WHERE s_acctbal IS NOT NULL)
+        |SELECT (SELECT count(s_acctbal) FROM supplier)::BIGINT AS n,
+        |  round((SELECT med FROM m), 4) AS median,
+        |  round((SELECT mad FROM d), 4) AS mad,
+        |  (SELECT count(*) FROM supplier
+        |    WHERE abs(s_acctbal - (SELECT med FROM m)) > 4.4478 * (SELECT mad FROM d))::BIGINT AS n_outliers""".stripMargin
   )
 }

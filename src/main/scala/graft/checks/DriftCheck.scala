@@ -1,0 +1,145 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/** Distribution-drift check: compares a numeric column's distribution in the
+  * checked dataset ("current") against a baseline dataset, via
+  *
+  *  - **PSI** (Population Stability Index) over fixed equal-width bins — the
+  *    standard production drift monitor. Binning is a row-local projection,
+  *    so each side is ONE partial+final hash aggregation over at most
+  *    `nBins` groups; the two tiny distributions then join on `bin`
+  *    (broadcast). This is the 100 TB path: no global sort, no per-value
+  *    state, output size bounded by `nBins` regardless of input rows.
+  *  - **exact two-sample KS statistic** (max CDF gap). Counts are
+  *    pre-aggregated per distinct value (one shuffle), and the cumulative
+  *    sums then run over the *distinct-value* frame. Exactness requires a
+  *    total order, so the window is unpartitioned — fine up to ~10^7
+  *    distinct values; beyond that use [[psiDf]] (binned) as the scale
+  *    path, which is why both live in one check.
+  *
+  * Bins are `[lo + i*w, lo + (i+1)*w)` with `w = (hi-lo)/nBins`; values
+  * below `lo` clamp into bin 0, values at/above `hi` into bin `nBins-1`,
+  * so each side's proportions always sum to 1. Proportions are floored at
+  * `eps` before the PSI log so empty bins contribute a finite term.
+  *
+  * No counterpart in the reference (its `Dimension` enum stops at the six
+  * static dimensions, `/root/reference/src/pyspark_data_quality/core/_enums.py:11-17`);
+  * drift is table stakes for a training-data pipeline, so it completes the
+  * accuracy dimension the same way OutlierCheck does.
+  */
+final class DriftCheck(
+    dataset: String,
+    runId: String,
+    severityLevel: SeverityLevel,
+    metricName: String,
+    /** numeric column present in both datasets */
+    column: String,
+    /** baseline (reference window) dataset */
+    val baselineDf: DataFrame,
+    val lo: Double,
+    val hi: Double,
+    val nBins: Int,
+    /** max allowed PSI (industry rule of thumb: 0.1 watch, 0.2 act) */
+    threshold: Double = 0.2,
+    val eps: Double = 1e-6,
+    scope: Scope = NoScope
+) extends BaseCheck(dataset, runId, severityLevel, metricName, Seq(column), threshold, scope) {
+
+  require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+
+  val checkType: String = "drift"
+  val dimension: Dimension = Dimension.Accuracy
+
+  private val width = (hi - lo) / nBins
+
+  /** Clamped equal-width bin index (row-local; stays in the scan's codegen). */
+  def binCol(c: Column): Column =
+    least(greatest(floor((c - lo) / width), lit(0.0)), lit((nBins - 1).toDouble)).cast("bigint")
+
+  /** `(bin, p)` proportions of non-null scoped values; at most `nBins` rows. */
+  def binnedDist(d: DataFrame): DataFrame = {
+    val vals = d.filter(scopeCol(d) && col(column).isNotNull)
+    vals.groupBy(binCol(col(column)).as("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum("n").over(Window.partitionBy()))
+  }
+
+  /** Per-bin PSI terms: baseline vs current proportions (eps-floored) and
+    * `(p_curr - p_base) * ln(p_curr / p_base)`. Missing bins appear with
+    * p = 0 on that side. Both inputs are <= nBins rows, so the outer join
+    * broadcasts; total PSI = `sum(psi_term)`. */
+  def psiDf(current: DataFrame): DataFrame = {
+    val b = binnedDist(baselineDf).select(col("bin"), col("p").as("p_base"))
+    val c = binnedDist(current).select(col("bin"), col("p").as("p_curr"))
+    b.join(c, Seq("bin"), "full_outer")
+      .select(
+        col("bin"),
+        coalesce(col("p_base"), lit(0.0)).as("p_base"),
+        coalesce(col("p_curr"), lit(0.0)).as("p_curr"))
+      .withColumn("psi_term",
+        (greatest(col("p_curr"), lit(eps)) - greatest(col("p_base"), lit(eps))) *
+          log(greatest(col("p_curr"), lit(eps)) / greatest(col("p_base"), lit(eps))))
+  }
+
+  def psi(current: DataFrame): Double =
+    psiDf(current).agg(sum("psi_term")).head().getDouble(0)
+
+  /** Exact two-sample KS: one row `(ks, n_base, n_curr)`. Pre-aggregates
+    * counts per distinct value, then one unpartitioned cumulative window
+    * over the distinct values (see class doc for the scale trade-off). */
+  def ksDf(current: DataFrame): DataFrame = {
+    val b = baselineDf.filter(scopeCol(baselineDf) && col(column).isNotNull)
+      .groupBy(col(column).as("v")).agg(count(lit(1)).as("na")).withColumn("nb", lit(0L))
+    val c = current.filter(scopeCol(current) && col(column).isNotNull)
+      .groupBy(col(column).as("v")).agg(count(lit(1)).as("nb")).withColumn("na", lit(0L))
+    val u = b.select("v", "na", "nb").unionByName(c.select("v", "na", "nb"))
+      .groupBy("v").agg(sum("na").as("na"), sum("nb").as("nb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    u.select(
+      col("v"),
+      (sum("na").over(w).cast("double") / sum("na").over(tot)).as("ca"),
+      (sum("nb").over(w).cast("double") / sum("nb").over(tot)).as("cb"),
+      sum("na").over(tot).as("n_base"),
+      sum("nb").over(tot).as("n_curr"))
+      .agg(max(abs(col("ca") - col("cb"))).as("ks"),
+        max("n_base").as("n_base"), max("n_curr").as("n_curr"))
+  }
+
+  override def valid(d: DataFrame, cols: Seq[String]): DataFrame = {
+    preCheck(d); d.filter(scopeCol(d))
+  }
+
+  override def invalid(d: DataFrame, cols: Seq[String]): DataFrame = {
+    preCheck(d); d.filter(scopeCol(d) && lit(false))
+  }
+
+  override def metricAggs(d: DataFrame): Seq[Column] = Seq.empty
+  override def metricsFromRow(row: Row): Seq[MetricResult] = Seq.empty
+
+  /** Two metric rows: `<name>_psi` and `<name>_ks` (two small jobs). */
+  override def metricResults(d: DataFrame): Seq[MetricResult] = {
+    preCheck(d)
+    preCheck(baselineDf)
+    val p = psi(d)
+    val kRow = ksDf(d).head()
+    val k = kRow.getDouble(0)
+    val okP = p <= threshold
+    Seq(
+      mkMetric(column, Some(p),
+        s"$column PSI ${f"$p%.4f"} ${if (okP) "<=" else ">"} ${f"$threshold%.4f"}",
+        thresholdResult = p,
+        extra = Map("kind" -> "psi", "n_bins" -> nBins.toString,
+          "lo" -> lo.toString, "hi" -> hi.toString)),
+      mkMetric(column, Some(k),
+        s"$column KS ${f"$k%.4f"}",
+        thresholdResult = k,
+        extra = Map("kind" -> "ks",
+          "n_base" -> kRow.getAs[Long]("n_base").toString,
+          "n_curr" -> kRow.getAs[Long]("n_curr").toString))
+    )
+  }
+}

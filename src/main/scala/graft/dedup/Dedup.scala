@@ -37,6 +37,48 @@ object Dedup {
       .dropDuplicates("__graft_fp")
       .drop("__graft_fp")
 
+  /** Cross-dataset n-gram contamination report (train/eval decontamination —
+    * the step that keeps benchmark text out of a training corpus). For every
+    * eval document: how many train documents share at least one word n-gram
+    * with it, and how many distinct eval n-grams are compromised.
+    *
+    * Scale shape: the EVAL side is small by construction (a benchmark, not a
+    * corpus), so its exploded distinct n-grams are broadcast; the train
+    * corpus streams through one narrow explode + broadcast-hash semi-ish
+    * join — the 100 TB side is never shuffled. The aggregation then runs on
+    * matches only (tiny). For eval sets too big to broadcast, drop the
+    * `broadcast` hint and the same plan becomes a shuffled equi-join on the
+    * gram (still linear). N-grams are joined as strings here (oracle-exact);
+    * swap in [[graft.functions.shingle_hashes]] to shuffle 8 bytes per gram
+    * at scale.
+    *
+    * Output: (eval_id, n_train_docs, n_shared_grams, n_eval_grams) for ALL
+    * eval docs (zeros when clean). */
+  def crossNgramContamination(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+    val eg = grams(eval_, "eval_id")
+    val tg = grams(train, "train_id")
+    val hits = tg.join(broadcast(eg), Seq("g"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+    val evalGramCounts = eval_.select(col(idCol).as("eval_id"),
+      size(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("n_eval_grams"))
+    evalGramCounts.join(hits, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        col("n_eval_grams").cast("long").as("n_eval_grams"))
+  }
+
   /** MinHash + banded LSH near-duplicate pairs, verified with exact Jaccard
     * over distinct word-n-gram shingles. Output: (ida, idb, jaccard) with
     * ida < idb, jaccard >= `threshold`. */

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-stage funnel analysis over an event log.
+  *
+  * A user completes stage k iff they have at least one event of every stage
+  * `0..k` and the *first occurrences* are in stage order
+  * (`t0 <= t1 <= ... <= tk`). Classic product-analytics shape; here it is
+  * ONE hash aggregation (`groupBy(user)` with a conditional `min(ts)` per
+  * stage — partial aggregation map-side, so the shuffle carries one row per
+  * user per partition at most), then a single global roll-up row per stage.
+  * No self-joins, no windows — this survives arbitrarily many events per
+  * user and arbitrarily many users.
+  */
+object Funnel {
+
+  /** Per-user first-occurrence timestamps, one column `t0..t{n-1}` per
+    * stage (null = user never reached that event type). */
+  def firstTouch(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val aggs = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"t$i")
+    }
+    df.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Funnel counts: one row per stage with `stage_idx`, `stage`, and
+    * `n_users` = users whose first occurrences reach that stage in order. */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    val ft = firstTouch(df, userCol, typeCol, tsCol, stages)
+    // completed(k) = t0..tk all present and non-decreasing
+    val completed: Seq[Column] = stages.indices.map { k =>
+      val present = (0 to k).map(i => col(s"t$i").isNotNull).reduce(_ && _)
+      val ordered =
+        if (k == 0) lit(true)
+        else (1 to k).map(i => col(s"t${i - 1}") <= col(s"t$i")).reduce(_ && _)
+      sum(when(present && ordered, 1L).otherwise(0L)).as(s"n$k")
+    }
+    val counts = ft.agg(completed.head, completed.tail: _*)
+    // tiny (1-row) frame → explode to one row per stage, driver-free
+    val stageRows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("stage_idx"), lit(st).as("stage"), col(s"n$i").as("n_users"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"))
+  }
+}

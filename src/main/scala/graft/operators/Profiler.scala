@@ -104,6 +104,31 @@ object Profiler {
       .select(col(keyCol), col("n"), col("share"))
   }
 
+  /** Robust (median/MAD) outlier summary of a numeric column — the
+    * heavy-tail-safe alternative to [[graft.checks.OutlierCheck]]'s
+    * mean/stddev fences: one row `(n, median, mad, n_outliers)` where an
+    * outlier is `|x - median| > k * mad` (default k = 3 × 1.4826, the
+    * normal-consistency scaling). Exact interpolated percentiles
+    * (`percentile`), which hold to ~10^7 distinct values per aggregate;
+    * at larger cardinality substitute `approx_percentile` (the sketch path
+    * already exercised by [[profileRow]]). Three small jobs chained by
+    * broadcast scalars — no driver-side math, no full sort. */
+  def madOutlierSummary(df: DataFrame, column: String, k: Double = 4.4478): DataFrame = {
+    val x = col(column).cast("double")
+    val med = df.agg(percentile(x, lit(0.5)).as("med"))
+    val stats = df.crossJoin(broadcast(med))
+      .agg(first("med").as("med"),
+        percentile(abs(x - col("med")), lit(0.5)).as("mad"))
+    df.crossJoin(broadcast(stats))
+      .agg(
+        count(x).as("n"),
+        first("med").as("__med"),
+        first("mad").as("__mad"),
+        sum(when(abs(x - col("med")) > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("n"), round(col("__med"), 4).as("median"),
+        round(col("__mad"), 4).as("mad"), col("n_outliers"))
+  }
+
   /** Fixed-width histogram of a numeric column: one row per non-empty
     * bucket, `bucket = floor(value / width)` (exact integer bucketing —
     * deterministic and oracle-checkable, unlike quantile sketches).

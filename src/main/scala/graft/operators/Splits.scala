@@ -34,4 +34,39 @@ object Splits {
   def assignSplit(df: DataFrame, idCol: String,
       trainUpper: Int = 204, valUpper: Int = 230): DataFrame =
     df.withColumn("split", splitCol(col(idCol), trainUpper, valUpper))
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `md5(id) < threshold(stratum)`, with per-stratum 2-hex-digit
+    * thresholds out of 256 (e.g. 51 ≈ 20 %). Same md5-threshold trick as
+    * [[splitCol]], so the sample is stable across runs/partitionings and
+    * reproducible by any engine with md5. Strata absent from `thresholds`
+    * keep `defaultUpper` (0 = drop). A pure row-local filter — no shuffle,
+    * no per-stratum pass, pushed to the scan — unlike `df.stat.sampleBy`,
+    * whose rand() draw is neither deterministic under re-partitioning nor
+    * oracle-reproducible. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      thresholds: Map[String, Int], defaultUpper: Int = 0): DataFrame = {
+    require((thresholds.values ++ Seq(defaultUpper)).forall(v => v >= 0 && v <= 256),
+      "thresholds must be in [0, 256]")
+    def hexOr256(n: Int): String = if (n >= 256) "zz" else hex2(n) // "zz" > any md5 hex
+    val thr = thresholds.foldLeft(lit(hexOr256(defaultUpper))) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, hexOr256(v)).otherwise(acc)
+    }
+    df.filter(md5(col(idCol).cast("string")) < thr)
+  }
+
+  /** Per-group quota cap for corpus balancing: keep at most `cap` rows per
+    * group, chosen in deterministic `md5(id)` order (a stable uniform
+    * shuffle — no rand()), ties broken by id. One hash exchange on the
+    * group key + per-group sort; at scale the row_number window streams
+    * each group, no global sort. */
+  def quotaCap(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
+      .drop("__graft_rn")
+  }
 }

@@ -71,6 +71,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-vector L2-norm + symmetric int8 quantization summary — the audit
+    * pass before shipping embeddings to a vector store (norm for
+    * normalization checks, scale + code checksums for quantization QA).
+    * Row-local HOF arithmetic over the 64-dim array (fine at this width;
+    * a hot inner loop over much wider vectors belongs in a native
+    * `Expression` like [[graft.functions.cosine_sim]]). No shuffle: one
+    * narrow projection at scan speed. Quantization: `scale = max|x|/127`,
+    * `code = floor(x/scale + 0.5)` (explicit floor keeps ties engine-
+    * independent; codes span [-127, 127]). */
+  def quantizeSummary(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val maxabs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(maxabs > 0, maxabs / 127.0).otherwise(lit(1.0))
+    val codes = transform(v, x => floor(x / scale + lit(0.5)).cast("bigint"))
+    df.select(
+      col(idCol),
+      round(norm, 4).as("l2_norm"),
+      size(filter(v, x => x > 0)).as("n_pos"),
+      aggregate(codes, lit(0L), (a, x) => a + x).as("code_sum"),
+      aggregate(codes, lit(0L), (a, x) => a + abs(x)).as("code_l1"),
+      round(scale, 6).as("scale"))
+  }
+
   /** LSH-bucketed ANN top-k: corpus and queries signed with the same random
     * hyperplanes; candidates = rows sharing any band bucket with the query;
     * exact cosine + ranking within candidates only. */

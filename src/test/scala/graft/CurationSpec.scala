@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Profiler, Splits}
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+
+/** Round-2 corpus-curation operators: stratified sampling, quota caps,
+  * repetition signals, decontamination, embedding quantization, MAD
+  * outliers. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample: threshold 256 keeps all, 0/absent drops all, mid is deterministic subset") {
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+    val all = Splits.stratifiedSample(df, "grp", "id", Map("a" -> 256))
+    assert(all.count() == 200 && all.filter($"grp" === "b").count() == 0)
+    val half = Splits.stratifiedSample(df, "grp", "id", Map("a" -> 128, "b" -> 128))
+    val n = half.count()
+    assert(n > 120 && n < 280) // ~50% of 400, md5-uniform
+    // deterministic: same rows on re-run and under repartitioning
+    val again = Splits.stratifiedSample(df.repartition(7), "grp", "id", Map("a" -> 128, "b" -> 128))
+    assert(half.select("id").except(again.select("id")).count() == 0 &&
+      again.select("id").except(half.select("id")).count() == 0)
+  }
+
+  test("stratifiedSample: null stratum follows defaultUpper") {
+    val df = Seq((1L, null: String), (2L, "a")).toDF("id", "grp")
+    assert(Splits.stratifiedSample(df, "grp", "id", Map("a" -> 256)).count() == 1)
+    assert(Splits.stratifiedSample(df, "grp", "id", Map("a" -> 256), defaultUpper = 256).count() == 2)
+  }
+
+  test("quotaCap keeps at most cap rows per group, deterministically") {
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val capped = Splits.quotaCap(df, "grp", "id", cap = 10)
+    val counts = capped.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 10) && counts.length == 3)
+    val again = Splits.quotaCap(df.repartition(5), "grp", "id", cap = 10)
+    assert(capped.select("id").except(again.select("id")).count() == 0)
+    // small groups survive whole
+    val tiny = Splits.quotaCap(df.limit(5), "grp", "id", cap = 10)
+    assert(tiny.count() == 5)
+  }
+
+  test("repetitionStats flags degenerate repetition") {
+    val df = Seq(
+      (1L, "a a a a a a a a"),             // one token repeated
+      (2L, "x y x y x y x y"),             // one bigram dominating
+      (3L, "all words here are different"),
+      (4L, "single")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byId(1L) == ((8L, 0.125, 1.0, 1.0)))      // "a a": 7 of 7 bigrams
+    assert(byId(2L)._3 == 0.5)                        // top token x: 4/8
+    assert(byId(2L)._4 > 0.5)                         // "x y" bigram: 4/7
+    assert(byId(3L)._2 == 1.0 && byId(3L)._3 == 0.2)  // all distinct
+    assert(byId(4L) == ((1L, 1.0, 1.0, 0.0)))         // no bigrams
+  }
+
+  test("crossNgramContamination finds planted overlap, reports clean docs as zero") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (10L, s"alpha beta $shared gamma"),
+      (11L, "totally unrelated training text with many words")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, s"prefix tokens $shared suffix tokens"),
+      (2L, "a clean evaluation document nothing shared here okay")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNgramContamination(train, eval_, "doc_id", "text", n = 8)
+      .orderBy("eval_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 1L && r1.getLong(2) >= 1L)
+    val r2 = out(1)
+    assert(r2.getLong(0) == 2L && r2.getLong(1) == 0L && r2.getLong(2) == 0L)
+    assert(r2.getLong(3) > 0L) // still reports its gram count
+  }
+
+  test("quantizeSummary: norms, code bounds, max element hits ±127") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),          // norm 5, maxabs 4
+      (2L, Array(0.0f, 0.0f)),          // all-zero guard
+      (3L, Array(-2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeSummary(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val r1 = out(0)
+    assert(r1.getDouble(1) == 5.0)                       // l2_norm
+    assert(r1.getInt(2) == 2)                            // n_pos
+    // codes: floor(3/ (4/127) + .5)=95, 4 -> 127
+    assert(r1.getLong(3) == 95L + 127L && r1.getLong(4) == 95L + 127L)
+    val r2 = out(1)
+    assert(r2.getDouble(1) == 0.0 && r2.getLong(3) == 0L && r2.getDouble(5) == 1.0)
+    val r3 = out(2)
+    val code1 = math.floor(1.0 / (2.0 / 127.0) + 0.5).toLong // ±1 ulp around 64
+    assert(r3.getLong(4) == 127L + code1) // |-127| + |code(1.0)|
+  }
+
+  test("madOutlierSummary: symmetric data with one spike") {
+    val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0)).toDF("v")
+    val r = Profiler.madOutlierSummary(df, "v").head()
+    assert(r.getLong(0) == 101L)
+    assert(r.getDouble(1) == 12.0)   // sorted index 0.5*(101-1) = 50 -> 12
+    assert(r.getDouble(2) == 2.0)    // |x-12| = {0, 2, 988} -> median 2
+    assert(r.getLong(3) == 1L)       // only the spike exceeds 4.4478*mad
+  }
+}

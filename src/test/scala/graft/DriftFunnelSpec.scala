@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks.DriftCheck
+import graft.core.SeverityLevel
+import graft.operators.Funnel
+
+class DriftFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(base: org.apache.spark.sql.DataFrame) =
+    new DriftCheck("t", "r", SeverityLevel.High, "drift", "v", base,
+      lo = 0.0, hi = 10.0, nBins = 10)
+
+  test("PSI of an identical distribution is ~0 and KS is exactly 0") {
+    val d = (0 until 1000).map(i => (i % 10).toDouble).toDF("v")
+    val c = check(d)
+    assert(math.abs(c.psi(d)) < 1e-12)
+    assert(c.ksDf(d).head().getDouble(0) == 0.0)
+  }
+
+  test("PSI and KS detect a location shift") {
+    val base = (0 until 1000).map(i => (i % 5).toDouble).toDF("v")        // mass on 0..4
+    val curr = (0 until 1000).map(i => (i % 5).toDouble + 5.0).toDF("v")  // mass on 5..9
+    val c = check(base)
+    assert(c.psi(curr) > 1.0) // total drift: far above the 0.2 action level
+    val ks = c.ksDf(curr).head()
+    assert(ks.getDouble(0) == 1.0) // disjoint supports -> max CDF gap 1
+    assert(ks.getAs[Long]("n_base") == 1000L && ks.getAs[Long]("n_curr") == 1000L)
+  }
+
+  test("out-of-range values clamp into edge bins; proportions sum to 1") {
+    val base = Seq(-5.0, 0.5, 3.0, 25.0).toDF("v")
+    val c = check(base)
+    val bins = c.binnedDist(base).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bins.keySet == Set(0L, 3L, 9L)) // -5 and 0.5 both clamp/land in bin 0
+    assert(math.abs(bins.values.sum - 1.0) < 1e-12)
+    assert(bins(0L) == 0.5)
+  }
+
+  test("metricResults emits psi + ks rows") {
+    val d = (0 until 100).map(i => (i % 10).toDouble).toDF("v")
+    val ms = check(d).metricResults(d)
+    assert(ms.map(_.extraInfo("kind")).sorted == Seq("ks", "psi"))
+    assert(ms.forall(_.valueDouble.exists(v => math.abs(v) < 1e-9)))
+  }
+
+  test("funnel counts ordered stage completion only") {
+    // u1 completes all 3 in order; u2 views then purchases (no click);
+    // u3 clicks BEFORE first view -> stops at view; u4 only views.
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "purchase", 30L),
+      (3L, "click", 5L), (3L, "view", 10L), (3L, "purchase", 30L),
+      (4L, "view", 10L),
+      (5L, "error", 1L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0, "view", 4L), (1, "click", 1L), (2, "purchase", 1L)))
+  }
+
+  test("funnel ties at equal first-touch timestamps count as ordered") {
+    val ev = Seq((1L, "view", 10L), (1L, "click", 10L)).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+}
