@@ -703,6 +703,42 @@ object SparkEntry {
     // --- round 2: robust (median/MAD) outlier summary ---
     "q_mad_outlier" -> ((s, dir) => {
       graft.operators.Profiler.madOutlierSummary(t(s, dir, "supplier"), "s_acctbal")
+    }),
+    // --- round 2 batch 2: incremental ingestion dedup ---
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.incrementalDedup(
+        corpus = d.filter(col("doc_id") < 400),
+        batch = d.filter(col("doc_id") >= 400),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("doc_id")
+    }),
+    // --- round 2 batch 2: per-source token budget (corpus mixing) ---
+    "q_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Splits.weightBudgetCap(d, "source", "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), budget = 600.0)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    // --- round 2 batch 2: event transition matrix (Markov view) ---
+    "q_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Funnel.transitionCounts(ev, "user_id", "event_type",
+        "ts_us", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+    // --- round 2 batch 2: segment-blocked fuzzy (edit-distance) self-join.
+    //     The fixture's distinct names all differ by >= 2 edits, so (as with
+    //     q_pii_scrub's planted PII) we plant deterministic one-char
+    //     corruptions on both engine sides to exercise real matches. ---
+    "q_fuzzy_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val names = p.select(col("p_name")).unionByName(
+        p.filter(col("p_partkey") % 7 === 0)
+          .select(concat(lit("x"), expr("substring(p_name, 2)")).as("p_name")))
+      graft.operators.Joins.fuzzySelfJoin(names, "p_name", maxDist = 1)
+        .orderBy("name_a", "name_b")
     })
   )
 
@@ -1244,6 +1280,38 @@ object SparkEntry {
         |  round((SELECT med FROM m), 4) AS median,
         |  round((SELECT mad FROM d), 4) AS mad,
         |  (SELECT count(*) FROM supplier
-        |    WHERE abs(s_acctbal - (SELECT med FROM m)) > 4.4478 * (SELECT mad FROM d))::BIGINT AS n_outliers""".stripMargin
+        |    WHERE abs(s_acctbal - (SELECT med FROM m)) > 4.4478 * (SELECT mad FROM d))::BIGINT AS n_outliers""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH cf AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  (CASE WHEN EXISTS (SELECT 1 FROM cf
+        |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |   THEN 1 ELSE 0 END)::INT AS is_dup
+        |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(trim(text), '\S+')) AS w FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    sum(w::DOUBLE) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT doc_id, source FROM c WHERE cum <= 600.0 ORDER BY doc_id""".stripMargin,
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT p_name FROM part UNION ALL
+        |    SELECT 'x' || substring(p_name, 2) FROM part WHERE p_partkey % 7 = 0),
+        |d AS (SELECT DISTINCT p_name FROM names WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name)::INT AS dist
+        |FROM d a JOIN d b
+        |  ON a.p_name < b.p_name AND length(a.p_name) = length(b.p_name)
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -37,6 +37,27 @@ object Dedup {
       .dropDuplicates("__graft_fp")
       .drop("__graft_fp")
 
+  /** Incremental (batch-vs-corpus) exact dedup — the shape every ingestion
+    * pipeline runs: flag each NEW document whose normalized-content
+    * fingerprint already exists in the accumulated corpus. One equi-join on
+    * the 128-bit fingerprint: both sides reduce to (id, fp) projections, the
+    * corpus side is `distinct()`-ed (map-side combined), and AQE broadcasts
+    * it when small; otherwise the join co-partitions on `fp` — never a
+    * cross product. Keep `is_dup = 0` rows to append to the corpus.
+    *
+    * Output: batch ids with (fingerprint, is_dup). */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val cf = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
+      .withColumn("__graft_hit", lit(1))
+    batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .join(cf, Seq("fingerprint"), "left_outer")
+      .select(col(idCol), col("fingerprint"),
+        when(col("__graft_hit").isNotNull, 1).otherwise(0).as("is_dup"))
+  }
+
   /** Cross-dataset n-gram contamination report (train/eval decontamination —
     * the step that keeps benchmark text out of a training corpus). For every
     * eval document: how many train documents share at least one word n-gram

@@ -48,4 +48,21 @@ object Funnel {
     counts.select(explode(array(stageRows: _*)).as("s"))
       .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"))
   }
+
+  /** Event-transition counts: for each user's event sequence (ordered by
+    * `tsCol`, ties broken by `tieCol` for determinism), count
+    * (from_type → to_type) adjacent transitions — the Markov-chain view of
+    * an event log. One hash exchange on the user + per-user sorted `lead`
+    * window (streams each user's events), then a small count aggregation
+    * over at most |types|² groups. */
+  def transitionCounts(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
 }

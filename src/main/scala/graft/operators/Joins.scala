@@ -161,4 +161,40 @@ object Joins {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     b.join(s, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** Segment-blocked fuzzy self-join: distinct string pairs within edit
+    * distance `maxDist`, without the O(n²) cross join. Pigeonhole blocking:
+    * each string is cut into `maxDist + 1` positional segments; two
+    * equal-length strings within `maxDist` *substitutions* must agree on at
+    * least one segment, so candidates are found by `maxDist + 1` equi-joins
+    * on `(length, segment_index, segment)` — each a plain shuffled hash
+    * join on a short key — and verified with `levenshtein`. For
+    * `maxDist = 1` this is EXACT for equal-length strings (levenshtein 1
+    * between equal lengths is necessarily one substitution); for larger
+    * distances it is substitution-complete but can miss shift-style
+    * edits (the PassJoin shifted-segment scheme would close that gap).
+    * Cross-length matches are out of scope by design — blocking includes
+    * the length.
+    *
+    * Output: (name_a, name_b, dist) with name_a < name_b. */
+  def fuzzySelfJoin(df: DataFrame, textCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1)
+    val nSeg = maxDist + 1
+    val names = df.select(col(textCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+    // segment i spans [i*len/nSeg, (i+1)*len/nSeg) (0-based; substring is 1-based)
+    val seg = names.select(col("name"), col("len"),
+      posexplode(array((0 until nSeg).map { i =>
+        col("name").substr(col("len") * i / nSeg + 1,
+          col("len") * (i + 1) / nSeg - col("len") * i / nSeg)
+      }: _*)).as(Seq("seg_idx", "seg")))
+    val a = seg.select(col("name").as("name_a"), col("len"), col("seg_idx"), col("seg"))
+    val b = seg.select(col("name").as("name_b"), col("len"), col("seg_idx"), col("seg"))
+    a.join(b, Seq("len", "seg_idx", "seg"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -55,6 +55,25 @@ object Splits {
     df.filter(md5(col(idCol).cast("string")) < thr)
   }
 
+  /** Per-group *weight* budget (e.g. token budget per source/domain): keep
+    * rows in deterministic `md5(id)` order while the running weight total
+    * (including the current row) stays within `budget`. The standard
+    * "N tokens per domain" corpus-mixing step. Same plan shape as
+    * [[quotaCap]] — one hash exchange on the group key + per-group sorted
+    * cumulative window, streaming per group. */
+  def weightBudgetCap(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, budget: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__graft_cum", sum(weightCol.cast("double")).over(w))
+      .filter(col("__graft_cum") <= budget)
+      .drop("__graft_cum")
+  }
+
   /** Per-group quota cap for corpus balancing: keep at most `cap` rows per
     * group, chosen in deterministic `md5(id)` order (a stable uniform
     * shuffle — no rand()), ties broken by id. One hash exchange on the

@@ -100,6 +100,29 @@ class CurationSpec extends SparkSpec {
     assert(r3.getLong(4) == 127L + code1) // |-127| + |code(1.0)|
   }
 
+  test("incrementalDedup flags batch docs whose fingerprint exists in the corpus") {
+    val corpus = Seq((1L, "the same text"), (2L, "other corpus text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  The   SAME text "),   // normalizes to corpus doc 1
+      (11L, "genuinely new text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(2))).toSeq == Seq((10L, 1), (11L, 0)))
+  }
+
+  test("weightBudgetCap keeps the hash-order prefix within budget per group") {
+    val df = (1 to 20).map(i => (i.toLong, "g", 10.0)).toDF("id", "grp", "w")
+    val kept = Splits.weightBudgetCap(df, "grp", "id", $"w", budget = 45.0)
+    assert(kept.count() == 4) // 4 * 10 <= 45 < 5 * 10
+    // deterministic under repartitioning
+    val again = Splits.weightBudgetCap(df.repartition(6), "grp", "id", $"w", budget = 45.0)
+    assert(kept.select("id").except(again.select("id")).count() == 0)
+    // a single over-budget head row in a group yields an empty group
+    val big = Seq((1L, "h", 100.0)).toDF("id", "grp", "w")
+    assert(Splits.weightBudgetCap(big, "grp", "id", $"w", budget = 45.0).count() == 0)
+  }
+
   test("madOutlierSummary: symmetric data with one spike") {
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0)).toDF("v")
     val r = Profiler.madOutlierSummary(df, "v").head()

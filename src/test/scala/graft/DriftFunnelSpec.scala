@@ -62,6 +62,24 @@ class DriftFunnelSpec extends SparkSpec {
       Seq((0, "view", 4L), (1, "click", 1L), (2, "purchase", 1L)))
   }
 
+  test("transitionCounts builds the adjacent-pair matrix per user") {
+    val ev = Seq(
+      (1L, "a", 1L, 100L), (1L, "b", 2L, 101L), (1L, "a", 3L, 102L),
+      (2L, "a", 1L, 103L), (2L, "b", 2L, 104L),
+      (3L, "c", 1L, 105L)  // single event -> no transitions
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitionCounts(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("transitionCounts breaks timestamp ties deterministically by the tie column") {
+    val ev = Seq((1L, "x", 5L, 1L), (1L, "y", 5L, 2L)).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitionCounts(ev, "user_id", "event_type", "ts", "event_id").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
+  }
+
   test("funnel ties at equal first-touch timestamps count as ordered") {
     val ev = Seq((1L, "view", 10L), (1L, "click", 10L)).toDF("user_id", "event_type", "ts")
     val out = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))

@@ -129,4 +129,30 @@ class JoinsSpec extends SparkSpec {
     val plain = li.join(o, Seq("l_orderkey"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("fuzzySelfJoin d=1: exact known pairs, no cross-length or d=2 matches") {
+    import spark.implicits._
+    val df = Seq("abcd", "abce", "abff", "abcd", "xyz", "abcde").toDF("s")
+    val out = Joins.fuzzySelfJoin(df, "s", maxDist = 1).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet ==
+      Set(("abcd", "abce", 1))) // abff is d=2; abcde differs in length; dup abcd collapses
+  }
+
+  test("fuzzySelfJoin d=1 equals brute-force same-length levenshtein on part names") {
+    // plant one-char corruptions: the fixture's distinct names differ by >= 2
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val names = part.select(col("p_name")).unionByName(
+      part.filter(col("p_partkey") % 7 === 0)
+        .select(concat(lit("x"), expr("substring(p_name, 2)")).as("p_name")))
+    val blocked = Joins.fuzzySelfJoin(names, "p_name", maxDist = 1)
+    val n = names.select(col("p_name").as("name")).filter(col("name").isNotNull).distinct()
+    val brute = n.as("a").join(n.as("b"),
+        col("a.name") < col("b.name") &&
+          length(col("a.name")) === length(col("b.name")) &&
+          levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+    assert(brute.count() > 0)
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
+  }
 }
