@@ -60,19 +60,30 @@ final class DriftCheck(
   def binCol(c: Column): Column =
     least(greatest(floor((c - lo) / width), lit(0.0)), lit((nBins - 1).toDouble)).cast("bigint")
 
-  /** `(bin, p)` proportions of non-null scoped values; at most `nBins` rows. */
+  /** `(bin, p)` proportions of non-null scoped values; at most `nBins` rows.
+    * The total comes from a 1-row aggregate broadcast back over the bin
+    * counts (not a global window — no single-partition exchange). */
   def binnedDist(d: DataFrame): DataFrame = {
     val vals = d.filter(scopeCol(d) && col(column).isNotNull)
-    vals.groupBy(binCol(col(column)).as("bin")).agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n") / sum("n").over(Window.partitionBy()))
+    val counts = vals.groupBy(binCol(col(column)).as("bin")).agg(count(lit(1)).as("n"))
+    val total = vals.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("p", col("n") / col("__total"))
+      .drop("__total")
   }
 
   /** Per-bin PSI terms: baseline vs current proportions (eps-floored) and
     * `(p_curr - p_base) * ln(p_curr / p_base)`. Missing bins appear with
     * p = 0 on that side. Both inputs are <= nBins rows, so the outer join
     * broadcasts; total PSI = `sum(psi_term)`. */
-  def psiDf(current: DataFrame): DataFrame = {
-    val b = binnedDist(baselineDf).select(col("bin"), col("p").as("p_base"))
+  def psiDf(current: DataFrame): DataFrame =
+    psiVsDist(binnedDist(baselineDf), current)
+
+  /** PSI against a PRE-COMPUTED baseline distribution (`binnedDist` output,
+    * possibly persisted) — what a streaming monitor reuses every
+    * micro-batch instead of re-scanning the baseline. */
+  def psiVsDist(baselineDist: DataFrame, current: DataFrame): DataFrame = {
+    val b = baselineDist.select(col("bin"), col("p").as("p_base"))
     val c = binnedDist(current).select(col("bin"), col("p").as("p_curr"))
     b.join(c, Seq("bin"), "full_outer")
       .select(
@@ -98,14 +109,12 @@ final class DriftCheck(
     val u = b.select("v", "na", "nb").unionByName(c.select("v", "na", "nb"))
       .groupBy("v").agg(sum("na").as("na"), sum("nb").as("nb"))
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    u.select(
-      col("v"),
-      (sum("na").over(w).cast("double") / sum("na").over(tot)).as("ca"),
-      (sum("nb").over(w).cast("double") / sum("nb").over(tot)).as("cb"),
-      sum("na").over(tot).as("n_base"),
-      sum("nb").over(tot).as("n_curr"))
-      .agg(max(abs(col("ca") - col("cb"))).as("ks"),
+    val totals = u.agg(sum("na").as("n_base"), sum("nb").as("n_curr"))
+    u.select(col("v"), sum("na").over(w).as("cna"), sum("nb").over(w).as("cnb"))
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(abs(col("cna").cast("double") / col("n_base") -
+          col("cnb").cast("double") / col("n_curr"))).as("ks"),
         max("n_base").as("n_base"), max("n_curr").as("n_curr"))
   }
 

@@ -37,4 +37,20 @@ object Bucketing {
       keys: Seq[String]
   ): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys)
+
+  /** Write `df` hive-partitioned by `partitionCols` — the layout that turns
+    * a partition-key predicate into directory pruning: a filtered read lists
+    * only matching directories (`PartitionFilters` in the scan, zero I/O for
+    * the rest). Partition by LOW-cardinality, always-filtered columns
+    * (date, source, language); high-cardinality keys belong in
+    * [[writeBucketed]] instead — millions of tiny directories are their own
+    * bottleneck. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -116,6 +116,29 @@ object StreamingDQ {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Per-micro-batch distribution-drift monitor: each micro-batch's PSI
+    * against the check's baseline is computed inside `foreachBatch` and
+    * handed to `onResult(batchId, psi)` (alert, emit to a metrics sink, …).
+    * The baseline's binned distribution is computed ONCE here and persisted
+    * (it is at most `nBins` rows), so steady-state cost per batch is one
+    * aggregation over the batch plus a broadcast join against those bins —
+    * the baseline dataset is never re-scanned. */
+  def driftMonitor(stream: DataFrame, check: graft.checks.DriftCheck)(
+      onResult: (Long, Double) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val baseDist = check.binnedDist(check.baselineDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val psi = check.psiVsDist(baseDist, batch)
+            .agg(sum("psi_term")).head().getDouble(0)
+          onResult(id, psi)
+        }
+      }
+      .start()
+  }
+
   /** Batch-equivalent tumbling window on raw nanos (integer bucketing) —
     * used by the oracle-checked `q_events_window` query; semantics match
     * [[windowedCompleteness]]'s tumbling windows. */

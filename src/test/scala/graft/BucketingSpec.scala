@@ -30,6 +30,23 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write prunes directories on partition-key filters") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = "/tmp/graft_part_docs"
+    Bucketing.writePartitioned(docs, path, Seq("source"))
+    val back = Bucketing.readPartitioned(spark, path)
+    val filtered = back.filter(col("source") === "src1")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("src1"),
+      s"expected partition pruning in:\n$scan")
+    // pruned read returns exactly the partition's rows, none lost
+    val expected = docs.filter(col("source") === "src1")
+    assert(filtered.count() == expected.count() && expected.count() > 0)
+    // partition column round-trips (moved to directory, restored on read)
+    assert(back.columns.sorted.toSeq == docs.columns.sorted.toSeq)
+    assert(back.count() == docs.count())
+  }
+
   test("salted two-stage aggregation equals plain groupBy") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val salted = SkewAgg.aggBySalt(li, Seq("l_returnflag"),

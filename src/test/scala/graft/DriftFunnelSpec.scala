@@ -62,6 +62,30 @@ class DriftFunnelSpec extends SparkSpec {
       Seq((0, "view", 4L), (1, "click", 1L), (2, "purchase", 1L)))
   }
 
+  test("streaming driftMonitor: PSI per micro-batch against a static baseline") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val baseline = (0 until 1000).map(i => (i % 10).toDouble).toDF("v")
+    val c = check(baseline)
+    val mem = MemoryStream[Double]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = graft.streaming.StreamingDQ.driftMonitor(mem.toDF().toDF("v"), c) {
+      (id, psi) => results.synchronized { results += ((id, psi)) }
+    }
+    try {
+      mem.addData((0 until 100).map(i => (i % 10).toDouble): _*) // same distribution
+      q.processAllAvailable()
+      mem.addData((0 until 100).map(i => (i % 5).toDouble + 5.0): _*) // shifted
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = results.sortBy(_._1).map(_._2)
+    assert(byBatch.size == 2)
+    assert(math.abs(byBatch(0)) < 1e-9)  // no drift
+    assert(byBatch(1) > 1.0)             // strong drift
+  }
+
   test("transitionCounts builds the adjacent-pair matrix per user") {
     val ev = Seq(
       (1L, "a", 1L, 100L), (1L, "b", 2L, 101L), (1L, "a", 3L, 102L),
