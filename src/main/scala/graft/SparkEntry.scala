@@ -728,6 +728,32 @@ object SparkEntry {
         "ts_us", "event_id")
         .orderBy("from_type", "to_type")
     }),
+    // --- round 2 batch 3: custom GROUPING SETS (beyond rollup/cube) ---
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("n"))
+    }),
+    // --- round 2 batch 3: as-of join with tolerance (stale matches nulled) ---
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts"),
+          col("value").as("prev_purchase_value"))
+      graft.operators.Joins.asofJoin(clicks, purchases,
+        keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
+        valueCols = Seq("prev_purchase_value"),
+        tolerance = Some(86400000000L)) // 1 day in micros
+        .select("event_id", "user_id", "ts_us", "prev_purchase_value")
+        .orderBy("event_id")
+    }),
     // --- round 2 batch 2: segment-blocked fuzzy (edit-distance) self-join.
     //     The fixture's distinct names all differ by >= 2 edits, so (as with
     //     q_pii_scrub's planted PII) we plant deterministic one-char
@@ -1303,6 +1329,19 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  grouping(l_returnflag)::INT AS g_rf
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+        |       THEN r.value END AS prev_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (SELECT p_name FROM part UNION ALL
         |    SELECT 'x' || substring(p_name, 2) FROM part WHERE p_partkey % 7 = 0),

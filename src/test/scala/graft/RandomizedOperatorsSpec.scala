@@ -86,4 +86,58 @@ class RandomizedOperatorsSpec extends SparkSpec {
       .groupBy("iid").count()
     assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
   }
+
+  test("fuzzySelfJoin d=1 equals brute force on random strings with planted edits") {
+    import spark.implicits._
+    val alphabet = "abcde"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base = (1 to 150).map(_ => randStr(4 + rnd.nextInt(4)))
+    // plant single-substitution neighbors for half of them
+    val edited = base.filter(_ => rnd.nextBoolean()).map { s =>
+      val i = rnd.nextInt(s.length)
+      s.updated(i, alphabet(rnd.nextInt(alphabet.length)))
+    }
+    val df = (base ++ edited).toDF("s")
+    val blocked = Joins.fuzzySelfJoin(df, "s", maxDist = 1)
+    val n = df.select(col("s").as("name")).distinct()
+    val brute = n.as("a").join(n.as("b"),
+        col("a.name") < col("b.name") &&
+          length(col("a.name")) === length(col("b.name")) &&
+          levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+    assert(brute.count() > 0)
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
+  }
+
+  test("weightBudgetCap keeps exactly the maximal in-budget hash-order prefix per group") {
+    import spark.implicits._
+    val df = (1 to 500).map(i =>
+      (i.toLong, s"g${rnd.nextInt(6)}", (1 + rnd.nextInt(20)).toDouble)).toDF("id", "grp", "w")
+    val budget = 40.0
+    val kept = graft.operators.Splits.weightBudgetCap(df, "grp", "id", col("w"), budget)
+      .select("id").as[Long].collect().toSet
+    // recompute the invariant naively on the driver
+    val rows = df.select("id", "grp", "w").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).values.flatMap { g =>
+      var cum = 0.0
+      g.sortBy(r => (h(r._1), r._1)).takeWhile { r => cum += r._3; cum <= budget }.map(_._1)
+    }.toSet
+    assert(kept == expected)
+  }
+
+  test("PSI terms are non-negative and KS is in [0,1] on random distributions") {
+    import spark.implicits._
+    val base = (1 to 1000).map(_ => rnd.nextGaussian() * 3 + 5).toDF("v")
+    val curr = (1 to 800).map(_ => rnd.nextGaussian() * 2 + 6).toDF("v")
+    val c = new graft.checks.DriftCheck("t", "r", graft.core.SeverityLevel.High,
+      "d", "v", base, lo = -10.0, hi = 20.0, nBins = 15)
+    val terms = c.psiDf(curr).select("psi_term").as[Double].collect()
+    assert(terms.nonEmpty && terms.forall(_ >= 0.0)) // same-sign product by construction
+    val ks = c.ksDf(curr).head().getDouble(0)
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
 }
