@@ -754,6 +754,37 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "prev_purchase_value")
         .orderBy("event_id")
     }),
+    // --- round 2 batch 4: data repair (impute / winsorize / normalize) ---
+    "q_impute" -> ((s, dir) => {
+      graft.operators.Repair.imputeGroupMean(
+        t(s, dir, "customer"), "c_mktsegment", "c_acctbal")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 6).as("acctbal_filled"))
+        .orderBy("c_custkey")
+    }),
+    "q_winsorize" -> ((s, dir) => {
+      graft.operators.Repair.winsorize(t(s, dir, "lineitem"), "l_extendedprice",
+        pLo = 0.01, pHi = 0.99)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 4).as("price_w"), col("was_clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_normalize" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+          graft.operators.Repair.zscoreByGroup(o, "o_orderpriority", "o_totalprice"))
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), col("o_orderpriority"), round(col("zscore"), 6).as("z"))
+        .orderBy("o_orderkey")
+    }),
+    // --- round 2 batch 4: sequence packing (concatenate-and-chop) ---
+    "q_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Splits.packOffsets(d, "source", "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), contextLen = 512L)
+        .select("doc_id", "source", "start_off", "end_off", "first_pack", "last_pack")
+        .orderBy("doc_id")
+    }),
     // --- round 2 batch 2: segment-blocked fuzzy (edit-distance) self-join.
     //     The fixture's distinct names all differ by >= 2 edits, so (as with
     //     q_pii_scrub's planted PII) we plant deterministic one-char
@@ -1329,6 +1360,43 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_impute" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  round(coalesce(c_acctbal,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |      / count(c_acctbal) OVER (PARTITION BY c_mktsegment),
+        |    0.0), 6) AS acctbal_filled
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (SELECT
+        |    percentile_cont(0.01) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+        |    percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_extendedprice IS NOT NULL
+        |    THEN least(greatest(l_extendedprice, lo), hi) END, 4) AS price_w,
+        |  (l_extendedprice < lo OR l_extendedprice > hi)::INT AS was_clipped
+        |FROM lineitem, c ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_normalize" ->
+      """WITH s AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    count(o_totalprice) OVER w AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sq
+        |  FROM orders WINDOW w AS (PARTITION BY o_orderpriority))
+        |SELECT o_orderkey, o_orderpriority,
+        |  round(CASE WHEN n > 1 AND (sq - (sm/n)*(sm/n)*n) / (n - 1) > 0
+        |    THEN (o_totalprice - sm/n) / sqrt((sq - (sm/n)*(sm/n)*n) / (n - 1)) END, 6) AS z
+        |FROM s WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(trim(text), '\S+'))::BIGINT AS w FROM documents),
+        |c AS (SELECT doc_id, source, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM d)
+        |SELECT doc_id, source, (end_off - w)::BIGINT AS start_off, end_off::BIGINT AS end_off,
+        |  ((end_off - w) // 512)::BIGINT AS first_pack,
+        |  ((end_off - 1) // 512)::BIGINT AS last_pack
+        |FROM c WHERE w > 0 ORDER BY doc_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
         |  grouping(l_returnflag)::INT AS g_rf

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-repair operators — the "fix" half of a data-quality pipeline
+  * (the checks find the rows; these produce the corrected dataset).
+  *
+  * All three are single-pass compositions: group statistics come from an
+  * unordered aggregate window over the group (partial aggregation, no
+  * sort), global cutoffs from a 1-row aggregate broadcast back over the
+  * scan. Nothing here collects to the driver.
+  */
+object Repair {
+
+  /** Null imputation with the group mean: nulls in `valueCol` are replaced
+    * by the mean of the non-null values in the same `groupCol` group
+    * (falling back to `default` for all-null groups). The mean uses an
+    * exact decimal sum (order-independent) so results are deterministic
+    * under any partitioning. */
+  def imputeGroupMean(df: DataFrame, groupCol: String, valueCol: String,
+      default: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val mean = sum(col(valueCol).cast("decimal(30,6)")).over(w).cast("double") /
+      count(col(valueCol)).over(w)
+    df.withColumn(valueCol,
+      coalesce(col(valueCol), mean, lit(default)))
+  }
+
+  /** Winsorization: clip `valueCol` to its exact [pLo, pHi] percentiles
+    * (computed over non-null values). Returns the clipped frame plus a
+    * `was_clipped` marker. Exact interpolated percentiles hold to ~10^7
+    * distinct values; swap `percentile` for `approx_percentile` beyond
+    * that (same shape, sketch mergeable). */
+  def winsorize(df: DataFrame, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, "need 0 <= pLo < pHi <= 1")
+    val cuts = df.agg(
+      percentile(col(valueCol).cast("double"), lit(pLo)).as("__lo"),
+      percentile(col(valueCol).cast("double"), lit(pHi)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("was_clipped",
+        (col(valueCol) < col("__lo") || col(valueCol) > col("__hi")).cast("int"))
+      // nulls stay null (imputation is a separate repair, not clipping)
+      .withColumn(valueCol, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group z-score normalization: `(x - mean) / stddev` within
+    * `groupCol` (sample stddev; degenerate groups — stddev 0 or a single
+    * row — yield null). Group stats via an unordered aggregate window —
+    * one hash exchange on the group, no sort. Mean and sum-of-squares use
+    * exact decimal sums so the result is partition-order independent
+    * (a plain double `avg`/`stddev` drifts by ~1 ulp across runs, which
+    * flips rounded output on boundaries — see BASELINE.md round-1 notes). */
+  def zscoreByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      as: String = "zscore"): Column = {
+    val w = Window.partitionBy(col(groupCol))
+    val x = col(valueCol).cast("double")
+    val n = count(col(valueCol)).over(w)
+    val m = sum(x.cast("decimal(30,6)")).over(w).cast("double") / n
+    val sumsq = sum((x * x).cast("decimal(38,6)")).over(w).cast("double")
+    val variance = (sumsq - m * m * n) / (n - 1)
+    when(n > 1 && variance > 0, (x - m) / sqrt(variance)).as(as)
+  }
+}

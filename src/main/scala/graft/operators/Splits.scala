@@ -74,6 +74,32 @@ object Splits {
       .drop("__graft_cum")
   }
 
+  /** Sequence packing ("concatenate and chop"): lay each group's documents
+    * end-to-end in deterministic `md5(id)` order and chop the token stream
+    * into fixed `contextLen` windows — the standard way training examples
+    * are packed from variable-length documents. Emits each document's
+    * half-open token span `[start_off, end_off)` in its group's stream plus
+    * the first/last pack (context window) it lands in; a document spans
+    * `last_pack - first_pack + 1` windows. One hash exchange on the group
+    * + a streaming cumulative window per group — no driver-side state, and
+    * group streams pack independently (= shard-parallel at 100 TB). */
+  def packOffsets(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, contextLen: Long): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__w", weightCol.cast("long"))
+      .withColumn("end_off", sum(col("__w")).over(w))
+      .withColumn("start_off", col("end_off") - col("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("first_pack", expr(s"start_off div $contextLen"))
+      .withColumn("last_pack", expr(s"(end_off - 1) div $contextLen"))
+      .drop("__w")
+  }
+
   /** Per-group quota cap for corpus balancing: keep at most `cap` rows per
     * group, chosen in deterministic `md5(id)` order (a stable uniform
     * shuffle — no rand()), ties broken by id. One hash exchange on the

@@ -123,6 +123,70 @@ class CurationSpec extends SparkSpec {
     assert(Splits.weightBudgetCap(big, "grp", "id", $"w", budget = 45.0).count() == 0)
   }
 
+  test("imputeGroupMean fills nulls with the group mean, default for all-null groups") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", None),
+      (4L, "b", None), (5L, "b", None)
+    ).toDF("id", "grp", "v")
+    val out = graft.operators.Repair.imputeGroupMean(df, "grp", "v", default = -1.0)
+      .orderBy("id").collect().map(_.getDouble(2))
+    assert(out.toSeq == Seq(10.0, 20.0, 15.0, -1.0, -1.0))
+  }
+
+  test("winsorize clips to the exact percentile cutoffs and flags clipped rows") {
+    val df = ((1 to 99).map(_.toDouble) ++ Seq(1000.0)).toDF("v")
+    val out = graft.operators.Repair.winsorize(df, "v", pLo = 0.0, pHi = 0.9)
+    // p90 of 1..99,1000 = interpolated at index 0.9*99 = 89.1 -> 90.1
+    val clipped = out.filter($"was_clipped" === 1)
+    assert(clipped.count() == 10) // 91..99 and 1000 exceed 90.1
+    assert(math.abs(out.agg(max("v")).head().getDouble(0) - 90.1) < 1e-9)
+    assert(out.filter($"v".isNull).count() == 0)
+    // nulls stay null
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val w2 = graft.operators.Repair.winsorize(withNull, "v", 0.0, 1.0)
+    assert(w2.filter($"v".isNull).count() == 1)
+  }
+
+  test("zscoreByGroup normalizes within group; singleton groups yield null") {
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "s", 5.0))
+      .toDF("id", "grp", "v")
+    val out = df.select($"id", graft.operators.Repair.zscoreByGroup(df, "grp", "v"))
+      .orderBy("id").collect()
+    assert(math.abs(out(0).getDouble(1) - (-1.0)) < 1e-9) // (10-20)/10
+    assert(math.abs(out(1).getDouble(1)) < 1e-9)
+    assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-9)
+    assert(out(3).isNullAt(1))
+  }
+
+  test("packOffsets: contiguous spans per group, pack spans consistent with offsets") {
+    val df = Seq(
+      (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 100L),
+      (4L, "h", 600L), (5L, "h", 1L), (6L, "h", 0L) // zero-weight doc dropped
+    ).toDF("id", "grp", "w")
+    val out = graft.operators.Splits.packOffsets(df, "grp", "id", $"w", contextLen = 512L)
+    assert(out.count() == 5)
+    // per group: spans are contiguous, start at 0, and total equals sum(w)
+    val rows = out.select("grp", "start_off", "end_off").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    rows.foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2) // end == next start
+        case _ =>
+      }
+    }
+    // pack arithmetic: first/last pack match offset div, doc spanning a
+    // boundary reports both windows
+    val byId = out.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("start_off"), r.getAs[Long]("end_off"),
+        r.getAs[Long]("first_pack"), r.getAs[Long]("last_pack"))).toMap
+    byId.values.foreach { case (s0, e0, fp, lp) =>
+      assert(fp == s0 / 512 && lp == (e0 - 1) / 512 && fp <= lp)
+    }
+    assert(byId.values.exists { case (_, _, fp, lp) => lp > fp }) // straddler exists
+  }
+
   test("madOutlierSummary: symmetric data with one spike") {
     val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0)).toDF("v")
     val r = Profiler.madOutlierSummary(df, "v").head()
