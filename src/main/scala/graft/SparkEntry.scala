@@ -754,6 +754,16 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "prev_purchase_value")
         .orderBy("event_id")
     }),
+    // --- round 2: date/time scalar functions (monthly rollup) ---
+    "q_monthly" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("revenue"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("y", "m")
+    }),
     // --- round 2 batch 4: data repair (impute / winsorize / normalize) ---
     "q_impute" -> ((s, dir) => {
       graft.operators.Repair.imputeGroupMean(
@@ -1359,6 +1369,13 @@ object SparkEntry {
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_monthly" ->
+      """SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders WHERE o_orderdate IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_impute" ->
       """SELECT c_custkey, c_mktsegment,
