@@ -754,6 +754,15 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "prev_purchase_value")
         .orderBy("event_id")
     }),
+    // --- round 2: embedding near-dup clusters (pairs -> CC, operator
+    //     composability: same connectedComponents as the text path) ---
+    "q_embed_clusters" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.embeddingNearDupBrute(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      graft.dedup.Dedup.connectedComponents(pairs, "ida", "idb")
+        .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
+        .orderBy("vec_id")
+    }),
     // --- round 2: date/time scalar functions (monthly rollup) ---
     "q_monthly" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1370,6 +1379,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_embed_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+        |lbl(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
+        |SELECT node AS vec_id, min(label) AS cluster_rep
+        |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
     "q_monthly" ->
       """SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
         |  count(*) AS n,
