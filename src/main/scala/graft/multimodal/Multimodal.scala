@@ -26,6 +26,11 @@ final case class MediaFeatures(
 trait MediaDecoder extends Serializable {
   /** Fixed-length feature vector from raw bytes. */
   def decode(mediaType: String, payload: Array[Byte]): Array[Float]
+
+  /** Batched decode hook — override when the real backend wants batches
+    * (GPU inference, vectorized codecs). Default: per-item [[decode]]. */
+  def decodeBatch(items: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
+    items.map { case (t, p) => decode(t, p) }
 }
 
 /** Deterministic fake decoder (clearly marked stand-in for a real codec):
@@ -92,6 +97,30 @@ object Multimodal {
       it.map { r =>
         MediaFeatures(r.mediaId, r.mediaType, r.payload.length.toLong,
           d.decode(r.mediaType, r.payload))
+      }
+    }
+  }
+
+  /** Batched variant of [[extractFeatures]] — the exact shape of a
+    * Pandas-UDF `mapInPandas` loop: rows stream through in bounded
+    * `batchSize` groups so a GPU/vectorized decoder sees full batches while
+    * peak memory stays `batchSize × payload` regardless of partition size.
+    * Output order within each partition is preserved. */
+  def extractFeaturesBatched(
+      ds: Dataset[MediaRecord],
+      decoder: () => MediaDecoder,
+      batchSize: Int = 64
+  ): Dataset[MediaFeatures] = {
+    require(batchSize > 0)
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val d = decoder()
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = d.decodeBatch(batch.map(r => (r.mediaType, r.payload)))
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          MediaFeatures(r.mediaId, r.mediaType, r.payload.length.toLong, f)
+        }
       }
     }
   }

@@ -50,4 +50,31 @@ class FrameSampleSpec extends SparkSpec {
     // buckets [0,1) [1,2) [2,4) -> 1, 2, mean(3,4)
     assert(out === Seq(1f, 2f, 3.5f))
   }
+
+  test("extractFeaturesBatched equals unbatched and bounds batch sizes") {
+    import graft.multimodal._
+    val s2 = spark
+    import s2.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val recs = Multimodal.asRecords(spark,
+      Multimodal.synthesizePayload(docs, "doc_id", "text"))
+    val plain = Multimodal.extractFeatures(recs, () => new DeterministicFakeDecoder(8))
+      .collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    val batched = Multimodal.extractFeaturesBatched(recs,
+      () => new DeterministicFakeDecoder(8), batchSize = 7)
+      .collect().map(f => f.mediaId -> f.features.toSeq).toMap
+    assert(batched == plain)
+    // a recording decoder proves batches never exceed batchSize and cover all rows
+    class Recorder extends MediaDecoder {
+      override def decode(mediaType: String, payload: Array[Byte]): Array[Float] =
+        Array(1f)
+      override def decodeBatch(items: Seq[(String, Array[Byte])]): Seq[Array[Float]] = {
+        require(items.nonEmpty && items.size <= 7, s"batch of ${items.size}")
+        items.map(i => Array(items.size.toFloat))
+      }
+    }
+    val sizes = Multimodal.extractFeaturesBatched(recs, () => new Recorder, batchSize = 7)
+      .collect().map(_.features(0).toInt)
+    assert(sizes.length == 50 && sizes.forall(sz => sz >= 1 && sz <= 7))
+  }
 }
