@@ -754,6 +754,17 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "prev_purchase_value")
         .orderBy("event_id")
     }),
+    // --- round 2 capstone: end-to-end curation (quality gate -> exact
+    //     dedup -> decontaminate vs eval -> deterministic split) ---
+    "q_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.Pipeline.curate(
+        docs = d.filter(col("doc_id") % 10 =!= 0),
+        evalDocs = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
     // --- round 2: embedding near-dup clusters (pairs -> CC, operator
     //     composability: same connectedComponents as the text path) ---
     "q_embed_clusters" -> ((s, dir) => {
@@ -1379,6 +1390,47 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_curate" ->
+      """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM t0),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id,
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0) AS raw FROM g),
+        |q AS (SELECT t0.doc_id, t0.text FROM t0 JOIN h USING (doc_id)
+        |  WHERE least(greatest(h.raw, 0.0), 1.0) >= 0.83),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM q)
+        |  GROUP BY fp),
+        |dd AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS t FROM documents
+        |        WHERE doc_id % 10 = 0) WHERE len(t) >= 8),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM dd)
+        |  WHERE len(t) >= 8),
+        |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g),
+        |clean AS (SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clean ORDER BY doc_id""".stripMargin,
     "q_embed_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb

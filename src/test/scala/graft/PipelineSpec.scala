@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline invariants (the oracle hash-checks exact
+  * content; these assert the semantic contract on real fixture data). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val train = docs.filter(col("doc_id") % 10 =!= 0)
+  private lazy val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+  private lazy val curated =
+    Pipeline.curate(train, evalDocs, "doc_id", "text").cache()
+
+  test("curated corpus is a subset of the train side with all stages active") {
+    assert(curated.count() > 0)
+    assert(curated.join(evalDocs, Seq("doc_id"), "left_semi").count() == 0)
+    assert(curated.join(train, Seq("doc_id"), "left_semi").count() == curated.count())
+  }
+
+  test("no exact duplicates survive") {
+    val fps = curated.select(
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(fps.count() == fps.distinct().count())
+  }
+
+  test("no curated doc shares an 8-gram with the eval set") {
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(explode(
+      array_distinct(graft.text.TextAnalysis.wordNgrams(col("text"), 8))).as("g"))
+    assert(grams(curated).join(grams(evalDocs), Seq("g")).count() == 0)
+  }
+
+  test("every kept doc meets the quality bar and has a split label") {
+    val below = curated.filter(
+      graft.text.TextAnalysis.qualityScore(col("text")) < 0.83).count()
+    assert(below == 0)
+    val splits = curated.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+  }
+
+  test("deterministic: rerun on a repartitioned input yields the identical corpus") {
+    val again = Pipeline.curate(train.repartition(13), evalDocs, "doc_id", "text")
+    assert(curated.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).isEmpty &&
+      again.select("doc_id", "split").exceptAll(curated.select("doc_id", "split")).isEmpty)
+  }
+}
