@@ -774,6 +774,18 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
         .orderBy("vec_id")
     }),
+    // --- round 2: Spark 4 VariantType semi-structured path (parse_json →
+    //     variant_get) — the open-type alternative to from_json's fixed
+    //     schema; binary variant encoding keeps field access scan-speed. ---
+    "q_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
     // --- round 2: date/time scalar functions (monthly rollup) ---
     "q_monthly" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1443,6 +1455,13 @@ object SparkEntry {
         |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
         |SELECT node AS vec_id, min(label) AS cluster_rep
         |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_variant" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_monthly" ->
       """SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
         |  count(*) AS n,

@@ -3,7 +3,7 @@ package graft.streaming
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQueryListener}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQueryListener, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
 import graft.checks.BaseCheck
 
@@ -105,6 +105,43 @@ object StreamingDQ {
           state.update(next)
           RunningDQUpdate(key, next.total, next.valid, next.ratio)
       }
+  }
+
+  /** Spark 4 `transformWithState` twin of [[runningCompleteness]] — the
+    * new arbitrary-state API (SPARK-40434): typed `ValueState` handles from
+    * an init-time `StatefulProcessorHandle`, per-state TTL support, and
+    * state schema evolution — the forward path for custom streaming state
+    * (`mapGroupsWithState` is maintenance-mode). Same semantics as the
+    * legacy twin, asserted equal in `MultimodalStreamingSpec`. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the default HDFS-backed store
+    * has no multi-column-family support. */
+  final class RunningCompletenessProcessor
+      extends StatefulProcessor[String, (String, Int), RunningDQUpdate] {
+    @transient private var state: ValueState[RunningDQState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningDQState]("dq",
+        org.apache.spark.sql.Encoders.product[RunningDQState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[RunningDQUpdate] = {
+      val prev = if (state.exists()) state.get() else RunningDQState(0, 0)
+      var t = prev.total; var v = prev.valid
+      rows.foreach { case (_, ok) => t += 1; v += ok }
+      val next = RunningDQState(t, v)
+      state.update(next)
+      Iterator.single(RunningDQUpdate(key, next.total, next.valid, next.ratio))
+    }
+  }
+
+  /** [[runningCompleteness]] on the transformWithState API. */
+  def runningCompletenessTws(df: DataFrame): Dataset[RunningDQUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("key").cast("string"), col("ok").cast("int")).as[(String, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCompletenessProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming exact dedup by key columns with bounded state: rows whose

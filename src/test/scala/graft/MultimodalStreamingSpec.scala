@@ -82,6 +82,39 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: transformWithState twin matches mapGroupsWithState semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("key", "ok")
+    // transformWithState needs the RocksDB provider (multi-column-family state)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = graft.streaming.StreamingDQ.runningCompletenessTws(df)
+    val q = out.writeStream.format("memory").queryName("running_tws").outputMode("update").start()
+    try {
+      mem.addData(("a", 1), ("a", 0), ("b", 1))
+      q.processAllAvailable()
+      mem.addData(("a", 1), ("a", 1))
+      q.processAllAvailable()
+      val rows = spark.table("running_tws").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // identical cumulative trajectory to the mapGroupsWithState twin
+      assert(rows.contains(("a", 2L, 1L)))
+      assert(rows.contains(("a", 4L, 3L)))
+      assert(rows.contains(("b", 1L, 1L)))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming: observed check metrics arrive per micro-batch") {
     val s = spark
     import s.implicits._
