@@ -58,6 +58,25 @@ package object functions {
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     col(TopKPairs(expr(score), expr(id), k).toAggregateExpression())
 
+  /** Bloom-filter aggregate over pre-hashed (xxhash64) long keys — the
+    * build side of a manual runtime filter. Wraps Spark's internal
+    * `BloomFilterAggregate` (what AQE's InjectRuntimeFilter plants); it is
+    * not SQL-registered upstream, so this bridges it to the Column API.
+    * Returns one binary bloom filter; pair with [[bloom_might_contain]]. */
+  def bloom_filter_agg(hashedKey: Column, expectedItems: Long, numBits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expr(hashedKey),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)
+    ).toAggregateExpression())
+
+  /** Membership probe against a [[bloom_filter_agg]] filter (false
+    * positives possible, false negatives never — callers must re-verify
+    * with the exact join). */
+  def bloom_might_contain(bloom: Column, hashedKey: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expr(bloom), expr(hashedKey)))
+
   /** Portable (built-in HOF) cosine, for environments where the native
     * expression can't be used; slower — kept for cross-checking the kernel. */
   def cosine_sim_hof(a: Column, b: Column): Column = {

@@ -162,6 +162,34 @@ object Joins {
     b.join(s, keyCols :+ "__salt").drop("__salt")
   }
 
+  /** Bloom-prefiltered equi-join — the manual form of AQE's runtime bloom
+    * filter (InjectRuntimeFilter), for when the pruning must be guaranteed
+    * rather than cost-based: build a bloom filter over the small side's
+    * join keys (ONE tiny aggregate → a single broadcast row), drop big-side
+    * rows that cannot match BEFORE the join's shuffle, then run the exact
+    * join (bloom false positives make the prefilter safe but not
+    * sufficient). With a 1 % FPR filter, a big side where only a fraction
+    * of keys match sheds the rest at scan speed instead of shuffling them.
+    */
+  def bloomPreFilteredJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedItems: Long,
+      numBits: Long
+  ): DataFrame = {
+    import graft.functions.{bloom_filter_agg, bloom_might_contain}
+    // `might_contain` requires a CONSTANT filter: materialize the one-row
+    // aggregate eagerly (numBits/8 bytes to the driver — same payload a
+    // broadcast variable would ship) and embed it as a binary literal, so
+    // the probe constant-folds into the big side's scan filter.
+    val bfBytes = small
+      .agg(bloom_filter_agg(xxhash64(col(key)), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pre = big.filter(bloom_might_contain(lit(bfBytes), xxhash64(col(key))))
+    pre.join(small, Seq(key))
+  }
+
   /** Segment-blocked fuzzy self-join: distinct string pairs within edit
     * distance `maxDist`, without the O(n²) cross join. Pigeonhole blocking:
     * each string is cut into `maxDist + 1` positional segments; two

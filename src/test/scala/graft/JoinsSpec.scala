@@ -130,6 +130,23 @@ class JoinsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("bloomPreFilteredJoin equals plain join; prefilter sheds non-matching rows") {
+    import spark.implicits._
+    val small = (1 to 100).map(_.toLong).toDF("k")
+    val big = (1 to 10000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    val joined = Joins.bloomPreFilteredJoin(big, small, "k",
+      expectedItems = 100L, numBits = 1600L)
+    val plain = big.join(small, Seq("k"))
+    assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    // the prefilter alone (before the exact join) keeps matches + a small
+    // false-positive tail, a tiny fraction of the big side
+    val bf = small.agg(graft.functions.bloom_filter_agg(
+      xxhash64(col("k")), 100L, 1600L).as("bf")).head().getAs[Array[Byte]]("bf")
+    val preCount = big.filter(graft.functions.bloom_might_contain(
+      lit(bf), xxhash64(col("k")))).count()
+    assert(preCount >= 100 && preCount < 1000, s"prefilter kept $preCount")
+  }
+
   test("fuzzySelfJoin d=1: exact known pairs, no cross-length or d=2 matches") {
     import spark.implicits._
     val df = Seq("abcd", "abce", "abff", "abcd", "xyz", "abcde").toDF("s")
