@@ -774,6 +774,18 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
         .orderBy("vec_id")
     }),
+    // --- round 2: TF-IDF (top terms per doc by score) ---
+    "q_tfidf" -> ((s, dir) => {
+      val scored = graft.text.TextAnalysis.tfIdf(
+        t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
     // --- round 2: Spark 4 VariantType semi-structured path (parse_json →
     //     variant_get) — the open-type alternative to from_json's fixed
     //     schema; binary variant encoding keeps field access scan-speed. ---
@@ -1455,6 +1467,21 @@ object SparkEntry {
         |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
         |SELECT node AS vec_id, min(label) AS cluster_rep
         |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM d)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nn FROM d),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    tf.tf * ln(nn::DOUBLE / (dfq.df + 1)) AS tfidf
+        |  FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk::INT AS rnk, term, tf::BIGINT AS tf, df::BIGINT AS df,
+        |  round(tfidf, 6) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_variant" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,

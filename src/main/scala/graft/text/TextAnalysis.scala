@@ -154,6 +154,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  // --- TF-IDF ---
+
+  /** Per-(doc, term) TF-IDF scores: `tf * ln(N / (1 + df))` with raw term
+    * counts as TF and smoothed document frequency. Fully distributed —
+    * explode → two keyed hash aggregations ((doc, term) counts and per-term
+    * document frequencies) → equi-join on the term; the doc count `N` is a
+    * 1-row aggregate broadcast back. The per-term DF frame is dimension-
+    * sized (vocabulary), so AQE broadcasts it against the big (doc, term)
+    * side at scale. Deterministic: counts are exact integers, the score is
+    * one double multiply + log. */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val tf = df.select(id, explode(tokens(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(countDistinct(id).as("__n"))
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(id, col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("__n").cast("double") / (col("df") + 1))).as("tfidf"))
+  }
+
   // --- repetition signals (Gopher-style quality rules) ---
 
   /** Per-document repetition signals over whitespace tokens — the standard

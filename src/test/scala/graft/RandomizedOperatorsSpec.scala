@@ -129,6 +129,51 @@ class RandomizedOperatorsSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("funnel equals a naive driver-side evaluation on random event logs") {
+    import spark.implicits._
+    val stages = Seq("s0", "s1", "s2")
+    val events = (1 to 2000).map { i =>
+      (rnd.nextInt(50).toLong, s"s${rnd.nextInt(4)}", rnd.nextInt(100).toLong, i.toLong)
+    } // s3 events are noise the funnel must ignore
+    val df = events.toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.operators.Funnel.funnel(df, "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // naive: first-touch mins per user, ordered-prefix completion
+    val naive = Array.fill(stages.length)(0L)
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val mins = stages.map(st => evs.filter(_._2 == st).map(_._3).minOption)
+      var k = 0
+      var ok = true
+      while (k < stages.length && ok) {
+        ok = mins(k).isDefined && (k == 0 || mins(k - 1).get <= mins(k).get)
+        if (ok) { naive(k) += 1; k += 1 }
+      }
+    }
+    assert(stages.indices.forall(i => got(i) == naive(i)))
+  }
+
+  test("packOffsets: random weights — spans partition the group stream exactly") {
+    import spark.implicits._
+    val df = (1 to 300).map(i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", (rnd.nextInt(50) + 1).toLong)).toDF("id", "grp", "w")
+    val out = graft.operators.Splits.packOffsets(df, "grp", "id", col("w"), contextLen = 128L)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Long]("w"), r.getAs[Long]("start_off"), r.getAs[Long]("end_off"),
+        r.getAs[Long]("first_pack"), r.getAs[Long]("last_pack")))
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.foreach { case (_, _, w, s0, e0, fp, lp) =>
+        assert(e0 - s0 == w && fp == s0 / 128 && lp == (e0 - 1) / 128)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4)
+        case _ =>
+      }
+      assert(sorted.last._5 == g.map(_._3).sum) // total stream length
+    }
+  }
+
   test("PSI terms are non-negative and KS is in [0,1] on random distributions") {
     import spark.implicits._
     val base = (1 to 1000).map(_ => rnd.nextGaussian() * 3 + 5).toDF("v")
