@@ -23,6 +23,21 @@ import graft.operators.Splits
   */
 object Pipeline {
 
+  /** [[curateDetailed]] result: the curated frame plus the handle for the
+    * persisted quality-gated corpus it reads from. The gated corpus feeds
+    * THREE plan branches (dedup keep-set, gram explosion, final joins);
+    * without the persist, Spark re-evaluates the regex-heavy quality
+    * filter per branch (no cross-branch CSE) — measured 3× the pipeline
+    * cost. Call [[CuratedCorpus.unpersist]] once the curated frame has
+    * been written/consumed (round-1 lesson: never strand a persisted
+    * handle inside a lazily-returned frame). */
+  final case class CuratedCorpus(curated: DataFrame, gated: DataFrame) {
+    def unpersist(): Unit = { gated.unpersist(); () }
+  }
+
+  /** One-call convenience over [[curateDetailed]]; the persisted gated
+    * corpus stays cached for the returned frame's lifetime (bounded: it is
+    * at most the post-quality-filter corpus projection). */
   def curate(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -30,9 +45,27 @@ object Pipeline {
       textCol: String,
       minQuality: Double = 0.83,
       contaminationNgram: Int = 8
-  ): DataFrame = {
-    // 1. quality gate
-    val q = docs.filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+  ): DataFrame =
+    curateDetailed(docs, evalDocs, idCol, textCol, minQuality, contaminationNgram).curated
+
+  def curateDetailed(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.83,
+      contaminationNgram: Int = 8
+  ): CuratedCorpus = {
+    // 1. quality gate — persisted: read by three downstream branches.
+    // Repartition FIRST: a compacted source (one parquet file = one
+    // partition) would otherwise pin every narrow CPU stage that follows —
+    // quality regexes, md5 fingerprints, n-gram explosion — to one core
+    // (round-1 lesson; the shuffle moves only raw text once).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val q = docs.repartition(par)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. exact dedup (keep-min-id)
     val keepIds = q
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
@@ -42,12 +75,14 @@ object Pipeline {
     // 3. decontamination against the eval set
     def grams(df: DataFrame) = explode(array_distinct(
       TextAnalysis.wordNgrams(col(textCol), contaminationNgram))).as("g")
-    val evalGrams = evalDocs.select(grams(evalDocs)).distinct()
+    // eval side gets the same single-partition-source treatment
+    val evalPar = evalDocs.repartition(par)
+    val evalGrams = evalPar.select(grams(evalPar)).distinct()
     val contaminated = deduped.select(col(idCol), grams(deduped))
       .join(broadcast(evalGrams), Seq("g"))
       .select(idCol).distinct()
     val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
     // 4. deterministic split labels
-    Splits.assignSplit(clean, idCol)
+    CuratedCorpus(Splits.assignSplit(clean, idCol), q)
   }
 }
