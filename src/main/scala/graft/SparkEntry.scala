@@ -774,6 +774,33 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
         .orderBy("vec_id")
     }),
+    // --- round 2: SCD-2 merge (warehouse MERGE INTO as joins + unions) ---
+    "q_scd2_merge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("version", lit(1)).withColumn("is_current", lit(true))
+      // updates: every 20th key gets +100 balance (change); every 40th a
+      // brand-new key; keys % 30 == 0 arrive identical (no-op)
+      val changes = t(s, dir, "customer").filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+          col("c_mktsegment"))
+      val noops = t(s, dir, "customer").filter(col("c_custkey") % 30 === 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val inserts = t(s, dir, "customer").filter(col("c_custkey") % 40 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      // a key can appear in both changes and noops (e.g. % 60): keep ONE
+      // update row per key (the change wins via max on acctbal delta)
+      val updates = changes.unionByName(noops).unionByName(inserts)
+        .groupBy("c_custkey")
+        .agg(max(col("c_acctbal")).as("c_acctbal"), first(col("c_mktsegment")).as("c_mktsegment"))
+      graft.operators.Merge.scd2Merge(cust, updates,
+        keyCols = Seq("c_custkey"), trackedCols = Seq("c_acctbal", "c_mktsegment"),
+        newVersion = 2)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          col("c_mktsegment"), col("version"), col("is_current").cast("int").as("is_current"))
+        .orderBy("c_custkey", "version", "is_current")
+    }),
     // --- round 2: TF-IDF (top terms per doc by score) ---
     "q_tfidf" -> ((s, dir) => {
       val scored = graft.text.TextAnalysis.tfIdf(
@@ -1467,6 +1494,32 @@ object SparkEntry {
         |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
         |SELECT node AS vec_id, min(label) AS cluster_rep
         |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_scd2_merge" ->
+      """WITH cust AS (SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS version, TRUE AS is_current
+        |    FROM customer),
+        |changes AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |    FROM customer WHERE c_custkey % 20 = 0),
+        |noops AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 30 = 0),
+        |inserts AS (SELECT c_custkey + 1000000 AS c_custkey, c_acctbal, c_mktsegment
+        |    FROM customer WHERE c_custkey % 40 = 0),
+        |updates AS (SELECT c_custkey, max(c_acctbal) AS c_acctbal, min(c_mktsegment) AS c_mktsegment
+        |    FROM (SELECT * FROM changes UNION ALL SELECT * FROM noops UNION ALL SELECT * FROM inserts)
+        |    GROUP BY 1),
+        |j AS (SELECT cu.c_custkey, cu.c_acctbal, cu.c_mktsegment, cu.version, cu.is_current,
+        |    u.c_custkey AS uk, u.c_acctbal AS ub, u.c_mktsegment AS us
+        |  FROM cust cu LEFT JOIN updates u ON cu.c_custkey = u.c_custkey),
+        |untouched AS (SELECT c_custkey, c_acctbal, c_mktsegment, version, is_current FROM j
+        |  WHERE uk IS NULL OR NOT (ub IS DISTINCT FROM c_acctbal OR us IS DISTINCT FROM c_mktsegment)),
+        |closing AS (SELECT c_custkey, c_acctbal, c_mktsegment, version, FALSE AS is_current FROM j
+        |  WHERE uk IS NOT NULL AND (ub IS DISTINCT FROM c_acctbal OR us IS DISTINCT FROM c_mktsegment)),
+        |incoming AS (SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, 2 AS version, TRUE AS is_current
+        |  FROM updates u LEFT JOIN cust c ON u.c_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL
+        |     OR (u.c_acctbal IS DISTINCT FROM c.c_acctbal OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment)),
+        |m AS (SELECT * FROM untouched UNION ALL SELECT * FROM closing UNION ALL SELECT * FROM incoming)
+        |SELECT c_custkey, round(c_acctbal, 2) AS acctbal, c_mktsegment,
+        |  version::INT AS version, is_current::INT AS is_current
+        |FROM m ORDER BY c_custkey, version, is_current""".stripMargin,
     "q_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM (

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch merge (upsert) operators for dimension maintenance — what a
+  * warehouse's MERGE INTO does, expressed as plain joins + unions so it
+  * runs on any parquet-backed table (no transactional format required;
+  * the output is the next table VERSION, written wholesale — the
+  * idempotent large-scale pattern: rewrite, don't mutate).
+  */
+object Merge {
+
+  /** SCD type-2 merge: apply `updates` (schema: key + tracked attributes)
+    * to `current` history, stamping `version`/`is_current`.
+    *
+    * Row fates (two outer joins on the key — `updates` is typically small
+    * so AQE broadcasts both):
+    *  - prior-version rows (`is_current = false`) pass through untouched;
+    *  - open rows with NO update, or a no-op update (all tracked
+    *    attributes identical, null-safe `<=>`), pass through;
+    *  - open rows with a changing update are closed (`is_current = false`,
+    *    version kept) and the update appends as `newVersion`;
+    *  - brand-new keys append as `newVersion`.
+    *
+    * `current` must hold at most one `is_current = true` row per key. */
+  def scd2Merge(
+      current: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      trackedCols: Seq[String],
+      newVersion: Int
+  ): DataFrame = {
+    require(keyCols.nonEmpty && trackedCols.nonEmpty)
+    val changed = trackedCols
+      .map(c => !(col(s"cur.$c") <=> col(s"upd.$c")))
+      .reduce(_ || _)
+    val cur = current.filter(col("is_current")).as("cur")
+    val upd = updates.as("upd")
+    val joinCond = keyCols.map(k => col(s"cur.$k") === col(s"upd.$k")).reduce(_ && _)
+    val updHit = col(s"upd.${keyCols.head}").isNotNull
+    val curHit = col(s"cur.${keyCols.head}").isNotNull
+
+    // every open row with its (optional) update
+    val openJoined = cur.join(upd, joinCond, "left_outer")
+    val curCols = current.columns.map(c => col(s"cur.$c"))
+    val untouched = openJoined.filter(!updHit || !changed).select(curCols: _*)
+    val closing = openJoined.filter(updHit && changed)
+      .select(curCols: _*)
+      .withColumn("is_current", lit(false))
+    // changing or brand-new updates -> appended as the new version
+    val incoming = upd.join(cur, joinCond, "left_outer")
+      .filter(!curHit || changed)
+      .select(updates.columns.map(c => col(s"upd.$c")): _*)
+      .withColumn("version", lit(newVersion))
+      .withColumn("is_current", lit(true))
+    val history = current.filter(!col("is_current"))
+    history.unionByName(untouched).unionByName(closing).unionByName(incoming)
+  }
+}
