@@ -774,6 +774,36 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
         .orderBy("vec_id")
     }),
+    // --- round 2: frame-based rolling window (moving average) ---
+    "q_moving_avg" -> ((s, dir) => {
+      // 3-event moving average of value per user over event time; rows
+      // frame (not range) so ties resolve via the event_id tie-break
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 6).as("mav3"),
+          count(lit(1)).over(w).cast("int").as("n_in_frame"))
+        .orderBy("event_id")
+    }),
+    // --- round 2: SQL-string interface (temp views + spark.sql) ---
+    "q_sql_interface" -> ((s, dir) => {
+      // the whole engine is usable from SQL strings: register views, run a
+      // join + window + HAVING statement through spark.sql
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        HAVING count(*) > 100
+        ORDER BY c_mktsegment""")
+    }),
     // --- round 2: SCD-2 merge (warehouse MERGE INTO as joins + unions) ---
     "q_scd2_merge" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1494,6 +1524,19 @@ object SparkEntry {
         |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
         |SELECT node AS vec_id, min(label) AS cluster_rep
         |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mav3,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::INT AS n_in_frame
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+    "q_sql_interface" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment HAVING count(*) > 100
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_scd2_merge" ->
       """WITH cust AS (SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS version, TRUE AS is_current
         |    FROM customer),
