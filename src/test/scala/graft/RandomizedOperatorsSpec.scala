@@ -174,6 +174,31 @@ class RandomizedOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Merge equals a naive driver-side merge on random update batches") {
+    import spark.implicits._
+    val current = (1L to 200L).map(k => (k, Some(rnd.nextInt(10).toDouble), 1, true))
+      .toDF("k", "v", "version", "is_current")
+    // random updates: ~1/3 change, ~1/3 no-op (same small value domain), new keys
+    val updates = ((1L to 120L).map(k => (k * 2, Some(rnd.nextInt(10).toDouble))) ++
+      (500L to 520L).map(k => (k, Some(rnd.nextInt(10).toDouble))))
+      .groupBy(_._1).map(_._2.head).toSeq.toDF("k", "v")
+    val got = graft.operators.Merge.scd2Merge(current, updates, Seq("k"), Seq("v"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getBoolean(3))).toSet
+    // naive
+    val cur = current.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val upd = updates.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = scala.collection.mutable.Set.empty[(Long, Double, Int, Boolean)]
+    cur.foreach { case (k, v) =>
+      upd.get(k) match {
+        case Some(u) if u != v =>
+          expected += ((k, v, 1, false)); expected += ((k, u, 2, true))
+        case _ => expected += ((k, v, 1, true))
+      }
+    }
+    upd.foreach { case (k, u) => if (!cur.contains(k)) expected += ((k, u, 2, true)) }
+    assert(got == expected.toSet)
+  }
+
   test("PSI terms are non-negative and KS is in [0,1] on random distributions") {
     import spark.implicits._
     val base = (1 to 1000).map(_ => rnd.nextGaussian() * 3 + 5).toDF("v")
