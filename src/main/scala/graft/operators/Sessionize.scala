@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Gap-based sessionization over an event stream/table — a core
   * training-data-pipeline shape (group raw events into user sessions before
@@ -138,5 +138,74 @@ object Sessionize {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Spark 4 `transformWithState` twin of [[sessionsCustomState]]: same
+    * gap semantics, expressed with the new arbitrary-state API — a typed
+    * `ValueState` for the open session plus explicit event-time TIMERS
+    * (re-armed on every batch; the expired-timer callback emits the closed
+    * session). Requires the RocksDB state store provider. Asserted
+    * output-identical to the legacy twin in `SessionizeSpec`. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp), ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_._2.getTime).toArray.sorted
+      var closed = List.empty[ClosedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      times.foreach { t =>
+        cur = cur match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+          case Some(s) => // gap exceeded inside the batch: close eagerly
+            closed ::= ClosedSession(key, s.startMs, s.endMs, s.n)
+            Some(OpenSession(t, t, 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one live timer per key: drop stale ones, arm past the watermark
+        getHandle.listTimers().foreach(ts =>
+          getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(
+          math.max(s.endMs + gapMs, tv.getCurrentWatermarkInMs() + 1))
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(ClosedSession(key, s.startMs, s.endMs, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionsCustomState]] on the transformWithState API. */
+  def sessionsTws(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapMs: Long,
+      watermark: String
+  ): Dataset[ClosedSession] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"), col(tsCol).cast("timestamp").as("__t"))
+      .withWatermark("__t", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

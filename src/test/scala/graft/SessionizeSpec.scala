@@ -101,4 +101,47 @@ class SessionizeSpec extends SparkSpec {
         ("b", base + 10000L, base + 10000L, 1L)))
     } finally q.stop()
   }
+
+  test("transformWithState sessions (event-time timers) match the legacy twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val base = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(base + offsetSec * 1000)
+    mem.addData(
+      ("a", ts(0)), ("a", ts(30)), ("a", ts(500)),
+      ("b", ts(10)))
+    val df = mem.toDF().toDF("key", "event_ts")
+    val sessions = Sessionize.sessionsTws(df, "key", "event_ts",
+      gapMs = 60000L, watermark = "10 seconds")
+    val q = sessions.toDF()
+      .writeStream.format("memory").queryName("sess_tws").outputMode(OutputMode.Append)
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData(("c", ts(100000)))
+      q.processAllAvailable()
+      mem.addData(("c", ts(100001)))
+      q.processAllAvailable()
+      val got = spark.table("sess_tws")
+        .filter(col("key").isin("a", "b"))
+        .select("key", "startMs", "endMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // identical closed-session set to the flatMapGroupsWithState twin
+      assert(got === Set(
+        ("a", base, base + 30000L, 2L),
+        ("a", base + 500000L, base + 500000L, 1L),
+        ("b", base + 10000L, base + 10000L, 1L)))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
