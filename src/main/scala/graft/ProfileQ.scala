@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Scratch per-query profiler: runs the named query N times in one JVM and
   * prints each wall time. Usage: runMain graft.ProfileQ <sfDir> <query> [n]
   */
@@ -10,13 +8,9 @@ object ProfileQ {
     val sfDir = args(0)
     val name = args(1)
     val n = if (args.length > 2) args(2).toInt else 5
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)

@@ -758,12 +758,15 @@ object SparkEntry {
     //     dedup -> decontaminate vs eval -> deterministic split) ---
     "q_curate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      graft.Pipeline.curate(
+      val cc = graft.Pipeline.curateDetailed(
         docs = d.filter(col("doc_id") % 10 =!= 0),
         evalDocs = d.filter(col("doc_id") % 10 === 0),
         idCol = "doc_id", textCol = "text")
-        .select("doc_id", "split")
-        .orderBy("doc_id")
+      // materialize the (small) result eagerly so the big gated-text cache
+      // can be released before the frame is handed to the driver
+      val out = cc.curated.select("doc_id", "split").orderBy("doc_id").localCheckpoint()
+      cc.unpersist()
+      out
     }),
     // --- round 2: embedding near-dup clusters (pairs -> CC, operator
     //     composability: same connectedComponents as the text path) ---
@@ -823,7 +826,9 @@ object SparkEntry {
       // update row per key (the change wins via max on acctbal delta)
       val updates = changes.unionByName(noops).unionByName(inserts)
         .groupBy("c_custkey")
-        .agg(max(col("c_acctbal")).as("c_acctbal"), first(col("c_mktsegment")).as("c_mktsegment"))
+        // min (not first): deterministic if an insert key ever collides
+        // with a real key at larger scale factors; matches the oracle
+        .agg(max(col("c_acctbal")).as("c_acctbal"), min(col("c_mktsegment")).as("c_mktsegment"))
       graft.operators.Merge.scd2Merge(cust, updates,
         keyCols = Seq("c_custkey"), trackedCols = Seq("c_acctbal", "c_mktsegment"),
         newVersion = 2)
@@ -883,7 +888,7 @@ object SparkEntry {
     "q_normalize" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.select(col("o_orderkey"), col("o_orderpriority"),
-          graft.operators.Repair.zscoreByGroup(o, "o_orderpriority", "o_totalprice"))
+          graft.operators.Repair.zscoreByGroup("o_orderpriority", "o_totalprice"))
         .filter(col("o_orderkey") < 300)
         .select(col("o_orderkey"), col("o_orderpriority"), round(col("zscore"), 6).as("z"))
         .orderBy("o_orderkey")

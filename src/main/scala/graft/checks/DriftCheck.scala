@@ -95,8 +95,10 @@ final class DriftCheck(
           log(greatest(col("p_curr"), lit(eps)) / greatest(col("p_base"), lit(eps))))
   }
 
-  def psi(current: DataFrame): Double =
-    psiDf(current).agg(sum("psi_term")).head().getDouble(0)
+  def psi(current: DataFrame): Double = {
+    val row = psiDf(current).agg(sum("psi_term")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0) // both sides empty -> no drift
+  }
 
   /** Exact two-sample KS: one row `(ks, n_base, n_curr)`. Pre-aggregates
     * counts per distinct value, then one unpartitioned cumulative window
@@ -110,11 +112,13 @@ final class DriftCheck(
       .groupBy("v").agg(sum("na").as("na"), sum("nb").as("nb"))
     val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = u.agg(sum("na").as("n_base"), sum("nb").as("n_curr"))
+    // when() guards: an empty side would otherwise hit ANSI divide-by-zero
+    val ca = when(col("n_base") > 0, col("cna").cast("double") / col("n_base"))
+    val cb = when(col("n_curr") > 0, col("cnb").cast("double") / col("n_curr"))
     u.select(col("v"), sum("na").over(w).as("cna"), sum("nb").over(w).as("cnb"))
       .crossJoin(broadcast(totals))
       .agg(
-        max(abs(col("cna").cast("double") / col("n_base") -
-          col("cnb").cast("double") / col("n_curr"))).as("ks"),
+        max(abs(ca - cb)).as("ks"),
         max("n_base").as("n_base"), max("n_curr").as("n_curr"))
   }
 
@@ -135,7 +139,9 @@ final class DriftCheck(
     preCheck(baselineDf)
     val p = psi(d)
     val kRow = ksDf(d).head()
-    val k = kRow.getDouble(0)
+    // zero non-null values on either side -> null CDFs -> null max; report
+    // 0 drift rather than NPE (an empty window has nothing to drift)
+    val k = if (kRow.isNullAt(0)) 0.0 else kRow.getDouble(0)
     val okP = p <= threshold
     Seq(
       mkMetric(column, Some(p),
@@ -147,8 +153,8 @@ final class DriftCheck(
         s"$column KS ${f"$k%.4f"}",
         thresholdResult = k,
         extra = Map("kind" -> "ks",
-          "n_base" -> kRow.getAs[Long]("n_base").toString,
-          "n_curr" -> kRow.getAs[Long]("n_curr").toString))
+          "n_base" -> (if (kRow.isNullAt(1)) 0L else kRow.getAs[Long]("n_base")).toString,
+          "n_curr" -> (if (kRow.isNullAt(2)) 0L else kRow.getAs[Long]("n_curr")).toString))
     )
   }
 }

@@ -346,11 +346,15 @@ object Dedup {
     // convergence via a monotone checksum: components only ever DECREASE,
     // so sum(component) is strictly decreasing until fixpoint — one tiny
     // aggregate on the just-materialized frame instead of a join per round
-    def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    def checksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      // empty frame -> sum is null; normalize so the convergence compare
+      // (and the zero-edge-list case) never NPEs
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = checksum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no edges -> nothing to propagate
     while (iter < maxIter && !converged) {
       // push every node's current label to its neighbors, keep the min
       val prop = sym.join(labels, sym("a") === labels("node"))

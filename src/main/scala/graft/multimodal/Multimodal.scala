@@ -118,6 +118,9 @@ object Multimodal {
       val d = decoder()
       it.grouped(batchSize).flatMap { batch =>
         val feats = d.decodeBatch(batch.map(r => (r.mediaType, r.payload)))
+        require(feats.size == batch.size,
+          s"decodeBatch returned ${feats.size} results for ${batch.size} inputs " +
+            "(a silent zip would drop or mispair records)")
         batch.iterator.zip(feats.iterator).map { case (r, f) =>
           MediaFeatures(r.mediaId, r.mediaType, r.payload.length.toLong, f)
         }

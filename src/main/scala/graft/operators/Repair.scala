@@ -55,7 +55,7 @@ object Repair {
     * exact decimal sums so the result is partition-order independent
     * (a plain double `avg`/`stddev` drifts by ~1 ulp across runs, which
     * flips rounded output on boundaries — see BASELINE.md round-1 notes). */
-  def zscoreByGroup(df: DataFrame, groupCol: String, valueCol: String,
+  def zscoreByGroup(groupCol: String, valueCol: String,
       as: String = "zscore"): Column = {
     val w = Window.partitionBy(col(groupCol))
     val x = col(valueCol).cast("double")

@@ -150,7 +150,7 @@ class CurationSpec extends SparkSpec {
   test("zscoreByGroup normalizes within group; singleton groups yield null") {
     val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "s", 5.0))
       .toDF("id", "grp", "v")
-    val out = df.select($"id", graft.operators.Repair.zscoreByGroup(df, "grp", "v"))
+    val out = df.select($"id", graft.operators.Repair.zscoreByGroup("grp", "v"))
       .orderBy("id").collect()
     assert(math.abs(out(0).getDouble(1) - (-1.0)) < 1e-9) // (10-20)/10
     assert(math.abs(out(1).getDouble(1)) < 1e-9)

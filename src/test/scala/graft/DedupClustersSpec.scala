@@ -5,6 +5,12 @@ import graft.dedup.Dedup
 
 class DedupClustersSpec extends SparkSpec {
 
+  test("connectedComponents: empty edge list returns an empty labeling") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.dedup.Dedup.connectedComponents(edges, "a", "b").count() == 0)
+  }
+
   test("connectedComponents: exact components on a hand-built graph") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)

@@ -38,6 +38,21 @@ class DriftFunnelSpec extends SparkSpec {
     assert(bins(0L) == 0.5)
   }
 
+  test("empty / all-null datasets yield zero-drift metrics, not a crash") {
+    val empty = Seq.empty[Double].toDF("v")
+    val some = Seq(1.0, 2.0).toDF("v")
+    val c = check(some)
+    val ms = c.metricResults(empty)
+    assert(ms.size == 2 && ms.forall(_.valueDouble.isDefined))
+    // empty current vs non-empty baseline: PSI flags the vanished mass,
+    // KS degrades to 0 (no CDF to compare) instead of NPE
+    assert(ms.find(_.extraInfo("kind") == "psi").get.valueDouble.get > 0.0)
+    assert(ms.find(_.extraInfo("kind") == "ks").get.valueDouble.contains(0.0))
+    val cEmptyBase = check(empty)
+    val ms2 = cEmptyBase.metricResults(empty)
+    assert(ms2.size == 2 && ms2.forall(_.valueDouble.contains(0.0)))
+  }
+
   test("metricResults emits psi + ks rows") {
     val d = (0 until 100).map(i => (i % 10).toDouble).toDF("v")
     val ms = check(d).metricResults(d)
