@@ -777,6 +777,15 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
         .orderBy("vec_id")
     }),
+    // --- round 2: CDC log compaction (latest record per key) ---
+    "q_latest" -> ((s, dir) => {
+      // treat orders as a change log per customer: materialize each
+      // customer's most recent order (ties by orderkey)
+      graft.operators.Merge.latestByKey(t(s, dir, "orders"),
+        keyCols = Seq("o_custkey"), orderCol = "o_orderdate", tieCol = "o_orderkey")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
     // --- round 2: frame-based rolling window (moving average) ---
     "q_moving_avg" -> ((s, dir) => {
       // 3-event moving average of value per user over event time; rows
@@ -1529,6 +1538,13 @@ object SparkEntry {
         |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
         |SELECT node AS vec_id, min(label) AS cluster_rep
         |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_latest" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     "q_moving_avg" ->
       """SELECT event_id, user_id,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id

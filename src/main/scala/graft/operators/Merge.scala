@@ -57,4 +57,20 @@ object Merge {
     val history = current.filter(!col("is_current"))
     history.unionByName(untouched).unionByName(closing).unionByName(incoming)
   }
+
+  /** CDC log compaction: keep each key's LATEST record by `(orderCol,
+    * tieCol)` — the materialize-current-state step over an append-only
+    * change log. One hash exchange on the key + a streaming per-group
+    * row_number; no global sort. Ties on `orderCol` resolve by `tieCol`
+    * so compaction is deterministic under any partitioning. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      orderCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
 }

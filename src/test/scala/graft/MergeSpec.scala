@@ -35,6 +35,19 @@ class MergeSpec extends SparkSpec {
     ))
   }
 
+  test("latestByKey compacts a change log to one deterministic row per key") {
+    val log = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 20L, "c", 3L), // ts tie -> higher seq wins
+      (2L, 5L, "x", 4L)
+    ).toDF("k", "ts", "v", "seq")
+    val out = Merge.latestByKey(log, Seq("k"), "ts", "seq")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "c"), (2L, "x")))
+    val again = Merge.latestByKey(log.repartition(5), Seq("k"), "ts", "seq")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out)
+  }
+
   test("scd2Merge keeps exactly one open row per key and is idempotent for no-ops") {
     val current = (1L to 50L).map(k => (k, k * 1.0, 1, true)).toDF("k", "v", "version", "is_current")
     val updates = (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v") // all no-ops
