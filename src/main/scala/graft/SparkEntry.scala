@@ -777,6 +777,35 @@ object SparkEntry {
         .select(col("node").as("vec_id"), col("component").as("cluster_rep"))
         .orderBy("vec_id")
     }),
+    // --- round 2: corpus report card (per-stratum curation stats) ---
+    "q_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val score = graft.text.TextAnalysis.qualityScore(col("text"))
+      d.groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          // decimal sum -> partition-order-independent mean
+          round(sum(score.cast("decimal(30,12)")).cast("double") / count(lit(1)), 6)
+            .as("avg_quality"),
+          sum(when(score >= 0.83, 1L).otherwise(0L)).as("n_above_bar"))
+        .orderBy("lang", "source")
+    }),
+    // --- round 2: per-label embedding centroid audit (decimal-exact
+    //     component means so output is partition-order independent) ---
+    "q_embed_centroids" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val comps = e.select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast("double").cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("c"))
+      comps.groupBy("label")
+        .agg(round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"),
+          count(lit(1)).cast("int").as("dim"))
+        .join(e.groupBy("label").agg(count(lit(1)).as("n_vecs")), Seq("label"))
+        .orderBy("label")
+    }),
     // --- round 2: CDC log compaction (latest record per key) ---
     "q_latest" -> ((s, dir) => {
       // treat orders as a change log per customer: materialize each
@@ -1538,6 +1567,43 @@ object SparkEntry {
         |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
         |SELECT node AS vec_id, min(label) AS cluster_rep
         |FROM lbl GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_corpus_report" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id, least(greatest(
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0), 0.0), 1.0) AS score FROM g)
+        |SELECT d.lang, d.source, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(trim(d.text), '\S+')))::BIGINT AS total_tokens,
+        |  round(CAST(sum(CAST(h.score AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS avg_quality,
+        |  sum(CASE WHEN h.score >= 0.83 THEN 1 ELSE 0 END)::BIGINT AS n_above_bar
+        |FROM documents d JOIN h USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_embed_centroids" ->
+      """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps AS (SELECT label, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |per_label AS (SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm,
+        |    count(*)::INT AS dim FROM comps GROUP BY 1),
+        |nv AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT per_label.label, centroid_norm, dim, n_vecs
+        |FROM per_label JOIN nv USING (label) ORDER BY label""".stripMargin,
     "q_latest" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
