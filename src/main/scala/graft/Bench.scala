@@ -17,8 +17,14 @@ object Bench {
     // exact same generated code (same plans) for cents of data, so the
     // timed sf run below measures steady-state execution.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (!new java.io.File(warmDir).isDirectory)
+      System.err.println(s"[bench] WARNING: warm-up dir $warmDir missing - timed runs will be JIT-cold")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // a failed warm-up must be visible: the timed run below would
+      // otherwise silently pay cold-JIT cost (or fail again) with no signal
+      try fn(spark, warmDir).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -346,9 +346,12 @@ object SparkEntry {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
+      // max() per (user, ts) makes ties impossible, so the as-of result is
+      // well-defined in both engines even if the fixture ever gains two
+      // purchases at the same microsecond
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us").as("p_ts"),
-          col("value").as("prev_purchase_value"))
+        .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+        .agg(max("value").as("prev_purchase_value"))
       graft.operators.Joins.asofJoin(clicks, purchases,
         keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
         valueCols = Seq("prev_purchase_value"))
@@ -744,9 +747,10 @@ object SparkEntry {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts_us")
+      // tie-proof right side (see q_asof_join)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us").as("p_ts"),
-          col("value").as("prev_purchase_value"))
+        .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+        .agg(max("value").as("prev_purchase_value"))
       graft.operators.Joins.asofJoin(clicks, purchases,
         keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
         valueCols = Seq("prev_purchase_value"),
@@ -1234,7 +1238,8 @@ object SparkEntry {
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS prev_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "q_range_join" ->
@@ -1726,7 +1731,8 @@ object SparkEntry {
         |  CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
         |       THEN r.value END AS prev_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "q_fuzzy_join" ->

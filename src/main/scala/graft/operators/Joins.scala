@@ -39,9 +39,10 @@ object Joins {
     * and a genuine NULL inside a matched right row is preserved (it never
     * falls through to an older right row, matching DuckDB/pandas ASOF).
     * The forward direction reuses the same machinery on negated
-    * timestamps. Right rows that tie on (key, ts) resolve to the LAST one
-    * under (`ts`, side) ordering; pre-aggregate the right side if that
-    * ambiguity matters.
+    * timestamps. Right rows that tie on (key, ts) resolve to the row with
+    * the largest `tieCol` value when one is given; without a `tieCol` the
+    * winner is partition-order dependent (fine only when (key, ts) is
+    * unique on the right — else pass `tieCol` or pre-aggregate).
     *
     * `valueCols` must not collide with left column names; ts columns must
     * be numeric (negatable) when `forward = true`.
@@ -54,7 +55,12 @@ object Joins {
       rightTs: String,
       valueCols: Seq[String],
       forward: Boolean = false,
-      tolerance: Option[Long] = None
+      tolerance: Option[Long] = None,
+      /** Optional right-side column ordering ties on (key, ts): the row with
+        * the LARGEST `tieCol` value wins, independent of partition order.
+        * Without it, ties resolve to an arbitrary (partition-order-dependent)
+        * right row — fine when (key, ts) is unique on the right. */
+      tieCol: Option[String] = None
   ): DataFrame = {
     require(valueCols.forall(v => !left.columns.contains(v)),
       s"right value columns ${valueCols.mkString(",")} collide with left schema")
@@ -70,9 +76,13 @@ object Joins {
         org.apache.spark.sql.types.LongType, nullable = true) +:
         valueCols.map(v => right.schema(v).copy(nullable = true)))
     // Common shape: keys ++ __ts ++ __side ++ left payload ++ carry struct
+    val tieName = "__tie"
+    val tieType = tieCol.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.IntegerType)
     val l = left.select(
       keyCols.map(col) ++
-        Seq(ts(col(leftTs)).as("__ts"), lit(1).as("__side")) ++
+        Seq(ts(col(leftTs)).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(tieType).as(tieName)) ++
         leftPayload.map(col) :+
         lit(null).cast(carrySchema).as(carryCol): _*)
     // a null right ts matches nothing (ASOF comparison semantics); without
@@ -80,13 +90,16 @@ object Joins {
     // would leak into every left row of the key
     val r = right.filter(col(rightTs).isNotNull).select(
       keyCols.map(col) ++
-        Seq(ts(col(rightTs)).as("__ts"), lit(0).as("__side")) ++
+        Seq(ts(col(rightTs)).as("__ts"), lit(0).as("__side"),
+          tieCol.map(col).getOrElse(lit(null).cast(tieType)).as(tieName)) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(ts(col(rightTs)).cast("long").as(matchedTs) +:
           valueCols.map(col): _*).as(carryCol): _*)
+    // nulls-first on __tie: right rows tying on (key, ts) order so the
+    // largest tie value is LAST in frame, which last(ignoreNulls) then picks
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col(tieName).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val projected = l.unionByName(r).select(
       (keyCols ++ leftPayload).map(col) ++ Seq(col("__side"), col("__ts")) :+

@@ -162,14 +162,22 @@ object StreamingDQ {
     * the baseline dataset is never re-scanned. */
   def driftMonitor(stream: DataFrame, check: graft.checks.DriftCheck)(
       onResult: (Long, Double) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val baseDist = check.binnedDist(check.baselineDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // The baseline distribution is at most nBins rows: materialize it ONCE
+    // into a driver-local frame (LocalTableScan — broadcast-joinable every
+    // micro-batch) instead of pinning a persisted cluster frame that would
+    // outlive the returned query in executor storage.
+    val spark = stream.sparkSession
+    val dist = check.binnedDist(check.baselineDf)
+    val baseDist = spark.createDataFrame(
+      spark.sparkContext.parallelize(dist.collect().toSeq, 1), dist.schema)
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          val psi = check.psiVsDist(baseDist, batch)
-            .agg(sum("psi_term")).head().getDouble(0)
+          val row = check.psiVsDist(baseDist, batch).agg(sum("psi_term")).head()
+          // empty baseline (e.g. misconfigured filter) -> empty full-outer
+          // join -> null sum; report 0 drift, mirroring DriftCheck.psi
+          val psi = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
           onResult(id, psi)
         }
       }

@@ -26,6 +26,20 @@ class JoinsSpec extends SparkSpec {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("asofJoin tieCol: right rows tying on (key, ts) resolve to the largest tie value, independent of partition order") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 200L)).toDF("id", "k", "ts")
+    // two right rows at the same (key, ts); shuffle them across partitions
+    // both ways to prove the winner is the tieCol max, not frame order
+    val rightRows = Seq(("u1", 200L, 7.0), ("u1", 200L, 3.0))
+    for (rows <- Seq(rightRows, rightRows.reverse)) {
+      val right = rows.toDF("k", "rts", "v").repartition(4)
+      val got = Joins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        tieCol = Some("v")).select("v").head().getDouble(0)
+      assert(got === 7.0)
+    }
+  }
+
   test("asofJoin: matched right row's NULL values are preserved, never filled from an older row") {
     import spark.implicits._
     val left = Seq((1L, "u", 120L), (2L, "u", 60L)).toDF("id", "k", "ts")
