@@ -954,6 +954,60 @@ object SparkEntry {
           .select(concat(lit("x"), expr("substring(p_name, 2)")).as("p_name")))
       graft.operators.Joins.fuzzySelfJoin(names, "p_name", maxDist = 1)
         .orderBy("name_a", "name_b")
+    }),
+    // --- round 3 batch 1: corpus boilerplate, categorical drift, column
+    //     profiling statistics, FD mining, gap detection, ER blocking,
+    //     temperature-weighted mixing ---
+    "q_boilerplate" -> ((s, dir) => {
+      graft.text.TextAnalysis.boilerplateStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 5)
+        .orderBy("doc_id")
+    }),
+    "q_entropy" -> ((s, dir) => {
+      graft.operators.Profiler.entropy(t(s, dir, "documents"), Seq("lang", "source"))
+        .orderBy("column")
+    }),
+    "q_chi2_drift" -> ((s, dir) => {
+      // does event_type mix differ between even and odd user cohorts?
+      val ev = t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(2)).cast("string"))
+      graft.operators.Profiler.chiSquareHomogeneity(ev, "event_type", "cohort")
+    }),
+    "q_benford" -> ((s, dir) => {
+      graft.operators.Profiler.benford(t(s, dir, "lineitem"), "l_extendedprice")
+    }),
+    "q_fd_check" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      Seq(
+        ("orders:o_orderkey->o_custkey",
+          graft.operators.Profiler.fdViolations(o, Seq("o_orderkey"), "o_custkey")),
+        ("lineitem:l_orderkey->l_returnflag",
+          graft.operators.Profiler.fdViolations(li, Seq("l_orderkey"), "l_returnflag")),
+        ("lineitem:l_partkey->l_suppkey",
+          graft.operators.Profiler.fdViolations(li, Seq("l_partkey"), "l_suppkey")))
+        .map { case (name, d) => d.select(lit(name).as("fd"), col("*")) }
+        .reduce(_ unionByName _)
+        .orderBy("fd")
+    }),
+    "q_time_gaps" -> ((s, dir) => {
+      // users with >6h silences (in micros, matching the oracle's epoch_us)
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Sessionize.timeGaps(ev, "user_id", "ts_us", 21600000000L)
+        .orderBy("user_id")
+    }),
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name")
+        .filter(col("p_name").isNotNull).distinct()
+      graft.operators.Joins.sortedNeighborhoodPairs(
+          names, "p_name", substring(col("p_name"), 1, 1), window = 3)
+        .withColumn("dist", levenshtein(col("a"), col("b")))
+        .orderBy("block", "a", "b")
+    }),
+    "q_temperature_mix" -> ((s, dir) => {
+      graft.operators.Splits.temperatureSample(
+        t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, targetRows = 250)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -1744,6 +1798,92 @@ object SparkEntry {
         |FROM d a JOIN d b
         |  ON a.p_name < b.p_name AND length(a.p_name) = length(b.p_name)
         |WHERE levenshtein(a.p_name, b.p_name) <= 1
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS ts FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN generate_series(1, len(ts)-2)])) AS gram
+        |      FROM toks WHERE len(ts) >= 3),
+        |f AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN f.n_docs >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+        |  round(sum(CASE WHEN f.n_docs >= 5 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boiler_ratio
+        |FROM g JOIN f USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_entropy" ->
+      """WITH c1 AS (SELECT lang AS v, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |a1 AS (SELECT 'lang' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct,
+        |         ln(sum(n)) - sum(n * ln(n)) / sum(n) AS h FROM c1),
+        |c2 AS (SELECT source AS v, count(*) AS n FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |a2 AS (SELECT 'source' AS "column", sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct,
+        |         ln(sum(n)) - sum(n * ln(n)) / sum(n) AS h FROM c2),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT "column", n_rows, n_distinct, round(h, 6) AS entropy,
+        |  round(CASE WHEN n_distinct > 1 THEN h / ln(n_distinct) ELSE 0.0 END, 6) AS norm_entropy
+        |FROM u ORDER BY "column"""".stripMargin,
+    "q_chi2_drift" ->
+      """WITH cells AS (SELECT event_type AS cat, (user_id % 2)::VARCHAR AS cohort, count(*) AS o
+        |               FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+        |rn AS (SELECT cat, sum(o) AS row_n FROM cells GROUP BY 1),
+        |cn AS (SELECT cohort, sum(o) AS col_n FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |fl AS (SELECT rn.cat, cn.cohort, coalesce(c.o, 0) AS o,
+        |         rn.row_n::DOUBLE * cn.col_n / tot.n AS e
+        |       FROM rn CROSS JOIN cn CROSS JOIN tot
+        |         LEFT JOIN cells c ON c.cat = rn.cat AND c.cohort = cn.cohort)
+        |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+        |  ((count(DISTINCT cat) - 1) * (count(DISTINCT cohort) - 1))::BIGINT AS dof,
+        |  (SELECT n FROM tot)::BIGINT AS n
+        |FROM fl""".stripMargin,
+    "q_benford" ->
+      """WITH pos AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT floor(x / power(10, floor(log10(x))))::INT AS digit, count(*) AS n FROM pos GROUP BY 1),
+        |t AS (SELECT count(*) AS tn FROM pos)
+        |SELECT digit, n::BIGINT AS n, round(n / tn, 6) AS p_obs,
+        |  round(log10(1 + 1.0 / digit), 6) AS p_benford,
+        |  round(abs(n / tn - log10(1 + 1.0 / digit)), 6) AS abs_dev
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    "q_fd_check" ->
+      """WITH k1 AS (SELECT o_orderkey, count(DISTINCT o_custkey) AS nr, count(*) AS nn FROM orders GROUP BY 1),
+        |a1 AS (SELECT 'orders:o_orderkey->o_custkey' AS fd, count(*)::BIGINT AS n_keys,
+        |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        |  sum(CASE WHEN nr > 1 THEN nn ELSE 0 END)::BIGINT AS rows_in_violating,
+        |  round(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS violation_ratio FROM k1),
+        |k2 AS (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nr, count(*) AS nn FROM lineitem GROUP BY 1),
+        |a2 AS (SELECT 'lineitem:l_orderkey->l_returnflag' AS fd, count(*)::BIGINT,
+        |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN nr > 1 THEN nn ELSE 0 END)::BIGINT,
+        |  round(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) FROM k2),
+        |k3 AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS nr, count(*) AS nn FROM lineitem GROUP BY 1),
+        |a3 AS (SELECT 'lineitem:l_partkey->l_suppkey' AS fd, count(*)::BIGINT,
+        |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN nr > 1 THEN nn ELSE 0 END)::BIGINT,
+        |  round(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) FROM k3)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3 ORDER BY fd""".stripMargin,
+    "q_time_gaps" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts))
+        |             OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN gap > 21600000000 THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+        |  max(CASE WHEN gap > 21600000000 THEN gap END)::BIGINT AS max_gap
+        |FROM g GROUP BY 1 HAVING sum(CASE WHEN gap > 21600000000 THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
+    "q_sorted_neighborhood" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |r AS (SELECT p_name, substring(p_name, 1, 1) AS block,
+        |        row_number() OVER (PARTITION BY substring(p_name, 1, 1) ORDER BY p_name) AS rn
+        |      FROM d)
+        |SELECT a.block, a.p_name AS a, b.p_name AS b, (b.rn - a.rn)::INT AS rank_dist,
+        |  levenshtein(a.p_name, b.p_name)::INT AS dist
+        |FROM r a JOIN r b ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        |ORDER BY a.block, a, b""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(power(n, 0.5) AS DECIMAL(28,6)) AS wt FROM c),
+        |s AS (SELECT sum(wt) AS wsum FROM w),
+        |r AS (SELECT lang, least(1.0, 250 * (wt::DOUBLE) / ((SELECT wsum FROM s)::DOUBLE * n)) AS rate FROM w),
+        |t AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'zz'
+        |        ELSE printf('%04x', floor(rate * 65536)::INT) END AS thr FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE md5(d.doc_id::VARCHAR) < t.thr ORDER BY d.doc_id""".stripMargin
   )
 }

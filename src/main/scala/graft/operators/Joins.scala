@@ -203,6 +203,41 @@ object Joins {
     pre.join(small, Seq(key))
   }
 
+  /** Blocked sorted-neighborhood candidate pairs (Hernández/Stolfo SNM —
+    * the classic entity-resolution blocking method): rows are sorted by
+    * `sortCol` WITHIN each `blockCol` block, and every row is paired with
+    * its next `window` neighbors in that order. Returns
+    * `(block, a, b, rank_dist)` candidate pairs for a downstream verifier
+    * (edit distance, similarity, …).
+    *
+    * `sortCol` values must be unique within a block (distinct them first) —
+    * with duplicates the row_number tie order, and hence the candidate set,
+    * would be partition-order dependent.
+    *
+    * Scale shape: blocking keeps every sort LOCAL to a block (one hash
+    * exchange + per-block streamed window — never a global single-partition
+    * sort), and the neighbor pairing is an EQUI-join on (block, rank):
+    * each row explodes to its `window` successor ranks, so candidate count
+    * is exactly rows × window, independent of block size skew. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      sortCol: String,
+      blockCol: org.apache.spark.sql.Column,
+      window: Int
+  ): DataFrame = {
+    require(window >= 1)
+    val w = Window.partitionBy(col("__block")).orderBy(col("a"))
+    val ranked = df.select(col(sortCol).as("a"), blockCol.as("__block"))
+      .withColumn("__rn", row_number().over(w))
+    val probes = ranked.select(col("__block"), col("a"), col("__rn"),
+      explode(sequence(col("__rn") + 1, col("__rn") + window)).as("__rn2"))
+    probes.join(
+        ranked.select(col("__block"), col("__rn").as("__rn2"), col("a").as("b")),
+        Seq("__block", "__rn2"))
+      .select(col("__block").as("block"), col("a"), col("b"),
+        (col("__rn2") - col("__rn")).as("rank_dist"))
+  }
+
   /** Segment-blocked fuzzy self-join: distinct string pairs within edit
     * distance `maxDist`, without the O(n²) cross join. Pigeonhole blocking:
     * each string is cut into `maxDist + 1` positional segments; two

@@ -143,4 +143,107 @@ object Profiler {
       .withColumn("hi", (col("bucket") + 1) * width)
       .select("bucket", "lo", "hi", "n")
   }
+
+  /** Shannon entropy of categorical columns — the standard "is this column
+    * informative / near-constant / an id in disguise" profile signal. One
+    * row per column: `(column, n_rows, n_distinct, entropy, norm_entropy)`
+    * with natural-log entropy and `norm_entropy = H / ln(n_distinct)` in
+    * [0, 1] (0 = constant, 1 = uniform).
+    *
+    * Uses the one-pass identity `H = ln N - (Σ n·ln n) / N` over per-value
+    * counts, so each column is exactly one partial+final hash aggregation
+    * over its value frame (bounded by that column's cardinality) plus a
+    * 1-row reduce — no sort, no second scan of the data per column. */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val per = cols.map { c =>
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("n"))
+        .agg(
+          lit(c).as("column"),
+          sum("n").as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          (log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n")).as("__h"))
+    }
+    per.reduce(_ unionByName _).select(
+      col("column"), col("n_rows"), col("n_distinct"),
+      round(col("__h"), 6).as("entropy"),
+      round(when(col("n_distinct") > 1,
+        col("__h") / log(col("n_distinct").cast("double"))).otherwise(0.0), 6)
+        .as("norm_entropy"))
+  }
+
+  /** Pearson chi-square homogeneity statistic: does the distribution of
+    * `catCol` differ across `cohortCol` groups? — the categorical twin of
+    * [[graft.checks.DriftCheck]]'s numeric PSI/KS (drift between cohorts,
+    * A/B legs, time slices). One row `(chi2, dof, n)`.
+    *
+    * The contingency table is built once (one hash aggregation → at most
+    * k·m cells); marginals come from re-aggregating the CELL frame (tiny),
+    * and absent cells are restored by crossing the two marginal frames so
+    * their `(0 − e)²/e = e` terms are counted — skipping them understates
+    * the statistic. Everything after the first aggregation operates on
+    * dimension-sized frames, so the input is scanned exactly once. */
+  def chiSquareHomogeneity(df: DataFrame, catCol: String, cohortCol: String): DataFrame = {
+    val cells = df.filter(col(catCol).isNotNull && col(cohortCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("cat"),
+        col(cohortCol).cast("string").as("cohort"))
+      .agg(count(lit(1)).as("o"))
+    val rowN = cells.groupBy("cat").agg(sum("o").as("row_n"))
+    val colN = cells.groupBy("cohort").agg(sum("o").as("col_n"))
+    val total = cells.agg(sum("o").as("__n"))
+    val e = col("row_n").cast("double") * col("col_n") / col("__n")
+    rowN.crossJoin(colN)
+      .join(cells, Seq("cat", "cohort"), "left_outer")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(total))
+      .agg(
+        round(sum((col("o") - e) * (col("o") - e) / e), 6).as("chi2"),
+        ((countDistinct("cat") - 1) * (countDistinct("cohort") - 1)).as("dof"),
+        max("__n").as("n"))
+  }
+
+  /** First-significant-digit profile vs Benford's law — the classic
+    * fabricated-data / unit-mixing smell test for positive numeric columns.
+    * One row per digit 1-9: observed share, Benford's `log10(1 + 1/d)`, and
+    * the absolute deviation. The digit extraction
+    * `floor(x / 10^floor(log10 x))` is row-local (scan-speed, codegen), so
+    * the whole profile is one hash aggregation over 9 groups. */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    val x = col(column).cast("double")
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val pos = df.filter(x > 0)
+    val pExp = round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+    pos.groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(pos.agg(count(lit(1)).as("__n"))))
+      .select(
+        col("digit"), col("n"),
+        round(col("n") / col("__n"), 6).as("p_obs"),
+        pExp.as("p_benford"),
+        round(abs(col("n") / col("__n") - log10(lit(1.0) + lit(1.0) / col("digit"))), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  /** Functional-dependency violation profile for a candidate FD
+    * `lhsCols → rhsCol`: one row
+    * `(n_keys, n_violating, rows_in_violating, violation_ratio)` where a
+    * key violates iff its group holds > 1 distinct RHS value (nulls count
+    * as a value via the null-safe distinct). The discovery-direction signal
+    * behind schema inference and key-candidate mining.
+    *
+    * One shuffle on the LHS keys; the per-key frame then reduces to one
+    * row. `countDistinct` per key is exact — bounded by the group size, not
+    * the table. */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String], rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty)
+    val perKey = df.groupBy(lhsCols.map(col): _*)
+      .agg(countDistinct(col(rhsCol)).as("__n_rhs"), count(lit(1)).as("__n_rows"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("__n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+      sum(when(col("__n_rhs") > 1, col("__n_rows")).otherwise(0L)).as("rows_in_violating"))
+      .withColumn("violation_ratio",
+        round(col("n_violating").cast("double") / col("n_keys"), 6))
+  }
 }

@@ -36,6 +36,28 @@ object Sessionize {
       .drop("__new")
   }
 
+  /** Per-key time-gap profile — the freshness/continuity twin of
+    * sessionization: for every key, count the inter-event gaps exceeding
+    * `gapThreshold` (same units as `tsCol`) and report the largest one.
+    * Keys with no such gap are dropped. The missing-interval detector for
+    * event streams (sensor dropouts, pipeline stalls, dead trackers).
+    *
+    * One hash exchange on the key; the lag window streams each key group
+    * (no global sort), and the per-key aggregate is gap-count bounded.
+    * Result is deterministic under timestamp ties: equal-ts rows are
+    * interchangeable, so the multiset of gap values per key — and hence
+    * count and max — is tie-order independent. */
+  def timeGaps(df: DataFrame, keyCol: String, tsCol: String, gapThreshold: Long): DataFrame = {
+    require(gapThreshold > 0)
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    df.withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(byKey))
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__gap") > gapThreshold, 1L).otherwise(0L)).as("n_gaps"),
+        max(when(col("__gap") > gapThreshold, col("__gap"))).as("max_gap"))
+      .filter(col("n_gaps") > 0)
+  }
+
   /** Sessionize and aggregate: one row per (key, session) with start/end
     * (in `tsCol` units), event count, and any extra aggregates. */
   def sessionAgg(

@@ -114,4 +114,47 @@ object Splits {
       .filter(col("__graft_rn") <= cap)
       .drop("__graft_rn")
   }
+
+  /** Temperature-weighted corpus mixing (the multilingual-pretraining
+    * sampler, Conneau & Lample-style): group g is sampled in proportion to
+    * `n_g^alpha` — `alpha = 1` keeps natural proportions, `alpha → 0`
+    * flattens toward uniform, lifting low-resource groups. Expected output
+    * size ≈ `targetRows` (groups whose computed rate exceeds 1 emit all
+    * their rows — no oversampling).
+    *
+    * Determinism: per-group keep rates are quantized to a 4-hex-digit md5
+    * threshold (65536 buckets) and each row keeps iff
+    * `md5(id) < threshold(group)` — the same engine-independent
+    * hash-threshold trick as [[splitCol]]/[[stratifiedSample]], so the
+    * exact selected set is reproducible anywhere md5 exists. Group weights
+    * `sqrt/pow(n_g)` are summed as DECIMAL so the normalizing constant is
+    * partition-order independent.
+    *
+    * Scale: one count aggregation (bounded by the number of groups), a
+    * broadcast join of the per-group thresholds back onto the rows, and a
+    * scan-local filter — the corpus itself never shuffles. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0 && targetRows > 0)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // Weights quantize to DECIMAL at 6 dp BEFORE normalizing: pow() is only
+    // within-1-ulp (not correctly rounded), so two engines can disagree at
+    // ~1e-14 — far inside the 1e-6 grid, so the quantized weight (and hence
+    // every downstream threshold) is engine-exact; the decimal sum is also
+    // partition-order independent, unlike a double sum.
+    val wCol = pow(col("__n").cast("double"), lit(alpha)).cast("decimal(28,6)")
+    val wsum = counts.agg(sum(wCol).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("__rate",
+        least(lit(1.0), lit(targetRows.toDouble) * wCol.cast("double") /
+          (col("__wsum").cast("double") * col("__n"))))
+      // "zz" sorts after every md5 hex digit -> rate 1.0 keeps ALL rows
+      // (a 5-char "10000" prefix would sort before "2"-"f" hashes instead)
+      .withColumn("__thr", when(col("__rate") >= 1.0, lit("zz"))
+        .otherwise(format_string("%04x", floor(col("__rate") * 65536).cast("int"))))
+      .select(col(groupCol), col("__thr"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(md5(col(idCol).cast("string")) < col("__thr"))
+      .drop("__thr")
+  }
 }

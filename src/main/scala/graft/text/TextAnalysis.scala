@@ -212,6 +212,34 @@ object TextAnalysis {
           .otherwise(0.0).as("top_bigram_frac"))
   }
 
+  /** Corpus-boilerplate profile (the CCNet/RefinedWeb-style shared-span
+    * signal): a word n-gram is "boilerplate" when it occurs in at least
+    * `minDocs` DISTINCT documents (headers, footers, license blurbs,
+    * navigation chrome). Returns one row per doc:
+    * `(id, n_grams, n_boiler, boiler_ratio)` over the doc's distinct
+    * n-grams — the filter feature for dropping template-heavy documents.
+    *
+    * Dataflow: distinct-gram explode → one hash aggregation keyed on the
+    * gram (per-gram doc frequency, valid because shingles are de-duplicated
+    * per doc) → join back on the gram → per-doc aggregation. Both shuffles
+    * are keyed on the gram/doc — no window, no driver state; the gram
+    * vocabulary, not the corpus size, bounds the frequency frame. At
+    * 100 TB, swap the gram STRING for its 64-bit hash
+    * ([[graft.functions.shingle_hashes]]) to shrink the exchanged bytes —
+    * kept as strings here so a SQL oracle can mirror the exact pipeline. */
+  def boilerplateStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minDocs: Int = 5): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val grams = df.select(id, explode(shingles(col(textCol), n)).as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, Seq("gram"))
+      .groupBy(id).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+  }
+
   /** Winnowing rolling fingerprints (Schleimer et al., SIGMOD'03): hash
     * every k-gram of the whitespace-normalized lowercase text, keep the
     * sorted distinct minima of all w-windows. Backed by a one-pass codegen
