@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => WinnowFingerprints(children.head,
         k = children.lift(1).map(foldableInt).getOrElse(7),
         w = children.lift(2).map(foldableInt).getOrElse(4))))
+
+    // whole-operator extension: plans graft.plans.AsofJoin logical nodes to
+    // the native sort-merge AsofJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 
   /** Literal int argument of a SQL call (e.g. `shingle_hashes(toks, 2)`). */

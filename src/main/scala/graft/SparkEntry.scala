@@ -1003,6 +1003,22 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("a"), col("b")))
         .orderBy("block", "a", "b")
     }),
+    "q_asof_native" -> ((s, dir) => {
+      // q_asof_join through the native sort-merge AsofJoinExec (custom
+      // LogicalPlan + SparkStrategy + SparkPlan) instead of the
+      // union+window formulation; same oracle
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+        .agg(max("value").as("prev_purchase_value"))
+      graft.plans.AsofJoinNative.asofJoin(clicks, purchases,
+        keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
+        valueCols = Seq("prev_purchase_value"))
+        .select("event_id", "user_id", "ts_us", "prev_purchase_value")
+        .orderBy("event_id")
+    }),
     "q_temperature_mix" -> ((s, dir) => {
       graft.operators.Splits.temperatureSample(
         t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, targetRows = 250)
@@ -1876,6 +1892,13 @@ object SparkEntry {
         |  levenshtein(a.p_name, b.p_name)::INT AS dist
         |FROM r a JOIN r b ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
         |ORDER BY a.block, a, b""".stripMargin,
+    "q_asof_native" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.value AS prev_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(power(n, 0.5) AS DECIMAL(28,6)) AS wt FROM c),
