@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Profiler, Sessionize, Splits}
+import graft.text.TextAnalysis
+
+class Round3OperatorsSpec extends SparkSpec {
+
+  test("boilerplateStats: planted shared trigram is flagged, unique text is not") {
+    import spark.implicits._
+    // docs 1-3 share the leading trigram "x y z"; each doc also has unique grams
+    val docs = Seq(
+      (1L, "x y z a b"), (2L, "x y z c d"), (3L, "x y z e f"),
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateStats(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // each 5-token doc has 3 distinct trigrams; only "x y z" reaches 3 docs
+    assert(got === Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 1L), (4L, 3L, 0L)))
+  }
+
+  test("entropy: uniform 2-value column has H = ln 2 and norm 1; constant column 0") {
+    import spark.implicits._
+    val df = Seq(("a", "k"), ("a", "k"), ("b", "k"), ("b", "k")).toDF("two", "const")
+    val got = Profiler.entropy(df, Seq("two", "const")).orderBy("column").collect()
+    val const = got.find(_.getString(0) == "const").get
+    val two = got.find(_.getString(0) == "two").get
+    assert(const.getDouble(3) === 0.0 && const.getDouble(4) === 0.0)
+    assert(math.abs(two.getDouble(3) - math.log(2)) < 1e-6)
+    assert(two.getDouble(4) === 1.0)
+    assert(two.getLong(1) === 4L && two.getLong(2) === 2L)
+  }
+
+  test("chiSquareHomogeneity: identical cohort distributions give chi2 = 0") {
+    import spark.implicits._
+    val df = (Seq.fill(10)("x" -> "c0") ++ Seq.fill(5)("y" -> "c0") ++
+      Seq.fill(10)("x" -> "c1") ++ Seq.fill(5)("y" -> "c1")).toDF("cat", "cohort")
+    val r = Profiler.chiSquareHomogeneity(df, "cat", "cohort").head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getLong(1) === 1L) // (2-1)*(2-1)
+    assert(r.getLong(2) === 30L)
+  }
+
+  test("chiSquareHomogeneity: hand-computed 2x2 with an absent cell") {
+    import spark.implicits._
+    // cells: (x,c0)=8, (y,c0)=2, (x,c1)=5, (y,c1) ABSENT
+    val df = (Seq.fill(8)("x" -> "c0") ++ Seq.fill(2)("y" -> "c0") ++
+      Seq.fill(5)("x" -> "c1")).toDF("cat", "cohort")
+    // marginals: x=13 y=2 | c0=10 c1=5, n=15
+    // e(x,c0)=13*10/15  e(y,c0)=2*10/15  e(x,c1)=13*5/15  e(y,c1)=2*5/15
+    val e = Seq(13.0 * 10 / 15, 2.0 * 10 / 15, 13.0 * 5 / 15, 2.0 * 5 / 15)
+    val o = Seq(8.0, 2.0, 5.0, 0.0)
+    val want = (o, e).zipped.map((oi, ei) => (oi - ei) * (oi - ei) / ei).sum
+    val r = Profiler.chiSquareHomogeneity(df, "cat", "cohort").head()
+    assert(math.abs(r.getDouble(0) - BigDecimal(want).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("benford: digits extracted correctly across magnitudes, shares sum to 1") {
+    import spark.implicits._
+    val df = Seq(1.0, 19.5, 0.02, 950.0, 9999.0, 3.3e6, 0.0, -5.0).toDF("x")
+    val rows = Profiler.benford(df, "x").collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 0 and -5 excluded; digits: 1, 1, 2, 9, 9, 3
+    assert(byDigit === Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 9 -> 2L))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+    // Benford expectation for digit 1 is log10(2)
+    val d1 = rows.find(_.getInt(0) == 1).get
+    assert(math.abs(d1.getDouble(3) - math.log10(2.0)) < 1e-6)
+  }
+
+  test("fdViolations: held and violated dependencies measured exactly") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10), (1, "a", 11), (2, "b", 20), (2, "c", 21), (3, "d", 30))
+      .toDF("k", "v", "w")
+    // k -> v: key 2 violates (b, c); keys 1, 3 hold
+    val r1 = Profiler.fdViolations(df, Seq("k"), "v").head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((3L, 1L, 2L)))
+    assert(r1.getDouble(3) === BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // (k, v) -> w: every group has 2 distinct w for key 1? no - (1,a) has 10,11
+    val r2 = Profiler.fdViolations(df, Seq("k", "v"), "w").head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((4L, 1L)))
+  }
+
+  test("timeGaps: counts and max gap per key; gapless keys dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 0L), ("u1", 100L), ("u1", 5000L), ("u1", 5100L), ("u1", 20000L),
+      ("u2", 0L), ("u2", 10L)
+    ).toDF("k", "ts")
+    val got = Sessionize.timeGaps(df, "k", "ts", gapThreshold = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // u1: gaps 100, 4900, 100, 14900 -> two above 1000, max 14900; u2 gapless
+    assert(got.toSeq === Seq(("u1", 5L, 2L, 14900L)))
+  }
+
+  test("sortedNeighborhoodPairs: exact windowed pairs, never crossing blocks") {
+    import spark.implicits._
+    val df = Seq("aa", "ab", "ac", "ad", "ba", "bb").toDF("s")
+    val got = Joins.sortedNeighborhoodPairs(df, "s", substring(col("s"), 1, 1), window = 2)
+      .select("a", "b", "rank_dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set(
+      ("aa", "ab", 1), ("aa", "ac", 2), ("ab", "ac", 1), ("ab", "ad", 2),
+      ("ac", "ad", 1), ("ba", "bb", 1)))
+  }
+
+  test("temperatureSample: deterministic under repartitioning; threshold monotone in target") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val a = Splits.temperatureSample(docs, "lang", "doc_id", 0.5, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.temperatureSample(docs.repartition(13), "lang", "doc_id", 0.5, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "selection must not depend on physical layout")
+    val bigger = Splits.temperatureSample(docs, "lang", "doc_id", 0.5, 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger), "raising targetRows must only add rows")
+    assert(a.nonEmpty && bigger.size > a.size)
+  }
+
+  test("temperatureSample: alpha = 1 keeps natural proportions (uniform rate)") {
+    import spark.implicits._
+    // two groups, 100 vs 300 rows; alpha=1 -> rate = target/total for both
+    val df = ((1 to 100).map(i => (i.toLong, "s")) ++ (101 to 400).map(i => (i.toLong, "l")))
+      .toDF("id", "g")
+    val kept = Splits.temperatureSample(df, "g", "id", alpha = 1.0, targetRows = 200)
+    val byG = kept.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both groups filtered with the SAME md5 threshold (floor(0.5*65536)):
+    // exact selected count varies with hashes but rates are equal; sanity-bound it
+    assert(byG.getOrElse("l", 0L) > byG.getOrElse("s", 0L))
+    val total = byG.values.sum
+    assert(total > 120 && total < 280, s"expected ~200 kept, got $total")
+  }
+}
