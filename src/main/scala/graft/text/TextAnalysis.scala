@@ -219,23 +219,28 @@ object TextAnalysis {
     * `(id, n_grams, n_boiler, boiler_ratio)` over the doc's distinct
     * n-grams — the filter feature for dropping template-heavy documents.
     *
-    * Dataflow: distinct-gram explode → one hash aggregation keyed on the
-    * gram (per-gram doc frequency, valid because shingles are de-duplicated
-    * per doc) → join back on the gram → per-doc aggregation. Both shuffles
-    * are keyed on the gram/doc — no window, no driver state; the gram
-    * vocabulary, not the corpus size, bounds the frequency frame. At
+    * Dataflow: repartition (a compacted single-file source would pin the
+    * n-gram HOF generation to one core) → distinct-gram explode → per-gram
+    * doc frequency as a COUNT WINDOW over the gram key (valid because
+    * shingles are de-duplicated per doc) → per-doc aggregation. The window
+    * replaces the naive groupBy-then-join-back shape, which would both
+    * shuffle the grams twice AND re-evaluate the whole n-gram subtree per
+    * branch (no cross-branch CSE — measured 3× this query's cost). Two
+    * keyed shuffles total, grams computed once, no driver state. At
     * 100 TB, swap the gram STRING for its 64-bit hash
     * ([[graft.functions.shingle_hashes]]) to shrink the exchanged bytes —
     * kept as strings here so a SQL oracle can mirror the exact pipeline. */
   def boilerplateStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 3, minDocs: Int = 5): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)
-    val grams = df.select(id, explode(shingles(col(textCol), n)).as("gram"))
-    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
-    grams.join(freq, Seq("gram"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df.repartition(par)
+      .select(id, explode(shingles(col(textCol), n)).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    grams.withColumn("__n_docs", count(lit(1)).over(w))
       .groupBy(id).agg(
         count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("__n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
         round(col("n_boiler").cast("double") / col("n_grams"), 6))
   }
