@@ -1019,6 +1019,13 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "prev_purchase_value")
         .orderBy("event_id")
     }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // 10 docs per language, inclusion odds proportional to n_chars
+      graft.operators.Splits.weightedSamplePerGroup(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     "q_temperature_mix" -> ((s, dir) => {
       graft.operators.Splits.temperatureSample(
         t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, targetRows = 250)
@@ -1899,6 +1906,14 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  -ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1.0)
+        |      / 4503599627370497.0) / n_chars AS key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(power(n, 0.5) AS DECIMAL(28,6)) AS wt FROM c),

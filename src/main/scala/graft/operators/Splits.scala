@@ -133,6 +133,34 @@ object Splits {
     * Scale: one count aggregation (bounded by the number of groups), a
     * broadcast join of the per-group thresholds back onto the rows, and a
     * scan-local filter — the corpus itself never shuffles. */
+  /** Deterministic weighted sampling WITHOUT replacement, k rows per group
+    * (Efraimidis–Spirakis A-ES): rank rows by `-ln(u) / w` ascending where
+    * `u` is a uniform deterministic per-row variate and `w = weightCol > 0`,
+    * keep the first k per group. Inclusion probability is proportional to
+    * weight (the exponential-clocks argument), so e.g. `weight = quality`
+    * downsamples a corpus toward its best documents — reproducibly.
+    *
+    * `u` derives from the first 13 md5 hex digits (52 bits — exact in a
+    * double, parseable by any engine), mapped to (0, 1] as
+    * `(v + 1) / (16^13 + 1)` so `ln` never sees zero. Same
+    * hash-not-rand() determinism contract as [[stratifiedSample]].
+    *
+    * One hash exchange on the group key; the per-group top-k is a streamed
+    * row_number window (ties broken by id), never a global sort. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10).cast("long")
+    val u = (v.cast("double") + 1.0) / 4503599627370497.0 // 16^13 + 1
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, targetRows: Long): DataFrame = {
     require(alpha > 0 && targetRows > 0)

@@ -120,6 +120,73 @@ class Round3OperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && bigger.size > a.size)
   }
 
+  test("weightedSamplePerGroup: k per group, deterministic, weight-biased inclusion") {
+    import spark.implicits._
+    // 200 ids per group; first 100 carry weight 50, rest weight 1
+    val df = (1 to 400).map { i =>
+      val g = if (i <= 200) "g1" else "g2"
+      val w = if (i % 200 <= 100 && i % 200 != 0) 50.0 else 1.0
+      (i.toLong, g, w)
+    }.toDF("id", "g", "w")
+    val got = Splits.weightedSamplePerGroup(df, "g", "id", "w", k = 20)
+    val again = Splits.weightedSamplePerGroup(df.repartition(7), "g", "id", "w", k = 20)
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === again.select("id").collect().map(_.getLong(0)).toSet,
+      "selection must not depend on physical layout")
+    val byG = got.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("g1" -> 20L, "g2" -> 20L))
+    // with 50:1 odds the heavy half should dominate the sample
+    val heavy = got.filter(col("w") === 50.0).count()
+    assert(heavy >= 30, s"expected heavy-weight rows to dominate, got $heavy/40")
+    // zero/negative weights are excluded outright
+    val withZero = df.withColumn("w", when(col("id") % 2 === 0, 0.0).otherwise(col("w")))
+    assert(Splits.weightedSamplePerGroup(withZero, "g", "id", "w", 20)
+      .filter(col("id") % 2 === 0).count() === 0)
+  }
+
+  test("zValue interleaves bits; writeZOrdered files cover small rectangles in both dims") {
+    import spark.implicits._
+    // zValue correctness on known Morton pairs
+    val z = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3), (0x1FFFFF, 0))
+      .toDF("a", "b")
+      .select(graft.sources.Bucketing.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def morton(a: Int, b: Int): Long = {
+      var r = 0L
+      for (i <- 0 until 21) {
+        r |= ((a.toLong >> i) & 1L) << (2 * i)
+        r |= ((b.toLong >> i) & 1L) << (2 * i + 1)
+      }
+      r
+    }
+    assert(z === Seq(morton(0,0), morton(1,0), morton(0,1), morton(1,1),
+      morton(2,0), morton(3,3), morton(0x1FFFFF, 0)))
+
+    // layout: z-ordered files bound BOTH dimensions, unlike a 1-col sort
+    val n = 1 << 14
+    val grid = spark.range(n).select(
+      (col("id") % 128).cast("int").as("x"),
+      (col("id") / 128).cast("int").as("y"))
+    val path = "/tmp/graft_zorder_test"
+    graft.sources.Bucketing.writeZOrdered(grid, path, "x", "y", numFiles = 16)
+    val withFile = spark.read.parquet(path)
+      .select(col("x"), col("y"), input_file_name().as("f"))
+    val spans = withFile.groupBy("f").agg(
+      (max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    // 16 files over a 128x128 grid: z-order tiles ~32-64 per dim, except
+    // where a range boundary straddles a major z quadrant (one such file
+    // can span a full dim — inherent to the curve). A 1-col x-sort would
+    // give sy = 127 in EVERY file; assert z-order bounds both dims for
+    // nearly all files and on average.
+    assert(spans.nonEmpty)
+    val bounded = spans.count { case (sx, sy) => sx <= 64 && sy <= 64 }
+    assert(bounded >= spans.length - 2,
+      s"too many wide files: ${spans.mkString(",")}")
+    val (axs, ays) = (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    assert(axs <= 64 && ays <= 64, s"mean spans too wide: ($axs, $ays)")
+  }
+
   test("temperatureSample: alpha = 1 keeps natural proportions (uniform rate)") {
     import spark.implicits._
     // two groups, 100 vs 300 rows; alpha=1 -> rate = target/total for both
