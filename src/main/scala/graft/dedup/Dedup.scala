@@ -333,8 +333,13 @@ object Dedup {
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pre-partition the symmetric edges on the join key BEFORE caching:
+    // every propagation round joins sym on `a`, and a cached frame keeps
+    // its partitioning, so the per-round plan exchanges only the (small,
+    // changing) label side instead of re-shuffling the edge list each round
     val sym = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed with round 1 for free: component(v) = min(v, min neighbor) is
     // exactly one propagation round, computable as a single aggregation on
