@@ -184,6 +184,50 @@ object StreamingDQ {
       .start()
   }
 
+  /** Per-micro-batch CATEGORICAL drift monitor — the chi-square
+    * goodness-of-fit twin of [[driftMonitor]] (which handles numeric
+    * columns via binned PSI): each batch's `catCol` distribution is tested
+    * against the baseline's proportions and
+    * `onResult(batchId, chi2, nBatch)` fires per batch. Baseline
+    * proportions are collected ONCE into a driver-local frame (bounded by
+    * the category cardinality), so steady-state cost is one small hash
+    * aggregation per batch plus a broadcast join. Categories absent from
+    * the baseline get an `eps` expected share so novel categories register
+    * as large finite drift instead of dividing by zero. */
+  def categoricalDriftMonitor(
+      stream: DataFrame,
+      baseline: DataFrame,
+      catCol: String,
+      eps: Double = 1e-6
+  )(onResult: (Long, Double, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val base = baseline.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("nb"))
+    val dist = base.crossJoin(broadcast(base.agg(sum("nb").as("__t"))))
+      .select(col("cat"), (col("nb").cast("double") / col("__t")).as("p_base"))
+    val baseDist = spark.createDataFrame(
+      spark.sparkContext.parallelize(dist.collect().toSeq, 1), dist.schema)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val obs = batch.filter(col(catCol).isNotNull)
+            .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("o"))
+          val n = obs.agg(sum("o").as("__n"))
+          val e = greatest(coalesce(col("p_base"), lit(0.0)), lit(eps)) * col("__n")
+          val row = baseDist.join(obs, Seq("cat"), "full_outer")
+            .select(col("cat"), col("p_base"), coalesce(col("o"), lit(0L)).as("o"))
+            .crossJoin(broadcast(n))
+            .agg(sum((col("o") - e) * (col("o") - e) / e).as("chi2"),
+              max("__n").as("n"))
+            .head()
+          if (!row.isNullAt(0))
+            onResult(id, row.getDouble(0), row.getLong(1))
+        }
+      }
+      .start()
+  }
+
   /** Batch-equivalent tumbling window on raw nanos (integer bucketing) —
     * used by the oracle-checked `q_events_window` query; semantics match
     * [[windowedCompleteness]]'s tumbling windows. */

@@ -101,6 +101,31 @@ class DriftFunnelSpec extends SparkSpec {
     assert(byBatch(1) > 1.0)             // strong drift
   }
 
+  test("streaming categoricalDriftMonitor: chi-square per micro-batch vs static baseline") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // baseline: a/b/c in 60/30/10 proportions
+    val baseline = (Seq.fill(600)("a") ++ Seq.fill(300)("b") ++ Seq.fill(100)("c")).toDF("cat")
+    val mem = MemoryStream[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val q = graft.streaming.StreamingDQ.categoricalDriftMonitor(
+      mem.toDF().toDF("cat"), baseline, "cat") {
+      (id, chi2, n) => results.synchronized { results += ((id, chi2, n)) }
+    }
+    try {
+      mem.addData(Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(50)("c") ++ Seq.fill(50)("d"): _*) // inverted + novel cat
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = results.sortBy(_._1)
+    assert(byBatch.size == 2)
+    assert(math.abs(byBatch(0)._2) < 1e-9 && byBatch(0)._3 == 100L) // matching mix
+    assert(byBatch(1)._2 > 100.0 && byBatch(1)._3 == 100L)          // strong drift
+  }
+
   test("transitionCounts builds the adjacent-pair matrix per user") {
     val ev = Seq(
       (1L, "a", 1L, 100L), (1L, "b", 2L, 101L), (1L, "a", 3L, 102L),

@@ -27,6 +27,11 @@ class RandomizedOperatorsSpec extends SparkSpec {
     val joined = got.join(naive, Seq("id"), "left")
     assert(joined.filter(!(col("v") <=> col("v_naive"))).count() === 0)
     assert(got.count() === left.count())
+    // the native sort-merge exec must agree row-for-row on the same data
+    val nat = graft.plans.AsofJoinNative.asofJoin(left, rightU, Seq("k"), "ts", "rts", Seq("v"))
+    val cmp = nat.join(naive, Seq("id"), "left")
+    assert(cmp.filter(!(col("v") <=> col("v_naive"))).count() === 0)
+    assert(nat.count() === left.count())
   }
 
   test("sessionAgg covers every row exactly once on random bursty timelines") {
