@@ -1019,6 +1019,23 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "prev_purchase_value")
         .orderBy("event_id")
     }),
+    "q_regression" -> ((s, dir) => {
+      // per-flag OLS of price ~ quantity (regr_* single-pass aggregates)
+      graft.operators.Profiler.groupRegression(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
+    "q_ttest" -> ((s, dir) => {
+      // Welch's t: purchase vs click order values
+      graft.operators.Profiler.welchTTest(
+        t(s, dir, "events"), "value", "event_type", "purchase", "click")
+    }),
+    "q_cooccurrence" -> ((s, dir) => {
+      // which event types co-occur in the same user's history (lift)
+      graft.operators.Funnel.cooccurrenceLift(
+        t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("item_a", "item_b")
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // 10 docs per language, inclusion odds proportional to n_chars
       graft.operators.Splits.weightedSamplePerGroup(
@@ -1906,6 +1923,38 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_regression" ->
+      """SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ttest" ->
+      """WITH s AS (SELECT
+        |  avg(value) FILTER (WHERE event_type = 'purchase') AS m_a,
+        |  var_samp(value) FILTER (WHERE event_type = 'purchase') AS s2_a,
+        |  count(value) FILTER (WHERE event_type = 'purchase') AS n_a,
+        |  avg(value) FILTER (WHERE event_type = 'click') AS m_b,
+        |  var_samp(value) FILTER (WHERE event_type = 'click') AS s2_b,
+        |  count(value) FILTER (WHERE event_type = 'click') AS n_b
+        |FROM events)
+        |SELECT round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  round((m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b), 6) AS t,
+        |  round((s2_a/n_a + s2_b/n_b) * (s2_a/n_a + s2_b/n_b) /
+        |    ((s2_a/n_a)*(s2_a/n_a)/(n_a - 1) + (s2_b/n_b)*(s2_b/n_b)/(n_b - 1)), 6) AS df,
+        |  n_a::BIGINT AS n_a, n_b::BIGINT AS n_b FROM s""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events
+        |            WHERE event_type IS NOT NULL),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |      FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2),
+        |m AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+        |t AS (SELECT count(DISTINCT b) AS n FROM bi)
+        |SELECT item_a, item_b, n_ab::BIGINT AS n_ab, ma.n_i::BIGINT AS n_a,
+        |  mb.n_i::BIGINT AS n_b,
+        |  round(n_ab::DOUBLE * t.n / (ma.n_i * mb.n_i), 6) AS lift
+        |FROM p JOIN m ma ON ma.i = p.item_a JOIN m mb ON mb.i = p.item_b CROSS JOIN t
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_weighted_sample" ->
       """WITH s AS (SELECT doc_id, lang, n_chars,
         |  -ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1.0)

@@ -65,4 +65,34 @@ object Funnel {
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Pairwise item co-occurrence with lift: for every unordered item pair
+    * `(a < b)`, the number of baskets containing both and
+    * `lift = P(a,b) / (P(a)·P(b))` — the association-mining signal behind
+    * "users who do X also do Y" (basket = user/session, item = event
+    * type / product / tag). Lift > 1 = positive association.
+    *
+    * Dataflow: distinct (basket, item) → self equi-join ON THE BASKET for
+    * within-basket pairs (pair count per basket is |items|², fine for
+    * bounded item vocabularies — for unbounded ones cap items per basket
+    * first with [[graft.operators.Splits.quotaCap]]) → pair counts; item
+    * marginals and the basket total are dimension-sized frames broadcast
+    * back. Everything shuffles on basket or pair keys only. */
+  def cooccurrenceLift(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val bi = df.filter(col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).cast("string").as("i")).distinct()
+    val pairs = bi.select(col("b"), col("i").as("item_a"))
+      .join(bi.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+    val marg = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val total = bi.agg(countDistinct(col("b")).as("__n"))
+    pairs
+      .join(broadcast(marg.select(col("i").as("item_a"), col("n_i").as("n_a"))), Seq("item_a"))
+      .join(broadcast(marg.select(col("i").as("item_b"), col("n_i").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") * col("__n") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
 }

@@ -225,6 +225,49 @@ object Profiler {
       .orderBy("digit")
   }
 
+  /** Per-group ordinary-least-squares fit `y ~ x`: one row per group with
+    * `(slope, intercept, r2, n)` from the built-in regression aggregates
+    * (`regr_*` — single-pass co-moment accumulation, partial+final
+    * mergeable, so the whole profile is ONE hash aggregation regardless of
+    * group sizes). The "does this relationship hold per segment" profile
+    * signal (price ~ quantity per region, latency ~ load per service).
+    * Outputs round to 6 dp: co-moment addition order varies with
+    * partitioning, so last-ulp digits are not reproducible. */
+  def groupRegression(df: DataFrame, groupCol: String, yCol: String, xCol: String): DataFrame = {
+    val y = col(yCol).cast("double"); val x = col(xCol).cast("double")
+    df.groupBy(col(groupCol)).agg(
+      round(regr_slope(y, x), 6).as("slope"),
+      round(regr_intercept(y, x), 6).as("intercept"),
+      round(regr_r2(y, x), 6).as("r2"),
+      regr_count(y, x).as("n"))
+  }
+
+  /** Welch's two-sample t statistic for `valueCol` between two groups of
+    * `groupCol` — the unequal-variance cohort-mean comparison (A/B legs,
+    * before/after windows). One row
+    * `(mean_a, mean_b, t, df, n_a, n_b)` with the Welch–Satterthwaite
+    * degrees of freedom; both cohorts aggregate in a single
+    * partial+final pass over one scan. */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def side(g: String, tag: String) = Seq(
+      avg(when(col(groupCol) === g, v)).as(s"m_$tag"),
+      var_samp(when(col(groupCol) === g, v)).as(s"s2_$tag"),
+      count(when(col(groupCol) === g, v)).as(s"n_$tag"))
+    val a = df.agg((side(groupA, "a") ++ side(groupB, "b")).head,
+      (side(groupA, "a") ++ side(groupB, "b")).tail: _*)
+    val sea = col("s2_a") / col("n_a")
+    val seb = col("s2_b") / col("n_b")
+    a.select(
+      round(col("m_a"), 6).as("mean_a"),
+      round(col("m_b"), 6).as("mean_b"),
+      round((col("m_a") - col("m_b")) / sqrt(sea + seb), 6).as("t"),
+      round((sea + seb) * (sea + seb) /
+        (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 6).as("df"),
+      col("n_a"), col("n_b"))
+  }
+
   /** Functional-dependency violation profile for a candidate FD
     * `lhsCols → rhsCol`: one row
     * `(n_keys, n_violating, rows_in_violating, violation_ratio)` where a

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Joins, Profiler, Sessionize, Splits}
+import graft.operators.{Funnel, Joins, Profiler, Sessionize, Splits}
 import graft.text.TextAnalysis
 
 class Round3OperatorsSpec extends SparkSpec {
@@ -185,6 +185,46 @@ class Round3OperatorsSpec extends SparkSpec {
       s"too many wide files: ${spans.mkString(",")}")
     val (axs, ays) = (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
     assert(axs <= 64 && ays <= 64, s"mean spans too wide: ($axs, $ays)")
+  }
+
+  test("groupRegression: exact fit on a planted line, per group") {
+    import spark.implicits._
+    val df = ((1 to 10).map(x => ("g1", x.toDouble, 2.0 * x + 1)) ++
+      (1 to 10).map(x => ("g2", x.toDouble, -3.0 * x + 7))).toDF("g", "x", "y")
+    val got = Profiler.groupRegression(df, "g", "y", "x").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("g1", 2.0, 1.0, 1.0, 10L), ("g2", -3.0, 7.0, 1.0, 10L)))
+  }
+
+  test("welchTTest matches a hand-computed Welch statistic") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val b = Seq(2.0, 4.0, 6.0, 8.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def varS(xs: Seq[Double]) = {
+      val m = mean(xs); xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val (sea, seb) = (varS(a) / a.size, varS(b) / b.size)
+    val wantT = (mean(a) - mean(b)) / math.sqrt(sea + seb)
+    val wantDf = (sea + seb) * (sea + seb) /
+      (sea * sea / (a.size - 1) + seb * seb / (b.size - 1))
+    val r = Profiler.welchTTest(df, "v", "g", "A", "B").head()
+    assert(math.abs(r.getDouble(2) - wantT) < 1e-6)
+    assert(math.abs(r.getDouble(3) - wantDf) < 1e-6)
+    assert(r.getLong(4) === 5L && r.getLong(5) === 4L)
+  }
+
+  test("cooccurrenceLift: counts and lift on known baskets, duplicates collapsed") {
+    import spark.implicits._
+    // baskets: 1:{x,y} 2:{x,y} 3:{x} 4:{y,z} — duplicate (1,x) rows collapse
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "y"), (4, "z"))
+      .toDF("b", "i")
+    val got = Funnel.cooccurrenceLift(df, "b", "i").orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    // n=4 baskets; x:3 y:3 z:1; xy:2 yz:1
+    // lift(xy) = 2*4/(3*3) = 0.888889; lift(yz) = 1*4/(3*1) = 1.333333
+    assert(got.toSeq === Seq(("x", "y", 2L, 0.888889), ("y", "z", 1L, 1.333333)))
   }
 
   test("temperatureSample: alpha = 1 keeps natural proportions (uniform rate)") {
