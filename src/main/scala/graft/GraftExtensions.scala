@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.AsofJoin logical nodes to
     // the native sort-merge AsofJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // limit pushdown through the left-preserving AsofJoin (Catalyst's own
+    // LimitPushDown cannot reason about a foreign node)
+    ext.injectOptimizerRule(_ => graft.plans.AsofLimitPushDown)
   }
 
   /** Literal int argument of a SQL call (e.g. `shingle_hashes(toks, 2)`). */

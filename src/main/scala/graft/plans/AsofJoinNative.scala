@@ -56,6 +56,29 @@ final case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for [[AsofJoin]]: push `LocalLimit` into the LEFT child.
+  * Valid because an ASOF-LEFT join emits exactly one output row per left
+  * row, in order — so only `n` left rows are needed to produce `n` output
+  * rows. Catalyst's own `LimitPushDown` cannot know this about a foreign
+  * node; without the rule a `limit(n)` above the join scans and sorts the
+  * full left side. The right side is untouched (any left row may still
+  * need an arbitrarily early right match). Registered via
+  * `injectOptimizerRule` — with `injectFunction` (custom expressions) and
+  * `injectPlannerStrategy` (custom exec) this completes the three
+  * `SparkSessionExtensions` surfaces the engine exercises. */
+object AsofLimitPushDown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, Project}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // row-count-preserving Projects (e.g. the front door's internal ts-col
+    // drop) sit between the limit and the join: push through them too
+    case ll @ LocalLimit(expr, p @ Project(_, j: AsofJoin))
+        if !j.left.isInstanceOf[LocalLimit] =>
+      ll.copy(child = p.copy(child = j.copy(left = LocalLimit(expr, j.left))))
+    case ll @ LocalLimit(expr, j: AsofJoin) if !j.left.isInstanceOf[LocalLimit] =>
+      ll.copy(child = j.copy(left = LocalLimit(expr, j.left)))
+  }
+}
+
 /** Plans [[AsofJoin]] to [[AsofJoinExec]]; a no-op on every other node. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -187,6 +210,8 @@ object AsofJoinNative {
     val em = spark.experimental
     if (!em.extraStrategies.contains(AsofJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+    if (!em.extraOptimizations.contains(AsofLimitPushDown))
+      em.extraOptimizations = em.extraOptimizations :+ AsofLimitPushDown
   }
 
   /** Native-exec twin of [[graft.operators.Joins.asofJoin]] (same argument

@@ -61,6 +61,26 @@ class AsofNativeSpec extends SparkSpec {
     }
   }
 
+  test("AsofLimitPushDown: limit lands on the LEFT child only; results correct") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 300L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("u1", 50L, 1.0)).toDF("k", "rts", "v")
+    val df = AsofJoinNative.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v")).limit(2)
+    val opt = df.queryExecution.optimizedPlan
+    // the pushed LocalLimit must sit inside the join's left subtree
+    val pushed = opt.collect {
+      case j: graft.plans.AsofJoin
+        if j.left.collect { case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l }.nonEmpty => j
+    }
+    assert(pushed.nonEmpty, s"LocalLimit not pushed into AsofJoin left child:\n$opt")
+    // right side must NOT be limited
+    assert(pushed.head.right.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l }.isEmpty)
+    val rows = df.collect()
+    assert(rows.length === 2 && rows.forall(_.getDouble(3) === 1.0))
+  }
+
   test("native asof join: null keys and null timestamps match nothing, rows kept") {
     import spark.implicits._
     val left = Seq((1L, Option("u1"), Option(300L)), (2L, None, Option(300L)),
