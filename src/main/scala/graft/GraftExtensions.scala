@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         k = children.lift(1).map(foldableInt).getOrElse(7),
         w = children.lift(2).map(foldableInt).getOrElse(4))))
 
+    ext.injectFunction((FunctionIdentifier("jaro_sim"),
+      info("jaro_sim", "jaro_sim(a, b) - Jaro similarity of two strings"),
+      (children: Seq[Expression]) => JaroSimilarity(children(0), children(1))))
+
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
+      (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
+
     // whole-operator extension: plans graft.plans.AsofJoin logical nodes to
     // the native sort-merge AsofJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

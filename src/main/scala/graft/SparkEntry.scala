@@ -1003,6 +1003,20 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("a"), col("b")))
         .orderBy("block", "a", "b")
     }),
+    "q_jaro_linkage" -> ((s, dir) => {
+      // record-linkage scoring: SNM candidate pairs scored with the native
+      // jaro_winkler expression, cross-checked against DuckDB's
+      // independent implementation
+      val names = t(s, dir, "part").select("p_name")
+        .filter(col("p_name").isNotNull).distinct()
+      graft.operators.Joins.sortedNeighborhoodPairs(
+          names, "p_name", substring(col("p_name"), 1, 1), window = 2)
+        .select(col("a"), col("b"),
+          round(graft.functions.jaro_winkler(col("a"), col("b")), 6).as("jw"),
+          round(graft.functions.jaro_sim(col("a"), col("b")), 6).as("jaro"))
+        .filter(col("jw") >= 0.8)
+        .orderBy("a", "b")
+    }),
     "q_asof_native" -> ((s, dir) => {
       // q_asof_join through the native sort-merge AsofJoinExec (custom
       // LogicalPlan + SparkStrategy + SparkPlan) instead of the
@@ -1963,6 +1977,17 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, n_chars,
         |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_jaro_linkage" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |r AS (SELECT p_name, substring(p_name, 1, 1) AS block,
+        |        row_number() OVER (PARTITION BY substring(p_name, 1, 1) ORDER BY p_name) AS rn
+        |      FROM d),
+        |pairs AS (SELECT a.p_name AS a, b.p_name AS b
+        |          FROM r a JOIN r b ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + 2)
+        |SELECT a, b, round(jaro_winkler_similarity(a, b), 6) AS jw,
+        |  round(jaro_similarity(a, b), 6) AS jaro
+        |FROM pairs WHERE round(jaro_winkler_similarity(a, b), 6) >= 0.8
+        |ORDER BY a, b""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(power(n, 0.5) AS DECIMAL(28,6)) AS wt FROM c),

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro / Jaro–Winkler string similarity — the standard record-linkage
+  * scorer (census-style name matching) that Spark lacks (`levenshtein` is
+  * its only built-in edit metric). Semantics follow the textbook
+  * definition, verified against DuckDB's independent implementation on the
+  * classic Winkler test pairs (MARTHA/MARHTA = 0.9611,
+  * DIXON/DICKSONX = 0.8133, …):
+  *
+  *  - match window `max(|a|,|b|)/2 - 1`, transpositions = half the
+  *    out-of-order matched pairs, `jaro = (m/|a| + m/|b| + (m-t)/m) / 3`;
+  *  - Winkler boost `jw = j + l·0.1·(1-j)` with common prefix `l ≤ 4`,
+  *    applied only when `j > 0.7` (the boost threshold — DuckDB and the
+  *    original Winkler reference both gate on it);
+  *  - either side empty → 0 (DuckDB-compatible; the both-empty case too).
+  *
+  * One pass over UTF-16 code units (== characters on the ASCII fixtures;
+  * supplementary-plane text scores per surrogate unit, acceptable for a
+  * similarity heuristic). Codegen'd via a single static call so the
+  * expression stays inside whole-stage codegen in verify joins.
+  */
+object StringSimOps {
+
+  def jaro(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString; val b = ub.toString
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatched = new Array[Boolean](la)
+    val bMatched = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!bMatched(j) && a.charAt(i) == b.charAt(j)) {
+          aMatched(i) = true; bMatched(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk both matched subsequences in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatched(i)) {
+        while (!bMatched(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // t counts out-of-order positions; a transposition is half of one (the
+    // count can be odd when the window permits 3-cycles -> real division)
+    (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+  }
+
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val j = jaro(ua, ub)
+    if (j <= 0.7) return j
+    val a = ua.toString; val b = ub.toString
+    val maxL = math.min(4, math.min(a.length, b.length))
+    var l = 0
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+}
+
+abstract class StringSimExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two string arguments")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+}
+
+/** `jaro_sim(a, b) -> double` */
+case class JaroSimilarity(left: Expression, right: Expression) extends StringSimExpression {
+  override def prettyName: String = "jaro_sim"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimOps.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringSimOps.jaro($a, $b);")
+  protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `jaro_winkler(a, b) -> double` */
+case class JaroWinklerSimilarity(left: Expression, right: Expression) extends StringSimExpression {
+  override def prettyName: String = "jaro_winkler"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    StringSimOps.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringSimOps.jaroWinkler($a, $b);")
+  protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

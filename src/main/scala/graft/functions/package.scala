@@ -48,6 +48,14 @@ package object functions {
   def shingle_hashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =
     col(ShingleHashes(expr(tokens), n, seed))
 
+  /** Jaro similarity of two strings (record-linkage scorer). */
+  def jaro_sim(a: Column, b: Column): Column =
+    col(JaroSimilarity(expr(a), expr(b)))
+
+  /** Jaro–Winkler similarity (prefix-boosted above 0.7, l ≤ 4, p = 0.1). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(JaroWinklerSimilarity(expr(a), expr(b)))
+
   /** MinHash signature from precomputed shingle hashes. */
   def minhash_from_hashes(hashes: Column, numHashes: Int = 128): Column =
     col(MinHashFromHashes(expr(hashes), numHashes))

@@ -113,6 +113,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("sh") !== 0L)
   }
 
+  test("jaro / jaro-winkler: classic Winkler pairs, boost threshold, SQL surface") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("MARTHA", "MARHTA", 0.944444, 0.961111),
+      ("DIXON", "DICKSONX", 0.766667, 0.813333),
+      ("DWAYNE", "DUANE", 0.822222, 0.84),
+      ("JELLYFISH", "SMELLYFISH", 0.896296, 0.896296), // no common prefix -> no boost
+      ("abcdefgh", "abzzzzzz", 0.5, 0.5),              // jaro <= 0.7 -> boost gated off
+      ("abc", "abc", 1.0, 1.0),
+      ("", "abc", 0.0, 0.0),
+      ("ab", "ba", 0.0, 0.0)                           // window 0 -> no matches
+    ).toDF("a", "b", "want_jaro", "want_jw")
+    val got = pairs.select(col("a"), col("b"), col("want_jaro"), col("want_jw"),
+      round(graft.functions.jaro_sim(col("a"), col("b")), 6).as("jaro"),
+      round(graft.functions.jaro_winkler(col("a"), col("b")), 6).as("jw")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(4) === r.getDouble(2), s"jaro(${r.getString(0)}, ${r.getString(1)})")
+      assert(r.getDouble(5) === r.getDouble(3), s"jw(${r.getString(0)}, ${r.getString(1)})")
+    }
+    // SQL registration
+    val sql = spark.sql("SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 6)").head().getDouble(0)
+    assert(sql === 0.961111)
+    // null propagation
+    assert(pairs.select(graft.functions.jaro_winkler(lit(null).cast("string"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("text analysis: tokens, ngrams, lang-id, quality, fingerprints") {
     val s = spark
     import s.implicits._
