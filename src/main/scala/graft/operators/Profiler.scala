@@ -225,6 +225,31 @@ object Profiler {
       .orderBy("digit")
   }
 
+  /** Schema drift between two dataset versions — the contract check run
+    * before a pipeline ingests a new snapshot: one row per column that is
+    * `added` (only in `next`), `removed` (only in `prev`), `retyped`
+    * (type changed), or `nullability_changed`; unchanged columns are
+    * omitted. Pure driver-side metadata (schemas are already on the
+    * driver — zero jobs, any data scale). */
+  def schemaDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val p = prev.schema.map(f => f.name -> f).toMap
+    val n = next.schema.map(f => f.name -> f).toMap
+    val rows = (p.keySet ++ n.keySet).toSeq.sorted.flatMap { c =>
+      (p.get(c), n.get(c)) match {
+        case (Some(_), None) => Some((c, p(c).dataType.sql, null: String, "removed"))
+        case (None, Some(_)) => Some((c, null: String, n(c).dataType.sql, "added"))
+        case (Some(a), Some(b)) if a.dataType != b.dataType =>
+          Some((c, a.dataType.sql, b.dataType.sql, "retyped"))
+        case (Some(a), Some(b)) if a.nullable != b.nullable =>
+          Some((c, a.dataType.sql, b.dataType.sql, "nullability_changed"))
+        case _ => None
+      }
+    }
+    val spark = prev.sparkSession
+    import spark.implicits._
+    rows.toDF("column", "prev_type", "next_type", "status")
+  }
+
   /** Per-group ordinary-least-squares fit `y ~ x`: one row per group with
     * `(slope, intercept, r2, n)` from the built-in regression aggregates
     * (`regr_*` — single-pass co-moment accumulation, partial+final

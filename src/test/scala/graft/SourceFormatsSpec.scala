@@ -27,6 +27,25 @@ class SourceFormatsSpec extends SparkSpec {
     assert(c.metricResults(back).map(_.valueDouble) == c.metricResults(docs).map(_.valueDouble))
   }
 
+  test("ORC round-trip feeds checks identically to parquet") {
+    val path = "/tmp/graft_docs_orc"
+    docs.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path).select(docs.columns.map(col).toSeq: _*)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("n_chars") > 100).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
+  }
+
+  test("schemaDiff reports added/removed/retyped columns, omits unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val next = Seq((1L, 2, "x")).toDF("id", "score", "tag")
+    val got = graft.operators.Profiler.schemaDiff(prev, next)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(got === Map("name" -> "removed", "score" -> "retyped", "tag" -> "added"))
+  }
+
   test("CSV round-trip with explicit schema preserves check inputs") {
     val path = "/tmp/graft_cust_csv"
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
