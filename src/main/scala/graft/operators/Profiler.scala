@@ -166,10 +166,12 @@ object Profiler {
           (log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n")).as("__h"))
     }
     per.reduce(_ unionByName _).select(
-      col("column"), col("n_rows"), col("n_distinct"),
-      round(col("__h"), 6).as("entropy"),
-      round(when(col("n_distinct") > 1,
-        col("__h") / log(col("n_distinct").cast("double"))).otherwise(0.0), 6)
+      col("column"),
+      // an all-null column aggregates to null sums: report zeros, not nulls
+      coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("n_distinct"),
+      coalesce(round(col("__h"), 6), lit(0.0)).as("entropy"),
+      coalesce(round(when(col("n_distinct") > 1,
+        col("__h") / log(col("n_distinct").cast("double"))).otherwise(0.0), 6), lit(0.0))
         .as("norm_entropy"))
   }
 

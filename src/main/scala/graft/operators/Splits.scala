@@ -155,7 +155,9 @@ object Splits {
     val key = -log(u) / col(weightCol).cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
-    df.filter(col(weightCol) > 0)
+    // null ids would yield a null sort key, which Spark orders FIRST
+    // (hijacking top-k slots) while SQL engines order last — exclude them
+    df.filter(col(weightCol) > 0 && col(idCol).isNotNull)
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= k)
       .drop("__graft_rn")

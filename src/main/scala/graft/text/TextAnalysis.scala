@@ -232,6 +232,7 @@ object TextAnalysis {
     * kept as strings here so a SQL oracle can mirror the exact pipeline. */
   def boilerplateStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 3, minDocs: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(n > 0 && minDocs >= 2, "need n > 0 and minDocs >= 2 (1 would flag every gram)")
     val id = col(idCol)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val grams = df.repartition(par)

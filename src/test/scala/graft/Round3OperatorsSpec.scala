@@ -227,6 +227,23 @@ class Round3OperatorsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("x", "y", 2L, 0.888889), ("y", "z", 1L, 1.333333)))
   }
 
+  test("entropy: all-null column reports zeros, not nulls") {
+    import spark.implicits._
+    val df = Seq(("a", Option.empty[String]), ("b", Option.empty[String])).toDF("ok", "dead")
+    val r = Profiler.entropy(df, Seq("dead")).head()
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0)
+  }
+
+  test("weightedSamplePerGroup: null ids are excluded (cannot hijack top-k slots)") {
+    import spark.implicits._
+    val df = Seq((Option(1L), "g", 1.0), (Option(2L), "g", 1.0),
+      (Option.empty[Long], "g", 1000.0)).toDF("id", "g", "w")
+    val got = Splits.weightedSamplePerGroup(df, "g", "id", "w", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("temperatureSample: alpha = 1 keeps natural proportions (uniform rate)") {
     import spark.implicits._
     // two groups, 100 vs 300 rows; alpha=1 -> rate = target/total for both
