@@ -19,16 +19,23 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (!new java.io.File(warmDir).isDirectory)
       System.err.println(s"[bench] WARNING: warm-up dir $warmDir missing - timed runs will be JIT-cold")
+    // Force FULL evaluation of every output column: `df.count()` would let
+    // Catalyst prune computed projections (a regex-scoring query would time
+    // as a bare scan) and eliminate final sorts; materializing the plan's
+    // own output rows times the real work the query claims to do.
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       // a failed warm-up must be visible: the timed run below would
       // otherwise silently pay cold-JIT cost (or fail again) with no signal
-      try fn(spark, warmDir).count()
+      try run(fn(spark, warmDir))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { run(fn(spark, sfDir)); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }

@@ -418,10 +418,12 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     "q_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
-        expr("percentile(l_extendedprice, 0.25)").as("q25"),
-        expr("percentile(l_extendedprice, 0.5)").as("q50"),
-        expr("percentile(l_extendedprice, 0.75)").as("q75"))
+      // exact percentiles via distributed sort + rank selection (same
+      // interpolation as the percentile aggregate, no single-reducer map)
+      import s.implicits._
+      val Seq(q25, q50, q75) = graft.operators.Profiler.exactPercentiles(
+        t(s, dir, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      Seq((q25, q50, q75)).toDF("q25", "q50", "q75")
     }),
     // --- pivot (conditional-aggregation twin of GROUP BY + CASE) ---
     "q_pivot" -> ((s, dir) => {

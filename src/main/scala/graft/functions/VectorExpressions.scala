@@ -51,6 +51,32 @@ object VectorOps {
     }
     math.sqrt(s)
   }
+
+  /** One-pass-per-phase int8-quantization audit (see [[graft.functions.QuantizeStats]]).
+    * Two passes: (norm², maxabs, n_pos), then codes from the derived scale —
+    * the code sums need the scale, which needs the full maxabs. */
+  def quantizeStats(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var ss = 0.0; var maxabs = 0.0; var nPos = 0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      ss += x * x
+      val a = math.abs(x)
+      if (a > maxabs) maxabs = a
+      if (x > 0) nPos += 1
+      i += 1
+    }
+    val scale = if (maxabs > 0) maxabs / 127.0 else 1.0
+    var cs = 0L; var cl1 = 0L
+    i = 0
+    while (i < n) {
+      val c = math.floor(v.getFloat(i).toDouble / scale + 0.5).toLong
+      cs += c; cl1 += math.abs(c)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(math.sqrt(ss), nPos, cs, cl1, scale)
+  }
 }
 
 private[functions] trait VectorBinaryExpression extends BinaryExpression {
@@ -101,4 +127,38 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   protected val kernel = "l2"
   override def prettyName: String = "l2_distance"
   protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `quantize_stats(array<float>) -> struct(l2_norm, n_pos, code_sum,
+  * code_l1, scale)` — the int8-quantization audit of one vector in a
+  * single kernel call: l2 norm, positive-component count, max-abs symmetric
+  * scale (`maxabs/127`, 1.0 for the zero vector), and the sum / l1 of the
+  * rounded int8 codes. Replaces a 6-HOF formulation whose interpreted
+  * lambdas re-walked the array per metric (measured ~10× this kernel on
+  * the sf0.1 audit). Accumulation is sequential left-to-right, matching
+  * both the HOF `aggregate` order and DuckDB list aggregates, so oracle
+  * values are bit-identical. */
+case class QuantizeStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("l2_norm", DoubleType, nullable = false),
+    StructField("n_pos", IntegerType, nullable = false),
+    StructField("code_sum", LongType, nullable = false),
+    StructField("code_l1", LongType, nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_stats"
+
+  protected override def nullSafeEval(a: Any): Any =
+    VectorOps.quantizeStats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorOps.quantizeStats($c);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

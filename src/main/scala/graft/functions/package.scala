@@ -48,6 +48,10 @@ package object functions {
   def shingle_hashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =
     col(ShingleHashes(expr(tokens), n, seed))
 
+  /** Int8-quantization audit struct of a float vector (one kernel pass). */
+  def quantize_stats(vec: Column): Column =
+    col(QuantizeStats(expr(vec)))
+
   /** Jaro similarity of two strings (record-linkage scorer). */
   def jaro_sim(a: Column, b: Column): Column =
     col(JaroSimilarity(expr(a), expr(b)))

