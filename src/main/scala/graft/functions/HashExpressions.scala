@@ -23,6 +23,41 @@ object HashOps {
   private def tokenHash(t: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), seed)
 
+  /** Per-document repetition counts in ONE row-local pass (see
+    * [[graft.functions.RepetitionStats]]): token count, distinct-token
+    * count, max token multiplicity, max bigram multiplicity. The
+    * distributed twin ([[graft.text.TextAnalysis.repetitionStats]])
+    * shuffles every token twice; this kernel is a scan — per-doc hash maps
+    * bound memory by the DOCUMENT length, the right trade for bounded docs
+    * at corpus scale. Null tokens are skipped (parity with `explode`). */
+  def repetitionCounts(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val tokCounts = new java.util.HashMap[UTF8String, Int]()
+    val bgCounts = new java.util.HashMap[UTF8String, Int]()
+    var nTok = 0L
+    var topTok = 0
+    var topBg = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        nTok += 1
+        val c = tokCounts.merge(t, 1, (a, b) => a + b)
+        if (c > topTok) topTok = c
+        if (prev != null) {
+          val bg = UTF8String.concat(prev, UTF8String.fromString(" "), t)
+          val cb = bgCounts.merge(bg, 1, (a, b) => a + b)
+          if (cb > topBg) topBg = cb
+        }
+        prev = t
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTok, tokCounts.size.toLong, topTok.toLong, topBg.toLong)
+  }
+
   /** splitmix64 finalizer — full-avalanche 64-bit mix (public domain
     * constant set, Steele et al.). */
   private def mix64(z0: Long): Long = {
@@ -307,6 +342,30 @@ case class SortedIntersectionCount(left: Expression, right: Expression)
   }
 
   protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `repetition_counts(array<string>) -> struct(n_tokens, n_distinct,
+  * top_c, top_bg_c)` — per-doc repetition counters in one row-local pass
+  * (codegen'd via static call; no shuffles). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.tokenArray(prettyName, child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_c", LongType, nullable = false),
+    StructField("top_bg_c", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_counts"
+
+  protected override def nullSafeEval(tokens: Any): Any =
+    HashOps.repetitionCounts(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.repetitionCounts($c);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** `minhash_signature(array<string>) -> array<long>` — k-permutation MinHash

@@ -52,6 +52,10 @@ package object functions {
   def quantize_stats(vec: Column): Column =
     col(QuantizeStats(expr(vec)))
 
+  /** Per-doc repetition counters over a token array (one kernel pass). */
+  def repetition_counts(tokens: Column): Column =
+    col(RepetitionStats(expr(tokens)))
+
   /** Jaro similarity of two strings (record-linkage scorer). */
   def jaro_sim(a: Column, b: Column): Column =
     col(JaroSimilarity(expr(a), expr(b)))

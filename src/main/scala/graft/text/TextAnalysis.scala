@@ -183,33 +183,26 @@ object TextAnalysis {
     * "natural text vs degenerate repetition" pretraining filters:
     * `distinct_ratio` (type/token ratio), `top_token_frac` (most frequent
     * token's share), `top_bigram_frac` (most frequent word bigram's share
-    * of all bigrams). Computed distributed: explode → per-(doc, gram)
-    * counts → per-doc max/sum — two keyed hash aggregations, no windows,
-    * no per-doc collect; docs of any length stream through. Docs with no
-    * tokens are dropped; docs with one token get `top_bigram_frac` 0. */
+    * of all bigrams). ONE row-local kernel pass per doc
+    * ([[graft.functions.repetition_counts]]) — a pure scan, no shuffles.
+    * The earlier explode→two-keyed-aggregation formulation shuffled every
+    * token twice for what is a per-document statistic (~5× this cost at
+    * sf0.1); per-doc hash maps bound kernel memory by the document length.
+    * Docs with no tokens are dropped; docs with one token get
+    * `top_bigram_frac` 0. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val id = col(idCol)
-    val tokCounts = df
-      .select(id, explode(tokens(col(textCol))).as("tok"))
-      .groupBy(id, col("tok")).agg(count(lit(1)).as("c"))
-    val tokStats = tokCounts.groupBy(id).agg(
-      sum("c").as("n_tokens"),
-      count(lit(1)).as("n_distinct"),
-      max("c").as("top_c"))
-    val bgCounts = df
-      .select(id, explode(wordNgrams(col(textCol), 2)).as("bg"))
-      .groupBy(id, col("bg")).agg(count(lit(1)).as("c"))
-    val bgStats = bgCounts.groupBy(id).agg(max("c").as("top_bg_c"))
-    tokStats.join(bgStats, Seq(idCol), "left_outer")
+    val s = graft.functions.repetition_counts(tokens(col(textCol)))
+    df.select(col(idCol), s.as("__r"))
       .select(
-        id,
-        col("n_tokens"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
-        round(col("top_c").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
-        when(col("n_tokens") > 1,
-          round(coalesce(col("top_bg_c"), lit(0L)).cast("double") / (col("n_tokens") - 1), 6))
+        col(idCol),
+        col("__r.n_tokens").as("n_tokens"),
+        round(col("__r.n_distinct").cast("double") / col("__r.n_tokens"), 6).as("distinct_ratio"),
+        round(col("__r.top_c").cast("double") / col("__r.n_tokens"), 6).as("top_token_frac"),
+        when(col("__r.n_tokens") > 1,
+          round(col("__r.top_bg_c").cast("double") / (col("__r.n_tokens") - 1), 6))
           .otherwise(0.0).as("top_bigram_frac"))
+      .filter(col("n_tokens") > 0)
   }
 
   /** Corpus-boilerplate profile (the CCNet/RefinedWeb-style shared-span
