@@ -72,9 +72,10 @@ object Pipeline {
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .select(idCol)
     val deduped = q.join(keepIds, Seq(idCol), "left_semi")
-    // 3. decontamination against the eval set
-    def grams(df: DataFrame) = explode(array_distinct(
-      TextAnalysis.wordNgrams(col(textCol), contaminationNgram))).as("g")
+    // 3. decontamination against the eval set — grams as 64-bit kernel
+    // hashes (same trade as Dedup.crossNgramContamination)
+    def grams(df: DataFrame) = explode(graft.functions.shingle_hashes(
+      TextAnalysis.tokens(col(textCol)), contaminationNgram)).as("g")
     // eval side gets the same single-partition-source treatment
     val evalPar = evalDocs.repartition(par)
     val evalGrams = evalPar.select(grams(evalPar)).distinct()

@@ -82,9 +82,16 @@ object Dedup {
       textCol: String,
       n: Int = 8
   ): DataFrame = {
+    // grams travel as 64-bit kernel hashes (graft.functions.shingle_hashes:
+    // sorted distinct rolling n-gram hashes, one codegen pass) instead of
+    // exploded strings — the interpreted wordNgrams lambda dominated this
+    // query, and 8-byte join keys shrink the exchanged bytes ~5×. A cross-
+    // engine match then means hash equality; collision odds are
+    // |train grams|·|eval grams| / 2^64 (~1e-10 at bench scale).
     def grams(df: DataFrame, as: String) = df.select(
       col(idCol).as(as),
-      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+      explode(graft.functions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("g"))
     val eg = grams(eval_, "eval_id")
     val tg = grams(train, "train_id")
     val hits = tg.join(broadcast(eg), Seq("g"))
@@ -92,7 +99,8 @@ object Dedup {
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
         countDistinct(col("g")).as("n_shared_grams"))
     val evalGramCounts = eval_.select(col(idCol).as("eval_id"),
-      size(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("n_eval_grams"))
+      size(graft.functions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("n_eval_grams"))
     evalGramCounts.join(hits, Seq("eval_id"), "left_outer")
       .select(col("eval_id"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
