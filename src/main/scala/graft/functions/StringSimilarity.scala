@@ -79,6 +79,48 @@ object StringSimOps {
   }
 }
 
+/** One-pass character-class counters for the quality-score features: the
+  * `regexp_extract_all(text, "[A-Za-z]")` / `"[^A-Za-z0-9 ]"` size
+  * formulation walks the text once PER CLASS through the regex machinery
+  * and materializes a match array; this counts both classes in a single
+  * scan with no allocation. Counts are per UTF-16 unit — identical to the
+  * char-class regexes for all BMP text (supplementary-plane chars would
+  * count per surrogate; acceptable for a scoring heuristic). */
+object CharClassOps {
+  def counts(us: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = us.toString
+    var alpha = 0L; var punct = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isAlpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      if (isAlpha) alpha += 1
+      else if (!((c >= '0' && c <= '9') || c == ' ')) punct += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(alpha, punct)
+  }
+}
+
+/** `char_class_counts(text) -> struct(n_alpha, n_punct)` (codegen'd). */
+case class CharClassCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_class_counts"
+  protected override def nullSafeEval(a: Any): Any =
+    CharClassOps.counts(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharClassOps.counts($c);")
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 abstract class StringSimExpression extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)

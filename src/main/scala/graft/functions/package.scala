@@ -56,6 +56,10 @@ package object functions {
   def repetition_counts(tokens: Column): Column =
     col(RepetitionStats(expr(tokens)))
 
+  /** Alpha / punctuation character counts of a string (one kernel pass). */
+  def char_class_counts(text: Column): Column =
+    col(CharClassCounts(expr(text)))
+
   /** Jaro similarity of two strings (record-linkage scorer). */
   def jaro_sim(a: Column, b: Column): Column =
     col(JaroSimilarity(expr(a), expr(b)))

@@ -122,8 +122,12 @@ object TextAnalysis {
     val nChars = length(text).cast("double")
     val toks = tokens(text)
     val nToks = size(toks).cast("double")
-    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    // one kernel pass for both class counts — the regexp_extract_all
+    // formulation walked the text twice through the regex machinery and
+    // allocated the match arrays just to take their size
+    val cc = graft.functions.char_class_counts(text)
+    val alpha = cc.getField("n_alpha").cast("double")
+    val punct = cc.getField("n_punct").cast("double")
     val stops = langScore(text, "en").cast("double")
     Seq(
       "n_chars" -> nChars,
