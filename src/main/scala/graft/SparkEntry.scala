@@ -1005,6 +1005,19 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("a"), col("b")))
         .orderBy("block", "a", "b")
     }),
+    "q_interval_overlap" -> ((s, dir) => {
+      // parts whose ±1% price bands overlap (interval×interval join via
+      // band bucketing with claim-once semantics — no post-join dedup)
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice") * 0.99).as("lo"), (col("p_retailprice") * 1.01).as("hi"))
+      val a = p.select(col("p_partkey").as("ka"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val b = p.select(col("p_partkey").as("kb"), col("lo").as("b_lo"), col("hi").as("b_hi"))
+      graft.operators.Joins.intervalOverlapJoin(a, b,
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 1000.0)
+        .filter(col("ka") < col("kb"))
+        .groupBy(col("ka").as("p_partkey")).agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("p_partkey")
+    }),
     "q_jaro_linkage" -> ((s, dir) => {
       // record-linkage scoring: SNM candidate pairs scored with the native
       // jaro_winkler expression, cross-checked against DuckDB's
@@ -1979,6 +1992,11 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, n_chars,
         |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT p_partkey, p_retailprice * 0.99 AS lo, p_retailprice * 1.01 AS hi FROM part)
+        |SELECT a.p_partkey, count(*)::BIGINT AS n_overlaps
+        |FROM iv a JOIN iv b ON a.p_partkey < b.p_partkey AND a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jaro_linkage" ->
       """WITH d AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
         |r AS (SELECT p_name, substring(p_name, 1, 1) AS block,

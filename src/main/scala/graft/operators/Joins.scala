@@ -148,6 +148,38 @@ object Joins {
       .drop("__band")
   }
 
+  /** Interval-OVERLAP join (`a.lo <= b.hi AND b.lo <= a.hi`) via the same
+    * band bucketing — the interval×interval case [[rangeJoinBanded]]'s
+    * point×interval shape can't express. Both sides replicate into every
+    * width-`bucketWidth` band they cover, the join is an EQUI-join on the
+    * band id, and each overlapping pair is CLAIMED exactly once, by the
+    * first band both intervals share (`floor(max(a.lo, b.lo) / width)`),
+    * so no post-join dedup pass (a `distinct` here would shuffle the whole
+    * output again). Output: `aDf.* ++ bDf.*` per overlapping pair.
+    * Replication per row is `len/width + 1` — pick `bucketWidth` ≈ the
+    * typical interval length, as with [[rangeJoinBanded]]. */
+  def intervalOverlapJoin(
+      aDf: DataFrame,
+      bDf: DataFrame,
+      aLo: String, aHi: String,
+      bLo: String, bHi: String,
+      bucketWidth: Double
+  ): DataFrame = {
+    require(bucketWidth > 0)
+    def banded(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("__band", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    val a = banded(aDf, aLo, aHi)
+    val b = banded(bDf, bLo, bHi)
+    a.join(b, Seq("__band"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__band") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__band")
+  }
+
   /** Skew-safe equi-join: semantically identical to
     * `big.join(small, keyCols)` but hot keys on the big side are spread over
     * `saltFactor` sub-keys while the small side is replicated `saltFactor`×.

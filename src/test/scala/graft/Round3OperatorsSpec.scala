@@ -187,6 +187,39 @@ class Round3OperatorsSpec extends SparkSpec {
     assert(axs <= 64 && ays <= 64, s"mean spans too wide: ($axs, $ays)")
   }
 
+  test("intervalOverlapJoin equals brute-force overlap on random intervals, no duplicate pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val mk = (1 to 300).map { i =>
+      val lo = rnd.nextDouble() * 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 15) // lengths 0..15, widths vary
+    }
+    val a = mk.toDF("ka", "a_lo", "a_hi")
+    val b = mk.map { case (k, lo, hi) => (k + 1000, lo + rnd.nextDouble() * 4 - 2, hi) }
+      .toDF("kb", "b_lo", "b_hi")
+    for (width <- Seq(1.0, 7.0, 50.0)) {
+      val got = Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", width)
+        .select("ka", "kb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = a.crossJoin(b)
+        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .filter(col("b_lo") <= col("b_hi")) // operator drops invalid intervals
+        .select("ka", "kb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === got.toSet.size, s"width=$width produced duplicate pairs")
+      assert(got.toSet === want.toSet, s"width=$width pair set mismatch")
+    }
+  }
+
+  test("freqItems (stat sketch) surfaces planted heavy hitters; keySkew gives exact shares") {
+    import spark.implicits._
+    // one whale key (40%) over uniform noise
+    val df = ((1 to 400).map(_ => "whale") ++ (1 to 600).map(i => s"k${i % 97}")).toDF("k")
+    val approx = df.stat.freqItems(Array("k"), 0.2).head().getSeq[String](0)
+    assert(approx.contains("whale"))
+    val exact = graft.operators.Profiler.keySkew(df, "k", topN = 1).head()
+    assert(exact.getString(0) === "whale" && exact.getLong(1) === 400L)
+    assert(math.abs(exact.getDouble(2) - 0.4) < 1e-9)
+  }
+
   test("groupRegression: exact fit on a planted line, per group") {
     import spark.implicits._
     val df = ((1 to 10).map(x => ("g1", x.toDouble, 2.0 * x + 1)) ++
