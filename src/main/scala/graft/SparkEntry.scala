@@ -1005,6 +1005,18 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("a"), col("b")))
         .orderBy("block", "a", "b")
     }),
+    "q_gini" -> ((s, dir) => {
+      // concentration of event volume across users and of order value
+      // across customers - the whale/monopoly audit
+      val byUser = graft.operators.Profiler.gini(t(s, dir, "events"), "user_id")
+        .select(lit("events_per_user").as("metric"), col("n_keys"),
+          col("total").cast("double").as("total"), col("gini"))
+      val byCust = graft.operators.Profiler.gini(t(s, dir, "orders"), "o_custkey",
+          col("o_totalprice"))
+        .select(lit("order_value_per_customer").as("metric"), col("n_keys"),
+          round(col("total").cast("double"), 4).as("total"), col("gini"))
+      byUser.unionByName(byCust).orderBy("metric")
+    }),
     "q_interval_overlap" -> ((s, dir) => {
       // parts whose ±1% price bands overlap (interval×interval join via
       // band bucketing with claim-once semantics — no post-join dedup)
@@ -1992,6 +2004,22 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, n_chars,
         |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_gini" ->
+      """WITH u AS (SELECT user_id AS k, count(*)::DOUBLE AS x FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1),
+        |ur AS (SELECT k, x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM u),
+        |ua AS (SELECT 'events_per_user' AS metric, count(*)::BIGINT AS n_keys,
+        |         sum(x) AS total,
+        |         round(2.0 * sum(i * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*), 6) AS gini
+        |       FROM ur),
+        |c AS (SELECT o_custkey AS k, sum(o_totalprice) AS x FROM orders
+        |      WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |cr AS (SELECT k, x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM c),
+        |ca AS (SELECT 'order_value_per_customer' AS metric, count(*)::BIGINT,
+        |         round(sum(x), 4),
+        |         round(2.0 * sum(i * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*), 6)
+        |       FROM cr)
+        |SELECT * FROM ua UNION ALL SELECT * FROM ca ORDER BY metric""".stripMargin,
     "q_interval_overlap" ->
       """WITH iv AS (SELECT p_partkey, p_retailprice * 0.99 AS lo, p_retailprice * 1.01 AS hi FROM part)
         |SELECT a.p_partkey, count(*)::BIGINT AS n_overlaps

@@ -327,6 +327,31 @@ object Profiler {
       col("n_a"), col("n_b"))
   }
 
+  /** Gini concentration index of per-key weights — "how concentrated is
+    * the corpus": 0 = perfectly even (every key equal share), → 1 = one
+    * key owns everything (domain monopolies, whale users, boilerplate
+    * sources). Uses the sorted-values identity
+    * `G = (2·Σ(i·xᵢ)) / (n·Σx) − (n+1)/n` with ties broken by key for a
+    * deterministic rank. One row `(n_keys, total, gini)`.
+    *
+    * The aggregation to per-key weights is the scalable part (one keyed
+    * shuffle); the rank window then runs over the KEY frame — fine to
+    * ~10^7 keys, the same trade as the exact-KS window
+    * ([[graft.checks.DriftCheck]]), with [[keySkew]]'s top-N as the
+    * any-scale fallback. */
+  def gini(df: DataFrame, keyCol: String, weight: Column = lit(1L)): DataFrame = {
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(sum(weight).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc, col(keyCol).asc)
+    perKey.select(col("x").cast("double").as("x"),
+        row_number().over(w).cast("double").as("i"))
+      .agg(count(lit(1)).as("n_keys"), sum("x").as("total"),
+        (lit(2.0) * sum(col("i") * col("x")) / (count(lit(1)) * sum("x")) -
+          (count(lit(1)) + 1.0) / count(lit(1))).as("__g"))
+      .select(col("n_keys"), col("total"), round(col("__g"), 6).as("gini"))
+  }
+
   /** Functional-dependency violation profile for a candidate FD
     * `lhsCols → rhsCol`: one row
     * `(n_keys, n_violating, rows_in_violating, violation_ratio)` where a

@@ -209,6 +209,18 @@ class Round3OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("gini: 0 for perfectly even shares, near 1 for a monopoly, closed form for two keys") {
+    import spark.implicits._
+    val even = (1 to 100).flatMap(k => Seq.fill(5)(s"k$k")).toDF("k")
+    assert(Profiler.gini(even, "k").head().getDouble(2) === 0.0)
+    // one key with 9901 rows, 99 keys with 1: near-monopoly
+    val mono = (Seq.fill(9901)("whale") ++ (1 to 99).map(i => s"k$i")).toDF("k")
+    assert(Profiler.gini(mono, "k").head().getDouble(2) > 0.95)
+    // two keys, shares (1, 3): G = (2*(1*1 + 2*3))/(2*4) - 3/2 = 0.25
+    val two = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).toDF("k")
+    assert(Profiler.gini(two, "k").head().getDouble(2) === 0.25)
+  }
+
   test("freqItems (stat sketch) surfaces planted heavy hitters; keySkew gives exact shares") {
     import spark.implicits._
     // one whale key (40%) over uniform noise
