@@ -1005,6 +1005,12 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("a"), col("b")))
         .orderBy("block", "a", "b")
     }),
+    "q_mann_whitney" -> ((s, dir) => {
+      // rank-based purchase-vs-click value comparison (heavy-tail-safe
+      // complement of q_ttest)
+      graft.operators.Profiler.mannWhitneyU(
+        t(s, dir, "events"), "value", "event_type", "purchase", "click")
+    }),
     "q_gini" -> ((s, dir) => {
       // concentration of event volume across users and of order value
       // across customers - the whale/monopoly audit
@@ -2004,6 +2010,23 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, n_chars,
         |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH pv AS (SELECT value AS v,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+        |GROUP BY 1),
+        |r AS (SELECT ca, cb,
+        |  coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (ca + cb + 1) / 2.0 AS avg_rank,
+        |  (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS tie_term FROM pv),
+        |a AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |  sum(ca * avg_rank) AS ra, sum(tie_term)::DOUBLE AS ties FROM r),
+        |b AS (SELECT n_a, n_b, ra - n_a * (n_a + 1) / 2.0 AS u_a, ties FROM a)
+        |SELECT n_a, n_b, round(u_a, 4) AS u_a,
+        |  round((u_a - n_a * n_b / 2.0) /
+        |    sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
+        |FROM b""".stripMargin,
     "q_gini" ->
       """WITH u AS (SELECT user_id AS k, count(*)::DOUBLE AS x FROM events
         |           WHERE user_id IS NOT NULL GROUP BY 1),

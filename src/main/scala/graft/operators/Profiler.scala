@@ -301,6 +301,47 @@ object Profiler {
       regr_count(y, x).as("n"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    * NONPARAMETRIC cohort comparison ([[welchTTest]]'s rank-based
+    * complement for skewed / heavy-tailed metrics). One row
+    * `(n_a, n_b, u_a, z)`: `U_a = R_a − n_a(n_a+1)/2` with tie-averaged
+    * ranks, and the normal approximation z-score with the full tie
+    * correction in the variance.
+    *
+    * Scale shape: values pre-aggregate to per-DISTINCT-value counts (one
+    * keyed shuffle), ranks come from a cumulative window over the
+    * distinct-value frame (exact, same moderate-cardinality trade as the
+    * exact KS statistic), and tie terms `t³−t` fall out of the same frame. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perVal = df.filter(col(groupCol).isNotNull && v.isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(v.as("v")).agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val ranked = perVal.select(col("ca"), col("cb"),
+      (coalesce(sum(t).over(w), lit(0L)) + (t + 1) / lit(2.0)).as("avg_rank"),
+      (t * t * t - t).as("tie_term"))
+    ranked.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * col("avg_rank")).as("__ra"),
+        sum("tie_term").as("__ties"))
+      .select(col("n_a"), col("n_b"),
+        (col("__ra") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
+        col("__ties"))
+      .select(col("n_a"), col("n_b"), round(col("u_a"), 4).as("u_a"),
+        round(
+          (col("u_a") - col("n_a") * col("n_b") / lit(2.0)) /
+            sqrt(col("n_a") * col("n_b") / lit(12.0) *
+              ((col("n_a") + col("n_b") + 1) -
+                col("__ties") / ((col("n_a") + col("n_b")) * (col("n_a") + col("n_b") - 1)))),
+          6).as("z"))
+  }
+
   /** Welch's two-sample t statistic for `valueCol` between two groups of
     * `groupCol` — the unequal-variance cohort-mean comparison (A/B legs,
     * before/after windows). One row

@@ -209,6 +209,19 @@ class Round3OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitneyU matches a hand-computed example with ties") {
+    import spark.implicits._
+    // a = [1,2,3], b = [2,4]; pooled ranks 1, 2.5, 2.5, 4, 5
+    // R_a = 1 + 2.5 + 4 = 7.5 -> U_a = 7.5 - 3*4/2 = 1.5
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++ Seq(2.0, 4.0).map(("B", _))).toDF("g", "v")
+    val r = Profiler.mannWhitneyU(df, "v", "g", "A", "B").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.5)
+    // z = (1.5 - 3) / sqrt(3*2/12 * (6 - 6/20))
+    val wantZ = (1.5 - 3.0) / math.sqrt(0.5 * (6.0 - 6.0 / 20.0))
+    assert(math.abs(r.getDouble(3) - wantZ) < 1e-6)
+  }
+
   test("gini: 0 for perfectly even shares, near 1 for a monopoly, closed form for two keys") {
     import spark.implicits._
     val even = (1 to 100).flatMap(k => Seq.fill(5)(s"k$k")).toDF("k")
