@@ -115,6 +115,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming: row-local curation ops (split, stratified sample, temperature thresholds) run unchanged on a stream and match batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = (1L to 300L).map(i => (i, s"s${i % 5}"))
+    val batchDf = rows.toDF("id", "stratum")
+    val mem = MemoryStream[(Long, String)]
+    // md5-threshold ops are pure row-local projections/filters — no
+    // aggregation, no watermark, no state — so the SAME operator code is
+    // streaming-safe and produces the batch-identical deterministic result
+    val streamed = graft.operators.Splits.stratifiedSample(
+      graft.operators.Splits.assignSplit(
+        mem.toDF().toDF("id", "stratum"), "id"),
+      "stratum", "id", Map("s0" -> 128, "s1" -> 256), defaultUpper = 64)
+    val q = streamed.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("curation_stream")
+      .select("id", "stratum", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = graft.operators.Splits.stratifiedSample(
+      graft.operators.Splits.assignSplit(batchDf, "id"),
+      "stratum", "id", Map("s0" -> 128, "s1" -> 256), defaultUpper = 64)
+      .select("id", "stratum", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("streaming: observed check metrics arrive per micro-batch") {
     val s = spark
     import s.implicits._
