@@ -1005,6 +1005,15 @@ object SparkEntry {
         .withColumn("dist", levenshtein(col("a"), col("b")))
         .orderBy("block", "a", "b")
     }),
+    "q_group_quantiles" -> ((s, dir) => {
+      // p50/p95 event value per event type - exact, no per-group
+      // percentile maps
+      graft.operators.Profiler.groupQuantiles(
+          t(s, dir, "events"), "event_type", "value", Seq(0.5, 0.95))
+        .select(col("event_type"), col("n"),
+          round(col("q_50"), 6).as("q_50"), round(col("q_95"), 6).as("q_95"))
+        .orderBy("event_type")
+    }),
     "q_mann_whitney" -> ((s, dir) => {
       // rank-based purchase-vs-click value comparison (heavy-tail-safe
       // complement of q_ttest)
@@ -2010,6 +2019,12 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, n_chars,
         |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_group_quantiles" ->
+      """SELECT event_type, count(value)::BIGINT AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS q_50,
+        |  round(quantile_cont(value, 0.95), 6) AS q_95
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mann_whitney" ->
       """WITH pv AS (SELECT value AS v,
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,

@@ -368,6 +368,44 @@ object Profiler {
       col("n_a"), col("n_b"))
   }
 
+  /** EXACT interpolated quantiles PER GROUP — the "p50/p95 latency per
+    * service" shape — without the built-in `percentile` aggregate's
+    * per-group value-count maps. Per-distinct-value counts (one keyed
+    * shuffle) feed a cumulative window PER KEY (streams each group), and
+    * each requested quantile reduces to two conditional-min aggregates
+    * over that frame: the value at 0-based global position `i` within a
+    * key is `min(v | cum_hi ≥ i+1)`. Interpolation matches
+    * `percentile`/`quantile_cont`. One row per key:
+    * `(key, n, q_<p>...)`. */
+  def groupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val vc = col(valueCol).cast("double")
+    val counts = df.filter(vc.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol), vc.as("v")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val ranked = counts.select(col(keyCol), col("v"),
+      sum("c").over(wCum).as("cum_hi"), sum("c").over(wAll).as("n"))
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      val pos = (col("n") - 1) * lit(p)
+      Seq(
+        min(when(col("cum_hi") >= floor(pos) + 1, col("v"))).as(s"__lo_$i"),
+        min(when(col("cum_hi") >= ceil(pos) + 1, col("v"))).as(s"__hi_$i"))
+    } :+ max("n").as("__n")
+    val agged = ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val outCols = col(keyCol) +: col("__n").as("n") +:
+      probs.zipWithIndex.map { case (p, i) =>
+        val pos = (col("__n") - 1) * lit(p)
+        val frac = pos - floor(pos)
+        (col(s"__lo_$i") + (col(s"__hi_$i") - col(s"__lo_$i")) * frac)
+          .as(f"q_${(p * 100).round}%d")
+      }
+    agged.select(outCols: _*)
+  }
+
   /** Gini concentration index of per-key weights — "how concentrated is
     * the corpus": 0 = perfectly even (every key equal share), → 1 = one
     * key owns everything (domain monopolies, whale users, boilerplate

@@ -209,6 +209,23 @@ class Round3OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("groupQuantiles equals the percentile aggregate per group, including ties and edge probs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(50).toDouble) // heavy ties
+    }.toDF("g", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val got = Profiler.groupQuantiles(df, "g", "v", probs)
+      .collect().map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(2 + i))).toMap
+    val want = df.groupBy("g").agg(
+        expr(s"percentile(v, array(${probs.mkString(",")}))").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet === want.keySet)
+    for (k <- got.keySet; i <- probs.indices)
+      assert(math.abs(got(k)(i) - want(k)(i)) < 1e-9, s"group $k prob ${probs(i)}")
+  }
+
   test("mannWhitneyU matches a hand-computed example with ties") {
     import spark.implicits._
     // a = [1,2,3], b = [2,4]; pooled ranks 1, 2.5, 2.5, 4, 5
