@@ -1045,6 +1045,37 @@ object SparkEntry {
         .groupBy(col("ka").as("p_partkey")).agg(count(lit(1)).as("n_overlaps"))
         .orderBy("p_partkey")
     }),
+    "q_dup_spans" -> ((s, dir) => {
+      // exact duplicated-substring spans (suffix-array-style dedup, fixed
+      // k=8 token grams): positions whose gram repeats anywhere in the
+      // corpus, merged per doc into maximal token spans
+      graft.dedup.Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+    "q_decontaminate_embed" -> ((s, dir) => {
+      // semantic decontamination: corpus embeddings within cosine 0.4 of
+      // any eval embedding (eval = every 10th vector, broadcast)
+      val e = t(s, dir, "embeddings")
+      graft.dedup.Dedup.crossEmbeddingContamination(
+        corpus = e.filter(col("vec_id") % 10 =!= 0),
+        eval_ = e.filter(col("vec_id") % 10 === 0),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.4)
+        .orderBy("corpus_id")
+    }),
+    "q_dedup_containment" -> ((s, dir) => {
+      // asymmetric (quote-inclusion) near-dup: |A∩B|/min ≥ 0.8 over
+      // trigram shingles, lang-blocked
+      graft.dedup.Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, blockCols = Seq("lang"))
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("ida", "idb")
+    }),
+    "q_lm_score" -> ((s, dir) => {
+      // unigram-LM quality scoring (CCNet-style): corpus-fit add-one
+      // unigram model, per-doc mean token log-prob
+      graft.text.TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_jaro_linkage" -> ((s, dir) => {
       // record-linkage scoring: SNM candidate pairs scored with the native
       // jaro_winkler expression, cross-checked against DuckDB's
@@ -2082,6 +2113,59 @@ object SparkEntry {
         |t AS (SELECT lang, CASE WHEN rate >= 1.0 THEN 'zz'
         |        ELSE printf('%04x', floor(rate * 65536)::INT) END AS thr FROM r)
         |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
-        |WHERE md5(d.doc_id::VARCHAR) < t.thr ORDER BY d.doc_id""".stripMargin
+        |WHERE md5(d.doc_id::VARCHAR) < t.thr ORDER BY d.doc_id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+        |dup AS (SELECT doc_id, pos FROM
+        |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g) WHERE c >= 2),
+        |isl AS (SELECT doc_id, pos, max(pos + 7) OVER
+        |    (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_end FROM dup),
+        |fl AS (SELECT doc_id, pos,
+        |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS st FROM isl),
+        |grp AS (SELECT doc_id, pos,
+        |  sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM fl)
+        |SELECT doc_id, min(pos)::INT AS span_start, (max(pos) + 7)::INT AS span_end,
+        |  (max(pos) + 7 - min(pos) + 1)::INT AS span_tokens
+        |FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""".stripMargin,
+    "q_lm_score" ->
+      """WITH pairs AS (SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM pairs GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS vv FROM v),
+        |lp AS (SELECT p.doc_id,
+        |    round(ln((v.c + 1)::DOUBLE / (t.n + t.vv)::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |  FROM pairs p JOIN v USING (tok), t)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_embed" ->
+      """WITH e AS (SELECT vec_id AS eid, embedding::DOUBLE[] AS ev FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        |  WHERE vec_id % 10 != 0),
+        |p AS (SELECT cid, eid, round(list_cosine_similarity(cv, ev), 6) AS cs
+        |  FROM c CROSS JOIN e),
+        |f AS (SELECT * FROM p WHERE cs >= 0.4),
+        |r AS (SELECT cid, eid, cs,
+        |  row_number() OVER (PARTITION BY cid ORDER BY cs DESC, eid) AS rn,
+        |  count(*) OVER (PARTITION BY cid) AS nh FROM f)
+        |SELECT cid AS corpus_id, eid AS eval_id, cs AS cosine, nh::BIGINT AS n_eval_hits
+        |FROM r WHERE rn = 1 ORDER BY corpus_id""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS g FROM d),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, round(CAST(m AS DOUBLE) / least(ca.c, cb.c), 6) AS containment
+        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |WHERE CAST(m AS DOUBLE) / least(ca.c, cb.c) >= 0.8 ORDER BY ida, idb""".stripMargin
   )
 }

@@ -108,6 +108,103 @@ object Dedup {
         col("n_eval_grams").cast("long").as("n_eval_grams"))
   }
 
+  /** Embedding-space train/eval decontamination — the SEMANTIC twin of
+    * [[crossNgramContamination]] (catches paraphrased benchmark leakage
+    * that exact n-gram overlap misses): flags every corpus row whose
+    * embedding has cosine ≥ `threshold` against ANY eval embedding,
+    * reporting the best match (highest cosine, ties → smallest eval id)
+    * and the hit count. Returns `(corpus_id, eval_id, cosine,
+    * n_eval_hits)`.
+    *
+    * Scale shape: eval sets are benchmark-sized, so the eval side is
+    * BROADCAST and the corpus NEVER shuffles — one scan computing
+    * |eval| codegen'd kernel dot products per corpus row, then a map-side
+    * combined argmax aggregate; embarrassingly parallel at 100 TB. For
+    * eval sets too large to broadcast, run [[embeddingNearDupPairs]]'
+    * sign-LSH bucketing across the two tables instead. */
+  def crossEmbeddingContamination(
+      corpus: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val e = eval_.select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
+    c.crossJoin(broadcast(e))
+      .select(col("corpus_id"), col("__eid"),
+        round(cosine_sim(col("__cv"), col("__ev")), 6).as("__cs"))
+      .filter(col("__cs") >= threshold)
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("__cs"), (-col("__eid")).as("__neg"))).as("__best"),
+        count(lit(1)).as("n_eval_hits"))
+      .select(col("corpus_id"), (-col("__best.__neg")).as("eval_id"),
+        col("__best.__cs").as("cosine"), col("n_eval_hits"))
+  }
+
+  /** n-gram CONTAINMENT near-dup pairs — the asymmetric set-similarity
+    * join `|A∩B| / min(|A|,|B|) ≥ t`: catches subset duplication (one doc
+    * quoting or embedding another) that Jaccard structurally misses (a
+    * 100-gram doc containing all 10 grams of a smaller one has Jaccard
+    * 0.1 but containment 1.0). Output `(ida, idb, containment)`,
+    * `ida < idb`.
+    *
+    * Scale shape (prefix-filter asymmetry is the point): the containment
+    * bound constrains only the SMALLER set of a pair — overlap ≥
+    * ceil(t·min) means the smaller set's canonical-order prefix of length
+    * `c − ceil(t·c) + 1` must contain a shared gram, while the shared gram
+    * can sit anywhere in the larger set. So the inverted index holds FULL
+    * gram postings, probed by prefix grams only, with the probe side
+    * required to be the smaller of the pair (ties by id) — candidate
+    * generation is ~(1−t) of the full self-join, and the verify step is
+    * the same sorted-merge intersection kernel as the Jaccard join. Grams
+    * travel as 64-bit hashes. Word n ≥ 3 keeps posting lists from
+    * degenerating into stopword buckets. */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.9,
+      blockCols: Seq[String] = Seq.empty,
+      cacheIntermediate: Boolean = true
+  ): DataFrame = {
+    val setCol = shingle_hashes(TextAnalysis.tokens(col(textCol)), n)
+    val base0 = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id") +: setCol.as("sh") +: blockCols.map(col): _*)
+      .filter(size(col("sh")) > 0)
+    val base = if (cacheIntermediate)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    val prefLen = (size(col("sh")).cast("long") -
+      ceil(lit(threshold) * size(col("sh")).cast("double") - lit(1e-9)) + 1).cast("int")
+    val full = base.select(
+      col("id").as("idx_id") +: size(col("sh")).as("idx_c") +:
+        explode(col("sh")).as("g") +: blockCols.map(col): _*)
+    val probe = base.select(
+      col("id").as("pr_id") +: size(col("sh")).as("pr_c") +:
+        explode(slice(col("sh"), lit(1), prefLen)).as("g") +: blockCols.map(col): _*)
+    // probe side must be the smaller of the pair (the side the bound
+    // constrains); ties broken by id so each pair is generated once
+    val candidates = probe.join(full, blockCols :+ "g")
+      .filter(col("pr_c") < col("idx_c") ||
+        (col("pr_c") === col("idx_c") && col("pr_id") < col("idx_id")))
+      .select(least(col("pr_id"), col("idx_id")).as("ida"),
+        greatest(col("pr_id"), col("idx_id")).as("idb"))
+      .distinct()
+    val a = base.select(col("id").as("ida"), col("sh").as("sha"))
+    val b = base.select(col("id").as("idb"), col("sh").as("shb"))
+    val verified = candidates.join(a, Seq("ida")).join(b, Seq("idb"))
+      .select(col("ida"), col("idb"),
+        (graft.functions.sorted_intersection_count(col("sha"), col("shb")).cast("double") /
+          least(size(col("sha")), size(col("shb"))).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+    finishPairs(verified, base, cacheIntermediate)
+  }
+
   /** MinHash + banded LSH near-duplicate pairs, verified with exact Jaccard
     * over distinct word-n-gram shingles. Output: (ida, idb, jaccard) with
     * ida < idb, jaccard >= `threshold`. */
@@ -460,6 +557,60 @@ object Dedup {
       .select(col("ida"), col("idb"), cosine_sim(col("va"), col("vb")).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact duplicated-SUBSTRING span detection — the Spark-shaped analogue
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any k-token gram that
+    * occurs at more than one (doc, position) in the corpus — across docs OR
+    * repeated within one doc — marks its positions duplicated, and
+    * duplicated grams whose covered token ranges overlap or touch merge
+    * into maximal spans. Returns one row per span:
+    * `(idCol, span_start, span_end, span_tokens)` with 1-based inclusive
+    * token offsets and `span_tokens >= k`; a caller removes or trims these
+    * spans from the training corpus.
+    *
+    * Scale shape: positions travel as (doc, pos, 64-bit gram hash) — one
+    * row per corpus token (same cardinality as any explode-based text op),
+    * with the gram hashed by the one-pass positional kernel, never
+    * materialized as a string. Two shuffles total: a window count over the
+    * gram hash (uniform 8-byte keys — no skew) marks duplicated positions,
+    * then one shuffle on the doc id merges positions into spans via a
+    * gaps-and-islands window. Collisions of XXH64-folded grams (~1e-14
+    * within any realistic corpus slice) can only add a span, never drop
+    * one. A suffix array finds duplicates of EVERY length ≥ k; this
+    * fixed-k formulation finds exactly the same spans for duplicates of
+    * length ≥ k (a repeat of length L ≥ k duplicates all its L−k+1
+    * constituent k-grams, which merge back into the full span) — what it
+    * gives up is sub-k repeats, which substring dedup deliberately ignores
+    * anyway. */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minOccurrences: Int = 2
+  ): DataFrame = {
+    require(k > 0 && minOccurrences >= 2, "k > 0, minOccurrences >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol),
+        posexplode(graft.functions.positional_shingle_hashes(
+          TextAnalysis.tokens(col(textCol)), k)).as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__h"))
+    val dup = pos
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__c") >= minOccurrences)
+      .select(col(idCol), col("__pos"))
+    val byDoc = Window.partitionBy(idCol).orderBy("__pos")
+    val prevEnd = max(col("__pos") + lit(k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("__st", when(prevEnd.isNull || col("__pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__gid", sum("__st").over(byDoc))
+      .groupBy(col(idCol), col("__gid"))
+      .agg(min("__pos").as("span_start"), (max("__pos") + lit(k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
   /** Brute-force cosine pairs (oracle/baseline; O(n²) — small inputs only). */

@@ -132,6 +132,31 @@ object HashOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, m + 1))
   }
 
+  /** POSITIONAL rolling word-n-gram hashes: out(i) = hash of the gram
+    * starting at token i (same order-sensitive fold as [[shingleHashes]]
+    * but NOT sorted/deduped), so a duplicated gram can be mapped back to
+    * its token offset — the input to span-level exact-substring dedup. */
+  def positionalShingleHashes(tokens: ArrayData, n: Int, seed: Long): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      th(i) = if (tokens.isNullAt(i)) 0L else tokenHash(tokens.getUTF8String(i), seed)
+      i += 1
+    }
+    val out = new Array[Long](nt - n + 1)
+    var w = 0
+    while (w <= nt - n) {
+      var h = seed
+      var j = 0
+      while (j < n) { h = mix64(h ^ th(w + j)); j += 1 }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over precomputed shingle hashes (see [[minHash]] for
     * the mixing scheme). */
   def minHashFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
@@ -249,6 +274,28 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.shingleHashes($c, $n, ${seed}L);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `positional_shingle_hashes(array<string>) -> array<long>` — rolling
+  * n-gram hashes in token order, element i = gram starting at token i
+  * (codegen'd via static call). */
+case class PositionalShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.tokenArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_shingle_hashes"
+
+  protected override def nullSafeEval(tokens: Any): Any =
+    HashOps.positionalShingleHashes(tokens.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.positionalShingleHashes($c, $n, ${seed}L);")
 
   protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

@@ -68,6 +68,11 @@ package object functions {
   def jaro_winkler(a: Column, b: Column): Column =
     col(JaroWinklerSimilarity(expr(a), expr(b)))
 
+  /** Rolling word-n-gram hashes in TOKEN ORDER (element i = gram starting
+    * at token i) — the positional input to exact-substring span dedup. */
+  def positional_shingle_hashes(tokens: Column, n: Int = 8, seed: Long = 42L): Column =
+    col(PositionalShingleHashes(expr(tokens), n, seed))
+
   /** MinHash signature from precomputed shingle hashes. */
   def minhash_from_hashes(hashes: Column, numHashes: Int = 128): Column =
     col(MinHashFromHashes(expr(hashes), numHashes))

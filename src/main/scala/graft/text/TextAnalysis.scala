@@ -181,6 +181,40 @@ object TextAnalysis {
         (col("tf") * log(col("__n").cast("double") / (col("df") + 1))).as("tfidf"))
   }
 
+  /** Unigram language-model document scoring — the CCNet-style
+    * "perplexity" quality filter (Wenzek et al. 2020, public method) with
+    * the corpus as its own LM: fit an add-one-smoothed unigram model on
+    * corpus token counts and score each document by its mean token
+    * log-probability, `logp(t) = ln((c(t)+1)/(N+V))`. Documents far below
+    * the corpus-typical score are garbled/boilerplate outliers; a caller
+    * thresholds on `avg_logp` (or its per-lang quantiles).
+    * Returns `(idCol, n_tokens, avg_logp)` for every doc with ≥ 1 token.
+    *
+    * Scale shape: the exploded (doc, token) stream feeds (a) the vocab
+    * count aggregation (map-side combined, vocabulary-sized output) and
+    * (b) the scoring join on the token key — AQE broadcasts the vocab
+    * frame when it fits, else it's a shuffle join on the token. The
+    * explode is recomputed for the join branch rather than cached: at
+    * 100 TB recomputing a row-local explode beats persisting it.
+    * Determinism: per-token log-probs are rounded to 6 dp and summed as
+    * exact DECIMAL, so the doc score is partition-order independent and
+    * engine-exact (ln agrees across engines to 1 ulp; a 1e-6 grid absorbs
+    * it). */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val pairs = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val vocab = pairs.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val totals = vocab.agg(sum("__c").as("__N"), count(lit(1)).as("__V"))
+    pairs.join(vocab, Seq("__tok"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log((col("__c") + 1).cast("double") / (col("__N") + col("__V")).cast("double")), 6)
+          .cast("decimal(18,6)").as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("__lp").cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
   // --- repetition signals (Gopher-style quality rules) ---
 
   /** Per-document repetition signals over whitespace tokens — the standard

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class Round3bOperatorsSpec extends SparkSpec {
+
+  test("duplicatedSpans: cross-doc repeat merges into one maximal span with exact bounds") {
+    import spark.implicits._
+    // docs 1 and 2 share the 6-token run "a b c d e f" (positions 2-7 in
+    // doc 1, 1-6 in doc 2); all other tokens are unique corpus-wide
+    val docs = Seq(
+      (1L, "u1 a b c d e f u2 u3"),
+      (2L, "a b c d e f v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // the shared run duplicates 3 constituent 4-grams per doc, which merge
+    // back into the full 6-token span; doc 3 has no duplicated grams
+    assert(got === Seq((1L, 2, 7, 6), (2L, 1, 6, 6)))
+  }
+
+  test("duplicatedSpans: within-doc repetition is flagged; spans never shorter than k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "r1 r2 r3 r4 m1 m2 m3 r1 r2 r3 r4"), // "r1 r2 r3 r4" repeats in-doc
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got === Seq((1L, 1, 4, 4), (1L, 8, 11, 4)))
+    assert(got.forall(_._4 >= 4))
+  }
+
+  test("duplicatedSpans: overlapping repeats from different sources merge (gaps-and-islands)") {
+    import spark.implicits._
+    // doc 1 positions 1-4 duplicate doc 2's gram, positions 3-6 duplicate
+    // doc 3's gram: covered ranges [1,4] and [3,6] overlap -> one span [1,6]
+    val docs = Seq(
+      (1L, "a b c d e f t1 t2"),
+      (2L, "a b c d x1 x2 x3 x4"),
+      (3L, "c d e f y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 4)
+      .filter(col("doc_id") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got === Seq((1, 6, 6)))
+  }
+
+  test("unigramLogProb: hand-computed add-one scores; rare-token doc scores lower") {
+    import spark.implicits._
+    // corpus: "a" x3, "b" x2, "q" x1 -> N=6, V=3, denom=9
+    val docs = Seq((1L, "a a b"), (2L, "a b q")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def lp(c: Int): BigDecimal =
+      BigDecimal(math.log((c + 1) / 9.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def doc(cs: Int*): Double =
+      BigDecimal(cs.map(lp).sum.toDouble / cs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1L, 3L, doc(3, 3, 2)), (2L, 3L, doc(3, 2, 1))))
+    assert(got(0)._3 > got(1)._3) // the rare-token doc is the outlier
+  }
+
+  test("crossEmbeddingContamination: best match, tie-break to smaller eval id, hit counts") {
+    import spark.implicits._
+    val eval_ = Seq(
+      (10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0 vs eval 10, 0.0 vs eval 20
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.7071 vs BOTH -> tie -> eval 10
+      (3L, Array(-1.0f, -1.0f))  // negative vs both -> no hits
+    ).toDF("vec_id", "embedding")
+    val got = graft.dedup.Dedup.crossEmbeddingContamination(
+        corpus, eval_, "vec_id", "embedding", threshold = 0.5)
+      .orderBy("corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 10L, 1.0, 1L), (2L, 10L, 0.707107, 2L)))
+  }
+
+  test("ngramContainmentPairs: subset doc is caught at containment 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    val small = "q1 q2 q3 q4 q5" // 3 trigrams, all inside doc 2
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.9, cacheIntermediate = false)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+    // and Jaccard at the same threshold does NOT pair them (3 shared of 18 union)
+    val jac = graft.dedup.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.9, cacheIntermediate = false)
+    assert(jac.count() === 0L)
+  }
+
+  test("ngramContainmentPairs equals brute-force containment on random-ish docs") {
+    import spark.implicits._
+    // deterministic pseudo-random docs over a tiny vocab so overlaps occur
+    val docs = (1L to 30L).map { i =>
+      val toks = (0 until 20).map(j => "w" + (((i * 7 + j * 13) % 11)))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def trigramSet(text: String): Set[Seq[String]] = {
+      val t = text.split("\\s+").toSeq
+      t.sliding(3).filter(_.size == 3).toSet.map((s: Seq[String]) => s)
+    }
+    val sets = docs.collect().map(r => r.getLong(0) -> trigramSet(r.getString(1))).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      m = (sets(a) intersect sets(b)).size
+      mn = math.min(sets(a).size, sets(b).size)
+      if mn > 0 && m.toDouble / mn >= 0.5
+    } yield (a, b)).toSet
+    val got = graft.dedup.Dedup.ngramContainmentPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.5, cacheIntermediate = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("unigramLogProb: empty/whitespace docs are dropped, not scored") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+}
