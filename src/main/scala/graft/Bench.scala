@@ -26,14 +26,21 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.toRdd.count(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated query filter for iterating on one hot query
+    // (timing methodology unchanged when unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // a failed warm-up must be visible: the timed run below would
       // otherwise silently pay cold-JIT cost (or fail again) with no signal
       try run(fn(spark, warmDir))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}") }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true }
       catch { case e: Throwable =>

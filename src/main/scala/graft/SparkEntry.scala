@@ -1033,14 +1033,18 @@ object SparkEntry {
       byUser.unionByName(byCust).orderBy("metric")
     }),
     "q_interval_overlap" -> ((s, dir) => {
-      // parts whose ±1% price bands overlap (interval×interval join via
-      // band bucketing with claim-once semantics — no post-join dedup)
+      // parts whose ±0.01% price bands overlap — near-identical pricing
+      // (interval×interval join via band bucketing with claim-once
+      // semantics — no post-join dedup). The fixture's prices span only
+      // 900-1000, so a ±1% band made 34% of ALL pairs overlap (69 M output
+      // pairs at sf0.1 — a degenerate workload measuring output size);
+      // ±0.01% is a selective band. bucketWidth ≈ interval length (~0.2).
       val p = t(s, dir, "part").select(col("p_partkey"),
-        (col("p_retailprice") * 0.99).as("lo"), (col("p_retailprice") * 1.01).as("hi"))
+        (col("p_retailprice") * 0.9999).as("lo"), (col("p_retailprice") * 1.0001).as("hi"))
       val a = p.select(col("p_partkey").as("ka"), col("lo").as("a_lo"), col("hi").as("a_hi"))
       val b = p.select(col("p_partkey").as("kb"), col("lo").as("b_lo"), col("hi").as("b_hi"))
       graft.operators.Joins.intervalOverlapJoin(a, b,
-          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 1000.0)
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 0.25)
         .filter(col("ka") < col("kb"))
         .groupBy(col("ka").as("p_partkey")).agg(count(lit(1)).as("n_overlaps"))
         .orderBy("p_partkey")
@@ -2090,7 +2094,7 @@ object SparkEntry {
         |       FROM cr)
         |SELECT * FROM ua UNION ALL SELECT * FROM ca ORDER BY metric""".stripMargin,
     "q_interval_overlap" ->
-      """WITH iv AS (SELECT p_partkey, p_retailprice * 0.99 AS lo, p_retailprice * 1.01 AS hi FROM part)
+      """WITH iv AS (SELECT p_partkey, p_retailprice * 0.9999 AS lo, p_retailprice * 1.0001 AS hi FROM part)
         |SELECT a.p_partkey, count(*)::BIGINT AS n_overlaps
         |FROM iv a JOIN iv b ON a.p_partkey < b.p_partkey AND a.lo <= b.hi AND b.lo <= a.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
