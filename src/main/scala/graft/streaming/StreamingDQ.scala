@@ -144,6 +144,71 @@ object StreamingDQ {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Bounded space-saving counter map for one group key: item →
+    * (estimated count, max overcount). */
+  final case class HeavyHitterState(items: Map[String, (Long, Long)])
+  final case class HeavyHitter(group: String, rank: Int, item: String,
+      est_count: Long, max_overcount: Long)
+
+  /** Space-saving heavy hitters (Metwally/Agrawal/El Abbadi, ICDT'05 —
+    * public algorithm) as a `transformWithState` processor: per group key,
+    * a counter map of AT MOST `capacity` items absorbs an unbounded item
+    * stream — when a new item arrives at a full map, the minimum counter
+    * is evicted and the newcomer inherits its count (+1) with that count
+    * recorded as its `max_overcount`. Guarantees: every item whose true
+    * frequency exceeds N/capacity is in the map; `true ≤ est_count ≤
+    * true + max_overcount`; items with `max_overcount = 0` have EXACT
+    * counts. Eviction ties break lexicographically so the trajectory is
+    * deterministic for tests.
+    *
+    * This is the streaming twin of [[graft.operators.Profiler.keySkew]]
+    * (exact, batch): state per group is O(capacity) — independent of
+    * stream length and item cardinality, the only shape that survives an
+    * unbounded 100 TB stream. Each micro-batch emits the current top-`k`
+    * per group (Update mode). */
+  final class SpaceSavingProcessor(capacity: Int, k: Int)
+      extends StatefulProcessor[String, (String, String), HeavyHitter] {
+    @transient private var state: ValueState[HeavyHitterState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[HeavyHitterState]("ss",
+        org.apache.spark.sql.Encoders.product[HeavyHitterState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      val m = mutable.Map.empty[String, (Long, Long)]
+      if (state.exists()) m ++= state.get().items
+      rows.foreach { case (_, item) =>
+        m.get(item) match {
+          case Some((c, e)) => m(item) = (c + 1, e)
+          case None if m.size < capacity => m(item) = (1L, 0L)
+          case None =>
+            val (minItem, (minC, _)) =
+              m.minBy { case (i, (c, _)) => (c, i) }
+            m -= minItem
+            m(item) = (minC + 1, minC)
+        }
+      }
+      state.update(HeavyHitterState(m.toMap))
+      m.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k).zipWithIndex.map {
+        case ((i, (c, e)), r) => HeavyHitter(key, r + 1, i, c, e)
+      }.iterator
+    }
+  }
+
+  /** [[SpaceSavingProcessor]] front door: input frame must carry `group`
+    * and `item` string columns; emits the running top-`k` per group each
+    * micro-batch. Requires the RocksDB state store provider (as all
+    * `transformWithState` operators do). */
+  def streamingHeavyHitters(df: DataFrame, capacity: Int = 64,
+      k: Int = 10): Dataset[HeavyHitter] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("group").cast("string"), col("item").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SpaceSavingProcessor(capacity, k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup by key columns with bounded state: rows whose
     * key was already seen within the watermark are dropped; state for keys
     * older than the watermark is evicted (`dropDuplicatesWithinWatermark`),

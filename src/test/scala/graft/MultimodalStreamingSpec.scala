@@ -115,6 +115,82 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming: space-saving heavy hitters — exact when under capacity, cumulative across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("group", "item")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = graft.streaming.StreamingDQ.streamingHeavyHitters(df, capacity = 8, k = 2)
+    val q = out.writeStream.format("memory").queryName("hh_exact").outputMode("update").start()
+    try {
+      mem.addData(("g", "whale"), ("g", "whale"), ("g", "x"), ("g", "y"))
+      q.processAllAvailable()
+      mem.addData(("g", "whale"), ("g", "x"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_exact").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      // batch 1: whale 2; batch 2 cumulative: whale 3, x 2 — all exact
+      assert(rows.contains(("g", 1, "whale", 2L, 0L)))
+      assert(rows.contains(("g", 1, "whale", 3L, 0L)))
+      assert(rows.contains(("g", 2, "x", 2L, 0L)))
+      assert(rows.forall(_._5 == 0L)) // under capacity -> no overcounts
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("streaming: space-saving heavy hitters — whale survives eviction pressure with bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("group", "item")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = graft.streaming.StreamingDQ.streamingHeavyHitters(df, capacity = 3, k = 3)
+    val q = out.writeStream.format("memory").queryName("hh_evict").outputMode("update").start()
+    try {
+      // whale: 16 of 36 rows; 20 distinct singletons (cardinality 21 >>
+      // capacity 3). 16 > N/capacity = 12, so the space-saving theorem
+      // guarantees the whale is tracked at the end REGARDLESS of the
+      // arrival order inside each micro-batch.
+      val whale = Seq.fill(16)("g" -> "whale")
+      val noise = (1 to 20).map(i => "g" -> s"n$i")
+      mem.addData(noise.take(10) ++ whale.take(8): _*)
+      q.processAllAvailable()
+      mem.addData(noise.drop(10) ++ whale.drop(8): _*)
+      q.processAllAvailable()
+      val last = spark.table("hh_evict").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .filter(_._4 >= 16L) // final-batch rows (whale est >= its true count)
+      val whaleRow = last.find(_._3 == "whale")
+      assert(whaleRow.isDefined, s"whale missing from $last")
+      // space-saving bound: true <= est <= true + max_overcount
+      val (_, _, _, est, over) = whaleRow.get
+      assert(est >= 16L && est - over <= 16L)
+      // state bound: never more than `capacity` items per group per batch
+      val all = spark.table("hh_evict").collect()
+      assert(all.length <= 2 * 3)
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming: row-local curation ops (split, stratified sample, temperature thresholds) run unchanged on a stream and match batch") {
     val s = spark
     import s.implicits._
