@@ -1056,6 +1056,25 @@ object SparkEntry {
       graft.dedup.Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")
     }),
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      // daily-crawl shape: which "new batch" docs (doc_id % 7 == 0)
+      // near-duplicate a doc already in the corpus (LSH bucket probe +
+      // exact Jaccard verify; corpus only ever scanned)
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.incrementalNearDup(
+        corpus = d.filter(col("doc_id") % 7 =!= 0),
+        batch = d.filter(col("doc_id") % 7 === 0),
+        idCol = "doc_id", textCol = "text",
+        shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("batch_id", "corpus_id")
+    }),
+    "q_volume_anomaly" -> ((s, dir) => {
+      // per-event-type hourly volume z-scores: the "did traffic crater
+      // this hour?" DQ check (integer-sum z, engine-exact)
+      graft.operators.Profiler.volumeAnomaly(t(s, dir, "events"), "ts", "event_type")
+        .orderBy("event_type", "bucket_id")
+    }),
     "q_decontaminate_embed" -> ((s, dir) => {
       // semantic decontamination: corpus embeddings within cosine 0.4 of
       // any eval embedding (eval = every 10th vector, broadcast)
@@ -2145,6 +2164,38 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental_near" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks WHERE len(t) >= 3),
+        |b AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+        |c AS (SELECT * FROM sh WHERE doc_id % 7 != 0),
+        |exb AS (SELECT doc_id, unnest(s) AS g FROM b),
+        |exc AS (SELECT doc_id, unnest(s) AS g FROM c),
+        |inter AS (SELECT b2.doc_id AS batch_id, c2.doc_id AS corpus_id, count(*) AS m
+        |  FROM exb b2 JOIN exc c2 ON b2.g = c2.g GROUP BY 1, 2),
+        |cb AS (SELECT doc_id, len(s) AS c FROM b),
+        |cc AS (SELECT doc_id, len(s) AS c FROM c)
+        |SELECT batch_id, corpus_id, round(CAST(m AS DOUBLE) / (cb.c + cc.c - m), 6) AS jaccard
+        |FROM inter JOIN cb ON batch_id = cb.doc_id JOIN cc ON corpus_id = cc.doc_id
+        |WHERE CAST(m AS DOUBLE) / (cb.c + cc.c - m) >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
+    "q_volume_anomaly" ->
+      """WITH counts AS (SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS bucket_id,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, bucket_id, n_events,
+        |    sum(n_events) OVER (PARTITION BY event_type)::BIGINT AS s1,
+        |    sum(n_events * n_events) OVER (PARTITION BY event_type)::BIGINT AS s2,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS k
+        |  FROM counts),
+        |zs AS (SELECT event_type, bucket_id, n_events,
+        |    CASE WHEN k < 3 OR (s2::DOUBLE - s1::DOUBLE * s1 / k) / (k - 1.0) <= 0 THEN 0.0
+        |      ELSE round((n_events - s1::DOUBLE / k) /
+        |        sqrt((s2::DOUBLE - s1::DOUBLE * s1 / k) / (k - 1.0)), 4) END AS z
+        |  FROM st)
+        |SELECT event_type, bucket_id, n_events, z, abs(z) > 2.0 AS is_anomaly
+        |FROM zs ORDER BY event_type, bucket_id""".stripMargin,
     "q_decontaminate_embed" ->
       """WITH e AS (SELECT vec_id AS eid, embedding::DOUBLE[] AS ev FROM embeddings
         |  WHERE vec_id % 10 = 0),

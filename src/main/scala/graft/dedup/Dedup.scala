@@ -264,6 +264,69 @@ object Dedup {
     finishPairs(verifyJaccard(candidates, base, threshold), base, cacheIntermediate)
   }
 
+  /** Incremental NEAR-dup: which docs in a new `batch` near-duplicate a
+    * doc already in `corpus` (MinHash-LSH bucket join + exact Jaccard
+    * verify) — the daily-crawl-vs-existing-corpus shape, the near-dup twin
+    * of [[incrementalDedup]] (which catches only exact fingerprints).
+    * Returns `(batch_id, corpus_id, jaccard)` with jaccard ≥ `threshold`;
+    * a caller drops the flagged batch docs before appending.
+    *
+    * Scale shape: the corpus side is only ever SCANNED (signature pass +
+    * verify join) — it never self-joins and is never cached; the
+    * batch-side band table (bounded by |batch|·bands) is broadcast into
+    * the bucket join, so the corpus's banded stream sheds non-matching
+    * rows at scan speed. In a standing pipeline, materialize the corpus
+    * band table once (same pattern as [[graft.similarity.Ivf.buildIndex]])
+    * and this becomes a pure index probe. Recall: a true pair at J ≥ t
+    * shares an LSH bucket with probability 1 − (1 − J^r)^bands — at the
+    * default 64 bands of r = 2, misses at J ≥ 0.5 are ≤ 1e-8, so the
+    * output is exact in expectation at oracle scale. */
+  def incrementalNearDup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.5,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def shingled(df: DataFrame, as: String) = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as(as),
+        shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleN, seed).as(s"sh_$as"))
+      .filter(size(col(s"sh_$as")) > 0)
+    def bandify(df: DataFrame, id: String) = df
+      .select(col(id), minhash_from_hashes(col(s"sh_$id"), numHashes).as("sig"))
+      .select(col(id), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+    val c = shingled(corpus, "corpus_id")
+    val b = shingled(batch, "batch_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bandify(c, "corpus_id")
+      .join(broadcast(bandify(b, "batch_id")), Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val verified = candidates
+      .join(broadcast(b), Seq("batch_id"))
+      .join(c, Seq("corpus_id"))
+      // project m once so the merge kernel runs once per pair
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.sorted_intersection_count(col("sh_batch_id"), col("sh_corpus_id"))
+          .as("__m"),
+        size(col("sh_batch_id")).as("__ca"), size(col("sh_corpus_id")).as("__cb"))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("__m").cast("double") /
+          (col("__ca") + col("__cb") - col("__m")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val out = verified.localCheckpoint()
+    b.unpersist()
+    out
+  }
+
   /** When the shingle frame was cached, materialize the (much smaller)
     * verified pair list eagerly via `localCheckpoint` and unpersist the
     * cache before returning: the persisted corpus-sized frame would

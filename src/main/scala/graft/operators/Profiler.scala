@@ -104,6 +104,59 @@ object Profiler {
       .select(col(keyCol), col("n"), col("share"))
   }
 
+  /** Per-key event-VOLUME anomaly profile: bucket events into fixed time
+    * windows per key, then z-score each window's count against that key's
+    * own across-window mean/stddev — the "did traffic for this event type
+    * crater or spike this hour?" check that row-level DQ rules can't see
+    * (a missing upstream partition produces perfectly valid rows, just
+    * too few of them). Returns one row per (key, bucket):
+    * `(keyCol, bucket_id, n_events, z, is_anomaly)`; `bucket_id` =
+    * epoch-hours (or `bucketNanos`-sized units), z rounded to 4 dp,
+    * sample stddev. Keys with < `minBuckets` buckets or zero variance get
+    * z = 0 (no basis for an anomaly call).
+    *
+    * Scale + determinism shape: one hash aggregation on (key, bucket) —
+    * map-side combined, output bounded by keys × buckets — then a window
+    * over the KEY whose inputs (count, count², bucket count) are exact
+    * integer sums, so mean/variance/z are bit-deterministic across
+    * partitionings and engines (no floating-point accumulation order
+    * anywhere). Timestamps are int64 nanos; bucket assignment is integer
+    * floor-division, identical under DuckDB's µs truncation for any
+    * bucket ≥ 1 ms. */
+  def volumeAnomaly(
+      df: DataFrame,
+      tsNanosCol: String,
+      keyCol: String,
+      bucketNanos: Long = 3600L * 1000 * 1000 * 1000,
+      minBuckets: Int = 3,
+      zThresh: Double = 2.0
+  ): DataFrame = {
+    require(bucketNanos > 0 && minBuckets >= 2)
+    val counts = df
+      // nanos (~2^60) exceed double's mantissa: decimal floor-division, not
+      // the double `/` (same trap nanosToTs documents)
+      .groupBy(col(keyCol), floor(col(tsNanosCol).cast("decimal(25,0)") / lit(bucketNanos))
+        .cast("long").as("bucket_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val s1 = sum(col("n_events")).over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    val k = count(lit(1)).over(w)
+    counts
+      .withColumn("__s1", s1).withColumn("__s2", s2).withColumn("__k", k)
+      .withColumn("__mean", col("__s1").cast("double") / col("__k").cast("double"))
+      .withColumn("__var",
+        (col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") / col("__k").cast("double")) /
+          (col("__k").cast("double") - 1.0))
+      .withColumn("z",
+        when(col("__k") < minBuckets || col("__var") <= 0.0, lit(0.0))
+          .otherwise(round((col("n_events").cast("double") - col("__mean")) /
+            sqrt(col("__var")), 4)))
+      .withColumn("is_anomaly", abs(col("z")) > zThresh)
+      .select(col(keyCol), col("bucket_id"), col("n_events"), col("z"), col("is_anomaly"))
+  }
+
   /** Robust (median/MAD) outlier summary of a numeric column — the
     * heavy-tail-safe alternative to [[graft.checks.OutlierCheck]]'s
     * mean/stddev fences: one row `(n, median, mad, n_outliers)` where an

@@ -127,6 +127,53 @@ class Round3bOperatorsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("incrementalNearDup: planted batch near-dup of a corpus doc is caught; corpus-internal dups are not reported") {
+    import spark.implicits._
+    val base = (1 to 30).map(j => "t" + ((j * 17) % 23)).mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, base), // corpus-internal exact dup: must NOT appear (corpus never self-joins)
+      (3L, (1 to 30).map(j => "u" + j).mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " extra"),                      // near-dup of corpus docs 1 and 2
+      (200L, (1 to 30).map(j => "v" + j).mkString(" ")) // unique
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq
+    // batch doc shares all of base's distinct trigrams and adds one
+    // boundary trigram -> J = 23/24 vs both corpus copies
+    assert(got.map(t3 => (t3._1, t3._2)) === Seq((100L, 1L), (100L, 2L)))
+    assert(got.forall(_._3 > 0.85))
+  }
+
+  test("volumeAnomaly: hand-computed z-scores; short histories and zero variance give z = 0") {
+    import spark.implicits._
+    val H = 3600L * 1000 * 1000 * 1000
+    // key "a": bucket counts 10,10,10,30 -> mean 15, sd 10 -> z = -0.5,-0.5,-0.5,1.5
+    val a = (0 until 4).flatMap { b =>
+      val n = if (b == 3) 30 else 10
+      (0 until n).map(i => ("a", b * H + i * 1000L))
+    }
+    // key "b": only 2 buckets -> below minBuckets -> z = 0
+    val b = (0 until 2).flatMap(bk => (0 until 5).map(i => ("b", bk * H + i * 1000L)))
+    // key "c": constant volume -> zero variance -> z = 0
+    val c = (0 until 4).flatMap(bk => (0 until 7).map(i => ("c", bk * H + i * 1000L)))
+    val df = (a ++ b ++ c).toDF("event_type", "ts")
+    val got = graft.operators.Profiler.volumeAnomaly(df, "ts", "event_type",
+        minBuckets = 3, zThresh = 1.0)
+      .orderBy("event_type", "bucket_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val aRows = got.filter(_._1 == "a")
+    assert(aRows.map(_._4).toSeq === Seq(-0.5, -0.5, -0.5, 1.5))
+    assert(aRows.map(_._5).toSeq === Seq(false, false, false, true))
+    assert(got.filter(_._1 == "b").forall(r => r._4 == 0.0 && !r._5))
+    assert(got.filter(_._1 == "c").forall(r => r._4 == 0.0 && !r._5))
+  }
+
   test("unigramLogProb: empty/whitespace docs are dropped, not scored") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
