@@ -1056,6 +1056,28 @@ object SparkEntry {
       graft.dedup.Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")
     }),
+    "q_null_patterns" -> ((s, dir) => {
+      // null-combination mining over planted correlated nulls (fixtures
+      // are null-free: the same corruptions are synthesized on the oracle
+      // side — planted-fixture pattern)
+      val c = t(s, dir, "customer").select(
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_name")).as("name"),
+        when(col("c_acctbal") < 0 && col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        when(col("c_nationkey") % 5 === 0, lit(null)).otherwise(col("c_nationkey")).as("nation"))
+      graft.operators.Profiler.nullPatterns(c, Seq("name", "segment", "nation"))
+    }),
+    "q_dq_by_group" -> ((s, dir) => {
+      // per-segment completeness: a healthy table-level ratio hiding one
+      // bad stratum (nulls planted identically on both sides)
+      val c = t(s, dir, "customer")
+        .withColumn("name_ok",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_name")))
+        .withColumn("balpos",
+          when(col("c_mktsegment") === "MACHINERY", lit(null)).otherwise(col("c_acctbal")))
+      graft.operators.Profiler.groupCompleteness(c, Seq("name_ok", "balpos"), Seq("c_mktsegment"))
+        .orderBy("c_mktsegment", "column")
+    }),
     "q_dedup_incremental_near" -> ((s, dir) => {
       // daily-crawl shape: which "new batch" docs (doc_id % 7 == 0)
       // near-duplicate a doc already in the corpus (LSH bucket probe +
@@ -2164,6 +2186,34 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_null_patterns" ->
+      """WITH x AS (SELECT
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS name,
+        |  CASE WHEN c_acctbal < 0 AND c_mktsegment = 'BUILDING' THEN NULL
+        |    ELSE c_mktsegment END AS segment,
+        |  CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey END AS nation
+        |FROM customer),
+        |p AS (SELECT concat_ws(',',
+        |   CASE WHEN name IS NULL THEN 'name' END,
+        |   CASE WHEN segment IS NULL THEN 'segment' END,
+        |   CASE WHEN nation IS NULL THEN 'nation' END) AS pat FROM x),
+        |g AS (SELECT CASE WHEN pat = '' THEN 'complete' ELSE pat END AS null_pattern,
+        |   count(*)::BIGINT AS n FROM p GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS tot FROM g)
+        |SELECT null_pattern, n, round(n::DOUBLE / tot, 6) AS share FROM g, t
+        |ORDER BY n DESC, null_pattern""".stripMargin,
+    "q_dq_by_group" ->
+      """WITH x AS (SELECT c_mktsegment,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS name_ok,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL ELSE c_acctbal END AS balpos
+        |FROM customer),
+        |g AS (SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |   count(name_ok)::BIGINT AS cp, count(balpos)::BIGINT AS cb FROM x GROUP BY 1)
+        |SELECT c_mktsegment, 'name_ok' AS "column", n_rows,
+        |  round(cp::DOUBLE / n_rows, 6) AS ratio FROM g
+        |UNION ALL
+        |SELECT c_mktsegment, 'balpos', n_rows, round(cb::DOUBLE / n_rows, 6) FROM g
+        |ORDER BY c_mktsegment, "column"""".stripMargin,
     "q_dedup_incremental_near" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

@@ -104,6 +104,57 @@ object Profiler {
       .select(col(keyCol), col("n"), col("share"))
   }
 
+  /** Null-PATTERN mining: the distribution of null-column COMBINATIONS —
+    * which fields are missing TOGETHER. Per-column null ratios (the
+    * completeness checks) can't distinguish "5% of rows missing phone and
+    * 5% missing address independently" from "the same 5% missing both"
+    * — and the latter usually means one upstream source failed, not
+    * noisy data entry. Returns `(null_pattern, n, share)` sorted by
+    * count, where `null_pattern` is the comma-joined names of the null
+    * columns ("complete" when none are null).
+    *
+    * Scale: one hash aggregation on a row-computed pattern key (map-side
+    * combined; output bounded by 2^|cols| patterns, in practice a
+    * handful), plus a window total over that tiny result. */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val pat = concat_ws(",", cols.map(c => when(col(c).isNull, lit(c))): _*)
+    val counts = df
+      .groupBy(when(pat === "", lit("complete")).otherwise(pat).as("null_pattern"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("share",
+        round(col("n").cast("double") / sum("n").over(w).cast("double"), 6))
+      .orderBy(col("n").desc, col("null_pattern"))
+  }
+
+  /** Per-GROUP completeness — the reference's table-level completeness
+    * ratio broken out by a grouping key, in long format
+    * `(groupCols..., column, n_rows, ratio)`: a 0.99 table-level ratio
+    * can hide one segment at 0.60, which is exactly the case a corpus
+    * mixing/monitoring pipeline needs surfaced per stratum.
+    *
+    * Scale: ONE partial+final hash aggregation computes every attribute's
+    * non-null count per group (no per-attr scans — the same single-pass
+    * fusion the table-level checks use), then an in-memory unpivot
+    * (`stack`) of the group-sized result to long format. Ratios are
+    * exact-integer-count divisions — engine-deterministic. */
+  def groupCompleteness(df: DataFrame, attrs: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty && groupCols.nonEmpty)
+    val aggs = count(lit(1)).as("__n") +:
+      attrs.map(a => count(col(a)).as(s"__c_$a"))
+    val wide = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${attrs.size}, " +
+      attrs.map(a => s"'$a', __c_$a").mkString(", ") + ") as (column, __cnt)"
+    wide
+      .select((groupCols.map(col) :+ col("__n") :+ expr(stackExpr)): _*)
+      .select((groupCols.map(col) :+ col("column") :+ col("__n").as("n_rows") :+
+        round(col("__cnt").cast("double") / col("__n").cast("double"), 6).as("ratio")): _*)
+  }
+
   /** Per-key event-VOLUME anomaly profile: bucket events into fixed time
     * windows per key, then z-score each window's count against that key's
     * own across-window mean/stddev — the "did traffic for this event type

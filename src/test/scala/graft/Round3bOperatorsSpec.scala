@@ -174,6 +174,39 @@ class Round3bOperatorsSpec extends SparkSpec {
     assert(got.filter(_._1 == "c").forall(r => r._4 == 0.0 && !r._5))
   }
 
+  test("nullPatterns: correlated nulls surface as one combined pattern, not independent ones") {
+    import spark.implicits._
+    val df = Seq[(Option[String], Option[String], Option[String])](
+      (Some("a"), Some("b"), Some("c")),
+      (Some("a"), Some("b"), Some("c")),
+      (None, None, Some("c")), // phone+address missing TOGETHER
+      (None, None, Some("c")),
+      (Some("a"), Some("b"), None)
+    ).toDF("phone", "address", "segment")
+    val got = graft.operators.Profiler.nullPatterns(df, Seq("phone", "address", "segment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      ("complete", 2L, 0.4),
+      ("phone,address", 2L, 0.4),
+      ("segment", 1L, 0.2)))
+  }
+
+  test("groupCompleteness: one bad stratum is visible while the table-level ratio looks healthy") {
+    import spark.implicits._
+    val df = Seq(
+      ("good", Some("x"), Some("y")), ("good", Some("x"), Some("y")),
+      ("good", Some("x"), Some("y")), ("good", Some("x"), Some("y")),
+      ("bad", None, Some("y")), ("bad", Some("x"), None)
+    ).toDF("seg", "a", "b")
+    val got = graft.operators.Profiler.groupCompleteness(df, Seq("a", "b"), Seq("seg"))
+      .orderBy("seg", "column").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("bad", "a", 2L, 0.5), ("bad", "b", 2L, 0.5),
+      ("good", "a", 4L, 1.0), ("good", "b", 4L, 1.0)))
+    // table-level ratio hides it: 5/6 = 0.83 for both columns
+  }
+
   test("unigramLogProb: empty/whitespace docs are dropped, not scored") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
