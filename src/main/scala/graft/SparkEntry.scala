@@ -1180,6 +1180,93 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "doc_id", alpha = 0.5, targetRows = 250)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+    // --- round 3: weekly cohort retention matrix (2 keyed shuffles) ---
+    "q_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Retention.retentionMatrix(ev, "user_id", "ts_us",
+        c => floor(c / lit(604800000000L)).cast("long"))
+        .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+          round(col("retention"), 6).as("retention"))
+        .orderBy("cohort", "offset")
+    }),
+    // --- round 3: exact cumulative distinct users/day, no distinct-set ---
+    "q_cumulative_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Retention.cumulativeDistinct(ev, "user_id", "ts_us",
+        c => floor(c / lit(86400000000L)).cast("long"))
+        .orderBy("period")
+    }),
+    // --- round 3: multi-lookback-window user features in ONE scan ---
+    "q_user_features" -> ((s, dir) => {
+      val refTs = 1706745600000000L // 2024-02-01 00:00 UTC (just past the fixture)
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("value_dec", col("value").cast("decimal(30,6)"))
+      graft.operators.Retention.userFeatures(ev, "user_id", "ts_us", "value_dec",
+        refTs, Seq("7d" -> 7L * 86400000000L, "30d" -> 30L * 86400000000L))
+        .select(col("user_id"), col("n_7d"),
+          round(col("value_7d").cast("double"), 6).as("value_7d"),
+          col("n_30d"), round(col("value_30d").cast("double"), 6).as("value_30d"),
+          col("recency"))
+        .orderBy("user_id")
+    }),
+    // --- round 3: time-of-day seasonal volume anomaly ---
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Retention.seasonalVolumeAnomaly(ev,
+        dayCol = expr("ts_us div 86400000000").cast("long"),
+        hourCol = expr("(ts_us div 3600000000) % 24").cast("long"), k = 2.0)
+        .select(col("day"), col("hour"), col("n"),
+          round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+          round(col("z"), 6).as("z"))
+        .orderBy("day", "hour")
+    }),
+    // --- round 3: snapshot reconciliation (migration/backfill audit) ---
+    "q_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val next = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(col("o_orderkey") % 131 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.operators.Reconcile.diffSummary(
+        graft.operators.Reconcile.snapshotDiff(o, next, Seq("o_orderkey")))
+        .orderBy("diff_status")
+    }),
+    // --- round 3: which columns changed, among changed rows ---
+    "q_diff_cols" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val next = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      graft.operators.Reconcile.changedColumnCounts(
+        graft.operators.Reconcile.snapshotDiff(o, next, Seq("o_orderkey")))
+        .orderBy("column")
+    }),
+    // --- round 3: k-anonymity audit over quasi-identifiers ---
+    "q_k_anonymity" -> ((s, dir) => {
+      graft.operators.Profiler.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+    // --- round 3: dead/constant column detection (one pass) ---
+    "q_dead_columns" -> ((s, dir) => {
+      graft.operators.Profiler.deadColumns(t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy("column")
+    }),
+    // --- round 3: degree-ordered triangle count on the co-purchase graph ---
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.Graph.triangleStats(edges, "a", "b")
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(col("global_clustering"), 6).as("global_clustering"))
     })
   )
 
@@ -2271,6 +2358,128 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT ida, idb, round(CAST(m AS DOUBLE) / least(ca.c, cb.c), 6) AS containment
         |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-        |WHERE CAST(m AS DOUBLE) / least(ca.c, cb.c) >= 0.8 ORDER BY ida, idb""".stripMargin
+        |WHERE CAST(m AS DOUBLE) / least(ca.c, cb.c) >= 0.8 ORDER BY ida, idb""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM coh GROUP BY 1),
+        |act AS (SELECT c.cohort, e.p - c.cohort AS "offset",
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM ev e JOIN coh c ON e.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT a.cohort, a."offset", a.n_active, s.cohort_size,
+        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM act a JOIN sizes s ON a.cohort = s.cohort
+        |ORDER BY a.cohort, a."offset"""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH firsts AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS period
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |daily AS (SELECT period, count(*) AS n_new FROM firsts GROUP BY 1)
+        |SELECT period, n_new,
+        |  sum(n_new) OVER (ORDER BY period ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
+        |FROM daily ORDER BY period""".stripMargin,
+    "q_user_features" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |  WHERE user_id IS NOT NULL AND epoch_us(ts) <= 1706745600000000)
+        |SELECT user_id,
+        |  sum(CASE WHEN t >= 1706745600000000 - 7*86400000000 THEN 1 ELSE 0 END)::BIGINT AS n_7d,
+        |  round(CAST(sum(CASE WHEN t >= 1706745600000000 - 7*86400000000
+        |    THEN CAST(value AS DECIMAL(30,6)) ELSE 0 END) AS DOUBLE), 6) AS value_7d,
+        |  sum(CASE WHEN t >= 1706745600000000 - 30*86400000000 THEN 1 ELSE 0 END)::BIGINT AS n_30d,
+        |  round(CAST(sum(CASE WHEN t >= 1706745600000000 - 30*86400000000
+        |    THEN CAST(value AS DECIMAL(30,6)) ELSE 0 END) AS DOUBLE), 6) AS value_30d,
+        |  (1706745600000000 - max(t))::BIGINT AS recency
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_seasonal_anomaly" ->
+      """WITH cells AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT hour, avg(n) AS mu, stddev_samp(n) AS sigma
+        |  FROM cells GROUP BY 1)
+        |SELECT c.day, c.hour, c.n, round(b.mu, 6) AS mu, round(b.sigma, 6) AS sigma,
+        |  round(CASE WHEN b.sigma > 0 THEN (c.n - b.mu) / b.sigma ELSE 0.0 END, 6) AS z
+        |FROM cells c JOIN base b ON c.hour = b.hour
+        |WHERE abs(CASE WHEN b.sigma > 0 THEN (c.n - b.mu) / b.sigma ELSE 0.0 END) > 2.0
+        |ORDER BY c.day, c.hour""".stripMargin,
+    "q_table_diff" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_custkey, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus,
+        |    o_custkey, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 131 = 0),
+        |d AS (SELECT
+        |  CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN (p.o_custkey IS DISTINCT FROM n.o_custkey)
+        |         OR (p.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |         OR (p.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |         OR (p.o_orderdate IS DISTINCT FROM n.o_orderdate)
+        |         OR (p.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |       THEN 'changed' ELSE 'unchanged' END AS diff_status
+        |  FROM orders p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+        |SELECT diff_status, count(*) AS n_rows FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_diff_cols" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (SELECT p.o_orderstatus AS ps, n.o_orderstatus AS ns,
+        |    p.o_totalprice AS pp, n.o_totalprice AS np
+        |  FROM orders p JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS "column",
+        |    count(*) FILTER (WHERE ps IS DISTINCT FROM ns)::BIGINT AS n_changed FROM j
+        |  UNION ALL
+        |  SELECT 'o_totalprice',
+        |    count(*) FILTER (WHERE pp IS DISTINCT FROM np)::BIGINT FROM j)
+        |WHERE n_changed > 0 ORDER BY "column"""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT min(n)::BIGINT AS min_class_size, count(*)::BIGINT AS n_classes,
+        |  sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT AS classes_below_k,
+        |  sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  sum(n)::BIGINT AS n_rows,
+        |  round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
+        |    AS at_risk_ratio
+        |FROM cls""".stripMargin,
+    "q_dead_columns" ->
+      """SELECT "column", n_null, n_distinct,
+        |  CASE WHEN n_distinct = 0 THEN 'all_null'
+        |       WHEN n_distinct = 1 THEN 'constant' ELSE 'live' END AS verdict
+        |FROM (
+        |  SELECT 'event_id' AS "column",
+        |    count(*) FILTER (WHERE event_id IS NULL)::BIGINT AS n_null,
+        |    count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+        |  UNION ALL SELECT 'user_id', count(*) FILTER (WHERE user_id IS NULL)::BIGINT,
+        |    count(DISTINCT user_id)::BIGINT FROM events
+        |  UNION ALL SELECT 'event_type', count(*) FILTER (WHERE event_type IS NULL)::BIGINT,
+        |    count(DISTINCT event_type)::BIGINT FROM events
+        |  UNION ALL SELECT 'value', count(*) FILTER (WHERE value IS NULL)::BIGINT,
+        |    count(DISTINCT value)::BIGINT FROM events
+        |  UNION ALL SELECT 'props', count(*) FILTER (WHERE props IS NULL)::BIGINT,
+        |    count(DISTINCT props)::BIGINT FROM events)
+        |ORDER BY "column"""".stripMargin,
+    "q_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM b x JOIN b y ON x.k = y.k AND x.i < y.i),
+        |deg AS (SELECT node, count(*) AS c FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        |  (SELECT sum(c * (c - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+        |  (SELECT t FROM tri)::BIGINT AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri) / (SELECT sum(c * (c - 1) / 2.0) FROM deg), 6)
+        |    AS global_clustering""".stripMargin
   )
 }

@@ -556,4 +556,49 @@ object Profiler {
       .withColumn("violation_ratio",
         round(col("n_violating").cast("double") / col("n_keys"), 6))
   }
+
+  /** k-anonymity audit over quasi-identifier columns: one row with the
+    * minimum equivalence-class size, class count, and the number/share of
+    * rows in classes smaller than `k` (the re-identifiable rows). NULL
+    * quasi-identifier values form their own class (SQL GROUP BY
+    * semantics) — a null birthdate is still a disclosure class.
+    *
+    * One keyed shuffle (partial-aggregated) + a one-row roll-up; nothing is
+    * proportional to the table size after the first aggregation. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty)
+    val classes = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    classes.agg(
+      min("__n").as("min_class_size"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("__n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_at_risk"),
+      sum("__n").as("n_rows"))
+      .withColumn("at_risk_ratio",
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
+  }
+
+  /** Dead-column detection: per column, null count, exact distinct count
+    * (nulls excluded), and the verdict — `all_null`, `constant` (≤1
+    * non-null distinct value), or `live`. The cheap schema-debt audit run
+    * before wasting IO on columns nobody populates.
+    *
+    * Single pass: Spark rewrites the multi-`countDistinct` aggregate into
+    * one `expand`-based aggregation (rows × #cols intermediate, partial
+    * combine before the shuffle) — no per-column scans. */
+  def deadColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c")))
+    // stay lazy: pivot the one aggregate row to one row per column with
+    // stack() — no driver round-trip, still a single job
+    val stackArgs = cols.map(c => s"'$c', `__null_$c`, `__dist_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column, n_null, n_distinct)")
+      .withColumn("verdict",
+        when(col("n_distinct") === 0, lit("all_null"))
+          .when(col("n_distinct") === 1, lit("constant"))
+          .otherwise(lit("live")))
+  }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Profiler, Reconcile, Retention}
+
+class Round3cOperatorsSpec extends SparkSpec {
+
+  // ---------- Retention ----------
+
+  test("retentionMatrix: cohorts from first event; offsets count returning users") {
+    import spark.implicits._
+    // periods ARE the ts values (identity periodOf). u1 starts p0 and
+    // returns p1, p2; u2 starts p0 only; u3 starts p1, returns p2.
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (3L, 1L), (3L, 2L))
+      .toDF("u", "ts")
+    val got = Retention.retentionMatrix(ev, "u", "ts", identity)
+      .orderBy("cohort", "offset")
+      .select("cohort", "offset", "n_active", "cohort_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (0L, 2L, 1L, 2L),
+      (1L, 0L, 1L, 1L), (1L, 1L, 1L, 1L)))
+  }
+
+  test("retentionMatrix: offset-0 retention is always 1.0") {
+    import spark.implicits._
+    val ev = Seq((1L, 3L), (2L, 5L), (2L, 9L), (3L, 5L)).toDF("u", "ts")
+    val r0 = Retention.retentionMatrix(ev, "u", "ts", identity)
+      .filter(col("offset") === 0).select("retention").collect().map(_.getDouble(0))
+    assert(r0.nonEmpty && r0.forall(_ == 1.0))
+  }
+
+  test("cumulativeDistinct: n_cum is the exact distinct-to-date count") {
+    import spark.implicits._
+    // u1 first at p0 (reappears p2 — must NOT recount), u2 at p0, u3 at p2
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 2L), (3L, 2L)).toDF("u", "ts")
+    val got = Retention.cumulativeDistinct(ev, "u", "ts", identity)
+      .orderBy("period")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 2L, 2L), (2L, 1L, 3L)))
+  }
+
+  test("userFeatures: windows are trailing-inclusive; recency from last event") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 10.0), // inside the 50-window (ref 120, cut 70)
+      (1L, 60L, 5.0),   // outside 50-window, inside 100-window (cut 20)
+      (1L, 130L, 99.0), // after refTs: excluded entirely
+      (2L, 70L, 1.0)    // exactly at the 50-window cut: included (>=)
+    ).toDF("u", "ts", "v")
+    val got = Retention.userFeatures(ev, "u", "ts", "v", refTs = 120L,
+      windows = Seq("w50" -> 50L, "w100" -> 100L))
+      .orderBy("u")
+      .select("u", "n_w50", "value_w50", "n_w100", "value_w100", "recency")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 10.0, 2L, 15.0, 20L),
+      (2L, 1L, 1.0, 1L, 1.0, 50L)))
+  }
+
+  test("seasonalVolumeAnomaly: planted hour spike flagged, normal cells not") {
+    import spark.implicits._
+    // hour 0 volume is 10 on days 0-8 and 30 on day 9 (z ≈ 2.85 with the
+    // spike included in the baseline); hour 1 is flat 10 across all days
+    // -> sigma 0, z forced to 0, never flagged
+    val rows = (for {
+      d <- 0 to 9; h <- 0 to 1
+      n = if (h == 0 && d == 9) 30 else 10
+      i <- 1 to n
+    } yield (d.toLong, h.toLong, i)).toDF("d", "h", "i")
+    val got = Retention.seasonalVolumeAnomaly(rows, col("d"), col("h"), k = 2.0)
+      .select("day", "hour").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((9L, 0L)))
+  }
+
+  // ---------- Reconcile ----------
+
+  test("snapshotDiff: every row fate + null-safe column compare") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // value change
+      (3L, None, Some(3.0)),      // null -> value change
+      (4L, Some("d"), None),      // value -> null change
+      (5L, Some("e"), Some(5.0))  // removed
+    ).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("B"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)),
+      (4L, Some("d"), None: Option[Double]),
+      (6L, Some("f"), Some(6.0))  // added
+    ).toDF("k", "s", "v")
+    // 4: v stays null on both sides -> NOT a change (null-safe compare)
+    val d = Reconcile.snapshotDiff(prev, next, Seq("k"))
+    val got = d.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2))).toSeq
+    assert(got === Seq(
+      (1L, "unchanged", Seq()),
+      (2L, "changed", Seq("s")),
+      (3L, "changed", Seq("s")),
+      (4L, "unchanged", Seq()),
+      (5L, "removed", Seq()),
+      (6L, "added", Seq())))
+    val summary = Reconcile.diffSummary(d).orderBy("diff_status")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(summary === Seq(("added", 1L), ("changed", 2L), ("removed", 1L), ("unchanged", 2L)))
+  }
+
+  test("snapshotDiff: multi-column change lists every changed column sorted") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val next = Seq((1L, "z", 9.0)).toDF("k", "s", "v")
+    val got = Reconcile.snapshotDiff(prev, next, Seq("k")).collect()
+    assert(got.head.getString(1) === "changed")
+    assert(got.head.getSeq[String](2) === Seq("s", "v"))
+    val cols = Reconcile.changedColumnCounts(
+      Reconcile.snapshotDiff(prev, next, Seq("k"))).orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cols === Seq(("s", 1L), ("v", 1L)))
+  }
+
+  // ---------- Profiler additions ----------
+
+  test("kAnonymity: min class size and rows at risk; nulls form a class") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "m"), ("x", "m"), ("x", "m"), // class of 3
+      ("y", "m"),                          // class of 1 (below k=3)
+      (null, "m"), (null, "m")             // null class of 2 (below k=3)
+    ).toDF("qa", "qb")
+    val r = Profiler.kAnonymity(df, Seq("qa", "qb"), k = 3L).collect().head
+    assert(r.getLong(0) === 1L)   // min_class_size
+    assert(r.getLong(1) === 3L)   // n_classes
+    assert(r.getLong(2) === 2L)   // classes_below_k
+    assert(r.getLong(3) === 3L)   // rows_at_risk
+    assert(r.getLong(4) === 6L)   // n_rows
+    assert(r.getDouble(5) === 0.5)
+  }
+
+  test("deadColumns: all_null / constant / live verdicts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[String], "same", "a"),
+      (2L, Option.empty[String], "same", "b"),
+      (3L, Option.empty[String], null, "c")
+    ).toDF("id", "dead", "const", "live")
+    val got = Profiler.deadColumns(df, Seq("dead", "const", "live", "id"))
+      .orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // 'const' has one distinct non-null value (+1 null) -> constant
+    assert(got === Seq(
+      ("const", 1L, 1L, "constant"),
+      ("dead", 3L, 0L, "all_null"),
+      ("id", 0L, 3L, "live"),
+      ("live", 0L, 3L, "live")))
+  }
+
+  // ---------- Graph ----------
+
+  test("triangleStats: K4 has 4 triangles and clustering 1.0") {
+    import spark.implicits._
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    val r = Graph.triangleStats(k4, "s", "d").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === (4L, 6L, 12L, 4L))
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("triangleStats: path graph has zero triangles; dup/reversed/self edges canonicalized") {
+    import spark.implicits._
+    // path 1-2-3-4 fed as duplicated, reversed, self-looped edges
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (3L, 4L), (2L, 2L))
+      .toDF("s", "d")
+    val r = Graph.triangleStats(messy, "s", "d").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) === (4L, 3L, 0L))
+    assert(r.getLong(2) === 2L) // wedges: middle nodes 2 and 3
+  }
+
+  test("triangleStats: hub-and-triangle — orientation still finds the closed one") {
+    import spark.implicits._
+    // star center 0 with leaves 1..5, plus one closed edge between leaves
+    val edges = ((1 to 5).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("s", "d")
+    val r = Graph.triangleStats(edges, "s", "d").collect().head
+    assert(r.getLong(3) === 1L)
+  }
+
+  test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
+    import spark.implicits._
+    val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 9L))
+      .toDF("basket", "item")
+    val got = Graph.cooccurrenceEdges(bi, "basket", "item")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
