@@ -16,7 +16,9 @@ object ProfileQ {
     val fn = SparkEntry.queries(name)
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val c = fn(spark, sfDir).count()
+      // same materialization as Bench: the query's own output rows, so
+      // computed projections / final sorts are not pruned from the timing
+      val c = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[profileq] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
     }
     spark.stop()

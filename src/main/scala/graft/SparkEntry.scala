@@ -1264,9 +1264,46 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-      graft.operators.Graph.triangleStats(edges, "a", "b")
+      graft.operators.Graph.triangleStats(edges, "a", "b", assumeCanonical = true)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
           round(col("global_clustering"), 6).as("global_clustering"))
+    }),
+    // --- round 3: integer-exact PageRank on the co-purchase graph ---
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      graft.operators.Graph.pageRank(sym, "u", "v", iters = 5)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node").as("part_id"), col("rank"))
+    }),
+    // --- round 3: Zipf's-law corpus health fit ---
+    "q_zipf" -> ((s, dir) =>
+      graft.text.TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topK = 1000)),
+    // --- round 3: trailing-7-day distinct users per day (explode, not
+    //     per-day self-joins) ---
+    "q_sliding_dau" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+      val pairs = ev.filter(col("user_id").isNotNull)
+        .select("day", "user_id").distinct()
+      val days = pairs.select("day").distinct()
+      pairs.select(explode(sequence(col("day"), col("day") + 6)).as("wday"),
+          col("user_id"))
+        .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+        .groupBy("wday").agg(countDistinct("user_id").as("dau7"))
+        .orderBy("wday").select(col("wday").as("day"), col("dau7"))
+    }),
+    // --- round 3: keep-best-copy dedup (cluster rep by quality score) ---
+    "q_dedup_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        1, 0.9, Seq("lang"))
+      val scored = d.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.dedup.Dedup.clusterBest(pairs, scored, "doc_id", "q")
+        .orderBy("doc_id")
     })
   )
 
@@ -2480,6 +2517,90 @@ object SparkEntry {
         |  (SELECT sum(c * (c - 1) // 2) FROM deg)::BIGINT AS n_wedges,
         |  (SELECT t FROM tri)::BIGINT AS n_triangles,
         |  round(3.0 * (SELECT t FROM tri) / (SELECT sum(c * (c - 1) / 2.0) FROM deg), 6)
-        |    AS global_clustering""".stripMargin
+        |    AS global_clustering""".stripMargin,
+    "q_pagerank" ->
+      // integer-exact PageRank (see Graph.pageRank): every op is integer
+      // multiply / floor-div, so the 5 unrolled iterations reproduce the
+      // engine bit-for-bit
+      """WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pe AS (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM b x JOIN b y ON x.k = y.k AND x.i < y.i),
+        |e AS (SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe),
+        |deg AS (SELECT u, count(*) AS od FROM e GROUP BY 1),
+        |c AS (SELECT 1000000000000 // count(*) AS init,
+        |  15 * (1000000000000 // count(*)) // 100 AS base FROM deg),
+        |r0 AS (SELECT u AS node, (SELECT init FROM c) AS rank FROM deg),
+        |r1 AS (SELECT e.v AS node, (SELECT base FROM c) + 85 * sum(r.rank // d.od) // 100 AS rank
+        |  FROM e JOIN r0 r ON e.u = r.node JOIN deg d ON e.u = d.u GROUP BY e.v),
+        |r2 AS (SELECT e.v AS node, (SELECT base FROM c) + 85 * sum(r.rank // d.od) // 100 AS rank
+        |  FROM e JOIN r1 r ON e.u = r.node JOIN deg d ON e.u = d.u GROUP BY e.v),
+        |r3 AS (SELECT e.v AS node, (SELECT base FROM c) + 85 * sum(r.rank // d.od) // 100 AS rank
+        |  FROM e JOIN r2 r ON e.u = r.node JOIN deg d ON e.u = d.u GROUP BY e.v),
+        |r4 AS (SELECT e.v AS node, (SELECT base FROM c) + 85 * sum(r.rank // d.od) // 100 AS rank
+        |  FROM e JOIN r3 r ON e.u = r.node JOIN deg d ON e.u = d.u GROUP BY e.v),
+        |r5 AS (SELECT e.v AS node, (SELECT base FROM c) + 85 * sum(r.rank // d.od) // 100 AS rank
+        |  FROM e JOIN r4 r ON e.u = r.node JOIN deg d ON e.u = d.u GROUP BY e.v)
+        |SELECT node AS part_id, rank::BIGINT AS rank FROM r5
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "q_zipf" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1
+        |  ORDER BY freq DESC, token LIMIT 1000),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM cnt)
+        |SELECT count(*)::BIGINT AS n_top,
+        |  round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+        |  round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept
+        |FROM rk""".stripMargin,
+    "q_sliding_dau" ->
+      """WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM p)
+        |SELECT d.day, count(DISTINCT p.user_id) AS dau7
+        |FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_best" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang,
+        |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ida, idb FROM inter
+        |  JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+        |lbl(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b),
+        |comp AS (SELECT node, min(label) AS component FROM lbl GROUP BY node),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id, least(greatest(
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0), 0.0), 1.0) AS score FROM g),
+        |best AS (SELECT component, node AS cluster_rep,
+        |  row_number() OVER (PARTITION BY component ORDER BY h.score DESC, node) AS rn
+        |  FROM comp JOIN h ON comp.node = h.doc_id)
+        |SELECT c.node AS doc_id, b.cluster_rep
+        |FROM comp c JOIN (SELECT component, cluster_rep FROM best WHERE rn = 1) b
+        |  USING (component)
+        |ORDER BY doc_id""".stripMargin
   )
 }

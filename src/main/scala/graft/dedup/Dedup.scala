@@ -567,6 +567,30 @@ object Dedup {
       ngramJaccardPairs(df, idCol, textCol, n, threshold, blockCols), "ida", "idb")
       .select(col("node").as(idCol), col("component").as("cluster_rep"))
 
+  /** Cluster-representative selection by SCORE: same connected components
+    * as [[dedupClusters]], but each cluster's representative is its
+    * highest-`scoreCol` member (ties → smallest id) instead of the smallest
+    * id — "keep the best copy", the curation-correct policy when near-dups
+    * differ in quality. `scored` must carry one row per id in `pairs`.
+    *
+    * One extra keyed join + a per-component window over cluster members
+    * (components are small by construction — near-dup clusters, not the
+    * corpus). */
+  def clusterBest(pairs: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, "ida", "idb")
+    val withScore = labels.join(
+      scored.select(col(idCol).cast("long").as("node"), col(scoreCol).as("__score")),
+      "node")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("__score").desc, col("node").asc)
+    val best = withScore.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("node").as("cluster_rep"))
+    labels.join(best, "component")
+      .select(col("node").as(idCol), col("cluster_rep"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (driver-side, seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

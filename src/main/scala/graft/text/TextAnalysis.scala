@@ -289,4 +289,27 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, k: Int = 7, w: Int = 4): Column =
     graft.functions.winnow_fingerprints(
       regexp_replace(lower(trim(text)), "\\s+", " "), k, w)
+
+  /** Zipf's-law fit of the corpus token-frequency distribution: OLS slope/
+    * intercept of `ln(freq) ~ ln(rank)` over the `topK` most frequent
+    * lowercased tokens (a healthy natural-language corpus slopes ≈ −1;
+    * template/boilerplate-heavy or synthetic corpora flatten or steepen).
+    *
+    * Shape: one explode + keyed count (map-side combined), then a bounded
+    * top-k (`TakeOrderedAndProject` — the full vocabulary is never globally
+    * sorted), then the rank window + regression run over only `topK` rows.
+    */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc) // ≤ topK rows reach this
+    counts.select(col("freq"), row_number().over(w).as("rank"))
+      .agg(count(lit(1)).as("n_top"),
+        round(regr_slope(log(col("freq")), log(col("rank"))), 6).as("slope"),
+        round(regr_intercept(log(col("freq")), log(col("rank"))), 6).as("intercept"))
+  }
 }

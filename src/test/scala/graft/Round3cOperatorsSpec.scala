@@ -186,6 +186,61 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(r.getLong(3) === 1L)
   }
 
+  test("pageRank: symmetric 2-cycle sits at the uniform fixpoint") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // N=2: init = 5e11; contrib = 5e11; next = 15%*5e11/100 + 85%*5e11/100 = 5e11
+    assert(got === Seq((1L, 500000000000L), (2L, 500000000000L)))
+  }
+
+  test("pageRank: star center outranks leaves; ranks deterministic under repartition") {
+    import spark.implicits._
+    val und = (1 to 5).map(i => (0L, i.toLong))
+    val sym = (und ++ und.map(_.swap)).toDF("s", "d")
+    val r1 = Graph.pageRank(sym, "s", "d", iters = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r2 = Graph.pageRank(sym.repartition(7), "s", "d", iters = 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 === r2)
+    val ranks = r1.toMap
+    assert((1 to 5).forall(i => ranks(0L) > ranks(i.toLong)))
+    // leaves are symmetric: identical ranks
+    assert((1 to 5).map(i => ranks(i.toLong)).distinct.size === 1)
+    // scaled mass is conserved up to floor losses (never exceeds scale)
+    val total = r1.map(_._2).sum
+    assert(total <= 1000000000000L && total > 900000000000L)
+  }
+
+  test("clusterBest: representative is the highest-scoring member, ties to smallest id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7))
+      .toDF("doc_id", "q")
+    val got = graft.dedup.Dedup.clusterBest(pairs, scored, "doc_id", "q")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cluster {1,2,3}: best is 2 (0.9); cluster {10,11}: tie -> 10
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("zipfFit: slope/intercept match a hand-computed OLS on ln/ln") {
+    import spark.implicits._
+    // token frequencies: a=8, b=4, c=2, d=1 (one doc per occurrence)
+    val docs = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.zipfFit(docs, "text", topK = 10).collect().head
+    assert(r.getLong(0) === 4L)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val xm = xs.sum / 4; val ym = ys.sum / 4
+    val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
+    val intercept = ym - slope * xm
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5)
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-5)
+  }
+
   test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
     import spark.implicits._
     val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 9L))
