@@ -1304,6 +1304,45 @@ object SparkEntry {
         graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
       graft.dedup.Dedup.clusterBest(pairs, scored, "doc_id", "q")
         .orderBy("doc_id")
+    }),
+    // --- round 3: incremental aggregate-state maintenance (merge a new
+    //     batch's partials into persisted per-key state; history unread) ---
+    "q_incr_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cutoff = "1998-01-01" // ~median order date: both halves substantial
+      val state = graft.operators.Incremental.aggState(
+        o.filter(col("o_orderdate") < lit(cutoff)), Seq("o_custkey"), "o_totalprice")
+      // null dates (none in the fixture, but belt-and-braces) go to the batch
+      // so state+batch exactly partition the table
+      val merged = graft.operators.Incremental.mergeAggState(state,
+        o.filter(col("o_orderdate") >= lit(cutoff) || col("o_orderdate").isNull),
+        Seq("o_custkey"), "o_totalprice")
+      merged.select(col("o_custkey"), col("n"),
+          round(col("total").cast("double"), 6).as("total"),
+          col("vmin"), col("vmax"))
+        .orderBy("o_custkey")
+    }),
+    // --- round 3: unpivot/melt + per-metric roll-up ---
+    "q_unpivot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.unpivot(Array.empty,
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(col("value")).as("n"),
+          round(sum(col("value").cast("decimal(30,6)")).cast("double"), 6).as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("metric")
+    }),
+    // --- round 3: distribution-position analytics (percent_rank/cume_dist) ---
+    "q_rank_stats" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      c.select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -2601,6 +2640,30 @@ object SparkEntry {
         |SELECT c.node AS doc_id, b.cluster_rep
         |FROM comp c JOIN (SELECT component, cluster_rep FROM best WHERE rn = 1) b
         |  USING (component)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_incr_agg" ->
+      // the merged state must equal a single aggregation over the full
+      // table — that equivalence IS the oracle
+      """SELECT o_custkey, count(o_totalprice)::BIGINT AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
+        |  min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(value)::BIGINT AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |  round(cume_dist() OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cume
+        |FROM customer WHERE c_acctbal IS NOT NULL ORDER BY c_custkey""".stripMargin
   )
 }

@@ -241,6 +241,34 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - intercept) < 1e-5)
   }
 
+  test("mergeAggState: merged state equals one aggregation over the full history") {
+    import spark.implicits._
+    val full = Seq((1L, 10.0), (1L, 20.0), (1L, 5.0), (2L, 7.0), (3L, 1.0))
+      .toDF("k", "v")
+    val state = graft.operators.Incremental.aggState(full.filter($"v" >= 6), Seq("k"), "v")
+    val merged = graft.operators.Incremental
+      .mergeAggState(state, full.filter($"v" < 6), Seq("k"), "v")
+    val direct = graft.operators.Incremental.aggState(full, Seq("k"), "v")
+    assert(merged.orderBy("k").collect().toSeq === direct.orderBy("k").collect().toSeq)
+  }
+
+  test("mergeAggState: multi-generation merges keep a stable schema and exact totals") {
+    import spark.implicits._
+    val b1 = Seq((1L, 0.1), (1L, 0.2)).toDF("k", "v")
+    val b2 = Seq((1L, 0.3), (2L, 9.0)).toDF("k", "v")
+    val b3 = Seq((1L, 0.4)).toDF("k", "v")
+    var st = graft.operators.Incremental.aggState(b1, Seq("k"), "v")
+    st = graft.operators.Incremental.mergeAggState(st, b2, Seq("k"), "v")
+    val schemaAfter1 = st.schema
+    st = graft.operators.Incremental.mergeAggState(st, b3, Seq("k"), "v")
+    assert(st.schema === schemaAfter1)
+    val r = st.filter($"k" === 1).collect().head
+    assert(r.getLong(1) === 4L)
+    // decimal state: 0.1+0.2+0.3+0.4 is exactly 1.0 (doubles would drift)
+    assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("1.000000")) === 0)
+    assert(r.getDouble(3) === 0.1 && r.getDouble(4) === 0.4)
+  }
+
   test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
     import spark.implicits._
     val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 9L))
