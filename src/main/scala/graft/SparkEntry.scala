@@ -1334,6 +1334,28 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: conditional implication rule (WHEN a THEN c) ---
+    "q_rule_check" -> ((s, dir) => {
+      val c = new RuleCheck("orders", "r1", SEV, "urgent_finished",
+        antecedent = col("o_orderpriority") === "1-URGENT",
+        consequent = col("o_orderstatus") === "F",
+        threshold = 0.9, inputAttributes = Seq("o_orderstatus"))
+      metricsDf(s, c.metricResults(t(s, dir, "orders")))
+        .select("metric_name", "value_double")
+    }),
+    // --- round 3: cross-table rule violations (ship-before-order audit) ---
+    "q_rule_invalid" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val c = new RuleCheck("lineitem_orders", "r1", SEV, "ship_after_order",
+        antecedent = col("o_orderdate").isNotNull && col("l_shipdate").isNotNull,
+        consequent = col("l_shipdate") >= col("o_orderdate"),
+        threshold = 0.99)
+      c.invalid(joined, Nil)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // --- round 3: distribution-position analytics (percent_rank/cume_dist) ---
     "q_rank_stats" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_acctbal").isNotNull)
@@ -2658,6 +2680,18 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rule_check" ->
+      """SELECT 'urgent_finished' AS metric_name,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+        |      AND o_orderstatus = 'F') AS DOUBLE)
+        |    / count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS value_double
+        |FROM orders""".stripMargin,
+    "q_rule_invalid" ->
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |  AND NOT (l.l_shipdate >= o.o_orderdate)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_rank_stats" ->
       """SELECT c_custkey, c_mktsegment,
         |  round(percent_rank() OVER
