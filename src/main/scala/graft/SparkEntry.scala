@@ -1334,6 +1334,63 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: pairwise correlation matrix in ONE aggregation pass ---
+    "q_corr_matrix" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        corr(col(a), col(b)).as(s"${a}__$b") }
+      val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+        .mkString(", ")
+      one.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
+        .select(col("col_a"), col("col_b"), round(col("r"), 6).as("r"))
+        .orderBy("col_a", "col_b")
+    }),
+    // --- round 3: quantile-quantile drift (per-quantile deltas between
+    //     cohorts; exact distributed per-group quantiles) ---
+    "q_drift_qq" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cohort",
+          when(expr("(ts div 1000) div 86400000000") % 2 === 0, "even_days")
+            .otherwise("odd_days"))
+      val q = graft.operators.Profiler.groupQuantiles(ev, "cohort", "value",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      val probs = Seq("10", "25", "50", "75", "90")
+      val stackArgs = probs.map(p => s"'p$p', `q_$p`").mkString(", ")
+      val long = q.selectExpr("cohort", s"stack(${probs.size}, $stackArgs) AS (p, q)")
+      long.groupBy("p").agg(
+          round(max(when(col("cohort") === "even_days", col("q"))), 6).as("q_even"),
+          round(max(when(col("cohort") === "odd_days", col("q"))), 6).as("q_odd"))
+        .withColumn("delta", round(col("q_odd") - col("q_even"), 6))
+        .orderBy("p")
+    }),
+    // --- round 3: time-bound funnel (next stage within 3 days) ---
+    "q_funnel_windowed" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Funnel.funnelWindowed(ev, "user_id", "event_type",
+        "ts_us", Seq("view", "click", "purchase"), maxGap = 3L * 86400000000L)
+        .orderBy("stage_idx")
+    }),
+    // --- round 3: per-dimension embedding variance audit (dead dims) ---
+    "q_embed_dims" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x")), 6).as("mean"),
+          round(stddev(col("x")), 6).as("sd"),
+          round(min(col("x")).cast("double"), 6).as("vmin"),
+          round(max(col("x")).cast("double"), 6).as("vmax"))
+        .orderBy("dim")
+    }),
+    // --- round 3: post-split label-balance audit (are the md5 splits
+    //     unbiased w.r.t. language mix?) ---
+    "q_split_balance" -> ((s, dir) => {
+      val d = graft.operators.Splits.assignSplit(t(s, dir, "documents"), "doc_id")
+      graft.operators.Profiler.chiSquareHomogeneity(d, "lang", "split")
+    }),
     // --- round 3: conditional implication rule (WHEN a THEN c) ---
     "q_rule_check" -> ((s, dir) => {
       val c = new RuleCheck("orders", "r1", SEV, "urgent_finished",
@@ -2680,6 +2737,88 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corr_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    round(corr(l_quantity, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    round(corr(l_discount, l_tax), 6) FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q_drift_qq" ->
+      """WITH ev AS (SELECT value,
+        |  CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+        |       THEN 'even_days' ELSE 'odd_days' END AS cohort
+        |  FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT cohort,
+        |  quantile_cont(value, 0.10) AS p10, quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.50) AS p50, quantile_cont(value, 0.75) AS p75,
+        |  quantile_cont(value, 0.90) AS p90
+        |  FROM ev GROUP BY 1),
+        |long AS (
+        |  SELECT cohort, 'p10' AS p, p10 AS qv FROM q
+        |  UNION ALL SELECT cohort, 'p25', p25 FROM q
+        |  UNION ALL SELECT cohort, 'p50', p50 FROM q
+        |  UNION ALL SELECT cohort, 'p75', p75 FROM q
+        |  UNION ALL SELECT cohort, 'p90', p90 FROM q),
+        |wide AS (SELECT p,
+        |  round(max(CASE WHEN cohort = 'even_days' THEN qv END), 6) AS q_even,
+        |  round(max(CASE WHEN cohort = 'odd_days' THEN qv END), 6) AS q_odd
+        |  FROM long GROUP BY 1)
+        |SELECT p, q_even, q_odd, round(q_odd - q_even, 6) AS delta
+        |FROM wide ORDER BY p""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH m AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        |  FROM events GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0::INT AS stage_idx, 'view' AS stage,
+        |    count(*) FILTER (WHERE t0 IS NOT NULL)::BIGINT AS n_users FROM m
+        |  UNION ALL
+        |  SELECT 1::INT, 'click',
+        |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        |      AND t0 <= t1 AND t1 - t0 <= 259200000000)::BIGINT FROM m
+        |  UNION ALL
+        |  SELECT 2::INT, 'purchase',
+        |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |      AND t0 <= t1 AND t1 - t0 <= 259200000000
+        |      AND t1 <= t2 AND t2 - t1 <= 259200000000)::BIGINT FROM m)
+        |ORDER BY stage_idx""".stripMargin,
+    "q_embed_dims" ->
+      """WITH e AS (SELECT unnest(embedding) AS x,
+        |  unnest(range(len(embedding))) AS dim FROM embeddings)
+        |SELECT dim::INT AS dim, count(*)::BIGINT AS n,
+        |  round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS sd,
+        |  round(min(x)::DOUBLE, 6) AS vmin, round(max(x)::DOUBLE, 6) AS vmax
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_split_balance" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents),
+        |cells AS (SELECT lang AS cat, split AS cohort, count(*) AS o
+        |  FROM s WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |rn AS (SELECT cat, sum(o) AS row_n FROM cells GROUP BY 1),
+        |cn AS (SELECT cohort, sum(o) AS col_n FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |fl AS (SELECT rn.cat, cn.cohort, coalesce(c.o, 0) AS o,
+        |         rn.row_n::DOUBLE * cn.col_n / tot.n AS e
+        |       FROM rn CROSS JOIN cn CROSS JOIN tot
+        |         LEFT JOIN cells c ON c.cat = rn.cat AND c.cohort = cn.cohort)
+        |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+        |  ((count(DISTINCT cat) - 1) * (count(DISTINCT cohort) - 1))::BIGINT AS dof,
+        |  (SELECT n FROM tot)::BIGINT AS n
+        |FROM fl""".stripMargin,
     "q_rule_check" ->
       """SELECT 'urgent_finished' AS metric_name,
         |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'

@@ -30,14 +30,34 @@ object Funnel {
   /** Funnel counts: one row per stage with `stage_idx`, `stage`, and
     * `n_users` = users whose first occurrences reach that stage in order. */
   def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String]): DataFrame =
+    funnelCore(df, userCol, typeCol, tsCol, stages, maxGap = None)
+
+  /** Time-bound funnel: stage k counts only users whose consecutive
+    * first-touches are in order AND within `maxGap` timestamp units
+    * ("clicked within an hour of viewing"). Same single-aggregation shape
+    * as [[funnel]] — the bound is one more predicate on the 1-row roll-up,
+    * not a join. First-touch semantics throughout: a later in-window
+    * re-visit does not resurrect an expired step. */
+  def funnelWindowed(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], maxGap: Long): DataFrame =
+    funnelCore(df, userCol, typeCol, tsCol, stages, maxGap = Some(maxGap))
+
+  private def funnelCore(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], maxGap: Option[Long]): DataFrame = {
     val ft = firstTouch(df, userCol, typeCol, tsCol, stages)
-    // completed(k) = t0..tk all present and non-decreasing
+    // completed(k) = t0..tk all present, non-decreasing, within gap bound
     val completed: Seq[Column] = stages.indices.map { k =>
       val present = (0 to k).map(i => col(s"t$i").isNotNull).reduce(_ && _)
       val ordered =
         if (k == 0) lit(true)
-        else (1 to k).map(i => col(s"t${i - 1}") <= col(s"t$i")).reduce(_ && _)
+        else (1 to k).map { i =>
+          val step = col(s"t${i - 1}") <= col(s"t$i")
+          maxGap match {
+            case Some(g) => step && col(s"t$i") - col(s"t${i - 1}") <= g
+            case None => step
+          }
+        }.reduce(_ && _)
       sum(when(present && ordered, 1L).otherwise(0L)).as(s"n$k")
     }
     val counts = ft.agg(completed.head, completed.tail: _*)

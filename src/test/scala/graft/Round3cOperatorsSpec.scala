@@ -269,6 +269,26 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.1 && r.getDouble(4) === 0.4)
   }
 
+  test("funnelWindowed: stages expire past the gap bound; plain funnel keeps them") {
+    import spark.implicits._
+    // u1: view@0 -> click@5 (within gap 10); u2: view@0 -> click@50 (expired);
+    // u3: view@0 -> click@5 -> purchase@100 (last step expired)
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 5L),
+      (2L, "view", 0L), (2L, "click", 50L),
+      (3L, "view", 0L), (3L, "click", 5L), (3L, "purchase", 100L)
+    ).toDF("user_id", "event_type", "ts")
+    val stages = Seq("view", "click", "purchase")
+    val windowed = graft.operators.Funnel
+      .funnelWindowed(ev, "user_id", "event_type", "ts", stages, maxGap = 10L)
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    assert(windowed === Seq(3L, 2L, 0L))
+    val plain = graft.operators.Funnel
+      .funnel(ev, "user_id", "event_type", "ts", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    assert(plain === Seq(3L, 3L, 1L))
+  }
+
   test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
     import spark.implicits._
     val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 9L))
