@@ -1334,6 +1334,48 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: top event-type 3-step paths (sequence mining) ---
+    "q_event_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        .filter(col("user_id").isNotNull)
+      ev.select(col("user_id"), col("event_type").as("t0"),
+          lead("event_type", 1).over(w).as("t1"),
+          lead("event_type", 2).over(w).as("t2"))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        .select(concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+    // --- round 3: nearest as-of match (min |dt|, ties backward) as a
+    //     composition of the backward + forward as-of joins ---
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+        .agg(max("value").as("pval"))
+      val prev = graft.operators.Joins.asofJoin(clicks,
+        purch.select(col("user_id"), col("p_ts"),
+          col("pval").as("prev_val"), col("p_ts").as("prev_ts")),
+        keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
+        valueCols = Seq("prev_val", "prev_ts"))
+      val both = graft.operators.Joins.asofJoin(prev,
+        purch.select(col("user_id"), col("p_ts"),
+          col("pval").as("next_val"), col("p_ts").as("next_ts")),
+        keyCols = Seq("user_id"), leftTs = "ts_us", rightTs = "p_ts",
+        valueCols = Seq("next_val", "next_ts"), forward = true)
+      val dtPrev = col("ts_us") - col("prev_ts")
+      val dtNext = col("next_ts") - col("ts_us")
+      val takePrev = col("next_ts").isNull ||
+        (col("prev_ts").isNotNull && dtPrev <= dtNext)
+      both.select(col("event_id"), col("user_id"),
+          when(takePrev, col("prev_val")).otherwise(col("next_val")).as("nearest_val"),
+          when(takePrev, dtPrev).otherwise(dtNext).as("nearest_dt"))
+        .orderBy("event_id")
+    }),
     // --- round 3: pairwise correlation matrix in ONE aggregation pass ---
     "q_corr_matrix" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -2737,6 +2779,25 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_paths" ->
+      """WITH seq AS (SELECT user_id, event_type AS t0,
+        |  lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+        |FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_ts, max(value) AS pval FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT c.event_id, c.user_id, p.pval, abs(c.ts_us - p.p_ts) AS adt,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY abs(c.ts_us - p.p_ts), p.p_ts) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id)
+        |SELECT event_id, user_id, pval AS nearest_val, adt::BIGINT AS nearest_dt
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_corr_matrix" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
