@@ -1334,6 +1334,70 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: per-source staleness percentiles (freshness SLA depth) ---
+    "q_freshness_pcts" -> ((s, dir) => {
+      val asOf = 1706745600000000L // 2024-02-01 00:00 UTC
+      val ev = t(s, dir, "events")
+        .withColumn("lag_us", lit(asOf) - expr("ts div 1000"))
+      // DISCRETE quantiles: at ~1e12 magnitudes, interpolated quantiles
+      // carry engine-specific last-ulp arithmetic past 6-dp rounding; a
+      // selected element is integer-exact everywhere
+      graft.operators.Profiler.groupQuantilesDisc(ev, "event_type", "lag_us",
+          Seq(0.5, 0.95, 0.99))
+        .select(col("event_type"), col("n"),
+          col("q_50").cast("long").as("q_50"), col("q_95").cast("long").as("q_95"),
+          col("q_99").cast("long").as("q_99"))
+        .orderBy("event_type")
+    }),
+    // --- round 3: hierarchical share-of-parent (nation revenue within
+    //     region; one rollup-free window over the aggregated frame) ---
+    "q_rollup_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,2)")).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+      // divide as doubles: decimal-division scale rules differ per engine,
+      // and the decimal sums convert to double exactly the same both sides
+      rev.select(col("r_name"), col("n_name"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("rev").cast("double") / sum("rev").over(w).cast("double"), 6)
+            .as("share_of_region"))
+        .orderBy("r_name", "n_name")
+    }),
+    // --- round 3: new vs returning users per day (no distinct-set state) ---
+    "q_new_vs_returning" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+        .filter(col("user_id").isNotNull)
+      val pairs = ev.select("day", "user_id").distinct()
+      val firsts = pairs.groupBy("user_id").agg(min("day").as("first_day"))
+      pairs.join(firsts, "user_id")
+        .groupBy("day").agg(
+          count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+        .orderBy("day")
+    }),
+    // --- round 3: out-of-vocabulary rate vs the corpus top-1000 vocab ---
+    "q_oov_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("lang"),
+          explode(graft.text.TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(1000)
+        .select(col("token"), lit(1).as("__in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("lang")
+    }),
     // --- round 3: top event-type 3-step paths (sequence mining) ---
     "q_event_paths" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -2779,6 +2843,58 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_freshness_pcts" ->
+      // rank-selection mirror of groupQuantilesDisc: value at rank
+      // floor(p*(n-1)) + 1 — both engines compute the identical double
+      // product before floor, and the selected element is an exact long
+      """WITH l AS (SELECT event_type, 1706745600000000 - epoch_us(ts) AS lag_us
+        |  FROM events WHERE event_type IS NOT NULL),
+        |r AS (SELECT event_type, lag_us,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY lag_us) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM l)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT) + 1
+        |    THEN lag_us END)::BIGINT AS q_50,
+        |  max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+        |    THEN lag_us END)::BIGINT AS q_95,
+        |  max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+        |    THEN lag_us END)::BIGINT AS q_99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup_share" ->
+      """WITH rev AS (SELECT r.r_name, n.n_name,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(rev AS DOUBLE)
+        |    / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS share_of_region
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY 1)
+        |SELECT p.day, count(*) AS n_active,
+        |  sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  (count(*) - sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END))::BIGINT
+        |    AS n_returning
+        |FROM p JOIN f ON p.user_id = f.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token FROM toks GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 1000)
+        |SELECT lang, count(*)::BIGINT AS n_tokens,
+        |  count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))::BIGINT AS n_oov,
+        |  round(CAST(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+        |    AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_paths" ->
       """WITH seq AS (SELECT user_id, event_type AS t0,
         |  lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2

@@ -482,7 +482,21 @@ object Profiler {
     * `percentile`/`quantile_cont`. One row per key:
     * `(key, n, q_<p>...)`. */
   def groupQuantiles(df: DataFrame, keyCol: String, valueCol: String,
-      probs: Seq[Double]): DataFrame = {
+      probs: Seq[Double]): DataFrame =
+    groupQuantilesImpl(df, keyCol, valueCol, probs, interpolate = true)
+
+  /** DISCRETE per-group quantiles: the value at rank `floor(p·(n−1)) + 1`
+    * — an actual observed element, no interpolation. Prefer this for
+    * large-magnitude domains (e.g. microsecond lags ~1e12): interpolated
+    * quantiles there carry engine-specific last-ulp arithmetic that
+    * survives 6-dp rounding, while a selected element is integer-exact in
+    * every engine. */
+  def groupQuantilesDisc(df: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double]): DataFrame =
+    groupQuantilesImpl(df, keyCol, valueCol, probs, interpolate = false)
+
+  private def groupQuantilesImpl(df: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double], interpolate: Boolean): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
     val vc = col(valueCol).cast("double")
     val counts = df.filter(vc.isNotNull && col(keyCol).isNotNull)
@@ -502,10 +516,12 @@ object Profiler {
     val agged = ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
     val outCols = col(keyCol) +: col("__n").as("n") +:
       probs.zipWithIndex.map { case (p, i) =>
-        val pos = (col("__n") - 1) * lit(p)
-        val frac = pos - floor(pos)
-        (col(s"__lo_$i") + (col(s"__hi_$i") - col(s"__lo_$i")) * frac)
-          .as(f"q_${(p * 100).round}%d")
+        val name = f"q_${(p * 100).round}%d"
+        if (interpolate) {
+          val pos = (col("__n") - 1) * lit(p)
+          val frac = pos - floor(pos)
+          (col(s"__lo_$i") + (col(s"__hi_$i") - col(s"__lo_$i")) * frac).as(name)
+        } else col(s"__lo_$i").as(name)
       }
     agged.select(outCols: _*)
   }
