@@ -1334,6 +1334,41 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: time-series gap fill (densify + LOCF resample) ---
+    "q_gap_fill" -> ((s, dir) => {
+      // sparse daily series: ~1 in 50 orders -> most days have no revenue
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0 && col("o_orderdate").isNotNull)
+        .withColumn("day", datediff(col("o_orderdate"), lit("1995-01-01")))
+        .groupBy("day")
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2)
+          .as("revenue"))
+      graft.operators.TimeSeries.resampleLocf(daily, "day", Seq("revenue"))
+        .select(col("day"), col("revenue"), col("filled"))
+        .orderBy("day")
+    }),
+    // --- round 3: RANGE-frame rolling window (7 value-days, not 7 rows —
+    //     missing days shrink the frame, unlike a rows frame) ---
+    "q_rolling_range" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0 && col("o_orderdate").isNotNull)
+        .withColumn("day", datediff(col("o_orderdate"), lit("1995-01-01")))
+        .groupBy("day").agg(count(lit(1)).as("n_orders"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("day"), col("n_orders"),
+          sum("n_orders").over(w).as("n_7d"))
+        .orderBy("day")
+    }),
+    // --- round 3: correlated NOT EXISTS through the SQL interface ---
+    "q_sql_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("sql_customer")
+      t(s, dir, "orders").createOrReplaceTempView("sql_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM sql_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM sql_orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")
+    }),
     // --- round 3: per-source staleness percentiles (freshness SLA depth) ---
     "q_freshness_pcts" -> ((s, dir) => {
       val asOf = 1706745600000000L // 2024-02-01 00:00 UTC
@@ -2843,6 +2878,33 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
+        |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |axis AS (SELECT unnest(range((SELECT min(day) FROM daily),
+        |  (SELECT max(day) FROM daily) + 1)) AS day),
+        |dense AS (SELECT a.day, d.revenue, d.revenue IS NULL AS filled
+        |  FROM axis a LEFT JOIN daily d ON a.day = d.day)
+        |SELECT day::INT AS day,
+        |  last_value(revenue IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS revenue,
+        |  filled
+        |FROM dense ORDER BY day""".stripMargin,
+    "q_rolling_range" ->
+      """WITH daily AS (SELECT datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderdate IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT day::INT AS day, n_orders,
+        |  sum(n_orders) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    ::BIGINT AS n_7d
+        |FROM daily ORDER BY day""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_freshness_pcts" ->
       // rank-selection mirror of groupQuantilesDisc: value at rank
       // floor(p*(n-1)) + 1 — both engines compute the identical double

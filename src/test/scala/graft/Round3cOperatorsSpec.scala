@@ -289,6 +289,29 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(plain === Seq(3L, 3L, 1L))
   }
 
+  test("resampleLocf: gaps densified, LOCF-filled and flagged; leading gap stays null") {
+    import spark.implicits._
+    val sparse = Seq((2L, 10.0), (5L, 50.0), (6L, 60.0)).toDF("day", "v")
+    val got = graft.operators.TimeSeries.resampleLocf(sparse, "day", Seq("v"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(
+      (2L, 10.0, false), (3L, 10.0, true), (4L, 10.0, true),
+      (5L, 50.0, false), (6L, 60.0, false)))
+  }
+
+  test("resampleLocfByKey: each key spans its own bounds with its own fills") {
+    import spark.implicits._
+    val sparse = Seq(("a", 1L, 1.0), ("a", 3L, 3.0), ("b", 10L, 9.0)).toDF("k", "day", "v")
+    val got = graft.operators.TimeSeries
+      .resampleLocfByKey(sparse, "k", "day", Seq("v"))
+      .orderBy("k", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("a", 1L, 1.0, false), ("a", 2L, 1.0, true), ("a", 3L, 3.0, false),
+      ("b", 10L, 9.0, false)))
+  }
+
   test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
     import spark.implicits._
     val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 9L))
