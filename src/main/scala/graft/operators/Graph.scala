@@ -82,12 +82,14 @@ object Graph {
       .select(graft.functions.sorted_intersection_count(
         coalesce(col("nu"), empty), coalesce(col("nv"), empty)).as("t"))
       .agg(sum("t").cast("long").as("n_triangles"))
+    // coalesce the empty-graph case: sums over zero rows are null, and a
+    // "0 nodes, null wedges" summary row would poison downstream arithmetic
     val summary = canon.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("degree") * (col("degree") - 1) / 2).as("n_wedges")))
+        coalesce(sum(col("degree") * (col("degree") - 1) / 2), lit(0L)).as("n_wedges")))
     val result = summary.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges").cast("long").as("n_wedges"),
-        col("n_triangles"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("n_wedges") > 0,
           col("n_triangles") * 3.0 / col("n_wedges")).otherwise(lit(0.0))
           .as("global_clustering"))

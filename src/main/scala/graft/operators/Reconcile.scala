@@ -29,6 +29,9 @@ object Reconcile {
       if (compareCols.nonEmpty) compareCols
       else prev.columns.filterNot(keyCols.contains)
         .filter(next.columns.contains).toSeq
+    require(cols.nonEmpty,
+      "snapshotDiff needs at least one shared non-key column to compare " +
+        "(for key-only membership diffs use a full outer join directly)")
     val p = prev.select((keyCols ++ cols).map(col): _*)
       .withColumn("__in_prev", lit(1))
     val n = next.select(keyCols.map(col) ++ cols.map(c => col(c).as(s"__n_$c")): _*)

@@ -178,6 +178,14 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(r.getLong(2) === 2L) // wedges: middle nodes 2 and 3
   }
 
+  test("triangleStats: empty edge list yields a zeroed summary row, not nulls") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("s", "d")
+    val r = Graph.triangleStats(none, "s", "d").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === (0L, 0L, 0L, 0L))
+    assert(r.getDouble(4) === 0.0)
+  }
+
   test("triangleStats: hub-and-triangle — orientation still finds the closed one") {
     import spark.implicits._
     // star center 0 with leaves 1..5, plus one closed edge between leaves
@@ -310,6 +318,25 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(got === Seq(
       ("a", 1L, 1.0, false), ("a", 2L, 1.0, true), ("a", 3L, 3.0, false),
       ("b", 10L, 9.0, false)))
+  }
+
+  test("compaction: fragmented table rewritten to the computed file count, rows intact") {
+    import spark.implicits._
+    val inDir = "/tmp/graft_compact_in"
+    val outDir = "/tmp/graft_compact_out"
+    // 40 tiny files
+    (1 to 2000).map(i => (i.toLong, s"row $i payload ${"x" * 50}"))
+      .toDF("id", "payload")
+      .repartition(40).write.mode("overwrite").parquet(inDir)
+    val before = graft.sources.Compaction.fileStats(spark, inDir)
+    assert(before.nFiles === 40)
+    // target = half the total -> exactly 2 output files
+    val (_, after) = graft.sources.Compaction.compact(spark, inDir, outDir,
+      targetFileBytes = (before.totalBytes + 1) / 2)
+    assert(after.nFiles === 2)
+    assert(spark.read.parquet(outDir).count() === 2000)
+    assert(spark.read.parquet(outDir).agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) === (1 to 2000).map(_.toLong).sum)
   }
 
   test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
