@@ -1334,6 +1334,23 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: DQ metric trend (is completeness degrading over days?) ---
+    "q_dq_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+      val daily = ev.groupBy("day").agg(
+        (count(col("value")).cast("double") / count(lit(1))).as("ratio"))
+      daily.agg(count(lit(1)).as("n_days"),
+        round(regr_slope(col("ratio"), col("day")), 6).as("slope_per_day"),
+        round(avg(col("ratio")), 6).as("mean_ratio"),
+        round(min(col("ratio")), 6).as("worst_day_ratio"))
+    }),
+    // --- round 3: pre-join cardinality-explosion audit (projected join
+    //     size from per-key counts — never by running the join) ---
+    "q_join_audit" -> ((s, dir) => {
+      graft.operators.Profiler.joinExplosionAudit(
+        t(s, dir, "lineitem"), t(s, dir, "orders"), "l_orderkey", "o_orderkey")
+    }),
     // --- round 3: time-series gap fill (densify + LOCF resample) ---
     "q_gap_fill" -> ((s, dir) => {
       // sparse daily series: ~1 in 50 orders -> most days have no revenue
@@ -2878,6 +2895,29 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dq_trend" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(value) AS DOUBLE) / count(*) AS ratio
+        |  FROM events GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_days,
+        |  round(regr_slope(ratio, day), 6) AS slope_per_day,
+        |  round(avg(ratio), 6) AS mean_ratio,
+        |  round(min(ratio), 6) AS worst_day_ratio
+        |FROM daily""".stripMargin,
+    "q_join_audit" ->
+      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(sum(cl * cr), 0) AS projected_join_rows,
+        |  count(*) AS matching_keys FROM lc JOIN rc USING (k))
+        |SELECT (SELECT coalesce(sum(cl), 0) FROM lc)::BIGINT AS left_rows,
+        |  (SELECT coalesce(sum(cr), 0) FROM rc)::BIGINT AS right_rows,
+        |  (SELECT coalesce(max(cl), 0) FROM lc)::BIGINT AS left_max_per_key,
+        |  (SELECT coalesce(max(cr), 0) FROM rc)::BIGINT AS right_max_per_key,
+        |  matching_keys::BIGINT AS matching_keys,
+        |  projected_join_rows::BIGINT AS projected_join_rows
+        |FROM j""".stripMargin,
     "q_gap_fill" ->
       """WITH daily AS (SELECT datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
         |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue

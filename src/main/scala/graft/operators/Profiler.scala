@@ -526,6 +526,53 @@ object Profiler {
     agged.select(outCols: _*)
   }
 
+  /** Pre-join cardinality-explosion audit: per-key multiplicities on both
+    * sides and the EXACT projected inner-join row count
+    * `Σ_k cl(k)·cr(k)` — computed from two per-key aggregates joined on
+    * the key (never by running the join). The "will this join 100× my
+    * data" guard to run before committing a 100 TB shuffle; a projected
+    * size ≫ both inputs means a hidden many-to-many.
+    *
+    * One row: left/right row counts, per-side max key multiplicity, and
+    * the projected join rows. Cost: two keyed aggregations (map-side
+    * combined) + one join of the (distinct-key-sized) count frames. */
+  def joinExplosionAudit(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("cl"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("cr"))
+    val joined = lc.join(rc, "__k")
+    val proj = joined.agg(
+      coalesce(sum(col("cl") * col("cr")), lit(0L)).as("projected_join_rows"),
+      coalesce(count(lit(1)), lit(0L)).as("matching_keys"))
+    val lStats = lc.agg(coalesce(sum("cl"), lit(0L)).as("left_rows"),
+      coalesce(max("cl"), lit(0L)).as("left_max_per_key"))
+    val rStats = rc.agg(coalesce(sum("cr"), lit(0L)).as("right_rows"),
+      coalesce(max("cr"), lit(0L)).as("right_max_per_key"))
+    lStats.crossJoin(rStats).crossJoin(proj)
+      .select(col("left_rows"), col("right_rows"),
+        col("left_max_per_key"), col("right_max_per_key"),
+        col("matching_keys"), col("projected_join_rows").cast("long")
+          .as("projected_join_rows"))
+  }
+
+  /** APPROXIMATE per-group quantiles via Spark's Greenwald–Khanna sketch
+    * (`percentile_approx`) — the any-scale fallback for
+    * [[groupQuantiles]]: mergeable, bounded memory per group, one
+    * aggregation pass, accuracy `1/accuracyParam` in RANK (not value).
+    * Same output shape/naming as the exact path so callers can swap. */
+  def groupQuantilesApprox(df: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    val vc = col(valueCol).cast("double")
+    val base = df.filter(vc.isNotNull && col(keyCol).isNotNull)
+    val aggs = probs.map(p =>
+      percentile_approx(vc, lit(p), lit(accuracy)).as(f"q_${(p * 100).round}%d"))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
   /** Gini concentration index of per-key weights — "how concentrated is
     * the corpus": 0 = perfectly even (every key equal share), → 1 = one
     * key owns everything (domain monopolies, whale users, boilerplate

@@ -339,6 +339,64 @@ class Round3cOperatorsSpec extends SparkSpec {
       .head().getLong(0) === (1 to 2000).map(_.toLong).sum)
   }
 
+  test("joinExplosionAudit: projected rows equal the real join size without running it") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (9L, "z"))
+      .toDF("k", "lv")
+    val right = Seq((1L, 10), (1L, 20), (2L, 30), (7L, 70)).toDF("k", "rv")
+    val r = Profiler.joinExplosionAudit(left, right, "k", "k").collect().head
+    assert((r.getLong(0), r.getLong(1)) === (5L, 4L))   // rows
+    assert((r.getLong(2), r.getLong(3)) === (3L, 2L))   // max per key
+    assert(r.getLong(4) === 2L)                          // matching keys
+    val projected = r.getLong(5)
+    assert(projected === 3L * 2L + 1L * 1L)              // k=1: 3x2, k=2: 1x1
+    assert(projected === left.join(right, "k").count())
+  }
+
+  test("joinExplosionAudit: disjoint keys project zero, not null") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((2L, "b")).toDF("k", "rv")
+    val row = Profiler.joinExplosionAudit(l, r, "k", "k").collect().head
+    assert(row.getLong(4) === 0L && row.getLong(5) === 0L)
+  }
+
+  test("groupQuantilesApprox: within GK rank-error bound of the exact path") {
+    import spark.implicits._
+    val df = (1 to 2000).flatMap(i => Seq(("a", i.toDouble), ("b", (i * 2).toDouble)))
+      .toDF("k", "v")
+    val exact = Profiler.groupQuantiles(df, "k", "v", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Profiler.groupQuantilesApprox(df, "k", "v", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // accuracy 10000 on 2000 values -> rank error < 1 -> within one step
+    // of the exact value (approx returns an element; exact interpolates)
+    for (k <- Seq("a", "b")) {
+      val step = if (k == "a") 1.0 else 2.0
+      assert(math.abs(exact(k)._1 - approx(k)._1) <= step)
+      assert(math.abs(exact(k)._2 - approx(k)._2) <= step)
+    }
+  }
+
+  test("stream-static broadcast join enriches a stream without stream state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val joined = mem.toDF().toDF("uid", "amount")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("uid"), "left")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 5.0), (2L, 7.0), (3L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows === Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("cooccurrenceEdges: items sharing a basket, a<b, distinct") {
     import spark.implicits._
     val bi = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 9L))
