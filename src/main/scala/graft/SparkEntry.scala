@@ -1334,6 +1334,17 @@ object SparkEntry {
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("metric")
     }),
+    // --- round 3: recursive CTE (Spark 4 WITH RECURSIVE) — ancestor-chain
+    //     walk over a binary-tree hierarchy keyed by part id ---
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql("""
+        WITH RECURSIVE anc(k, a, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part_v
+          UNION ALL
+          SELECT k, a div 2, depth + 1 FROM anc WHERE a > 1)
+        SELECT depth, count(*) AS n FROM anc GROUP BY depth ORDER BY depth""")
+    }),
     // --- round 3: DQ metric trend (is completeness degrading over days?) ---
     "q_dq_trend" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2895,6 +2906,13 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc(k, a, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  UNION ALL
+        |  SELECT k, a // 2, depth + 1 FROM anc WHERE a > 1)
+        |SELECT depth::INT AS depth, count(*) AS n FROM anc
+        |GROUP BY depth ORDER BY depth""".stripMargin,
     "q_dq_trend" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |    CAST(count(value) AS DOUBLE) / count(*) AS ratio
