@@ -204,6 +204,40 @@ class RandomizedOperatorsSpec extends SparkSpec {
     assert(got == expected.toSet)
   }
 
+  test("mergeAggState: any random 3-way batch split merges to the full-history aggregate") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val rows = (1 to 500).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(3), rnd.nextDouble() * 100 - 50))
+    val full = rows.map(r => (r._1, r._3)).toDF("k", "v")
+    val direct = Incremental.aggState(full, Seq("k"), "v")
+    // split by the random batch tag, merge in sequence
+    val batches = (0 to 2).map(b =>
+      rows.filter(_._2 == b).map(r => (r._1, r._3)).toDF("k", "v"))
+    val merged = batches.tail.foldLeft(
+      Incremental.aggState(batches.head, Seq("k"), "v"))(
+      (st, b) => Incremental.mergeAggState(st, b, Seq("k"), "v"))
+    val cmp = direct.alias("d").join(merged.alias("m"), Seq("k"), "full_outer")
+      .filter(!(col("d.n") <=> col("m.n")) || !(col("d.total") <=> col("m.total")) ||
+        !(col("d.vmin") <=> col("m.vmin")) || !(col("d.vmax") <=> col("m.vmax")))
+    assert(cmp.count() === 0)
+  }
+
+  test("snapshotDiff of a table against itself is all-unchanged; against empty is all-removed") {
+    import spark.implicits._
+    import graft.operators.Reconcile
+    val t1 = (1 to 100).map(i =>
+      (i.toLong, rnd.nextInt(5).toString, if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None))
+      .toDF("k", "s", "v")
+    val self = Reconcile.diffSummary(Reconcile.snapshotDiff(t1, t1, Seq("k")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(self === Map("unchanged" -> 100L))
+    val empty = t1.filter(lit(false))
+    val gone = Reconcile.diffSummary(Reconcile.snapshotDiff(t1, empty, Seq("k")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gone === Map("removed" -> 100L))
+  }
+
   test("PSI terms are non-negative and KS is in [0,1] on random distributions") {
     import spark.implicits._
     val base = (1 to 1000).map(_ => rnd.nextGaussian() * 3 + 5).toDF("v")
