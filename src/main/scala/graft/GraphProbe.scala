@@ -47,6 +47,30 @@ object GraphProbe {
       time("intersect+agg")(tri.queryExecution.toRdd.count())
       canon.unpersist(); oriented.unpersist()
     }
+    // PageRank iteration plan: verify the O(E) side joins broadcast ranks
+    // and aggregates WITHOUT a fresh Exchange (cached edges pre-partitioned
+    // on v)
+    locally {
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      val e = sym.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = e.groupBy(col("u").as("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      val nodes = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .distinct().localCheckpoint()
+      val eo = e.repartition(col("v")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eo.queryExecution.toRdd.count()
+      val ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+      val shares = ranks.join(out, ranks("node") === out("src"))
+        .select(col("src"), expr("rank div outdeg").as("share"))
+      val updated = eo.join(broadcast(shares), eo("u") === shares("src"))
+        .select(col("v").as("node"), col("share").as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      println("[probe] ---- one PageRank iteration plan ----")
+      updated.explain("formatted")
+      e.unpersist(); eo.unpersist()
+    }
     spark.stop()
   }
 }
