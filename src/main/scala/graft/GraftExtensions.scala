@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
       (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
 
+    // parser extension: `SHOW GRAFT CHECKS` catalog command, everything
+    // else delegated verbatim — the fourth and last extension surface
+    // (functions, planner strategy, optimizer rule, parser)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+
     // whole-operator extension: plans graft.plans.AsofJoin logical nodes to
     // the native sort-merge AsofJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -169,4 +169,17 @@ class ExtensionsSpec extends SparkSpec {
       .select(TextAnalysis.wordNgrams(col("text"), 3).as("g")).head().getSeq[String](0)
     assert(ng.head == "the cat is" && ng.length == 8)
   }
+
+  test("parser extension: SHOW GRAFT CHECKS returns the check catalog; normal SQL delegates") {
+    val rows = spark.sql("SHOW GRAFT CHECKS").collect()
+    assert(rows.length === graft.plans.GraftSqlParser.catalog.length)
+    val names = rows.map(_.getString(0)).toSet
+    assert(names.contains("completeness_col_ratio") && names.contains("rule")
+      && names.contains("drift_ks"))
+    assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+    // case-insensitive, trailing semicolon tolerated
+    assert(spark.sql("show graft checks;").count() === rows.length.toLong)
+    // everything else still parses through the stock grammar
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+  }
 }
