@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
       (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1))))
 
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+
     // parser extension: `SHOW GRAFT CHECKS` catalog command, everything
     // else delegated verbatim — the fourth and last extension surface
     // (functions, planner strategy, optimizer rule, parser)

@@ -1591,6 +1591,84 @@ object SparkEntry {
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy("c_custkey")
+    }),
+    // --- round 4: CDC changelog replay (I/U/D ops log -> final state) ---
+    "q_cdc_apply" -> ((s, dir) => {
+      // events as a changelog: seq = event_id, 'error' tombstones the user
+      val ops = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("value"), col("event_type"))
+      graft.operators.Merge.applyChangelog(ops, Seq("user_id"), "event_id",
+          "op", Seq("value", "event_type"))
+        .select(col("user_id"), col("event_id").as("last_seq"),
+          round(col("value"), 6).as("value"), col("event_type"))
+        .orderBy("user_id")
+    }),
+    // --- round 4: EWMA smoother (closed-form window; alpha=0.5 keeps the
+    //     2^rn weights exactly representable -> cross-engine deterministic) ---
+    "q_ewma" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        .withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.TimeSeries.ewma(ev, "user_id",
+          Seq(col("ts_us"), col("event_id")), "value", alpha = 0.5)
+        .select(col("event_id"), col("user_id"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_id")
+    }),
+    // --- round 4: CUSUM drift detector (integer-cent arithmetic so the
+    //     running sums are exact under any accumulation order) ---
+    "q_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", round(col("value") * 100).cast("double"))
+      graft.operators.TimeSeries.cusum(ev, "user_id",
+          Seq(col("ts_us"), col("event_id")), "cents",
+          target = 5500.0, slack = 500.0, h = 20000.0)
+        .select(col("event_id"), col("user_id"),
+          round(col("s_pos") / 100, 6).as("s_pos"),
+          round(col("s_neg") / 100, 6).as("s_neg"),
+          col("alarm").cast("int").as("alarm"))
+        .orderBy("event_id")
+    }),
+    // --- round 4: best single changepoint per key (prefix-sum argmax) ---
+    "q_changepoint" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", round(col("value") * 100).cast("bigint"))
+      graft.operators.TimeSeries.changepoint(ev, "user_id",
+          Seq(col("ts_us"), col("event_id")), "cents")
+        .select(col("user_id"), col("split_at").cast("bigint").as("split_at"),
+          col("n"), round(col("gain") / 10000, 6).as("gain"),
+          round(col("mean_left") / 100, 6).as("mean_left"),
+          round(col("mean_right") / 100, 6).as("mean_right"))
+        .orderBy("user_id")
+    }),
+    // --- round 4: Merkle-style bucket digests (anti-entropy table sync) ---
+    "q_bucket_checksum" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def snap(df: DataFrame): DataFrame = df.select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("price"))
+      // replica B diverges: deletes (%101), in-place price updates (%97),
+      // extra rows (%103 re-keyed +10M)
+      val modified = o.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 97 === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      val inserted = o.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "price")
+      val da = graft.operators.Reconcile.bucketDigests(snap(o), Seq("o_orderkey"), cols, 64)
+      val db = graft.operators.Reconcile.bucketDigests(
+        snap(modified.unionByName(inserted)), Seq("o_orderkey"), cols, 64)
+      graft.operators.Reconcile.digestDiff(da, db).orderBy("bucket")
+    }),
+    // --- round 4: Unicode canonicalization (native NFC kernel) ---
+    "q_text_clean" -> ((s, dir) => {
+      val clean = graft.text.TextAnalysis.cleanText(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(clean).cast("bigint").as("n_clean"),
+          md5(clean).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3134,6 +3212,105 @@ object SparkEntry {
         |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
         |  round(cume_dist() OVER
         |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cume
-        |FROM customer WHERE c_acctbal IS NOT NULL ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_acctbal IS NOT NULL ORDER BY c_custkey""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_seq, round(value, 6) AS value, event_type
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_ewma" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE user_id < 20),
+        |c AS (
+        |  SELECT event_id, user_id,
+        |    sum(value * power(0.5, -rn)) OVER (PARTITION BY user_id ORDER BY rn) AS xs,
+        |    sum(power(0.5, -rn)) OVER (PARTITION BY user_id ORDER BY rn) AS ws
+        |  FROM o)
+        |SELECT event_id, user_id, round(xs / ws, 6) AS ewma
+        |FROM c ORDER BY event_id""".stripMargin,
+    "q_cusum" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tu,
+        |    round(value * 100) AS cents
+        |  FROM events WHERE user_id < 20),
+        |c AS (
+        |  SELECT event_id, user_id, tu,
+        |    sum(cents - 6000.0) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS cp,
+        |    sum(cents - 5000.0) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS cn
+        |  FROM o),
+        |s AS (
+        |  SELECT event_id, user_id,
+        |    cp - least(0.0, min(cp) OVER (PARTITION BY user_id ORDER BY tu, event_id)) AS s_pos,
+        |    greatest(0.0, max(cn) OVER (PARTITION BY user_id ORDER BY tu, event_id)) - cn AS s_neg
+        |  FROM c)
+        |SELECT event_id, user_id, round(s_pos / 100, 6) AS s_pos,
+        |  round(s_neg / 100, 6) AS s_neg,
+        |  (s_pos > 20000.0 OR s_neg > 20000.0)::INT AS alarm
+        |FROM s ORDER BY event_id""".stripMargin,
+    "q_changepoint" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |pre AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS t,
+        |    sum(cents) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS p,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(cents) OVER (PARTITION BY user_id) AS tt
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, t, n,
+        |    p::DOUBLE * p::DOUBLE / t::DOUBLE
+        |      + (tt - p)::DOUBLE * (tt - p)::DOUBLE / (n - t)::DOUBLE
+        |      - tt::DOUBLE * tt::DOUBLE / n::DOUBLE AS gain,
+        |    p::DOUBLE / t::DOUBLE AS ml, (tt - p)::DOUBLE / (n - t)::DOUBLE AS mr
+        |  FROM pre WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY gain DESC, t) AS rk FROM g)
+        |SELECT user_id, t AS split_at, n, round(gain / 10000, 6) AS gain,
+        |  round(ml / 100, 6) AS mean_left, round(mr / 100, 6) AS mean_right
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "q_bucket_checksum" ->
+      """WITH snapa AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    (o_totalprice::DECIMAL(18,2))::VARCHAR AS price FROM orders),
+        |snapb AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    (CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |      ::DECIMAL(18,2))::VARCHAR AS price
+        |  FROM orders WHERE o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_orderpriority,
+        |    (o_totalprice::DECIMAL(18,2))::VARCHAR AS price
+        |  FROM orders WHERE o_orderkey % 103 = 0),
+        |da AS (
+        |  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 64 AS bucket,
+        |    count(*) AS n_a,
+        |    sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+        |      coalesce(o_custkey::VARCHAR, ' null'), coalesce(o_orderstatus, ' null'),
+        |      coalesce(o_orderpriority, ' null'), coalesce(price, ' null'))), 1, 8))::BIGINT)::BIGINT AS digest_a
+        |  FROM snapa GROUP BY 1),
+        |db AS (
+        |  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 64 AS bucket,
+        |    count(*) AS n_b,
+        |    sum(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+        |      coalesce(o_custkey::VARCHAR, ' null'), coalesce(o_orderstatus, ' null'),
+        |      coalesce(o_orderpriority, ' null'), coalesce(price, ' null'))), 1, 8))::BIGINT)::BIGINT AS digest_b
+        |  FROM snapb GROUP BY 1)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, digest_a, digest_b
+        |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+        |WHERE digest_a IS DISTINCT FROM digest_b OR coalesce(n_a, 0) <> coalesce(n_b, 0)
+        |ORDER BY bucket""".stripMargin,
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,
+        |  md5(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -60,6 +60,10 @@ package object functions {
   def char_class_counts(text: Column): Column =
     col(CharClassCounts(expr(text)))
 
+  /** Unicode NFC canonical composition (ASCII fast path, zero-copy). */
+  def nfc_normalize(text: Column): Column =
+    col(NfcNormalize(expr(text)))
+
   /** Jaro similarity of two strings (record-linkage scorer). */
   def jaro_sim(a: Column, b: Column): Column =
     col(JaroSimilarity(expr(a), expr(b)))

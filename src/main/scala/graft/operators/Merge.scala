@@ -73,4 +73,31 @@ object Merge {
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
   }
+
+  /** Changelog (CDC) replay: collapse an insert/update/delete ops log to
+    * final table state. Input: one row per operation carrying `keyCols`, a
+    * per-key strictly increasing `seqCol` (commit LSN / log offset), the
+    * op code in `opCol`, and the payload. The highest-`seqCol` row decides
+    * each key's fate: op == `deleteOp` → key absent from the result; any
+    * other op → key present with that row's payload and `seqCol`.
+    *
+    * Unlike [[latestByKey]] (window row_number), this is ONE hash
+    * aggregation — `max_by` over the payload struct — so partial
+    * aggregation collapses each scan partition's ops BEFORE the single
+    * keyed exchange and nothing is ever sorted: a 100 TB changelog with a
+    * bounded key space reduces at scan speed. `seqCol` must be unique per
+    * key (true of any real changelog position); ties would make `max_by`
+    * nondeterministic. */
+  def applyChangelog(ops: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String, payloadCols: Seq[String],
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty && payloadCols.nonEmpty)
+    val payload = struct((opCol +: payloadCols).map(col): _*)
+    ops.groupBy(keyCols.map(col): _*)
+      .agg(max(col(seqCol)).as(seqCol),
+        max_by(payload, col(seqCol)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= lit(deleteOp))
+      .select(keyCols.map(col) ++ (seqCol +: Nil).map(col) ++
+        payloadCols.map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

@@ -60,4 +60,93 @@ object TimeSeries {
       d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
   }
+
+  /** Normalized exponentially weighted moving average per key (pandas
+    * `ewm(adjust=True)` convention): `ewma_t = Σ_{i≤t} r^{t-i} x_i /
+    * Σ_{i≤t} r^{t-i}` with `r = 1-alpha` — no init bias, and the closed
+    * form needs NO recursion: both sums are running cumsums of
+    * `x_i·r^{-i}` and `r^{-i}` (the `r^t` factors cancel in the ratio),
+    * so the whole smoother is ONE keyed window pass, each key's series
+    * streamed once.
+    *
+    * Numeric envelope: the intermediate `r^{-i}` grows with the row index
+    * inside a key, overflowing doubles past ~`709/(-ln r)` rows per key
+    * (α=0.5 → ~1024, α=0.1 → ~6700). Within the envelope the arithmetic
+    * is IEEE-deterministic (ordered cumsum). For unbounded per-key series
+    * use the streaming twin [[graft.streaming.ControlCharts]] — O(1)
+    * recursive state, no length bound. */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val r = 1.0 - alpha
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__w", pow(lit(r), -col("__rn")))
+      .withColumn("ewma",
+        sum(col(valueCol) * col("__w")).over(run) / sum(col("__w")).over(run))
+      .drop("__rn", "__w")
+  }
+
+  /** Two-sided CUSUM control chart per key (Page's cumulative-sum drift
+    * detector): `S⁺_t = max(0, S⁺_{t-1} + x_t − target − slack)` flags
+    * upward mean shifts, `S⁻_t` symmetrically downward; `alarm` when
+    * either exceeds `h`. The recursion has a closed form — with
+    * `C_t = Σ_{i≤t} (x_i − target − slack)`, `S⁺_t = C_t − min(0,
+    * min_{j≤t} C_j)` (and mirrored for `S⁻`) — so the whole detector is
+    * running sums + running min/max in ONE keyed window pass: exact,
+    * partition-order independent, no iteration. */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, target: Double, slack: Double, h: Double): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol)
+    df.withColumn("__cp", sum(x - lit(target + slack)).over(run))
+      .withColumn("__cn", sum(x - lit(target - slack)).over(run))
+      .withColumn("s_pos", col("__cp") - least(lit(0.0), min(col("__cp")).over(run)))
+      .withColumn("s_neg", greatest(lit(0.0), max(col("__cn")).over(run)) - col("__cn"))
+      .withColumn("alarm", col("s_pos") > h || col("s_neg") > h)
+      .drop("__cp", "__cn")
+  }
+
+  /** Best single changepoint per key: the split `t` (after the t-th row in
+    * `orderCols` order) maximizing the between-segment sum-of-squares gain
+    * `P_t²/t + (T−P_t)²/(n−t) − T²/n` — the k=2 step of least-squares
+    * segmentation / binary-splitting changepoint detection, computed for
+    * EVERY candidate split from one prefix-sum window pass (no per-split
+    * re-aggregation). Ties break to the smallest `t`.
+    *
+    * `valueCol` must be integral (cast or pre-scale decimals): prefix sums
+    * then stay exact under any accumulation order, and the gain doubles
+    * derive from exact integers — bit-reproducible across engines, so the
+    * argmax row is deterministic. Output: key, `split_at` (t), `n`,
+    * `gain`, `mean_left`, `mean_right`. Keys with <2 rows are dropped
+    * (no interior split exists). */
+  def changepoint(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // no orderBy -> default frame is the whole partition
+    val all = Window.partitionBy(keyCol)
+    val t = col("__t").cast("double")
+    val n = col("__n").cast("double")
+    val p = col("__p").cast("double")
+    val tt = col("__tt").cast("double")
+    val gain = p * p / t + (tt - p) * (tt - p) / (n - t) - tt * tt / n
+    val scored = df
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__p", sum(col(valueCol).cast("bigint")).over(run))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__tt", sum(col(valueCol).cast("bigint")).over(all))
+      .filter(col("__t") < col("__n"))
+      .select(col(keyCol), col("__t"), col("__n"), gain.as("__gain"),
+        (p / t).as("__ml"), ((tt - p) / (n - t)).as("__mr"))
+    val pick = Window.partitionBy(keyCol)
+      .orderBy(col("__gain").desc, col("__t").asc)
+    scored.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("__t").as("split_at"), col("__n").as("n"),
+        col("__gain").as("gain"), col("__ml").as("mean_left"),
+        col("__mr").as("mean_right"))
+  }
 }

@@ -42,6 +42,15 @@ object TextAnalysis {
     regexp_replace(noEmail, LongDigitsRe, "<NUM>")
   }
 
+  /** Canonical text cleanup before fingerprinting/dedup: Unicode NFC
+    * composition (native [[graft.functions.NfcNormalize]] kernel — ASCII
+    * fast path returns the input uncopied) + whitespace runs collapsed to
+    * one space + trim. `\s` is ASCII in both Java and RE2 regex dialects,
+    * so the DuckDB oracle (`nfc_normalize` + the same regex) mirrors this
+    * byte-for-byte. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(graft.functions.nfc_normalize(text), "\\s+", " "))
+
   /** Count of PII hits per kind (pre-scrub), for corpus audits. */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
     "n_urls" -> size(regexp_extract_all(text, lit(UrlRe), lit(0))),
