@@ -1662,6 +1662,39 @@ object SparkEntry {
         snap(modified.unionByName(inserted)), Seq("o_orderkey"), cols, 64)
       graft.operators.Reconcile.digestDiff(da, db).orderBy("bucket")
     }),
+    // --- round 4: BM25 relevance ranking (retrieval-based curation) ---
+    "q_bm25" -> ((s, dir) => {
+      graft.text.TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector", "spark"))
+        .select(col("doc_id"), col("n_terms_hit"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+    // --- round 4: exact Lloyd E-step (broadcast centroids, row-local
+    //     integer-quantized distances -> deterministic argmin) ---
+    "q_kmeans_assign" -> ((s, dir) => {
+      graft.similarity.Similarity.kmeansAssign(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("assigned"),
+          round(col("dist_sq"), 6).as("dist_sq"))
+        .orderBy("vec_id")
+    }),
+    // --- round 4: full Lloyd iteration (E-step + exact M-step roll-up) ---
+    "q_kmeans_step" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val assign = graft.similarity.Similarity.kmeansAssign(e, "vec_id", "embedding", "label")
+      graft.similarity.Similarity.kmeansUpdate(e, assign, "vec_id", "embedding")
+        .select(col("cluster"), col("n_vecs"), col("centroid_norm"))
+        .orderBy("cluster")
+    }),
+    // --- round 4: Cohen's kappa (chance-corrected label agreement) ---
+    "q_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("lang_b",
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")))
+      graft.operators.Profiler.cohenKappa(d, "lang", "lang_b")
+        .select(col("n"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+    }),
     // --- round 4: Unicode canonicalization (native NFC kernel) ---
     "q_text_clean" -> ((s, dir) => {
       val clean = graft.text.TextAnalysis.cleanText(col("text"))
@@ -3307,6 +3340,79 @@ object SparkEntry {
         |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
         |WHERE digest_a IS DISTINCT FROM digest_b OR coalesce(n_a, 0) <> coalesce(n_b, 0)
         |ORDER BY bucket""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'vector', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl::DOUBLE / n_docs))))
+        |      * 1e9) AS BIGINT) AS score_q
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |  round(sum(score_q)::BIGINT::DOUBLE / 1e9, 6) AS bm25
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_kmeans_assign" ->
+      """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps AS (SELECT label, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cent FROM comps GROUP BY 1),
+        |dist AS (SELECT e.vec_id, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(floor((e.embedding[i]::DOUBLE - c.cent[i])
+        |        * (e.embedding[i]::DOUBLE - c.cent[i]) * 1e9) AS BIGINT)))::BIGINT AS dq
+        |  FROM embeddings e CROSS JOIN cents c),
+        |r AS (SELECT vec_id, clabel, dq,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dq, clabel) AS rn FROM dist)
+        |SELECT vec_id, clabel AS assigned, round(dq::DOUBLE / 1e9, 6) AS dist_sq
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_kmeans_step" ->
+      """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps AS (SELECT label, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cent FROM comps GROUP BY 1),
+        |dist AS (SELECT e.vec_id, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(floor((e.embedding[i]::DOUBLE - c.cent[i])
+        |        * (e.embedding[i]::DOUBLE - c.cent[i]) * 1e9) AS BIGINT)))::BIGINT AS dq
+        |  FROM embeddings e CROSS JOIN cents c),
+        |a AS (SELECT vec_id, clabel AS assigned FROM (
+        |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY dq, clabel) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |xe AS (SELECT vec_id, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps2 AS (SELECT assigned AS cluster, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM xe JOIN a USING (vec_id) GROUP BY 1, 2),
+        |norms AS (SELECT cluster, round(sqrt(sum(c * c)), 4) AS centroid_norm
+        |  FROM comps2 GROUP BY 1),
+        |sizes AS (SELECT assigned AS cluster, count(*) AS n_vecs FROM a GROUP BY 1)
+        |SELECT cluster, n_vecs, centroid_norm
+        |FROM norms JOIN sizes USING (cluster) ORDER BY cluster""".stripMargin,
+    "q_kappa" ->
+      """WITH d AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS b FROM documents),
+        |base AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)::BIGINT AS agree FROM d),
+        |ma AS (SELECT a AS cat, count(*) AS na FROM d GROUP BY 1),
+        |mb AS (SELECT b AS cat, count(*) AS nb FROM d GROUP BY 1),
+        |p AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS sum_prod FROM ma JOIN mb USING (cat))
+        |SELECT n, round(agree::DOUBLE / n, 6) AS po,
+        |  round(sum_prod::DOUBLE / (n * n), 6) AS pe,
+        |  round((agree::DOUBLE / n - sum_prod::DOUBLE / (n * n))
+        |    / (1.0 - sum_prod::DOUBLE / (n * n)), 6) AS kappa
+        |FROM base, p""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,

@@ -664,4 +664,27 @@ object Profiler {
           .when(col("n_distinct") === 1, lit("constant"))
           .otherwise(lit("live")))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * columns (label vs relabel audit, annotator consistency, model-vs-
+    * model diff): `κ = (p_o − p_e)/(1 − p_e)` with observed agreement
+    * `p_o` and chance agreement `p_e = Σ_c margA_c·margB_c / n²`.
+    *
+    * One full-table aggregate (n, agreements) + two category-sized
+    * marginal aggregates joined on category — everything stays integral
+    * until two final divisions, so the statistic is exact-deterministic
+    * under any partitioning. Output: one row `(n, po, pe, kappa)`. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.agg(count(lit(1)).as("n"),
+      sum(when(col(aCol) <=> col(bCol), 1L).otherwise(0L)).as("agree"))
+    val ma = df.groupBy(col(aCol).as("cat")).agg(count(lit(1)).as("na"))
+    val mb = df.groupBy(col(bCol).as("cat")).agg(count(lit(1)).as("nb"))
+    val prodSum = ma.join(mb, "cat")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("sum_prod"))
+    val po = col("agree").cast("double") / col("n")
+    val pe = col("sum_prod").cast("double") / (col("n") * col("n")).cast("double")
+    base.crossJoin(broadcast(prodSum))
+      .select(col("n"), po.as("po"), pe.as("pe"),
+        ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

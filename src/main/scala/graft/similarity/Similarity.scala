@@ -129,4 +129,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), cosine_sim(col("qv"), col("v")).as("cosine"))
     topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
   }
+
+  /** Exact per-cluster component means as a (label, pos, c) frame —
+    * decimal-exact accumulation, so the centroid is identical under any
+    * partitioning (the [[kmeansAssign]] seeding and the M-step both use
+    * this). */
+  def centroidComponents(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("__label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("__label", "pos")
+      .agg((sum(col("x").cast("double").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("c"))
+
+  /** One exact Lloyd E-step at scale: assign every vector to its nearest
+    * centroid (squared L2). Centroids are the per-`labelCol` exact means
+    * ([[centroidComponents]]); the k×d centroid matrix is assembled into
+    * array rows and BROADCAST, so assignment is one row-local
+    * `zip_with`/`aggregate` pass over the corpus — no explode, no keyed
+    * shuffle of vectors, the only exchange is the k-row centroid frame.
+    * That is the shape that survives 100 TB: the corpus streams through
+    * map tasks once per iteration.
+    *
+    * Per-element squared differences are floor-quantized to integer
+    * nano-units and summed as longs, so distances are EXACT integers:
+    * the argmin (ties → smallest label, via one struct-min hash
+    * aggregation — no window sort) is deterministic across engines and
+    * partitionings. Output: `idCol`, `assigned`, `dist_sq` (de-quantized
+    * double). */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = centroidComponents(emb, vecCol, labelCol)
+      .groupBy("__label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cent"))
+    val sqDiffQ = zip_with(col(vecCol).cast("array<double>"), col("cent"),
+      (a, b) => floor((a - b) * (a - b) * lit(1e9)).cast("long"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("__dq", aggregate(sqDiffQ, lit(0L), (acc, x) => acc + x))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__dq"), col("__label"))).as("__m"))
+      .select(col(idCol), col("__m.__label").as("assigned"),
+        (col("__m.__dq").cast("double") / 1e9).as("dist_sq"))
+  }
+
+  /** The matching M-step: re-compute exact centroids under a new
+    * assignment and roll each cluster up to (size, centroid L2 norm) —
+    * the convergence signature of the iteration. */
+  def kmeansUpdate(emb: DataFrame, assign: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val relabeled = emb.join(assign.select(col(idCol), col("assigned")), idCol)
+    val comps = centroidComponents(relabeled, vecCol, "assigned")
+    comps.groupBy(col("__label").as("cluster"))
+      .agg(round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"))
+      .join(relabeled.groupBy(col("assigned").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs")), Seq("cluster"))
+  }
 }

@@ -42,6 +42,48 @@ object TextAnalysis {
     regexp_replace(noEmail, LongDigitsRe, "<NUM>")
   }
 
+  /** BM25 relevance of every document against a bag of `queryTerms` —
+    * the classic IR ranking function (Robertson/Spärck Jones; Lucene's
+    * idf variant `ln(1 + (N - df + 0.5)/(df + 0.5))`), used in data
+    * pipelines for retrieval-based curation ("find training docs about
+    * X") and contamination triage.
+    *
+    * Distributed shape: one tokenize pass feeds (a) per-doc lengths and
+    * the corpus (N, avgdl) scalars, (b) per-(doc, term) tf filtered to
+    * the query terms BEFORE any shuffle — so the keyed aggregations only
+    * carry query-term hits, and the term stats (≤ |queryTerms| rows) +
+    * corpus scalars broadcast-join back. Per-term partial scores are
+    * quantized to integer nano-units before the per-doc sum, so the sum
+    * is exact under ANY accumulation order — ranking ties are decided by
+    * bit-identical integers, reproducible across engines (the DuckDB
+    * oracle mirrors the quantization).
+    *
+    * Output: one row per doc containing ≥1 query term: `idCol`,
+    * `n_terms_hit`, `bm25`. */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty)
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    // exact-integer corpus stats; avgdl derived by one double division
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(stats))
+      // nano-quantized per-term score -> order-independent exact sum
+      .withColumn("score_q", floor(idf * tfPart * 1e9).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms_hit"),
+        (sum("score_q").cast("double") / 1e9).as("bm25"))
+  }
+
   /** Canonical text cleanup before fingerprinting/dedup: Unicode NFC
     * composition (native [[graft.functions.NfcNormalize]] kernel — ASCII
     * fast path returns the input uncopied) + whitespace runs collapsed to
