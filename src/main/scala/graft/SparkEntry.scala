@@ -1695,6 +1695,53 @@ object SparkEntry {
         .select(col("n"), round(col("po"), 6).as("po"),
           round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
     }),
+    // --- round 4: exact ROC AUC (Mann-Whitney identity, tie-averaged
+    //     ranks; md5-derived scores are exact binary fractions) ---
+    "q_auc" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("score",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.Profiler.rocAuc(o, "score", "label")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+    }),
+    // --- round 4: reliability-diagram calibration bins ---
+    "q_calibration" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("score",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.Profiler.calibrationBins(o, "score", "label", 10)
+        .select(col("bin"), col("n"), round(col("avg_score"), 6).as("avg_score"),
+          round(col("pos_rate"), 6).as("pos_rate"))
+        .orderBy("bin")
+    }),
+    // --- round 4: Brier score (nano-quantized exact mean) ---
+    "q_brier" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("score",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.Profiler.brierScore(o, "score", "label")
+        .select(col("n"), round(col("brier"), 6).as("brier"))
+    }),
+    // --- round 4: Horvitz-Thompson stratified totals from the
+    //     deterministic md5 sample (estimate without the full scan) ---
+    "q_ht_estimate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val est = graft.operators.Splits.htEstimate(d, "lang", "doc_id", "n_chars",
+        Map("en" -> 64, "de" -> 128, "es" -> 96, "fr" -> 256, "zh" -> 32))
+      val truth = d.groupBy(col("lang").as("stratum"))
+        .agg(sum("n_chars").as("true_total"))
+      est.join(truth, "stratum")
+        .select(col("stratum"), col("n_sampled"),
+          round(col("est_total"), 6).as("est_total"), col("true_total"),
+          round((col("est_total") - col("true_total")) / col("true_total"), 6).as("rel_err"))
+        .orderBy("stratum")
+    }),
     // --- round 4: Unicode canonicalization (native NFC kernel) ---
     "q_text_clean" -> ((s, dir) => {
       val clean = graft.text.TextAnalysis.cleanText(col("text"))
@@ -3413,6 +3460,51 @@ object SparkEntry {
         |  round((agree::DOUBLE / n - sum_prod::DOUBLE / (n * n))
         |    / (1.0 - sum_prod::DOUBLE / (n * n)), 6) AS kappa
         |FROM base, p""".stripMargin,
+    "q_auc" ->
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT::DOUBLE / 65536.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |pv AS (SELECT s, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |    sum(CASE WHEN y = 1 THEN 0 ELSE 1 END)::BIGINT AS cn FROM o GROUP BY 1),
+        |rk AS (SELECT cp, cn,
+        |    coalesce(sum(cp + cn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      + (cp + cn + 1) / 2.0 AS avg_rank FROM pv),
+        |a AS (SELECT sum(cp)::BIGINT AS n_pos, sum(cn)::BIGINT AS n_neg,
+        |    sum(cp * avg_rank) AS rp FROM rk)
+        |SELECT n_pos, n_neg,
+        |  round((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)::DOUBLE, 6) AS auc
+        |FROM a""".stripMargin,
+    "q_calibration" ->
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT::DOUBLE / 65536.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders)
+        |SELECT least(floor(s * 10), 9)::INT AS bin, count(*) AS n,
+        |  round(sum(CAST(s AS DECIMAL(30,12)))::DOUBLE / count(*), 6) AS avg_score,
+        |  round(sum(y)::BIGINT::DOUBLE / count(*), 6) AS pos_rate
+        |FROM o GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_brier" ->
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT::DOUBLE / 65536.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders)
+        |SELECT count(*) AS n,
+        |  round(sum(CAST(floor((s - y) * (s - y) * 1e9) AS BIGINT))::BIGINT::DOUBLE
+        |    / 1e9 / count(*), 6) AS brier
+        |FROM o""".stripMargin,
+    "q_ht_estimate" ->
+      """WITH samp AS (SELECT lang, n_chars FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang
+        |    WHEN 'en' THEN '40' WHEN 'de' THEN '80' WHEN 'es' THEN '60'
+        |    WHEN 'fr' THEN 'zz' WHEN 'zh' THEN '20' ELSE '00' END),
+        |est AS (SELECT lang AS stratum, count(*) AS n_sampled,
+        |    sum(n_chars)::BIGINT::DOUBLE / (CASE lang WHEN 'en' THEN 64 WHEN 'de' THEN 128
+        |      WHEN 'es' THEN 96 WHEN 'fr' THEN 256 WHEN 'zh' THEN 32 END / 256.0) AS est_total
+        |  FROM samp GROUP BY lang),
+        |truth AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS true_total
+        |  FROM documents GROUP BY 1)
+        |SELECT stratum, n_sampled, round(est_total, 6) AS est_total, true_total,
+        |  round((est_total - true_total) / true_total, 6) AS rel_err
+        |FROM est JOIN truth USING (stratum) ORDER BY stratum""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,

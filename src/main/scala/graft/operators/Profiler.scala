@@ -665,6 +665,64 @@ object Profiler {
           .otherwise(lit("live")))
   }
 
+  /** Exact ROC AUC via the Mann–Whitney identity `AUC = (R⁺ −
+    * n⁺(n⁺+1)/2) / (n⁺·n⁻)` with average ranks for tied scores — equal to
+    * the trapezoidal ROC area including tie segments, with NO curve
+    * materialization and no global row sort: scores collapse to one row
+    * per DISTINCT value first (keyed partial agg), and the single ordered
+    * window runs over that bounded frame (same shape as
+    * [[mannWhitneyU]]). Rank sums stay in half-integers — exactly
+    * representable doubles — so the statistic is bit-deterministic under
+    * any partitioning. `labelCol` must be 0/1 (or boolean). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val perVal = df.filter(s.isNotNull && y.isNotNull)
+      .groupBy(s.as("s")).agg(
+        sum(when(y === 1, 1L).otherwise(0L)).as("cp"),
+        sum(when(y === 1, 0L).otherwise(1L)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val t = col("cp") + col("cn")
+    val ranked = perVal.select(col("cp"), col("cn"),
+      (coalesce(sum(t).over(w), lit(0L)) + (t + 1) / lit(2.0)).as("avg_rank"))
+    ranked.agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+        sum(col("cp") * col("avg_rank")).as("__rp"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("__rp") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+          (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  /** Reliability-diagram bins: equal-width score bins with per-bin count,
+    * mean predicted score (decimal-exact accumulation) and observed
+    * positive rate — the calibration audit for any model-scored corpus.
+    * One hash aggregation; output bounded by `nBins`. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val bin = least(floor(s * nBins), lit(nBins - 1)).cast("int")
+    df.filter(s.isNotNull && y.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(s.cast("decimal(30,12)")).cast("double") / count(lit(1))).as("avg_score"),
+        (sum(y.cast("long")).cast("double") / count(lit(1))).as("pos_rate"))
+  }
+
+  /** Brier score `mean((s − y)²)` — per-row squared errors are
+    * nano-quantized to longs before the sum, so the mean is exact under
+    * any accumulation order (± 1e-9 quantization, far below reporting
+    * precision). One partial+final aggregate. */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int").cast("double")
+    val errQ = floor((s - y) * (s - y) * lit(1e9)).cast("long")
+    df.filter(s.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * columns (label vs relabel audit, annotator consistency, model-vs-
     * model diff): `κ = (p_o − p_e)/(1 − p_e)` with observed agreement

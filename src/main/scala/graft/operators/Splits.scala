@@ -55,6 +55,30 @@ object Splits {
     df.filter(md5(col(idCol).cast("string")) < thr)
   }
 
+  /** Horvitz–Thompson stratified totals from the DETERMINISTIC
+    * [[stratifiedSample]]: each stratum's sampled `valueCol` sum is
+    * inflated by its known inclusion probability `threshold/256`,
+    * estimating the full-corpus total from the sample alone — the
+    * survey-sampling workhorse for "estimate corpus token counts without
+    * scanning everything". Because the md5 sample is a pure row-local
+    * filter, the whole estimator is one scan of the SAMPLE plus one tiny
+    * keyed agg; probabilities are exact binary fractions (k/256), so the
+    * estimate is bit-deterministic and engine-reproducible. Only strata
+    * present in `thresholds` (p > 0) are estimable and emitted. */
+  def htEstimate(df: DataFrame, strataCol: String, idCol: String,
+      valueCol: String, thresholds: Map[String, Int]): DataFrame = {
+    val positive = thresholds.filter(_._2 > 0)
+    require(positive.nonEmpty, "need at least one stratum with threshold > 0")
+    val p = positive.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(math.min(v, 256) / 256.0)).otherwise(acc)
+    }
+    stratifiedSample(df, strataCol, idCol, positive)
+      .withColumn("__p", p)
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_sampled"),
+        (sum(col(valueCol)).cast("double") / max(col("__p"))).as("est_total"))
+  }
+
   /** Per-group *weight* budget (e.g. token budget per source/domain): keep
     * rows in deterministic `md5(id)` order while the running weight total
     * (including the current row) stays within `budget`. The standard
