@@ -1742,6 +1742,25 @@ object SparkEntry {
           round((col("est_total") - col("true_total")) / col("true_total"), 6).as("rel_err"))
         .orderBy("stratum")
     }),
+    // --- round 4: sparse TF-IDF cosine similarity join (inverted-index
+    //     postings self-join; nano-quantized norms and dot products) ---
+    "q_sparse_cosine" -> ((s, dir) => {
+      graft.text.TextAnalysis.sparseCosinePairs(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", threshold = 0.8)
+        .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("ida", "idb")
+    }),
+    // --- round 4: densify + LINEAR interpolation per key ---
+    "q_linear_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "events").filter(col("user_id") < 10)
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy("user_id", "day").agg(max(col("value")).as("v"))
+      graft.operators.TimeSeries.resampleLinearByKey(daily, "user_id", "day", "v")
+        .select(col("user_id"), col("day"), round(col("v"), 6).as("v"),
+          col("filled").cast("int").as("filled"))
+        .orderBy("user_id", "day")
+    }),
     // --- round 4: Unicode canonicalization (native NFC kernel) ---
     "q_text_clean" -> ((s, dir) => {
       val clean = graft.text.TextAnalysis.cleanText(col("text"))
@@ -3505,6 +3524,50 @@ object SparkEntry {
         |SELECT stratum, n_sampled, round(est_total, 6) AS est_total, true_total,
         |  round((est_total - true_total) / true_total, 6) AS rel_err
         |FROM est JOIN truth USING (stratum) ORDER BY stratum""".stripMargin,
+    "q_sparse_cosine" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM d)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nn FROM d),
+        |w AS (SELECT doc_id, term, tf * ln(nn::DOUBLE / (df + 1)) AS w
+        |  FROM tf JOIN dfq USING (term), n),
+        |norms AS (SELECT doc_id,
+        |    sqrt(sum(CAST(floor(w * w * 1e9) AS BIGINT))::BIGINT::DOUBLE / 1e9) AS norm
+        |  FROM w GROUP BY 1),
+        |nw AS (SELECT w.doc_id, term, w / norm AS nw FROM w JOIN norms USING (doc_id)),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    CAST(floor(a.nw * b.nw * 1e9) AS BIGINT) AS cq
+        |  FROM nw a JOIN nw b USING (term) WHERE a.doc_id < b.doc_id),
+        |c AS (SELECT ida, idb, sum(cq)::BIGINT::DOUBLE / 1e9 AS cosine
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT ida, idb, round(cosine, 6) AS cosine FROM c
+        |WHERE cosine >= 0.8 ORDER BY ida, idb""".stripMargin,
+    "q_linear_fill" ->
+      """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, max(value) AS v
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1),
+        |axis AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM bounds),
+        |dense AS (SELECT a.user_id, a.day, o.v, (o.v IS NULL) AS filled
+        |  FROM axis a LEFT JOIN obs o ON a.user_id = o.user_id AND a.day = o.day),
+        |ends AS (SELECT user_id, day, v, filled,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pp,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        |  FROM dense)
+        |SELECT user_id, day,
+        |  round(CASE WHEN NOT filled THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |      THEN pv + (nv - pv) * (day - pp)::DOUBLE / (np - pp)::DOUBLE END, 6) AS v,
+        |  filled::INT AS filled
+        |FROM ends ORDER BY user_id, day""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,

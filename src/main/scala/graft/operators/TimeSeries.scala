@@ -61,6 +61,43 @@ object TimeSeries {
     }
   }
 
+  /** Per-key densify + LINEAR interpolation — the smooth-fill twin of
+    * [[resampleLocfByKey]]: each synthesized period gets the straight
+    * line between its surrounding observations,
+    * `prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`. Two window
+    * passes over the densified frame (running `last` backward-fill state
+    * and a mirrored `first` forward scan — no self-joins); leading and
+    * trailing gaps (no observation on one side) stay null, `filled`
+    * flags synthesized rows. The interpolation weights are exact integer
+    * period differences, so the fill is deterministic. */
+  def resampleLinearByKey(df: DataFrame, keyCol: String, periodCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(periodCol)).as("__lo"), max(col(periodCol)).as("__hi"))
+    val axis = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"))).as(periodCol))
+    val dense = axis.join(df, Seq(keyCol, periodCol), "left")
+      .withColumn("filled", col(valueCol).isNull)
+    val back = Window.partitionBy(keyCol).orderBy(periodCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy(periodCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsPeriod = when(col(valueCol).isNotNull, col(periodCol))
+    val withEnds = dense
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__pp", last(obsPeriod, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__np", first(obsPeriod, ignoreNulls = true).over(fwd))
+    withEnds
+      .withColumn(valueCol,
+        when(!col("filled"), col(valueCol))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col(periodCol) - col("__pp")).cast("double") /
+              (col("__np") - col("__pp")).cast("double")))
+      .drop("__pv", "__pp", "__nv", "__np")
+  }
+
   /** Normalized exponentially weighted moving average per key (pandas
     * `ewm(adjust=True)` convention): `ewma_t = Σ_{i≤t} r^{t-i} x_i /
     * Σ_{i≤t} r^{t-i}` with `r = 1-alpha` — no init bias, and the closed

@@ -293,6 +293,20 @@ object StreamingDQ {
       .start()
   }
 
+  /** Sliding-window volume: overlapping event-time windows (`windowDur`
+    * wide, advancing every `slideDur`) with per-window count and value
+    * sum — the rate/volume dashboard aggregation. Each event lands in
+    * `windowDur/slideDur` windows; the watermark bounds state by
+    * evicting windows older than the allowed lateness, so state is
+    * O(active windows), stream-length independent. */
+  def slidingVolume(df: DataFrame, tsCol: String, windowDur: String,
+      slideDur: String, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n"), col("sum_value"))
+
   /** Batch-equivalent tumbling window on raw nanos (integer bucketing) —
     * used by the oracle-checked `q_events_window` query; semantics match
     * [[windowedCompleteness]]'s tumbling windows. */

@@ -232,6 +232,52 @@ object TextAnalysis {
         (col("tf") * log(col("__n").cast("double") / (col("df") + 1))).as("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine similarity join: all document pairs with
+    * cosine ≥ `threshold` over L2-normalized `tf·ln(N/(df+1))` term
+    * vectors — the sparse-vector twin of the dense embedding near-dup
+    * path ([[graft.dedup.Dedup.embeddingNearDupBrute]]), computed WITHOUT
+    * materializing any vectors: an inverted-index (postings) self-join on
+    * the term key turns each shared term into one (a, b, w_a·w_b)
+    * contribution row, and a keyed sum per pair finishes the dot product.
+    * Only co-occurring terms generate work — the classic sparse-similarity
+    * shape (term-at-a-time retrieval).
+    *
+    * Determinism: per-term weight-squares and per-pair contributions are
+    * nano-quantized to longs before their sums, so norms and dot products
+    * are exact under any accumulation order — the DuckDB oracle
+    * reproduces them bit-for-bit.
+    *
+    * Scale: postings for a term with document frequency f expand to
+    * O(f²) pair rows; ubiquitous terms dominate, so real corpora prune
+    * them (`maxDf`) — the standard stop-postings cut (AllPairs family).
+    * Output: (id_a, id_b, cosine) with id_a < id_b. */
+  def sparseCosinePairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val tf = df.select(id, explode(tokens(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = df.agg(countDistinct(id).as("__n"))
+    val w = tf.join(docFreq, Seq("term")).crossJoin(broadcast(n))
+      .select(id, col("term"),
+        (col("tf") * log(col("__n").cast("double") / (col("df") + 1))).as("w"))
+    val norms = w.groupBy(id)
+      .agg(sqrt(sum(floor(col("w") * col("w") * 1e9).cast("long"))
+        .cast("double") / 1e9).as("norm"))
+    val nw = w.join(norms, idCol)
+      .select(id, col("term"), (col("w") / col("norm")).as("nw"))
+    val a = nw.select(col(idCol).as("ida"), col("term"), col("nw").as("nwa"))
+    val b = nw.select(col(idCol).as("idb"), col("term"), col("nw").as("nwb"))
+    a.join(b, Seq("term")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        floor(col("nwa") * col("nwb") * 1e9).cast("long").as("cq"))
+      .groupBy("ida", "idb")
+      .agg((sum("cq").cast("double") / 1e9).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Unigram language-model document scoring — the CCNet-style
     * "perplexity" quality filter (Wenzek et al. 2020, public method) with
     * the corpus as its own LM: fit an add-one-smoothed unigram model on
