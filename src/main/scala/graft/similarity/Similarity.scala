@@ -163,12 +163,22 @@ object Similarity {
         s => s.getField("c")).as("cent"))
     val sqDiffQ = zip_with(col(vecCol).cast("array<double>"), col("cent"),
       (a, b) => floor((a - b) * (a - b) * lit(1e9)).cast("long"))
+    // argmin as ONE plain `min` over a packed long (dq·2^20 + label):
+    // min-of-struct and min_by(_, struct) both plan as SortAggregate
+    // (struct orderings aren't hash-agg buffer types — measured on the
+    // plan dump), while a long min stays a codegen'd HashAggregate with
+    // map-side partials. Envelope: labels in [0, 2^20), quantized
+    // distances < 2^43 (dist² < ~8.8e3 at 1e9 quantization — generous
+    // for normalized embeddings; rescale the quantization for wilder
+    // feature scales).
+    val labelType = emb.schema(labelCol).dataType
     emb.crossJoin(broadcast(cents))
       .withColumn("__dq", aggregate(sqDiffQ, lit(0L), (acc, x) => acc + x))
       .groupBy(col(idCol))
-      .agg(min(struct(col("__dq"), col("__label"))).as("__m"))
-      .select(col(idCol), col("__m.__label").as("assigned"),
-        (col("__m.__dq").cast("double") / 1e9).as("dist_sq"))
+      .agg(min(col("__dq") * lit(1048576L) + col("__label").cast("long")).as("__packed"))
+      .select(col(idCol),
+        pmod(col("__packed"), lit(1048576L)).cast(labelType).as("assigned"),
+        (shiftrightunsigned(col("__packed"), 20).cast("double") / 1e9).as("dist_sq"))
   }
 
   /** The matching M-step: re-compute exact centroids under a new
