@@ -1761,6 +1761,29 @@ object SparkEntry {
           col("filled").cast("int").as("filled"))
         .orderBy("user_id", "day")
     }),
+    // --- round 4: feature hashing (vocabulary-free signed projection) ---
+    "q_feature_hash" -> ((s, dir) => {
+      graft.text.TextAnalysis.featureHash(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "dim")
+    }),
+    // --- round 4: smoothed target encoding (high-cardinality features) ---
+    "q_target_encode" -> ((s, dir) => {
+      graft.operators.Repair.targetEncode(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", m = 20.0)
+        .select(col("category"), col("n"), round(col("encoded"), 6).as("encoded"))
+        .orderBy("category")
+    }),
+    // --- round 4: sample-ratio-mismatch gate (A/B allocation health) ---
+    "q_srm" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("arm",
+        when(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 2 === 0, lit("control")).otherwise(lit("treatment")))
+      graft.operators.Profiler.sampleRatioMismatch(o, "arm",
+          Map("control" -> 0.5, "treatment" -> 0.5))
+        .select(col("n"), col("n_arms"), round(col("chi2"), 6).as("chi2"))
+    }),
     // --- round 4: Unicode canonicalization (native NFC kernel) ---
     "q_text_clean" -> ((s, dir) => {
       val clean = graft.text.TextAnalysis.cleanText(col("text"))
@@ -3568,6 +3591,35 @@ object SparkEntry {
         |      THEN pv + (nv - pv) * (day - pp)::DOUBLE / (np - pp)::DOUBLE END, 6) AS v,
         |  filled::INT AS filled
         |FROM ends ORDER BY user_id, day""".stripMargin,
+    "q_feature_hash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  (('0x' || substr(md5(term), 1, 4))::BIGINT % 64)::INT AS dim,
+        |  sum(CASE WHEN ('0x' || substr(md5(term), 5, 1))::BIGINT % 2 = 0
+        |    THEN 1 ELSE -1 END)::BIGINT AS weight
+        |FROM toks GROUP BY 1, 2 HAVING weight <> 0
+        |ORDER BY doc_id, dim""".stripMargin,
+    "q_target_encode" ->
+      """WITH g AS (SELECT count(o_totalprice) AS ng,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,6))) AS sg FROM orders),
+        |c AS (SELECT o_orderpriority AS category, count(o_totalprice) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,6))) AS sc FROM orders GROUP BY 1)
+        |SELECT category, n,
+        |  round((sc::DOUBLE + 20.0 * (sg::DOUBLE / ng)) / (n + 20.0), 6) AS encoded
+        |FROM c, g ORDER BY category""".stripMargin,
+    "q_srm" ->
+      """WITH arms AS (SELECT CASE
+        |    WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 2 = 0
+        |    THEN 'control' ELSE 'treatment' END AS arm FROM orders),
+        |obs AS (SELECT arm, count(*) AS o FROM arms GROUP BY 1),
+        |nn AS (SELECT sum(o)::BIGINT AS n FROM obs),
+        |t AS (SELECT
+        |    sum(CAST(floor((o - 0.5 * n) * (o - 0.5 * n) / (0.5 * n) * 1e9) AS BIGINT))::BIGINT AS sq,
+        |    count(*) AS n_arms FROM obs, nn)
+        |SELECT nn.n AS n, t.n_arms, round(t.sq::DOUBLE / 1e9, 6) AS chi2
+        |FROM t, nn""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,

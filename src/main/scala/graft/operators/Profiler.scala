@@ -723,6 +723,36 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the A/B-test health gate: does
+    * the observed arm allocation match the design? Chi-square
+    * goodness-of-fit of per-arm counts against `expected` proportions;
+    * arms observed but not in `expected` (or vice versa) count with
+    * expectation/observation 0 resp., so allocation bugs that invent or
+    * starve an arm register as huge χ². One count aggregation (output
+    * bounded by #arms); per-arm χ² terms are nano-quantized before the
+    * final sum so the statistic is deterministic. Output: one row
+    * `(n, n_arms, chi2)`. */
+  def sampleRatioMismatch(df: DataFrame, armCol: String,
+      expected: Map[String, Double], eps: Double = 1e-9): DataFrame = {
+    require(expected.nonEmpty && expected.values.forall(_ > 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("o"))
+    val exp = expected.toSeq.toDF("arm", "p")
+    val n = obs.agg(sum("o").as("__n"))
+    // unexpected arms get an eps share: large finite chi2, not a div-by-0
+    val e = greatest(col("p"), lit(eps)) * col("__n")
+    val termQ = floor((col("o") - e) * (col("o") - e) / e * 1e9).cast("long")
+    obs.join(exp, Seq("arm"), "full_outer")
+      .select(coalesce(col("o"), lit(0L)).as("o"),
+        coalesce(col("p"), lit(0.0)).as("p"))
+      .crossJoin(broadcast(n))
+      .agg(max("__n").as("n"), count(lit(1)).as("n_arms"),
+        (sum(termQ).cast("double") / 1e9).as("chi2"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * columns (label vs relabel audit, annotator consistency, model-vs-
     * model diff): `κ = (p_o − p_e)/(1 − p_e)` with observed agreement

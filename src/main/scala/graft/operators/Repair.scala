@@ -66,4 +66,26 @@ object Repair {
     val variance = (sumsq - m * m * n) / (n - 1)
     when(n > 1 && variance > 0, (x - m) / sqrt(variance)).as(as)
   }
+
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * standard high-cardinality feature encoder: each category maps to
+    * `(Σy_c + m·prior) / (n_c + m)`, the category mean shrunk toward the
+    * global prior with pseudo-count `m`, so rare categories don't
+    * memorize their few targets. One category-keyed aggregation (partial
+    * combine, output bounded by cardinality) plus a broadcast 1-row
+    * prior; decimal-exact target sums make the encoding
+    * partition-order-independent. Returns the encoding TABLE
+    * `(category, n, encoded)` — join it back to rows, or ship it to
+    * serving as-is. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      m: Double): DataFrame = {
+    val y = col(targetCol).cast("decimal(30,6)")
+    val overall = df.agg(count(col(targetCol)).as("__ng"), sum(y).as("__sg"))
+    val prior = col("__sg").cast("double") / col("__ng")
+    df.groupBy(col(catCol).as("category"))
+      .agg(count(col(targetCol)).as("n"), sum(y).as("__sc"))
+      .crossJoin(broadcast(overall))
+      .select(col("category"), col("n"),
+        ((col("__sc").cast("double") + lit(m) * prior) / (col("n") + m)).as("encoded"))
+  }
 }

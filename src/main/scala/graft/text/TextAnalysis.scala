@@ -278,6 +278,29 @@ object TextAnalysis {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Feature hashing ("hashing trick", Weinberger et al. 2009): project
+    * each document's token bag into a fixed `dims`-dimensional sparse
+    * vector WITHOUT a vocabulary pass — dimension = md5-bucket of the
+    * token, with a second md5-derived sign bit so colliding tokens cancel
+    * in expectation rather than pile up. Emits sparse (id, dim, weight)
+    * rows (the COO layout downstream trainers consume); one tokenize
+    * pass + one keyed aggregation, vocabulary-free and therefore
+    * unbounded-corpus safe. md5 (not the engine's native hash) keeps the
+    * projection engine-reproducible — the DuckDB oracle rebuilds it
+    * bit-for-bit. */
+  def featureHash(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dims: Int): org.apache.spark.sql.DataFrame = {
+    require(dims > 0 && dims <= 65536, "dims must be in (0, 65536]")
+    val h = md5(col("term"))
+    val dim = conv(substring(h, 1, 4), 16, 10).cast("int") % dims
+    val sign = when(conv(substring(h, 5, 1), 16, 10).cast("int") % 2 === 0, 1L)
+      .otherwise(-1L)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), dim.as("dim"))
+      .agg(sum(sign).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   /** Unigram language-model document scoring — the CCNet-style
     * "perplexity" quality filter (Wenzek et al. 2020, public method) with
     * the corpus as its own LM: fit an add-one-smoothed unigram model on
