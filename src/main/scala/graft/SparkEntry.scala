@@ -1784,6 +1784,47 @@ object SparkEntry {
           Map("control" -> 0.5, "treatment" -> 0.5))
         .select(col("n"), col("n_arms"), round(col("chi2"), 6).as("chi2"))
     }),
+    // --- round 4: golden-record survivorship (field-wise latest non-null) ---
+    "q_golden_record" -> ((s, dir) => {
+      // events as partial records: clicks carry f_click, views f_view;
+      // the golden record per user merges the latest non-null of each
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "click", col("value")).as("f_click"),
+          when(col("event_type") === "view", col("value")).as("f_view"))
+      graft.operators.Merge.goldenRecord(ev, Seq("user_id"), "event_id",
+          Seq("f_click", "f_view"))
+        .select(col("user_id"), col("event_id").as("last_seq"),
+          round(col("f_click"), 6).as("f_click"), round(col("f_view"), 6).as("f_view"))
+        .orderBy("user_id")
+    }),
+    // --- round 4: change-data-feed generation (snapshot diff -> ops log) ---
+    "q_changefeed" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val next = o.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 97 === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.Merge.toChangelog(o, next, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .select(col("o_orderkey"), col("op"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
+    // --- round 4: string schema inference (CSV-ingest profiling) ---
+    "q_type_infer" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("s_int"),
+        col("o_totalprice").cast("string").as("s_dec"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("s_date"),
+        col("o_orderpriority").as("s_str"),
+        (col("o_orderkey") % 2 === 0).cast("string").as("s_bool"))
+      graft.operators.Profiler.inferTypes(o,
+          Seq("s_int", "s_dec", "s_date", "s_str", "s_bool"))
+        .orderBy("column")
+    }),
     // --- round 4: Unicode canonicalization (native NFC kernel) ---
     "q_text_clean" -> ((s, dir) => {
       val clean = graft.text.TextAnalysis.cleanText(col("text"))
@@ -3620,6 +3661,62 @@ object SparkEntry {
         |    count(*) AS n_arms FROM obs, nn)
         |SELECT nn.n AS n, t.n_arms, round(t.sq::DOUBLE / 1e9, 6) AS chi2
         |FROM t, nn""".stripMargin,
+    "q_golden_record" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'click' THEN value END AS f_click,
+        |    CASE WHEN event_type = 'view' THEN value END AS f_view
+        |  FROM events WHERE user_id < 50)
+        |SELECT user_id, max(event_id) AS last_seq,
+        |  round(arg_max(f_click, CASE WHEN f_click IS NOT NULL THEN event_id END), 6) AS f_click,
+        |  round(arg_max(f_view, CASE WHEN f_view IS NOT NULL THEN event_id END), 6) AS f_view
+        |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_changefeed" ->
+      """WITH prev AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |next AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM prev WHERE o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM prev WHERE o_orderkey % 103 = 0),
+        |j AS (SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    p.o_orderkey AS pk, n.o_orderkey AS nk,
+        |    p.o_orderstatus AS ps, p.o_totalprice AS pp,
+        |    n.o_orderstatus AS ns, n.o_totalprice AS np
+        |  FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey),
+        |ops AS (SELECT o_orderkey,
+        |    CASE WHEN pk IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+        |      WHEN ns IS DISTINCT FROM ps OR np IS DISTINCT FROM pp THEN 'U' END AS op,
+        |    ns, np FROM j)
+        |SELECT o_orderkey, op,
+        |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
+        |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
+        |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_type_infer" ->
+      """WITH src AS (SELECT o_orderkey::VARCHAR AS s_int, o_totalprice::VARCHAR AS s_dec,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS s_date, o_orderpriority AS s_str,
+        |    (o_orderkey % 2 = 0)::VARCHAR AS s_bool FROM orders),
+        |u AS (SELECT 's_int' AS "column", s_int AS v FROM src
+        |  UNION ALL SELECT 's_dec', s_dec FROM src
+        |  UNION ALL SELECT 's_date', s_date FROM src
+        |  UNION ALL SELECT 's_str', s_str FROM src
+        |  UNION ALL SELECT 's_bool', s_bool FROM src),
+        |agg AS (SELECT "column", count(v) AS n,
+        |    sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS n_int,
+        |    sum(CASE WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS n_dec,
+        |    sum(CASE WHEN regexp_matches(v, '^(true|false|TRUE|FALSE)$') THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+        |    sum(CASE WHEN regexp_matches(v, '^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]$') THEN 1 ELSE 0 END)::BIGINT AS n_date,
+        |    sum(CASE WHEN regexp_matches(v, '^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][ T][0-9][0-9]:[0-9][0-9]:[0-9][0-9]([.][0-9]+)?$') THEN 1 ELSE 0 END)::BIGINT AS n_ts,
+        |    sum(CASE WHEN v = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty
+        |  FROM u GROUP BY 1)
+        |SELECT "column", n, n_int, n_dec, n_bool, n_date, n_ts, n_empty,
+        |  CASE WHEN (n - n_empty) > 0 AND (n_int + n_dec) >= (n - n_empty) * 0.95
+        |         THEN (CASE WHEN n_dec = 0 THEN 'int' ELSE 'decimal' END)
+        |       WHEN (n - n_empty) > 0 AND n_bool >= (n - n_empty) * 0.95 THEN 'bool'
+        |       WHEN (n - n_empty) > 0 AND n_date >= (n - n_empty) * 0.95 THEN 'date'
+        |       WHEN (n - n_empty) > 0 AND n_ts >= (n - n_empty) * 0.95 THEN 'timestamp'
+        |       ELSE 'string' END AS inferred
+        |FROM agg ORDER BY "column"""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,

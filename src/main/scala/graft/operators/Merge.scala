@@ -100,4 +100,44 @@ object Merge {
       .select(keyCols.map(col) ++ (seqCol +: Nil).map(col) ++
         payloadCols.map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  /** Golden-record survivorship (MDM merge): collapse each key's
+    * duplicate records to one, taking PER FIELD the most recent
+    * non-null value (`max_by` over `seqCol`, which skips rows where the
+    * field is null) — so a newer partial record overrides only the
+    * fields it actually carries. One hash aggregation, no window sort;
+    * `seqCol` must be unique per key for determinism. Output: key cols,
+    * `seqCol` (latest seen), and the merged fields. */
+  def goldenRecord(df: DataFrame, keyCols: Seq[String], seqCol: String,
+      fieldCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && fieldCols.nonEmpty)
+    val aggs = max(col(seqCol)).as(seqCol) +: fieldCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col(seqCol))).as(c))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Inverse of [[applyChangelog]]: diff two snapshots into the I/U/D
+    * ops log that replays `prev` into `next` — the change-data-feed a
+    * downstream incremental consumer wants instead of a full-table copy.
+    * Same full-outer null-safe classification as
+    * [[Reconcile.snapshotDiff]]; 'unchanged' keys emit nothing. `U` (and
+    * `I`) rows carry the NEXT payload, `D`
+    * rows null payloads. The roundtrip law — prev patched with the feed
+    * (drop D/U/I keys, add back I/U payloads) reproduces next exactly —
+    * is spec-asserted. */
+  def toChangelog(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val p = prev.select((keyCols ++ payloadCols).map(col): _*)
+      .withColumn("__in_prev", lit(1))
+    val n = next.select(keyCols.map(col) ++
+      payloadCols.map(c => col(c).as(s"__n_$c")): _*).withColumn("__in_next", lit(1))
+    val joined = p.join(n, keyCols, "full_outer")
+    val changed = payloadCols.map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    val op = when(col("__in_prev").isNull, lit("I"))
+      .when(col("__in_next").isNull, lit("D"))
+      .when(changed, lit("U"))
+    joined.withColumn("op", op).filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("op")) ++ payloadCols.map(c =>
+        when(col("op") =!= "D", col(s"__n_$c")).as(c)): _*)
+  }
 }

@@ -723,6 +723,54 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Schema inference over STRING columns (the CSV/JSON-ingest
+    * profiling step): classify every value of every listed column as
+    * int / decimal / bool / date / timestamp / empty / other via
+    * anchored ASCII regexes (identical semantics in Java and RE2, so a
+    * DuckDB oracle can mirror them), and report per-column match counts
+    * plus the inferred type — the dominant class when it (plus empties)
+    * covers `minRatio` of non-null values, else 'string'. ONE pass over
+    * all columns (lazy stack pivot, no per-column scans). */
+  def inferTypes(df: DataFrame, cols: Seq[String], minRatio: Double = 0.95): DataFrame = {
+    require(cols.nonEmpty)
+    val intRe = "^-?[0-9]+$"
+    val decRe = "^-?[0-9]*\\.[0-9]+$"
+    val boolRe = "^(true|false|TRUE|FALSE)$"
+    val dateRe = "^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]$"
+    val tsRe = "^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][ T][0-9][0-9]:[0-9][0-9]:[0-9][0-9]([.][0-9]+)?$"
+    def cnt(c: String, re: String) = sum(when(col(c).rlike(re), 1L).otherwise(0L))
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        cnt(c, intRe).as(s"__int_$c"), cnt(c, decRe).as(s"__dec_$c"),
+        cnt(c, boolRe).as(s"__bool_$c"), cnt(c, dateRe).as(s"__date_$c"),
+        cnt(c, tsRe).as(s"__ts_$c"),
+        sum(when(col(c) === "", 1L).otherwise(0L)).as(s"__empty_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', `__n_$c`, `__int_$c`, `__dec_$c`, `__bool_$c`, `__date_$c`, `__ts_$c`, `__empty_$c`")
+      .mkString(", ")
+    val base = df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, n, n_int, n_dec, n_bool, n_date, n_ts, n_empty)")
+    val informative = col("n") - col("n_empty")
+    def dominant(c: Column, tpe: String) =
+      when(informative > 0 && c >= informative * minRatio, lit(tpe))
+    base.withColumn("inferred",
+      coalesce(
+        // int before decimal: ints also never match decRe, but a column
+        // mixing both should surface as decimal, so test the union first
+        dominant(col("n_int") + col("n_dec"), "decimal"),
+        dominant(col("n_bool"), "bool"),
+        dominant(col("n_date"), "date"),
+        dominant(col("n_ts"), "timestamp"),
+        lit("string")))
+      .withColumn("inferred",
+        // all-decimal-match but every value integral -> int
+        when(col("inferred") === "decimal" &&
+          (informative === 0 || col("n_dec") === 0), lit("int"))
+          .otherwise(col("inferred")))
+  }
+
   /** Sample-ratio-mismatch (SRM) check — the A/B-test health gate: does
     * the observed arm allocation match the design? Chi-square
     * goodness-of-fit of per-arm counts against `expected` proportions;
