@@ -1813,6 +1813,13 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: bounded k-core peeling on the co-purchase graph ---
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.Graph.kCorePeel(edges, "a", "b", k = 90, rounds = 3)
+        .orderBy("node")
+    }),
     // --- round 4: string schema inference (CSV-ingest profiling) ---
     "q_type_infer" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(
@@ -3692,6 +3699,26 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_kcore" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) y USING (k)
+        |  WHERE x.i < y.i),
+        |k0 AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1) WHERE deg >= 90),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT node FROM k0) AND b IN (SELECT node FROM k0)),
+        |k1 AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1) WHERE deg >= 90),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+        |k2 AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1) WHERE deg >= 90),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2))
+        |SELECT node, count(*)::BIGINT AS degree FROM
+        |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY 1 ORDER BY node""".stripMargin,
     "q_type_infer" ->
       """WITH src AS (SELECT o_orderkey::VARCHAR AS s_int, o_totalprice::VARCHAR AS s_dec,
         |    strftime(o_orderdate, '%Y-%m-%d') AS s_date, o_orderpriority AS s_str,

@@ -167,6 +167,31 @@ object Graph {
     ranks
   }
 
+  /** Bounded-round k-core peeling: `rounds` synchronized sweeps of the
+    * textbook fixpoint — drop every node whose degree in the surviving
+    * subgraph is < `k`, shrink the edge set to surviving endpoints,
+    * repeat. Returns the nodes remaining after the last sweep with their
+    * subgraph degrees (the k-core once converged; peeling converges
+    * rapidly, and a truncated run is still deterministic — the oracle
+    * unrolls the SAME round count, so both engines agree converged or
+    * not). Per round: one degree aggregation + two semi-joins on a
+    * monotonically shrinking edge frame; each round's frame is
+    * `localCheckpoint`ed so the plan doesn't grow with rounds (same
+    * pattern as [[pageRank]]). */
+  def kCorePeel(edges: DataFrame, src: String, dst: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = canonicalEdges(edges, src, dst).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(e).filter(col("degree") >= k).select("node")
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    degrees(e)
+  }
+
   /** Co-occurrence edge list: items sharing a basket become edges (a<b,
     * distinct). The standard projection of a bipartite basket-item table
     * onto items; one self-join per basket key. */
