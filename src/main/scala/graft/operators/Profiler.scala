@@ -723,6 +723,21 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Physical-partition skew report for the frame's CURRENT partitioning
+    * — the "why is one task still running" diagnostic: rows per
+    * `spark_partition_id`, rolled up to one row of
+    * `(n_partitions, min_rows, max_rows, avg_rows, skew)` where `skew =
+    * max/avg` (1.0 = perfectly balanced). Values depend on the physical
+    * partitioning, so this is an ops tool, not an oracle-checkable query
+    * (spec-asserted instead). */
+  def partitionSkew(df: DataFrame): DataFrame =
+    df.select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_partitions"),
+        min("n_rows").as("min_rows"), max("n_rows").as("max_rows"),
+        (sum("n_rows").cast("double") / count(lit(1))).as("avg_rows"))
+      .withColumn("skew", col("max_rows") / col("avg_rows"))
+
   /** Schema inference over STRING columns (the CSV/JSON-ingest
     * profiling step): classify every value of every listed column as
     * int / decimal / bool / date / timestamp / empty / other via
