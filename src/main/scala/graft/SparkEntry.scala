@@ -1813,6 +1813,18 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: batch sliding windows (overlapping event-time windows;
+    //     cents-exact sums; epoch-aligned starts mirror the formula) ---
+    "q_sliding_batch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      ev.groupBy(window(col("tstamp"), "1 day", "6 hours"))
+        .agg(count(lit(1)).as("n"), (sum("cents").cast("double") / 100).as("sv"))
+        .select(col("window.start").cast("long").as("w_start"), col("n"),
+          round(col("sv"), 2).as("sum_value"))
+        .orderBy("w_start")
+    }),
     // --- round 4: bounded k-core peeling on the co-purchase graph ---
     "q_kcore" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3699,6 +3711,14 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_sliding_batch" ->
+      """WITH e AS (SELECT epoch_us(ts) AS m, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT (m // 21600000000 - j) * 21600000000 AS ws, cents
+        |  FROM e, unnest([0, 1, 2, 3]) AS t(j))
+        |SELECT ws // 1000000 AS w_start, count(*) AS n,
+        |  round(sum(cents)::BIGINT::DOUBLE / 100, 2) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kcore" ->
       """WITH e0 AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
         |  FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) x
