@@ -1813,6 +1813,13 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: weighted quantiles (quantity-weighted price points) ---
+    "q_weighted_quantiles" -> ((s, dir) => {
+      graft.operators.Profiler.weightedQuantilesDisc(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("l_returnflag")
+    }),
     // --- round 4: batch sliding windows (overlapping event-time windows;
     //     cents-exact sums; epoch-aligned starts mirror the formula) ---
     "q_sliding_batch" -> ((s, dir) => {
@@ -3711,6 +3718,21 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_weighted_quantiles" ->
+      """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT k, v,
+        |    sum(c) OVER (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY k) AS w FROM c)
+        |SELECT k AS l_returnflag, max(w)::BIGINT AS w,
+        |  min(CASE WHEN cum >= w * 0.25 THEN v END) AS q_25,
+        |  min(CASE WHEN cum >= w * 0.5 THEN v END) AS q_50,
+        |  min(CASE WHEN cum >= w * 0.75 THEN v END) AS q_75,
+        |  min(CASE WHEN cum >= w * 0.95 THEN v END) AS q_95
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sliding_batch" ->
       """WITH e AS (SELECT epoch_us(ts) AS m, CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events),

@@ -526,6 +526,39 @@ object Profiler {
     agged.select(outCols: _*)
   }
 
+  /** WEIGHTED discrete quantiles per key: the smallest value whose
+    * cumulative weight reaches `p·W` (W = the key's total weight) — e.g.
+    * "the price below which half the shipped QUANTITY sits", which the
+    * unweighted row-quantile gets wrong whenever weights correlate with
+    * values. Same distributed shape as [[groupQuantilesDisc]]: collapse
+    * to one row per (key, value) with summed integral weights, one
+    * cumulative window over distinct values, conditional-min selection.
+    * Selection compares an exact long cumulative against the single
+    * product `W·p`, so the picked element is deterministic in any
+    * engine. `weightCol` must be integral-valued (cast enforced). */
+  def weightedQuantilesDisc(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0))
+    val vc = col(valueCol).cast("double")
+    val counts = df.filter(vc.isNotNull && col(keyCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .groupBy(col(keyCol), vc.as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val ranked = counts.select(col(keyCol), col("v"),
+      sum("c").over(wCum).as("cum"), sum("c").over(wAll).as("w"))
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= col("w") * lit(p), col("v")))
+        .as(f"q_${(p * 100).round}%d")
+    } :+ max("w").as("w")
+    val agged = ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    agged.select(col(keyCol) +: col("w") +:
+      probs.map(p => col(f"q_${(p * 100).round}%d")): _*)
+  }
+
   /** Pre-join cardinality-explosion audit: per-key multiplicities on both
     * sides and the EXACT projected inner-join row count
     * `Σ_k cl(k)·cr(k)` — computed from two per-key aggregates joined on

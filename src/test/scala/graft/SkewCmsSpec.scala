@@ -20,6 +20,20 @@ class SkewCmsSpec extends SparkSpec {
     assert(skewed.getAs[Long]("max_rows") == 10000L)
   }
 
+  test("weightedQuantilesDisc: weight-heavy values pull the quantile; p=1 is the max") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L), ("g", 4.0, 7L),
+      ("h", 10.0, 5L), ("h", 20.0, 5L)).toDF("k", "v", "wt")
+    val out = Profiler.weightedQuantilesDisc(df, "k", "v", "wt", Seq(0.5, 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // g: W=10, cum(1,2,3,4)=(1,2,3,10): first cum>=5 is v=4 (row median is 2.x)
+    assert(out("g") == (10L, 4.0, 4.0))
+    // h: W=10, cum(10)=5 >= 5 -> p50=10; p100=20
+    assert(out("h") == (10L, 10.0, 20.0))
+  }
+
   test("CountMinSketch: sharded sketches merge to the exact whole-table sketch") {
     val s = spark
     import s.implicits._
