@@ -1813,6 +1813,12 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: exact 1-Wasserstein drift (earth-mover, value units) ---
+    "q_wasserstein" -> ((s, dir) => {
+      graft.operators.Profiler.wasserstein1(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_returnflag", "R", "N")
+        .select(col("n_a"), col("n_b"), round(col("w1"), 6).as("w1"))
+    }),
     // --- round 4: weighted quantiles (quantity-weighted price points) ---
     "q_weighted_quantiles" -> ((s, dir) => {
       graft.operators.Profiler.weightedQuantilesDisc(t(s, dir, "lineitem"),
@@ -3718,6 +3724,25 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_wasserstein" ->
+      """WITH o AS (SELECT l_extendedprice AS v, l_returnflag AS g FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |pv AS (SELECT v,
+        |    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM pv),
+        |t AS (SELECT sum(CAST(floor(
+        |      abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb) * (nv - v) * 1e9)
+        |    AS BIGINT))::BIGINT AS sq
+        |  FROM c, tot WHERE nv IS NOT NULL)
+        |SELECT tot.na AS n_a, tot.nb AS n_b, round(t.sq::DOUBLE / 1e9, 6) AS w1
+        |FROM t, tot""".stripMargin,
     "q_weighted_quantiles" ->
       """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS v,
         |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS c

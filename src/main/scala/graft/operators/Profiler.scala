@@ -756,6 +756,40 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between two cohorts'
+    * value distributions — the drift metric that reports "HOW FAR did
+    * the distribution move" in value units, complementing PSI (binned
+    * log-ratio) and KS (max CDF gap): `W₁ = ∫|F_a − F_b| dv`, computed
+    * exactly as the sum over the merged distinct-value grid of
+    * `|cdf_a − cdf_b|·(v_next − v)`. One keyed aggregation to the
+    * distinct-value frame + one ordered window (bounded by value
+    * cardinality, not rows); per-gap terms are nano-quantized to longs
+    * so the integral is exact under any accumulation order. */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perVal = df.filter(v.isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(v.as("v")).agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val stepped = perVal.select(col("v"),
+      sum("ca").over(run).as("cum_a"), sum("cb").over(run).as("cum_b"),
+      lead(col("v"), 1).over(w).as("nv"),
+      sum("ca").over(all).as("n_a"), sum("cb").over(all).as("n_b"))
+    val termQ = floor(
+      abs(col("cum_a").cast("double") / col("n_a") -
+        col("cum_b").cast("double") / col("n_b")) *
+        (col("nv") - col("v")) * lit(1e9)).cast("long")
+    stepped.filter(col("nv").isNotNull)
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        (sum(termQ).cast("double") / 1e9).as("w1"))
+  }
+
   /** Physical-partition skew report for the frame's CURRENT partitioning
     * — the "why is one task still running" diagnostic: rows per
     * `spark_partition_id`, rolled up to one row of

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profiler
+import graft.streaming.IdempotentSink
+
+class WassersteinSinkSpec extends SparkSpec {
+
+  test("wasserstein1: identical = 0, shifted point masses = shift, hand case") {
+    val s = spark
+    import s.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(Profiler.wasserstein1(same, "v", "g", "a", "b")
+      .collect().head.getAs[Double]("w1") == 0.0)
+    // A at 0, B at 10 -> W1 = 10
+    val shift = (Seq.fill(5)(("a", 0.0)) ++ Seq.fill(7)(("b", 10.0))).toDF("g", "v")
+    val r = Profiler.wasserstein1(shift, "v", "g", "a", "b").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 7L)
+    assert(math.abs(r.getAs[Double]("w1") - 10.0) < 1e-8)
+    // A uniform {0,1}, B all at 1: |0.5-0|*1 = 0.5
+    val hand = (Seq(("a", 0.0), ("a", 1.0)) ++ Seq.fill(3)(("b", 1.0))).toDF("g", "v")
+    assert(math.abs(Profiler.wasserstein1(hand, "v", "g", "a", "b")
+      .collect().head.getAs[Double]("w1") - 0.5) < 1e-8)
+  }
+
+  test("IdempotentSink: re-delivered batchIds are no-ops, new batchIds append") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val fn = IdempotentSink.parquetBatchWriter(base)
+    val b0 = (1 to 10).toDF("x")
+    fn(b0, 0L)
+    fn(b0, 0L) // crash-replay of the same batch
+    fn((11 to 15).toDF("x"), 1L)
+    fn((11 to 15).toDF("x"), 1L)
+    val all = spark.read.parquet(s"$base/batch_*")
+    assert(all.count() == 15L)
+    assert(all.agg(countDistinct("x")).head.getLong(0) == 15L)
+    // no staging leftovers
+    assert(!new java.io.File(base).listFiles().exists(_.getName.startsWith("_tmp_")))
+  }
+}
