@@ -1638,9 +1638,9 @@ object SparkEntry {
       graft.operators.TimeSeries.changepoint(ev, "user_id",
           Seq(col("ts_us"), col("event_id")), "cents")
         .select(col("user_id"), col("split_at").cast("bigint").as("split_at"),
-          col("n"), round(col("gain") / 10000, 6).as("gain"),
-          round(col("mean_left") / 100, 6).as("mean_left"),
-          round(col("mean_right") / 100, 6).as("mean_right"))
+          col("n"), (col("gain") / 10000).as("gain"),
+          (col("mean_left") / 100).as("mean_left"),
+          (col("mean_right") / 100).as("mean_right"))
         .orderBy("user_id")
     }),
     // --- round 4: Merkle-style bucket digests (anti-entropy table sync) ---
@@ -1666,7 +1666,7 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       graft.text.TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
           Seq("hash", "join", "vector", "spark"))
-        .select(col("doc_id"), col("n_terms_hit"), round(col("bm25"), 6).as("bm25"))
+        .select(col("doc_id"), col("n_terms_hit"), col("bm25"))
         .orderBy("doc_id")
     }),
     // --- round 4: exact Lloyd E-step (broadcast centroids, row-local
@@ -1674,8 +1674,7 @@ object SparkEntry {
     "q_kmeans_assign" -> ((s, dir) => {
       graft.similarity.Similarity.kmeansAssign(
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-        .select(col("vec_id"), col("assigned"),
-          round(col("dist_sq"), 6).as("dist_sq"))
+        .select(col("vec_id"), col("assigned"), col("dist_sq"))
         .orderBy("vec_id")
     }),
     // --- round 4: full Lloyd iteration (E-step + exact M-step roll-up) ---
@@ -1704,7 +1703,7 @@ object SparkEntry {
             .cast("double") / 65536.0)
         .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
       graft.operators.Profiler.rocAuc(o, "score", "label")
-        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+        .select(col("n_pos"), col("n_neg"), col("auc"))
     }),
     // --- round 4: reliability-diagram calibration bins ---
     "q_calibration" -> ((s, dir) => {
@@ -1726,7 +1725,7 @@ object SparkEntry {
             .cast("double") / 65536.0)
         .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
       graft.operators.Profiler.brierScore(o, "score", "label")
-        .select(col("n"), round(col("brier"), 6).as("brier"))
+        .select(col("n"), col("brier"))
     }),
     // --- round 4: Horvitz-Thompson stratified totals from the
     //     deterministic md5 sample (estimate without the full scan) ---
@@ -1748,7 +1747,7 @@ object SparkEntry {
       graft.text.TextAnalysis.sparseCosinePairs(
           t(s, dir, "documents").filter(col("doc_id") < 200),
           "doc_id", "text", threshold = 0.8)
-        .select(col("ida"), col("idb"), round(col("cosine"), 6).as("cosine"))
+        .select(col("ida"), col("idb"), col("cosine"))
         .orderBy("ida", "idb")
     }),
     // --- round 4: densify + LINEAR interpolation per key ---
@@ -1782,7 +1781,7 @@ object SparkEntry {
           .cast("int") % 2 === 0, lit("control")).otherwise(lit("treatment")))
       graft.operators.Profiler.sampleRatioMismatch(o, "arm",
           Map("control" -> 0.5, "treatment" -> 0.5))
-        .select(col("n"), col("n_arms"), round(col("chi2"), 6).as("chi2"))
+        .select(col("n"), col("n_arms"), col("chi2"))
     }),
     // --- round 4: golden-record survivorship (field-wise latest non-null) ---
     "q_golden_record" -> ((s, dir) => {
@@ -1817,7 +1816,7 @@ object SparkEntry {
     "q_wasserstein" -> ((s, dir) => {
       graft.operators.Profiler.wasserstein1(t(s, dir, "lineitem"),
           "l_extendedprice", "l_returnflag", "R", "N")
-        .select(col("n_a"), col("n_b"), round(col("w1"), 6).as("w1"))
+        .select(col("n_a"), col("n_b"), col("w1"))
     }),
     // --- round 4: weighted quantiles (quantity-weighted price points) ---
     "q_weighted_quantiles" -> ((s, dir) => {
@@ -3467,8 +3466,8 @@ object SparkEntry {
         |    p::DOUBLE / t::DOUBLE AS ml, (tt - p)::DOUBLE / (n - t)::DOUBLE AS mr
         |  FROM pre WHERE t < n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY gain DESC, t) AS rk FROM g)
-        |SELECT user_id, t AS split_at, n, round(gain / 10000, 6) AS gain,
-        |  round(ml / 100, 6) AS mean_left, round(mr / 100, 6) AS mean_right
+        |SELECT user_id, t AS split_at, n, gain / 10000 AS gain,
+        |  ml / 100 AS mean_left, mr / 100 AS mean_right
         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "q_bucket_checksum" ->
       """WITH snapa AS (
@@ -3516,7 +3515,7 @@ object SparkEntry {
         |      * 1e9) AS BIGINT) AS score_q
         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats)
         |SELECT doc_id, count(*) AS n_terms_hit,
-        |  round(sum(score_q)::BIGINT::DOUBLE / 1e9, 6) AS bm25
+        |  sum(score_q)::BIGINT::DOUBLE / 1e9 AS bm25
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_kmeans_assign" ->
       """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
@@ -3533,7 +3532,7 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN cents c),
         |r AS (SELECT vec_id, clabel, dq,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dq, clabel) AS rn FROM dist)
-        |SELECT vec_id, clabel AS assigned, round(dq::DOUBLE / 1e9, 6) AS dist_sq
+        |SELECT vec_id, clabel AS assigned, dq::DOUBLE / 1e9 AS dist_sq
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_kmeans_step" ->
       """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
@@ -3588,7 +3587,7 @@ object SparkEntry {
         |a AS (SELECT sum(cp)::BIGINT AS n_pos, sum(cn)::BIGINT AS n_neg,
         |    sum(cp * avg_rank) AS rp FROM rk)
         |SELECT n_pos, n_neg,
-        |  round((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)::DOUBLE, 6) AS auc
+        |  (rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)::DOUBLE AS auc
         |FROM a""".stripMargin,
     "q_calibration" ->
       """WITH o AS (SELECT
@@ -3603,8 +3602,8 @@ object SparkEntry {
         |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT::DOUBLE / 65536.0 AS s,
         |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders)
         |SELECT count(*) AS n,
-        |  round(sum(CAST(floor((s - y) * (s - y) * 1e9) AS BIGINT))::BIGINT::DOUBLE
-        |    / 1e9 / count(*), 6) AS brier
+        |  sum(CAST(floor((s - y) * (s - y) * 1e9) AS BIGINT))::BIGINT::DOUBLE
+        |    / 1e9 / count(*) AS brier
         |FROM o""".stripMargin,
     "q_ht_estimate" ->
       """WITH samp AS (SELECT lang, n_chars FROM documents
@@ -3638,7 +3637,7 @@ object SparkEntry {
         |  FROM nw a JOIN nw b USING (term) WHERE a.doc_id < b.doc_id),
         |c AS (SELECT ida, idb, sum(cq)::BIGINT::DOUBLE / 1e9 AS cosine
         |  FROM pairs GROUP BY 1, 2)
-        |SELECT ida, idb, round(cosine, 6) AS cosine FROM c
+        |SELECT ida, idb, cosine FROM c
         |WHERE cosine >= 0.8 ORDER BY ida, idb""".stripMargin,
     "q_linear_fill" ->
       """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, max(value) AS v
@@ -3691,7 +3690,7 @@ object SparkEntry {
         |t AS (SELECT
         |    sum(CAST(floor((o - 0.5 * n) * (o - 0.5 * n) / (0.5 * n) * 1e9) AS BIGINT))::BIGINT AS sq,
         |    count(*) AS n_arms FROM obs, nn)
-        |SELECT nn.n AS n, t.n_arms, round(t.sq::DOUBLE / 1e9, 6) AS chi2
+        |SELECT nn.n AS n, t.n_arms, t.sq::DOUBLE / 1e9 AS chi2
         |FROM t, nn""".stripMargin,
     "q_golden_record" ->
       """WITH ev AS (SELECT user_id, event_id,
@@ -3741,7 +3740,7 @@ object SparkEntry {
         |      abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb) * (nv - v) * 1e9)
         |    AS BIGINT))::BIGINT AS sq
         |  FROM c, tot WHERE nv IS NOT NULL)
-        |SELECT tot.na AS n_a, tot.nb AS n_b, round(t.sq::DOUBLE / 1e9, 6) AS w1
+        |SELECT tot.na AS n_a, tot.nb AS n_b, t.sq::DOUBLE / 1e9 AS w1
         |FROM t, tot""".stripMargin,
     "q_weighted_quantiles" ->
       """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS v,
