@@ -45,6 +45,42 @@ class GoldenFeedSpec extends SparkSpec {
     assert(patched.exceptAll(next).isEmpty && next.exceptAll(patched).isEmpty)
   }
 
+  test("randomized: toChangelog patch law holds on arbitrary snapshot pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      def snap() = (1 to 200).flatMap { k =>
+        if (rnd.nextInt(4) == 0) None
+        else Some((k.toLong, s"s${rnd.nextInt(3)}", rnd.nextInt(50).toDouble))
+      }.toDF("k", "s", "v")
+      val prev = snap(); val next = snap()
+      val ops = Merge.toChangelog(prev, next, Seq("k"), Seq("s", "v"))
+      val patched = prev.join(ops.select("k"), Seq("k"), "left_anti")
+        .unionByName(ops.filter(col("op") =!= "D").select("k", "s", "v"))
+      assert(patched.exceptAll(next).isEmpty && next.exceptAll(patched).isEmpty)
+    }
+  }
+
+  test("randomized: bucketDigests flags exactly the buckets of mutated keys") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val a = (1 to 500).map(i => (i.toLong, s"v${i % 11}", i * 3L)).toDF("id", "s", "n")
+    (1 to 3).foreach { _ =>
+      val victim = 1L + rnd.nextInt(500)
+      val b = a.withColumn("n", when(col("id") === victim, col("n") + 1).otherwise(col("n")))
+      val diff = graft.operators.Reconcile.digestDiff(
+        graft.operators.Reconcile.bucketDigests(a, Seq("id"), Seq("s", "n"), 32),
+        graft.operators.Reconcile.bucketDigests(b, Seq("id"), Seq("s", "n"), 32)).collect()
+      val victimBucket = graft.operators.Reconcile
+        .bucketDigests(a.filter(col("id") === victim), Seq("id"), Seq("s", "n"), 32)
+        .collect().head.getLong(0)
+      assert(diff.map(_.getLong(0)).toSeq == Seq(victimBucket))
+      assert(diff.head.getLong(1) == diff.head.getLong(2)) // counts agree, digests differ
+    }
+  }
+
   test("toChangelog: identical snapshots emit an empty feed; null transitions are changes") {
     val s = spark
     import s.implicits._
