@@ -1812,6 +1812,12 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: 2-D skyline / Pareto frontier (min price, max qty) ---
+    "q_skyline" -> ((s, dir) => {
+      graft.operators.Profiler.skyline2D(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_quantity")
+        .orderBy("l_extendedprice")
+    }),
     // --- round 4: exact 1-Wasserstein drift (earth-mover, value units) ---
     "q_wasserstein" -> ((s, dir) => {
       graft.operators.Profiler.wasserstein1(t(s, dir, "lineitem"),
@@ -3723,6 +3729,13 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (SELECT l_extendedprice AS x, max(l_quantity) AS y FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL GROUP BY 1),
+        |s AS (SELECT x, y, max(y) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM p)
+        |SELECT x AS l_extendedprice, y AS l_quantity FROM s
+        |WHERE m IS NULL OR y > m ORDER BY x""".stripMargin,
     "q_wasserstein" ->
       """WITH o AS (SELECT l_extendedprice AS v, l_returnflag AS g FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),

@@ -756,6 +756,27 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** 2-D skyline (Pareto frontier): the points not dominated under
+    * (minimize `xCol`, maximize `yCol`) — "the cheapest offer at every
+    * achievable quality level". The classic O(n²) NOT-EXISTS query
+    * collapses to ONE keyed aggregation + one bounded ordered window:
+    * fold to max-y per distinct x (keyed, map-side combined), then keep
+    * the points whose y strictly exceeds the running max over all
+    * smaller x. The window runs over the distinct-x frame only — at
+    * 100 TB the frontier scan is value-cardinality-sized, never
+    * row-sized. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val perX = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("x")).agg(max(y).as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perX.withColumn("__m", max("y").over(w))
+      .filter(col("__m").isNull || col("y") > col("__m"))
+      .select(col("x").as(xCol), col("y").as(yCol))
+  }
+
   /** Exact 1-Wasserstein (earth-mover) distance between two cohorts'
     * value distributions — the drift metric that reports "HOW FAR did
     * the distribution move" in value units, complementing PSI (binned

@@ -23,6 +23,25 @@ class WassersteinSinkSpec extends SparkSpec {
       .collect().head.getAs[Double]("w1") - 0.5) < 1e-8)
   }
 
+  test("skyline2D equals the brute-force NOT-dominated set") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (1 to 300).map(_ => (rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val df = pts.toDF("x", "y")
+    val got = Profiler.skyline2D(df, "x", "y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    // brute force: keep (x,y) iff no other point has x' <= x, y' >= y
+    // with at least one strict inequality
+    val distinct = pts.toSet
+    val want = distinct.filter { case (x, y) =>
+      !distinct.exists { case (x2, y2) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y)
+      }
+    }
+    assert(got == want)
+  }
+
   test("IdempotentSink: re-delivered batchIds are no-ops, new batchIds append") {
     val s = spark
     import s.implicits._
