@@ -1812,6 +1812,21 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: mode per group (deterministic ties) ---
+    "q_mode" -> ((s, dir) => {
+      graft.operators.Profiler.modeByGroup(t(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
+    // --- round 4: lag-1 autocorrelation per key (integer co-moments) ---
+    "q_acf" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      graft.operators.TimeSeries.autocorr(ev, "user_id",
+          Seq(col("ts_us"), col("event_id")), "cents", lag = 1)
+        .orderBy("user_id")
+    }),
     // --- round 4: 2-D skyline / Pareto frontier (min price, max qty) ---
     "q_skyline" -> ((s, dir) => {
       graft.operators.Profiler.skyline2D(t(s, dir, "lineitem"),
@@ -3729,6 +3744,30 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS mode, count(*) AS n_mode
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n_mode DESC, mode) AS rk FROM c)
+        |SELECT l_returnflag, mode, n_mode FROM r WHERE rk = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_acf" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events WHERE user_id < 30),
+        |p AS (SELECT user_id, x,
+        |    lag(x) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS y FROM o),
+        |a AS (SELECT user_id, count(*) AS n_pairs,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        |    sum(x * y)::BIGINT AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_pairs,
+        |  CASE WHEN n_pairs > 1 AND (n_pairs * sxx - sx * sx) > 0
+        |        AND (n_pairs * syy - sy * sy) > 0
+        |    THEN (n_pairs * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n_pairs * sxx - sx * sx)::DOUBLE * (n_pairs * syy - sy * sy)::DOUBLE)
+        |  END AS acf
+        |FROM a ORDER BY user_id""".stripMargin,
     "q_skyline" ->
       """WITH p AS (SELECT l_extendedprice AS x, max(l_quantity) AS y FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL GROUP BY 1),

@@ -756,6 +756,20 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Mode (most frequent value) per group, deterministic ties (highest
+    * count, then smallest value): one keyed count aggregation to the
+    * (group, value) frame + a row_number over each group's DISTINCT
+    * values — bounded by value cardinality, not rows. */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("n_mode"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("n_mode").desc, col(valueCol).asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("mode"), col("n_mode"))
+  }
+
   /** 2-D skyline (Pareto frontier): the points not dominated under
     * (minimize `xCol`, maximize `yCol`) — "the cheapest offer at every
     * achievable quality level". The classic O(n²) NOT-EXISTS query

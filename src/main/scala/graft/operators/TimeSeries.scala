@@ -146,6 +146,36 @@ object TimeSeries {
       .drop("__cp", "__cn")
   }
 
+  /** Lag-`k` autocorrelation per key: the Pearson correlation of
+    * `(x_t, x_{t−k})` pairs in `orderCols` order — the "is this series
+    * momentum or noise" statistic. One lag window + one keyed
+    * aggregation; with an integral `valueCol` (pre-scale decimals to
+    * cents) every co-moment sum is an exact long, and the final
+    * correlation derives from those integers by a fixed sequence of
+    * double ops — bit-deterministic in any engine. Keys with < 2 pairs
+    * or zero variance on either side yield null `acf`. */
+  def autocorr(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, lag: Int = 1): DataFrame = {
+    require(lag >= 1)
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val paired = df
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__y", org.apache.spark.sql.functions.lag(col("__x"), lag).over(w))
+      .filter(col("__y").isNotNull)
+    val agged = paired.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_pairs")
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agged.select(col(keyCol), n,
+      when(n > 1 && dx > 0 && dy > 0, num / sqrt(dx * dy)).as("acf"))
+  }
+
   /** Best single changepoint per key: the split `t` (after the t-th row in
     * `orderCols` order) maximizing the between-segment sum-of-squares gain
     * `P_t²/t + (T−P_t)²/(n−t) − T²/n` — the k=2 step of least-squares

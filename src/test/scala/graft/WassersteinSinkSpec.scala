@@ -23,6 +23,40 @@ class WassersteinSinkSpec extends SparkSpec {
       .collect().head.getAs[Double]("w1") - 0.5) < 1e-8)
   }
 
+  test("modeByGroup: ties break to the smallest value; nulls ignored") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(3)), ("a", Some(3)), ("a", Some(1)), ("a", Some(1)),
+      ("a", Some(2)), ("b", Some(9)), ("b", None)).toDF("g", "v")
+    val out = Profiler.modeByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out("a") == (1, 2L)) // 1 and 3 both appear twice -> smaller wins
+    assert(out("b") == (9, 1L))
+  }
+
+  test("autocorr matches a direct Pearson computation on lagged pairs") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(10L, 12L, 11L, 15L, 13L, 17L, 16L, 20L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }.toDF("k", "ord", "x")
+    val got = graft.operators.TimeSeries.autocorr(df, "k", Seq(col("ord")), "x", 1)
+      .collect().head
+    val pairs = xs.zip(xs.drop(1)).map { case (y, x) => (x.toDouble, y.toDouble) }
+    val n = pairs.length
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got.getLong(1) == n)
+    assert(math.abs(got.getAs[Double]("acf") - want) < 1e-12)
+    // constant series -> zero variance -> null acf
+    val const = (0 to 5).map(i => ("c", i.toLong, 7L)).toDF("k", "ord", "x")
+    assert(graft.operators.TimeSeries.autocorr(const, "k", Seq(col("ord")), "x", 1)
+      .collect().head.isNullAt(2))
+  }
+
   test("skyline2D equals the brute-force NOT-dominated set") {
     val s = spark
     import s.implicits._
