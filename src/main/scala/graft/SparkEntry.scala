@@ -1812,6 +1812,19 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: mutual information lang<->source (nats) ---
+    "q_mutual_info" -> ((s, dir) => {
+      graft.operators.Profiler.mutualInformation(
+        t(s, dir, "documents"), "lang", "source")
+    }),
+    // --- round 4: two-proportion z (purchase-rate diff between cohorts) ---
+    "q_proportion_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+        .withColumn("success", (col("event_type") === "purchase").cast("int"))
+      graft.operators.Profiler.twoProportionZ(ev, "cohort", "success", "even", "odd")
+    }),
     // --- round 4: mode per group (deterministic ties) ---
     "q_mode" -> ((s, dir) => {
       graft.operators.Profiler.modeByGroup(t(s, dir, "lineitem"),
@@ -3744,6 +3757,41 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS nxy FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(nxy)::BIGINT AS nx FROM j GROUP BY 1),
+        |my AS (SELECT y, sum(nxy)::BIGINT AS ny FROM j GROUP BY 1),
+        |n AS (SELECT sum(nxy)::BIGINT AS nn FROM j),
+        |t AS (SELECT sum(CAST(floor((nxy::DOUBLE / nn)
+        |      * ln((nxy::DOUBLE / nn) / ((nx::DOUBLE / nn) * (ny::DOUBLE / nn)))
+        |      * 1e9) AS BIGINT))::BIGINT AS miq
+        |  FROM j JOIN mx USING (x) JOIN my USING (y), n),
+        |h AS (SELECT sum(CAST(floor((nx::DOUBLE / nn) * ln(nx::DOUBLE / nn) * 1e9)
+        |    AS BIGINT))::BIGINT AS hxq FROM mx, n)
+        |SELECT t.miq::DOUBLE / 1e9 AS mi, -(h.hxq::DOUBLE) / 1e9 AS h_x,
+        |  CASE WHEN -(h.hxq::DOUBLE) / 1e9 > 0
+        |    THEN (t.miq::DOUBLE / 1e9) / (-(h.hxq::DOUBLE) / 1e9) END AS uncertainty_coef
+        |FROM t, h""".stripMargin,
+    "q_proportion_test" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
+        |a AS (SELECT
+        |    sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN g = 'even' AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS s_a,
+        |    sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN g = 'odd' AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS s_b
+        |  FROM e)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  s_a::DOUBLE / n_a AS p_a, s_b::DOUBLE / n_b AS p_b,
+        |  CASE WHEN sqrt((s_a + s_b)::DOUBLE / (n_a + n_b)
+        |        * (1.0 - (s_a + s_b)::DOUBLE / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)) > 0
+        |    THEN (s_a::DOUBLE / n_a - s_b::DOUBLE / n_b)
+        |      / sqrt((s_a + s_b)::DOUBLE / (n_a + n_b)
+        |        * (1.0 - (s_a + s_b)::DOUBLE / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)) END AS z
+        |FROM a""".stripMargin,
     "q_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity AS mode, count(*) AS n_mode
         |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),

@@ -756,6 +756,63 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Mutual information between two categorical columns (nats) —
+    * the model-free dependence measure that catches what χ² can and
+    * nonlinear association too: `I = Σ_xy p_xy·ln(p_xy/(p_x·p_y))`.
+    * One joint-count aggregation (output bounded by |X|·|Y|) + two
+    * marginal roll-ups joined back; per-cell terms are nano-quantized
+    * before the final sum so the statistic is deterministic. Also
+    * reports the entropies and the normalized uncertainty coefficient
+    * `U(x|y) = I/H(x)`. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val joint = base.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = joint.groupBy("y").agg(sum("nxy").as("ny"))
+    val n = joint.agg(sum("nxy").as("__n"))
+    val withP = joint.join(mx, "x").join(my, "y").crossJoin(broadcast(n))
+    val nn = col("__n").cast("double")
+    val pxy = col("nxy").cast("double") / nn
+    // 1e9 (not finer) quantization: ln() may differ by an ulp between
+    // Java and DuckDB's libm, and the grid must absorb it
+    val miTermQ = floor(pxy * log(pxy /
+      ((col("nx").cast("double") / nn) * (col("ny").cast("double") / nn))) * 1e9)
+      .cast("long")
+    val hxTermQ = floor((col("nx").cast("double") / nn) *
+      log(col("nx").cast("double") / nn) * 1e9).cast("long")
+    val mi = withP.agg((sum(miTermQ).cast("double") / 1e9).as("mi"))
+    val hx = mx.crossJoin(broadcast(n))
+      .agg((-sum(hxTermQ).cast("double") / 1e9).as("h_x"))
+    mi.crossJoin(hx)
+      .select(col("mi"), col("h_x"),
+        when(col("h_x") > 0, col("mi") / col("h_x")).as("uncertainty_coef"))
+  }
+
+  /** Two-proportion z-test (pooled): is cohort A's success rate
+    * different from B's — the funnel-dropoff / conversion-diff
+    * significance check. All counts integral; the z statistic derives
+    * from them by a fixed double-op sequence, so it is deterministic.
+    * One conditional aggregation pass. */
+  def twoProportionZ(df: DataFrame, groupCol: String, successCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val y = col(successCol).cast("int")
+    val a = df.filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === groupA && y === 1, 1L).otherwise(0L)).as("s_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === groupB && y === 1, 1L).otherwise(0L)).as("s_b"))
+    val pa = col("s_a").cast("double") / col("n_a")
+    val pb = col("s_b").cast("double") / col("n_b")
+    val pool = (col("s_a") + col("s_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      when(se > 0, (pa - pb) / se).as("z"))
+  }
+
   /** Mode (most frequent value) per group, deterministic ties (highest
     * count, then smallest value): one keyed count aggregation to the
     * (group, value) frame + a row_number over each group's DISTINCT

@@ -23,6 +23,35 @@ class WassersteinSinkSpec extends SparkSpec {
       .collect().head.getAs[Double]("w1") - 0.5) < 1e-8)
   }
 
+  test("mutualInformation: independence = 0, identity = H(x), U in [0,1]") {
+    val s = spark
+    import s.implicits._
+    // independent: every (x, y) combo equally likely
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 25)
+      yield (x, y)).toDF("x", "y")
+    val r0 = Profiler.mutualInformation(indep, "x", "y").collect().head
+    assert(math.abs(r0.getAs[Double]("mi")) < 1e-8)
+    // deterministic copy: MI == H(x) == ln 2, U == 1
+    val ident = (Seq.fill(50)(("a", "a")) ++ Seq.fill(50)(("b", "b"))).toDF("x", "y")
+    val r1 = Profiler.mutualInformation(ident, "x", "y").collect().head
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2)) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("uncertainty_coef") - 1.0) < 1e-6)
+  }
+
+  test("twoProportionZ matches the hand-computed pooled statistic") {
+    val s = spark
+    import s.implicits._
+    // A: 40/100 success, B: 25/100
+    val rows = Seq.fill(40)(("A", 1)) ++ Seq.fill(60)(("A", 0)) ++
+      Seq.fill(25)(("B", 1)) ++ Seq.fill(75)(("B", 0))
+    val r = Profiler.twoProportionZ(rows.toDF("g", "y"), "g", "y", "A", "B")
+      .collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 40L && r.getLong(3) == 25L)
+    val pool = 65.0 / 200
+    val want = (0.40 - 0.25) / math.sqrt(pool * (1 - pool) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getAs[Double]("z") - want) < 1e-12)
+  }
+
   test("modeByGroup: ties break to the smallest value; nulls ignored") {
     val s = spark
     import s.implicits._
