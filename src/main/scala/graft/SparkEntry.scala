@@ -1812,6 +1812,14 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: deterministic Poisson-bootstrap CI for a mean ---
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      graft.operators.Profiler.poissonBootstrapMean(o, "o_orderkey", "cents", b = 32)
+        .select(col("n_boot"), (col("ci_lo") / 100).as("ci_lo"),
+          (col("ci_hi") / 100).as("ci_hi"))
+    }),
     // --- round 4: mutual information lang<->source (nats) ---
     "q_mutual_info" -> ((s, dir) => {
       graft.operators.Profiler.mutualInformation(
@@ -3757,6 +3765,25 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT o_orderkey::VARCHAR AS id,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |e AS (SELECT id, x, unnest(range(0, 32)) AS b FROM base),
+        |u AS (SELECT b, x,
+        |    ('0x' || substr(md5(id || '_' || b::VARCHAR), 1, 8))::BIGINT::DOUBLE
+        |      / 4294967296.0 AS uu FROM e),
+        |w AS (SELECT b, x, CASE
+        |    WHEN uu < 0.36787944117144233 THEN 0 WHEN uu < 0.7357588823428847 THEN 1
+        |    WHEN uu < 0.9196986029286058 THEN 2 WHEN uu < 0.9810118431238462 THEN 3
+        |    WHEN uu < 0.9963401531726563 THEN 4 WHEN uu < 0.9994058151824183 THEN 5
+        |    ELSE 6 END AS w FROM u),
+        |m AS (SELECT b, sum(w * x)::BIGINT::DOUBLE / sum(w)::BIGINT AS mean_b
+        |  FROM w GROUP BY 1),
+        |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM m)
+        |SELECT count(*) AS n_boot,
+        |  min(CASE WHEN rk = 1 THEN mean_b END) / 100 AS ci_lo,
+        |  min(CASE WHEN rk = 31 THEN mean_b END) / 100 AS ci_hi
+        |FROM r""".stripMargin,
     "q_mutual_info" ->
       """WITH j AS (SELECT lang AS x, source AS y, count(*) AS nxy FROM documents
         |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),

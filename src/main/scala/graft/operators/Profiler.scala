@@ -756,6 +756,50 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Poisson bootstrap confidence interval for a mean — the
+    * large-scale-A/B uncertainty-quantification technique (each of `b`
+    * resamples weights every row by an independent Poisson(1) draw, so
+    * resampling is ONE streaming pass, no row sampling or materialized
+    * resamples). The draws derive from md5(id, replicate) inverse-CDF
+    * thresholds, making the bootstrap fully DETERMINISTIC and
+    * engine-reproducible (the DuckDB oracle rebuilds identical weights).
+    * `valueCol` must be integral (pre-scale to cents): per-replicate
+    * weighted sums stay exact longs, so every replicate mean is
+    * bit-deterministic. Output: one row `(n_boot, ci_lo, ci_hi)` at the
+    * ~2.5/97.5 rank positions of the replicate means.
+    *
+    * Scale: the explode is b× the input rows but row-local; the only
+    * shuffle carries b partial-aggregated rows. */
+  def poissonBootstrapMean(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 32): DataFrame = {
+    require(b >= 8 && b <= 1024)
+    // cumulative Poisson(1) CDF, literal-exact in both engines
+    val u = col("__u")
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val boots = df
+      .select(col(idCol).cast("string").as("__id"), col(valueCol).cast("long").as("__x"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u",
+        conv(substring(md5(concat_ws("_", col("__id"), col("__b").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0)
+      .withColumn("__w", w)
+      .groupBy("__b")
+      .agg((sum(col("__w") * col("__x")).cast("double") / sum("__w")).as("mean_b"))
+    val wnd = org.apache.spark.sql.expressions.Window.orderBy(col("mean_b"), col("__b"))
+    val loIdx = math.max(1, math.round(0.025 * b).toInt)
+    val hiIdx = math.min(b, math.round(0.975 * b).toInt)
+    boots.withColumn("__r", row_number().over(wnd))
+      .agg(count(lit(1)).as("n_boot"),
+        min(when(col("__r") === loIdx, col("mean_b"))).as("ci_lo"),
+        min(when(col("__r") === hiIdx, col("mean_b"))).as("ci_hi"))
+  }
+
   /** Mutual information between two categorical columns (nats) —
     * the model-free dependence measure that catches what χ² can and
     * nonlinear association too: `I = Σ_xy p_xy·ln(p_xy/(p_x·p_y))`.

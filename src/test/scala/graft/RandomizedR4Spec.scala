@@ -37,6 +37,24 @@ class RandomizedR4Spec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrapMean: constant data collapses the CI; runs are identical; CI brackets the mean") {
+    val s = spark
+    import s.implicits._
+    val const = (1 to 500).map(i => (i.toLong, 700L)).toDF("id", "x")
+    val rc = Profiler.poissonBootstrapMean(const, "id", "x").collect().head
+    assert(rc.getLong(0) == 32L)
+    assert(rc.getDouble(1) == 700.0 && rc.getDouble(2) == 700.0)
+    val rnd = new scala.util.Random(37)
+    val data = (1 to 2000).map(i => (i.toLong, 500L + rnd.nextInt(200)))
+    val df = data.toDF("id", "x")
+    val r1 = Profiler.poissonBootstrapMean(df, "id", "x").collect().head
+    val r2 = Profiler.poissonBootstrapMean(df, "id", "x").collect().head
+    assert(r1 == r2) // md5-deterministic, no rand()
+    val mean = data.map(_._2).sum.toDouble / data.size
+    assert(r1.getDouble(1) < mean && mean < r1.getDouble(2))
+    assert(r1.getDouble(2) - r1.getDouble(1) < 30) // ~4 sigma/sqrt(n) wide
+  }
+
   test("randomized: wasserstein1 equals the direct CDF-integral computation") {
     val s = spark
     import s.implicits._
