@@ -1812,6 +1812,31 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: time-weighted average (holding-duration weights) ---
+    "q_twap" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("user_id", "ts_us").agg(max("cents").as("cents"))
+      graft.operators.TimeSeries.twap(ev, "user_id", "ts_us", "cents")
+        .select(col("user_id"), col("n_steps"), col("total_dt"),
+          (col("twap") / 100).as("twap"))
+        .orderBy("user_id")
+    }),
+    // --- round 4: OHLC daily candles (one hash agg, no window sort) ---
+    "q_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("user_id", "ts_us").agg(max("cents").as("cents"))
+      graft.operators.TimeSeries.ohlc(ev, "user_id", "ts_us", "cents", 86400000000L)
+        .select(col("user_id"), col("period"),
+          (col("open").cast("double") / 100).as("open"),
+          (col("high").cast("double") / 100).as("high"),
+          (col("low").cast("double") / 100).as("low"),
+          (col("close").cast("double") / 100).as("close"), col("n_obs"))
+        .orderBy("user_id", "period")
+    }),
     // --- round 4: deterministic Poisson-bootstrap CI for a mean ---
     "q_bootstrap_ci" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -3765,6 +3790,28 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_twap" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tu,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |st AS (SELECT user_id, cents,
+        |    lead(tu) OVER (PARTITION BY user_id ORDER BY tu) - tu AS dt FROM d),
+        |a AS (SELECT user_id, count(*) AS n_steps, sum(dt)::BIGINT AS total_dt,
+        |    sum(cents * dt)::BIGINT::DOUBLE / sum(dt)::BIGINT AS twap
+        |  FROM st WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_steps, total_dt, twap / 100 AS twap
+        |FROM a ORDER BY user_id""".stripMargin,
+    "q_ohlc" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tu,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+        |SELECT user_id, tu - tu % 86400000000 AS period,
+        |  arg_min(cents, tu)::DOUBLE / 100 AS open,
+        |  max(cents)::DOUBLE / 100 AS high,
+        |  min(cents)::DOUBLE / 100 AS low,
+        |  arg_max(cents, tu)::DOUBLE / 100 AS close,
+        |  count(*) AS n_obs
+        |FROM d GROUP BY 1, 2 ORDER BY user_id, period""".stripMargin,
     "q_bootstrap_ci" ->
       """WITH base AS (SELECT o_orderkey::VARCHAR AS id,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),

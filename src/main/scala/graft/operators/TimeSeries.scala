@@ -146,6 +146,46 @@ object TimeSeries {
       .drop("__cp", "__cn")
   }
 
+  /** Time-weighted average per key (TWAP): each observation holds until
+    * the next one, so the average weights every value by its holding
+    * duration — the honest mean for irregularly sampled series, where
+    * the row-mean over-weights chatty periods. One lead window + one
+    * keyed aggregation; with integral timestamps and an integral
+    * `valueCol` every `value·Δt` term is an exact long, making the
+    * statistic bit-deterministic. The last observation (no successor)
+    * carries zero duration and is excluded. Keys with <2 rows are
+    * dropped. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val stepped = df
+      .withColumn("__nt", org.apache.spark.sql.functions.lead(col(tsCol), 1).over(w))
+      .filter(col("__nt").isNotNull)
+      .withColumn("__dt", (col("__nt") - col(tsCol)).cast("long"))
+    stepped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_steps"),
+        sum("__dt").as("total_dt"),
+        (sum(col(valueCol).cast("long") * col("__dt")).cast("double") /
+          sum("__dt")).as("twap"))
+  }
+
+  /** OHLC downsampling: per (key, period) candle — open/close = the
+    * first/last value in time order (deterministic `min_by`/`max_by` on
+    * the timestamp, tie-broken upstream by unique ts), high/low =
+    * extremes, plus the observation count. ONE hash aggregation with
+    * map-side partials — no window sort, the canonical at-scale shape
+    * for bar-building. */
+  def ohlc(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      periodLen: Long): DataFrame = {
+    require(periodLen > 0)
+    val v = col(valueCol)
+    df.withColumn("__period", (col(tsCol) - pmod(col(tsCol), lit(periodLen))).cast("long"))
+      .groupBy(col(keyCol), col("__period").as("period"))
+      .agg(min_by(v, col(tsCol)).as("open"), max(v).as("high"),
+        min(v).as("low"), max_by(v, col(tsCol)).as("close"),
+        count(lit(1)).as("n_obs"))
+  }
+
   /** Lag-`k` autocorrelation per key: the Pearson correlation of
     * `(x_t, x_{t−k})` pairs in `orderCols` order — the "is this series
     * momentum or noise" statistic. One lag window + one keyed

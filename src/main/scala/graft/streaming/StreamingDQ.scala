@@ -293,6 +293,26 @@ object StreamingDQ {
       .start()
   }
 
+  /** Per-micro-batch sample-ratio-mismatch monitor: each batch's arm
+    * allocation is χ²-tested against the design proportions
+    * ([[graft.operators.Profiler.sampleRatioMismatch]]) and
+    * `onResult(batchId, n, chi2)` fires — the live A/B health gate that
+    * catches an allocation bug within one batch instead of at readout.
+    * Per-batch cost: one #arms-sized aggregation. */
+  def srmMonitor(stream: DataFrame, armCol: String,
+      expected: Map[String, Double])(
+      onResult: (Long, Long, Double) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val row = graft.operators.Profiler
+            .sampleRatioMismatch(batch, armCol, expected).head()
+          onResult(id, row.getLong(0), row.getDouble(2))
+        }
+      }
+      .start()
+
   /** Sliding-window volume: overlapping event-time windows (`windowDur`
     * wide, advancing every `slideDur`) with per-window count and value
     * sum — the rate/volume dashboard aggregation. Each event lands in
