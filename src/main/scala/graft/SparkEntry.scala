@@ -1812,6 +1812,24 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
     }),
+    // --- round 4: daily session engagement stats (composition:
+    //     sessionize -> per-session rollup -> daily bounce/duration) ---
+    "q_session_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+      val sess = graft.operators.Sessionize
+        .assignSessions(ev, "user_id", "tsu", gap = 7200000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(min("tsu").as("s_start"), max("tsu").as("s_end"),
+          count(lit(1)).as("n_events"))
+      sess.withColumn("day", expr("s_start div 86400000000"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          (sum(col("s_end") - col("s_start")).cast("double") / count(lit(1))).as("avg_dur_us"),
+          max(col("s_end") - col("s_start")).as("max_dur_us"))
+        .withColumn("bounce_rate", col("n_bounce").cast("double") / col("n_sessions"))
+        .orderBy("day")
+    }),
     // --- round 4: time-weighted average (holding-duration weights) ---
     "q_twap" -> ((s, dir) => {
       val ev = t(s, dir, "events").filter(col("user_id") < 50)
@@ -3790,6 +3808,23 @@ object SparkEntry {
         |  CASE WHEN op <> 'D' THEN ns END AS o_orderstatus,
         |  round(CASE WHEN op <> 'D' THEN np END, 2) AS price
         |FROM ops WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |m AS (SELECT user_id, tsu,
+        |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |s AS (SELECT user_id, tsu,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS session_idx FROM m),
+        |sess AS (SELECT user_id, session_idx, min(tsu) AS s_start, max(tsu) AS s_end,
+        |    count(*) AS n_events FROM s GROUP BY 1, 2),
+        |d AS (SELECT s_start // 86400000000 AS day, count(*) AS n_sessions,
+        |    sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+        |    sum(s_end - s_start)::BIGINT::DOUBLE / count(*) AS avg_dur_us,
+        |    max(s_end - s_start)::BIGINT AS max_dur_us
+        |  FROM sess GROUP BY 1)
+        |SELECT day, n_sessions, n_bounce, avg_dur_us, max_dur_us,
+        |  n_bounce::DOUBLE / n_sessions AS bounce_rate
+        |FROM d ORDER BY day""".stripMargin,
     "q_twap" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) AS tu,
         |    max(CAST(round(value * 100) AS BIGINT)) AS cents
