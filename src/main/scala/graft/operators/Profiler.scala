@@ -900,7 +900,13 @@ object Profiler {
     * `|cdf_a − cdf_b|·(v_next − v)`. One keyed aggregation to the
     * distinct-value frame + one ordered window (bounded by value
     * cardinality, not rows); per-gap terms are nano-quantized to longs
-    * so the integral is exact under any accumulation order. */
+    * so the integral is exact under any accumulation order.
+    *
+    * At-scale note: the ordered window runs single-partition over the
+    * DISTINCT-value frame. For discrete/quantized domains (cents,
+    * integer lags) that frame is small; for continuous doubles it
+    * approaches n — pre-quantize the column to a grid first (the W₁ of
+    * the quantized distribution differs by at most the grid step). */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
     val v = col(valueCol).cast("double")
