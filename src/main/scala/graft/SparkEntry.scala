@@ -1903,6 +1903,12 @@ object SparkEntry {
           "l_extendedprice", "l_returnflag", "R", "N")
         .select(col("n_a"), col("n_b"), col("w1"))
     }),
+    // --- round 4: distributed-ordered-pass Wasserstein (same oracle,
+    //     bit-identical to the window formulation — the 100 TB shape) ---
+    "q_wasserstein_dist" -> ((s, dir) => {
+      graft.operators.Profiler.wasserstein1Distributed(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag", "R", "N")
+    }),
     // --- round 4: weighted quantiles (quantity-weighted price points) ---
     "q_weighted_quantiles" -> ((s, dir) => {
       graft.operators.Profiler.weightedQuantilesDisc(t(s, dir, "lineitem"),
@@ -3932,6 +3938,25 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM p)
         |SELECT x AS l_extendedprice, y AS l_quantity FROM s
         |WHERE m IS NULL OR y > m ORDER BY x""".stripMargin,
+    "q_wasserstein_dist" ->
+      """WITH o AS (SELECT l_extendedprice AS v, l_returnflag AS g FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),
+        |pv AS (SELECT v,
+        |    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+        |c AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM pv),
+        |t AS (SELECT sum(CAST(floor(
+        |      abs(cum_a::DOUBLE / na - cum_b::DOUBLE / nb) * (nv - v) * 1e9)
+        |    AS BIGINT))::BIGINT AS sq
+        |  FROM c, tot WHERE nv IS NOT NULL)
+        |SELECT tot.na AS n_a, tot.nb AS n_b, t.sq::DOUBLE / 1e9 AS w1
+        |FROM t, tot""".stripMargin,
     "q_wasserstein" ->
       """WITH o AS (SELECT l_extendedprice AS v, l_returnflag AS g FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('R', 'N')),

@@ -932,6 +932,73 @@ object Profiler {
         (sum(termQ).cast("double") / 1e9).as("w1"))
   }
 
+  /** [[wasserstein1]] with a DISTRIBUTED ordered pass — the 100 TB shape:
+    * instead of a single-partition window over the distinct-value frame,
+    * the frame is range-sorted (Spark's `orderBy` = range-partitioned
+    * sort), per-partition count totals are collected (#partitions rows —
+    * driver-tiny), and one `mapPartitions` sweep computes each
+    * partition's CDF terms from its broadcast prefix offsets, carrying
+    * the next partition's first value for the boundary gap. All
+    * arithmetic matches [[wasserstein1]] operation-for-operation, so the
+    * two implementations are BIT-IDENTICAL (spec-asserted) — same DuckDB
+    * oracle. */
+  def wasserstein1Distributed(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val perVal = df.filter(v.isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(v.as("v")).agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val rdd = perVal.orderBy("v").select("v", "ca", "cb")
+      .queryExecution.toRdd
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one tiny row per partition: counts + first value
+      val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var ca = 0L; var cb = 0L; var first = Option.empty[Double]
+        it.foreach { case (vv, a, b) =>
+          if (first.isEmpty) first = Some(vv); ca += a; cb += b
+        }
+        Iterator.single((i, ca, cb, first))
+      }.collect().sortBy(_._1)
+      val na = parts.map(_._2).sum
+      val nb = parts.map(_._3).sum
+      val offA = parts.scanLeft(0L)(_ + _._2).dropRight(1)
+      val offB = parts.scanLeft(0L)(_ + _._3).dropRight(1)
+      // first value of the next NON-EMPTY partition, per partition
+      val nextFirst: Array[Option[Double]] = {
+        val firsts = parts.map(_._4)
+        val out = Array.fill(parts.length)(Option.empty[Double])
+        var carry = Option.empty[Double]
+        for (i <- parts.indices.reverse) { out(i) = carry; if (firsts(i).isDefined) carry = firsts(i) }
+        out
+      }
+      val sumQ = rdd.mapPartitionsWithIndex { (i, it) =>
+        var ca = offA(i); var cb = offB(i)
+        var acc = 0L
+        var pend: (Double, Long, Long) = null
+        it.foreach { case (vv, a, b) =>
+          if (pend != null)
+            acc += math.floor(math.abs(pend._2.toDouble / na - pend._3.toDouble / nb) *
+              (vv - pend._1) * 1e9).toLong
+          ca += a; cb += b
+          pend = (vv, ca, cb)
+        }
+        nextFirst(i).foreach { nv =>
+          if (pend != null)
+            acc += math.floor(math.abs(pend._2.toDouble / na - pend._3.toDouble / nb) *
+              (nv - pend._1) * 1e9).toLong
+        }
+        Iterator.single(acc)
+      }.fold(0L)(_ + _)
+      Seq((na, nb, sumQ.toDouble / 1e9)).toDF("n_a", "n_b", "w1")
+    } finally rdd.unpersist()
+  }
+
   /** Physical-partition skew report for the frame's CURRENT partitioning
     * — the "why is one task still running" diagnostic: rows per
     * `spark_partition_id`, rolled up to one row of
