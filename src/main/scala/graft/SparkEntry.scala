@@ -1863,6 +1863,16 @@ object SparkEntry {
         .select(col("n_boot"), (col("ci_lo") / 100).as("ci_lo"),
           (col("ci_hi") / 100).as("ci_hi"))
     }),
+    // --- round 4: Cramér's V effect size lang<->source ---
+    "q_cramers_v" -> ((s, dir) => {
+      graft.operators.Profiler.cramersV(t(s, dir, "documents"), "lang", "source")
+    }),
+    // --- round 4: Theil T inequality index of order revenue ---
+    "q_theil" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      graft.operators.Profiler.theilIndex(o, "cents")
+    }),
     // --- round 4: mutual information lang<->source (nats) ---
     "q_mutual_info" -> ((s, dir) => {
       graft.operators.Profiler.mutualInformation(
@@ -3872,6 +3882,31 @@ object SparkEntry {
         |  min(CASE WHEN rk = 1 THEN mean_b END) / 100 AS ci_lo,
         |  min(CASE WHEN rk = 31 THEN mean_b END) / 100 AS ci_hi
         |FROM r""".stripMargin,
+    "q_cramers_v" ->
+      """WITH j AS (SELECT lang AS x, source AS y, count(*) AS nxy FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(nxy)::BIGINT AS nx FROM j GROUP BY 1),
+        |my AS (SELECT y, sum(nxy)::BIGINT AS ny FROM j GROUP BY 1),
+        |n AS (SELECT sum(nxy)::BIGINT AS nn FROM j),
+        |dims AS (SELECT (SELECT count(*) FROM mx) AS r, (SELECT count(*) FROM my) AS c),
+        |grid AS (SELECT mx.x, my.y, mx.nx, my.ny, coalesce(j.nxy, 0) AS o
+        |  FROM mx CROSS JOIN my LEFT JOIN j ON j.x = mx.x AND j.y = my.y),
+        |t AS (SELECT sum(CAST(floor(
+        |      (o - (nx * ny)::DOUBLE / nn) * (o - (nx * ny)::DOUBLE / nn)
+        |        / ((nx * ny)::DOUBLE / nn) * 1e9) AS BIGINT))::BIGINT AS cq
+        |  FROM grid, n)
+        |SELECT nn AS n, r, c, cq::DOUBLE / 1e9 AS chi2,
+        |  CASE WHEN least(r, c) > 1
+        |    THEN sqrt(cq::DOUBLE / 1e9 / ((nn * (least(r, c) - 1))::DOUBLE)) END AS cramers_v
+        |FROM t, n, dims""".stripMargin,
+    "q_theil" ->
+      """WITH pos AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |t AS (SELECT count(*) AS n, sum(x)::BIGINT AS xx FROM pos),
+        |s AS (SELECT sum(CAST(floor((x * n)::DOUBLE / xx
+        |    * ln((x * n)::DOUBLE / xx) * 1e9) AS BIGINT))::BIGINT AS tq
+        |  FROM pos, t)
+        |SELECT t.n AS n, s.tq::DOUBLE / 1e9 / t.n AS theil FROM s, t""".stripMargin,
     "q_mutual_info" ->
       """WITH j AS (SELECT lang AS x, source AS y, count(*) AS nxy FROM documents
         |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),

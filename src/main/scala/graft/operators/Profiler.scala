@@ -756,6 +756,55 @@ object Profiler {
         (sum(errQ).cast("double") / 1e9 / count(lit(1))).as("brier"))
   }
 
+  /** Cramér's V — the [0,1]-normalized χ² association between two
+    * categorical columns (the effect-size companion to a raw χ² test):
+    * `V = √(χ²/(n·(min(r,c)−1)))`. Same bounded contingency-frame shape
+    * as [[mutualInformation]]; expected cells derive from exact integer
+    * marginal products and per-cell terms are nano-quantized, so the
+    * statistic is deterministic. */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val joint = base.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = joint.groupBy("y").agg(sum("nxy").as("ny"))
+    val n = joint.agg(sum("nxy").as("__n"))
+    val dims = mx.agg(count(lit(1)).as("r"))
+      .crossJoin(my.agg(count(lit(1)).as("c")))
+    val e = (col("nx") * col("ny")).cast("double") / col("__n")
+    // absent joint cells are real zero observations: restore the full
+    // r×c grid, else their (0−e)²/e mass is silently dropped
+    val grid = mx.crossJoin(my)
+      .join(joint, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("nxy"), lit(0L)))
+    val termQ = floor((col("o") - e) * (col("o") - e) / e * 1e9).cast("long")
+    grid.crossJoin(broadcast(n))
+      .agg(max("__n").as("n"), (sum(termQ).cast("double") / 1e9).as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("r"), col("c"), col("chi2"),
+        when(least(col("r"), col("c")) > 1,
+          sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))
+            .cast("double"))).as("cramers_v"))
+  }
+
+  /** Theil T inequality index of a positive quantity — the
+    * information-theoretic concentration measure next to
+    * [[gini]]-style audits, decomposable across groups: `T = (1/n)
+    * Σ r_i·ln(r_i)` with `r_i = x_i·n/X`. One count/sum pass + one
+    * row-local term pass (nano-quantized longs ⇒ order-independent
+    * exact sum). `valueCol` must be integral and > 0 rows only
+    * (non-positive rows are excluded — ln is undefined there). */
+  def theilIndex(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val pos = df.filter(x.isNotNull && x > 0)
+    val tot = pos.agg(count(lit(1)).as("__n"), sum(x).as("__x"))
+    val r = (x * col("__n")).cast("double") / col("__x")
+    val termQ = floor(r * log(r) * 1e9).cast("long")
+    pos.crossJoin(broadcast(tot))
+      .agg(max("__n").as("n"),
+        (sum(termQ).cast("double") / 1e9 / max("__n")).as("theil"))
+  }
+
   /** Poisson bootstrap confidence interval for a mean — the
     * large-scale-A/B uncertainty-quantification technique (each of `b`
     * resamples weights every row by an independent Poisson(1) draw, so

@@ -38,6 +38,36 @@ class WassersteinSinkSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("uncertainty_coef") - 1.0) < 1e-6)
   }
 
+  test("cramersV: independence ~0, deterministic copy = 1") {
+    val s = spark
+    import s.implicits._
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 25)
+      yield (x, y)).toDF("x", "y")
+    val r0 = Profiler.cramersV(indep, "x", "y").collect().head
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-8)
+    val ident = (Seq.fill(50)(("a", "a")) ++ Seq.fill(50)(("b", "b"))).toDF("x", "y")
+    val r1 = Profiler.cramersV(ident, "x", "y").collect().head
+    assert(math.abs(r1.getAs[Double]("cramers_v") - 1.0) < 1e-4)
+    // a single-category column -> V undefined (null), chi2 = 0
+    val flat = Seq.fill(10)(("a", "u")).toDF("x", "y")
+    assert(Profiler.cramersV(flat, "x", "y").collect().head.isNullAt(4))
+  }
+
+  test("theilIndex: perfect equality = 0, monopoly -> ln(n)") {
+    val s = spark
+    import s.implicits._
+    val equal = (1 to 100).map(_ => 50L).toDF("x")
+    val r0 = Profiler.theilIndex(equal, "x").collect().head
+    assert(math.abs(r0.getAs[Double]("theil")) < 1e-8)
+    // one holder of everything (others excluded as zero): with the
+    // positive-only filter the single row IS the population -> T = 0;
+    // instead: near-monopoly 1 big + 99 tiny
+    val mono = (1L +: Seq.fill(99)(1L) :+ 990000L).toDF("x")
+    val r1 = Profiler.theilIndex(mono, "x").collect().head
+    // T approaches ln(n)=ln(101)~4.6 as concentration -> total
+    assert(r1.getAs[Double]("theil") > 4.0)
+  }
+
   test("twoProportionZ matches the hand-computed pooled statistic") {
     val s = spark
     import s.implicits._
