@@ -38,7 +38,8 @@ object Graph {
     *
     * Input need not be canonical; it is canonicalized first. */
   def triangleStats(edges: DataFrame, src: String, dst: String,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      broadcastAdjacency: Boolean = true): DataFrame = {
     // canon feeds degrees + orientation + the edge/summary aggregates, and
     // oriented feeds both the adjacency build and the per-edge intersect —
     // without caching, the (often expensive) upstream edge derivation
@@ -71,10 +72,12 @@ object Graph {
     // adjacency totals O(E) longs (~10 MB per 1.2 M edges) — above the
     // default auto-broadcast threshold yet far below executor memory, so
     // hint the broadcast: the alternative is TWO sort-merge passes over
-    // the edge list. (For graphs whose adjacency outgrows memory, drop
-    // the hint and accept the shuffles.)
-    val adj = broadcast(oriented.groupBy(col("u").as("node"))
-      .agg(array_sort(collect_list(col("v").cast("long"))).as("nbrs")))
+    // the edge list. For graphs whose adjacency outgrows memory, pass
+    // `broadcastAdjacency = false` to skip the hint and take the
+    // sort-merge shuffles instead of an executor OOM.
+    val adjBase = oriented.groupBy(col("u").as("node"))
+      .agg(array_sort(collect_list(col("v").cast("long"))).as("nbrs"))
+    val adj = if (broadcastAdjacency) broadcast(adjBase) else adjBase
     val empty = array().cast("array<long>")
     val tri = oriented
       .join(adj.select(col("node").as("u"), col("nbrs").as("nu")), Seq("u"), "left")

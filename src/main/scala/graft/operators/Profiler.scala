@@ -978,7 +978,14 @@ object Profiler {
         (col("nv") - col("v")) * lit(1e9)).cast("long")
     stepped.filter(col("nv").isNotNull)
       .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
-        (sum(termQ).cast("double") / 1e9).as("w1"))
+        (sum(termQ).cast("double") / 1e9).as("w1raw"))
+      // empty cohort ⇒ W₁ undefined: fail loudly (at action time) instead
+      // of silently reporting 0/null "no drift"
+      .select(col("n_a"), col("n_b"),
+        when(coalesce(col("n_a"), lit(0L)) > 0 && coalesce(col("n_b"), lit(0L)) > 0,
+          col("w1raw"))
+          .otherwise(raise_error(lit("wasserstein1: empty cohort — W1 undefined")))
+          .as("w1"))
   }
 
   /** [[wasserstein1]] with a DISTRIBUTED ordered pass — the 100 TB shape:
@@ -1016,6 +1023,9 @@ object Profiler {
       }.collect().sortBy(_._1)
       val na = parts.map(_._2).sum
       val nb = parts.map(_._3).sum
+      require(na > 0 && nb > 0,
+        s"wasserstein1Distributed: empty cohort (n_a=$na, n_b=$nb) — " +
+          "W1 is undefined; both groups must be present")
       val offA = parts.scanLeft(0L)(_ + _._2).dropRight(1)
       val offB = parts.scanLeft(0L)(_ + _._3).dropRight(1)
       // first value of the next NON-EMPTY partition, per partition

@@ -157,6 +157,16 @@ object TimeSeries {
     * dropped. */
   def twap(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    // fail fast instead of silently truncating a fractional value column:
+    // the exact-long value·Δt accumulation is only valid for integral
+    // inputs (pre-scale decimals to cents upstream)
+    val vt = df.schema(valueCol).dataType
+    require(vt match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"twap: valueCol '$valueCol' must be integral (got $vt); " +
+      "pre-scale fractional values to integers (e.g. cents) upstream")
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     val stepped = df
       .withColumn("__nt", org.apache.spark.sql.functions.lead(col(tsCol), 1).over(w))

@@ -21,18 +21,25 @@ import org.apache.spark.sql.DataFrame
 object IdempotentSink {
 
   /** `foreachBatch` body writing each micro-batch to
-    * `baseDir/batch_<id>` exactly once. */
+    * `baseDir/batch_<id>` exactly once. Uses the Hadoop `FileSystem`
+    * API resolved from the path's scheme, so the existence check and
+    * the atomic rename work on any HDFS-family filesystem (`hdfs://`,
+    * `file://`, …), not just the local FS. */
   def parquetBatchWriter(baseDir: String): (DataFrame, Long) => Unit = {
     (df: DataFrame, batchId: Long) =>
-      val dir = new java.io.File(baseDir, s"batch_$batchId")
-      if (!dir.exists()) {
-        val tmp = new java.io.File(baseDir, s"_tmp_batch_$batchId")
-        df.write.mode("overwrite").parquet(tmp.getPath)
-        if (!tmp.renameTo(dir)) {
+      import org.apache.hadoop.fs.Path
+      val base = new Path(baseDir)
+      val fs = base.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val dir = new Path(base, s"batch_$batchId")
+      if (!fs.exists(dir)) {
+        val tmp = new Path(base, s"_tmp_batch_$batchId")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, dir)) {
           // lost the race (concurrent replay) or dir appeared: either
           // way the batch is committed by someone; clean the staging
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-          if (!dir.exists())
+          fs.delete(tmp, true)
+          if (!fs.exists(dir))
             throw new java.io.IOException(s"cannot commit batch $batchId to $dir")
         }
       }
