@@ -2,7 +2,6 @@ package graft.checks
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core._
 
 /** Distribution-drift check: compares a numeric column's distribution in the
@@ -16,10 +15,16 @@ import graft.core._
   *    state, output size bounded by `nBins` regardless of input rows.
   *  - **exact two-sample KS statistic** (max CDF gap). Counts are
   *    pre-aggregated per distinct value (one shuffle), and the cumulative
-  *    sums then run over the *distinct-value* frame. Exactness requires a
-  *    total order, so the window is unpartitioned — fine up to ~10^7
-  *    distinct values; beyond that use [[psiDf]] (binned) as the scale
-  *    path, which is why both live in one check.
+  *    CDF sweep runs as a DISTRIBUTED ordered pass (the
+  *    `wasserstein1Distributed` template): range-sort the distinct-value
+  *    frame, collect the per-partition count totals (#partitions rows —
+  *    driver-tiny), then one `mapPartitions` sweep computes each
+  *    partition's CDF terms from its broadcast prefix offsets. No
+  *    unpartitioned window anywhere, so a continuous `double` column
+  *    whose distinct-value frame is ~row-sized still spreads across the
+  *    cluster. KS needs no boundary-gap carry (each term uses only the
+  *    cumulative counts through its own value), making this strictly
+  *    simpler than the W₁ pass.
   *
   * Bins are `[lo + i*w, lo + (i+1)*w)` with `w = (hi-lo)/nBins`; values
   * below `lo` clamp into bin 0, values at/above `hi` into bin `nBins-1`,
@@ -101,25 +106,61 @@ final class DriftCheck(
   }
 
   /** Exact two-sample KS: one row `(ks, n_base, n_curr)`. Pre-aggregates
-    * counts per distinct value, then one unpartitioned cumulative window
-    * over the distinct values (see class doc for the scale trade-off). */
+    * counts per distinct value, then a distributed ordered CDF sweep (see
+    * class doc). Per-value gap terms are `|cna/n_base − cnb/n_curr|`
+    * computed by the same double ops as the SQL-window formulation, and
+    * `max` is accumulation-order-free, so the result is bit-identical to
+    * the single-partition window version (spec-asserted) — same DuckDB
+    * oracle. An empty side yields a null `ks` (CDF undefined), matching
+    * the windowed formulation's null-propagating division guards. */
   def ksDf(current: DataFrame): DataFrame = {
+    val spark = current.sparkSession
     val b = baselineDf.filter(scopeCol(baselineDf) && col(column).isNotNull)
       .groupBy(col(column).as("v")).agg(count(lit(1)).as("na")).withColumn("nb", lit(0L))
     val c = current.filter(scopeCol(current) && col(column).isNotNull)
       .groupBy(col(column).as("v")).agg(count(lit(1)).as("nb")).withColumn("na", lit(0L))
     val u = b.select("v", "na", "nb").unionByName(c.select("v", "na", "nb"))
       .groupBy("v").agg(sum("na").as("na"), sum("nb").as("nb"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = u.agg(sum("na").as("n_base"), sum("nb").as("n_curr"))
-    // when() guards: an empty side would otherwise hit ANSI divide-by-zero
-    val ca = when(col("n_base") > 0, col("cna").cast("double") / col("n_base"))
-    val cb = when(col("n_curr") > 0, col("cnb").cast("double") / col("n_curr"))
-    u.select(col("v"), sum("na").over(w).as("cna"), sum("nb").over(w).as("cnb"))
-      .crossJoin(broadcast(totals))
-      .agg(
-        max(abs(ca - cb)).as("ks"),
-        max("n_base").as("n_base"), max("n_curr").as("n_curr"))
+    // range-partitioned sort on v; the projection drops v — the sweep only
+    // needs the per-value counts in sorted order
+    val rdd = u.orderBy("v").select(col("na"), col("nb"))
+      .queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var a = 0L; var bb = 0L
+        it.foreach { case (x, y) => a += x; bb += y }
+        Iterator.single((i, a, bb))
+      }.collect().sortBy(_._1)
+      val na = parts.map(_._2).sum
+      val nb = parts.map(_._3).sum
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ks",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_base",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_curr",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      def one(ks: Any, a: Any, bb: Any): DataFrame =
+        spark.createDataFrame(java.util.Arrays.asList(Row(ks, a, bb)), schema)
+      if (na == 0L && nb == 0L) one(null, null, null) // both sides empty
+      else if (na == 0L || nb == 0L) one(null, na, nb) // one-sided: CDF undefined
+      else {
+        val offA = parts.scanLeft(0L)(_ + _._2).dropRight(1)
+        val offB = parts.scanLeft(0L)(_ + _._3).dropRight(1)
+        val ks = rdd.mapPartitionsWithIndex { (i, it) =>
+          var ca = offA(i); var cb = offB(i)
+          var m = -1.0
+          it.foreach { case (x, y) =>
+            ca += x; cb += y
+            val gap = math.abs(ca.toDouble / na - cb.toDouble / nb)
+            if (gap > m) m = gap
+          }
+          Iterator.single(m)
+        }.fold(-1.0)(math.max)
+        one(ks, na, nb)
+      }
+    } finally rdd.unpersist()
   }
 
   override def valid(d: DataFrame, cols: Seq[String]): DataFrame = {

@@ -29,6 +29,50 @@ class DriftFunnelSpec extends SparkSpec {
     assert(ks.getAs[Long]("n_base") == 1000L && ks.getAs[Long]("n_curr") == 1000L)
   }
 
+  test("distributed KS sweep is bit-identical to a local exact KS; plan has no Window") {
+    // continuous doubles: the distinct-value frame is ~row-sized — exactly
+    // the shape where the old single-partition window was the scale killer
+    val rnd = new scala.util.Random(7)
+    val baseVals = Array.fill(2000)(rnd.nextGaussian() * 3 + 5)
+    val currVals = Array.fill(1500)(rnd.nextGaussian() * 2 + 6)
+    val base = baseVals.toSeq.toDF("v")
+    val curr = currVals.toSeq.toDF("v")
+    val c = check(base)
+    val got = c.ksDf(curr)
+    // the distributed pass must not fall back to any window operator
+    assert(got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    // independent local oracle with operation-for-operation identical doubles
+    val na = baseVals.length.toLong; val nb = currVals.length.toLong
+    val counts = scala.collection.mutable.TreeMap.empty[Double, (Long, Long)]
+    baseVals.foreach(v => counts.updateWith(v) { p =>
+      val (a, b) = p.getOrElse((0L, 0L)); Some((a + 1, b)) })
+    currVals.foreach(v => counts.updateWith(v) { p =>
+      val (a, b) = p.getOrElse((0L, 0L)); Some((a, b + 1)) })
+    var ca = 0L; var cb = 0L; var expected = -1.0
+    counts.valuesIterator.foreach { case (a, b) =>
+      ca += a; cb += b
+      val gap = math.abs(ca.toDouble / na - cb.toDouble / nb)
+      if (gap > expected) expected = gap
+    }
+    val row = got.head()
+    assert(row.getDouble(0) == expected) // bit-identical, not approx
+    assert(row.getAs[Long]("n_base") == na && row.getAs[Long]("n_curr") == nb)
+  }
+
+  test("KS one-sided and both-empty inputs yield null ks instead of fake zero drift") {
+    val base = Seq(1.0, 2.0, 3.0).toDF("v")
+    val c = check(base)
+    val oneSided = c.ksDf(spark.emptyDataset[Double].toDF("v")).head()
+    assert(oneSided.isNullAt(0) && oneSided.getAs[Long]("n_base") == 3L &&
+      oneSided.getAs[Long]("n_curr") == 0L)
+    val empty = spark.emptyDataset[Double].toDF("v")
+    val bothEmpty = new DriftCheck("t", "r", SeverityLevel.High, "drift", "v",
+      empty, lo = 0.0, hi = 10.0, nBins = 10).ksDf(empty).head()
+    assert(bothEmpty.isNullAt(0) && bothEmpty.isNullAt(1) && bothEmpty.isNullAt(2))
+  }
+
   test("out-of-range values clamp into edge bins; proportions sum to 1") {
     val base = Seq(-5.0, 0.5, 3.0, 25.0).toDF("v")
     val c = check(base)
