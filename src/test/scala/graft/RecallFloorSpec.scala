@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.{Ivf, Similarity}
+
+/** Quantified recall floors for the four approximate ("rows-only by
+  * contract") queries, each measured at the EXACT configuration its
+  * `SparkEntry.queries` entry ships with, against its exact twin on the
+  * same correctness-gate data (sf0.01). The driver-generated tables are
+  * deterministic (seed 42) and every approximate operator here is
+  * hash-seeded — no RNG — so each measured recall is a constant, not a
+  * flaky sample. Floors sit just below the measured constants so a
+  * regression in banding/probing logic trips the spec while harmless
+  * refactors don't.
+  *
+  * Measured (sf0.01, 2026-08-13):
+  *   - q_ann_topk_lsh recall@5 = 0.56  (floor 0.50) — 16 planes / 4 bands
+  *     scans ~25% of the corpus per query
+  *   - q_ann_topk_ivf recall@5 = 0.60  (floor 0.55) — nProbe/nLists = 4/16
+  *     scans ~25% of the lists
+  *   - q_dedup_embedding_lsh recall = 10/14 ≈ 0.714 (floor 0.65)
+  *   - q_dedup_simhash banding recall vs exact hamming<=6 pairs =
+  *     270/360 = 0.75 (floor 0.70); the hamming<=3 subset is 100% by the
+  *     4-band pigeonhole (asserted separately), only the 4..6 tail is lossy
+  */
+class RecallFloorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val annQueries = emb.filter(col("vec_id") < 10)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def matchSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q_ann_topk_lsh recall@5 vs brute force >= 0.50 (measured 0.56)") {
+    val exact = matchSet(Similarity.bruteForceTopK(emb, annQueries, "vec_id", "embedding", 5))
+    val lsh = matchSet(Similarity.lshTopK(emb, annQueries, "vec_id", "embedding", 5, dim = 64))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"q_ann_topk_lsh recall@5 = $recall%.4f (${lsh.intersect(exact).size}/${exact.size})")
+    assert(exact.size == 50)
+    assert(recall >= 0.50, f"LSH ANN recall@5 $recall%.4f below floor 0.50")
+  }
+
+  test("q_ann_topk_ivf recall@5 vs brute force >= 0.55 (measured 0.60)") {
+    val exact = matchSet(Similarity.bruteForceTopK(emb, annQueries, "vec_id", "embedding", 5))
+    val ivf = matchSet(Ivf.ivfTopK(emb, annQueries, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 4))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"q_ann_topk_ivf recall@5 = $recall%.4f (${ivf.intersect(exact).size}/${exact.size})")
+    assert(exact.size == 50)
+    assert(recall >= 0.55, f"IVF ANN recall@5 $recall%.4f below floor 0.55")
+  }
+
+  test("q_dedup_embedding_lsh recall vs brute pairs >= 0.65 (measured 0.714)") {
+    val brute = pairSet(Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.45))
+    val lsh = pairSet(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"q_dedup_embedding_lsh recall = $recall%.4f (${lsh.intersect(brute).size}/${brute.size})")
+    assert(brute.nonEmpty && lsh.subsetOf(brute)) // precision 1 by construction (exact verify step)
+    assert(recall >= 0.65, f"embedding-LSH near-dup recall $recall%.4f below floor 0.65")
+  }
+
+  test("q_dedup_simhash banding recall vs exact hamming<=6 pairs >= 0.70; hamming<=3 complete") {
+    // exact twin: brute-force hamming over the SAME 64-bit signatures,
+    // computed locally over all ~125k pairs of the 500 signatures. The
+    // 4-band pigeonhole guarantees hamming<=3 exactly; this measures how
+    // much of the 4..6 tail the banding also catches at the shipped
+    // maxHamming=6 configuration.
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.simhash64(
+        graft.text.TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def exactPairs(maxH: Int): Set[(Long, Long)] = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= maxH
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val exact6 = exactPairs(6)
+    val banded = pairSet(Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6))
+    val recall = banded.intersect(exact6).size.toDouble / exact6.size
+    info(f"q_dedup_simhash banding recall = $recall%.4f (${banded.intersect(exact6).size}/${exact6.size})")
+    assert(exact6.nonEmpty)
+    assert(banded.subsetOf(exact6)) // precision 1: every emitted pair verified exactly
+    assert(exactPairs(3).subsetOf(banded)) // pigeonhole: hamming<=3 is loss-free
+    assert(recall >= 0.70, f"simhash banding recall $recall%.4f below floor 0.70")
+  }
+}
