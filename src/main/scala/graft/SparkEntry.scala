@@ -262,15 +262,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "q_media_features" -> ((s, dir) => {
-      // rows-only: partition-wise decode via the deterministic fake decoder
-      // (feature values are hash-folds, not SQL-expressible)
-      val media = graft.multimodal.Multimodal.synthesizePayload(
+      // REAL header decode: deterministic PNG/JPEG/WAV container bytes are
+      // synthesized per doc, then parsed back by the pure-JVM
+      // HeaderParseDecoder (partition-wise, decoder init amortized). The
+      // oracle recomputes the header fields from the generative closed
+      // form, so any encode- or parse-side bug breaks the hash match.
+      val media = graft.multimodal.Multimodal.synthesizeMediaPayload(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
       val recs = graft.multimodal.Multimodal.asRecords(s, media)
+      val f = (i: Int) => element_at(col("features"), i + 1).cast("long")
       graft.multimodal.Multimodal.extractFeatures(recs,
-        () => new graft.multimodal.DeterministicFakeDecoder(8)).toDF()
-        .select(col("mediaId"), col("nBytes"), round(element_at(col("features"), 1), 6).as("f0"))
-        .orderBy("mediaId")
+        () => new graft.multimodal.HeaderParseDecoder).toDF()
+        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
+          f(0).as("kind"), f(1).as("d1"), f(2).as("d2"),
+          // d3: channels/components for images, duration_ms for audio
+          when(f(0) === 3, f(5)).otherwise(f(4)).as("d3"))
+        .orderBy("media_id")
     }),
     "q_ann_topk_lsh" -> ((s, dir) => {
       // rows-only: LSH-bucketed ANN (recall<1 vs q_ann_topk)
@@ -2161,6 +2168,27 @@ object SparkEntry {
         |  max(octet_length(encode(text)))::INT AS max_bytes,
         |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*), 6) AS avg_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_media_features" ->
+      // generative closed form of the PNG/JPEG/WAV header fields that
+      // MediaFixtures encodes and HeaderParseDecoder parses back:
+      // n_bytes = fixed container overhead (45/41/44) + UTF-8 text bytes;
+      // d1/d2 = width/height (images) or sample_rate/channels (wav);
+      // d3 = channels/components (images) or duration_ms (wav)
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 45 + octet_length(encode(text))
+        |                  WHEN 1 THEN 41 + octet_length(encode(text))
+        |                  ELSE 44 + octet_length(encode(text)) END AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 617
+        |                  WHEN 1 THEN 16 + doc_id % 619
+        |                  ELSE 8000 + (doc_id % 8) * 4000 END AS d1,
+        |  CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 413
+        |                  WHEN 1 THEN 16 + (doc_id * 11) % 421
+        |                  ELSE 1 + doc_id % 2 END AS d2,
+        |  CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3
+        |                  ELSE (octet_length(encode(text)) * 1000)
+        |                       // ((8000 + (doc_id % 8) * 4000) * (1 + doc_id % 2)) END AS d3
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

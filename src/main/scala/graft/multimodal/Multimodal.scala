@@ -65,6 +65,21 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       map(lit("origin"), lit("synthetic"), lit("codec"), lit("utf8")).as("meta"))
 
+  /** Deterministic REAL-format media payloads: `doc_id % 3` selects
+    * PNG / JFIF-JPEG / RIFF-WAVE and [[MediaFixtures]] lays out genuine
+    * container bytes whose header fields are closed forms of the row —
+    * the encode half of the oracle-checked round trip through
+    * [[HeaderParseDecoder]]. Row-local `Dataset.map` (no shuffle). */
+  def synthesizeMediaPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) => (id, MediaFixtures.forDoc(id, text)) }
+      .toDF("media_id", "payload")
+      .withColumn("meta",
+        map(lit("origin"), lit("synthetic-media"), lit("codec"), lit("header-fixture")))
+  }
+
   /** Magic-byte content sniffing on the binary payload (first bytes; real
     * signatures for png/jpeg/riff, 'bin' otherwise). Pure column ops —
     * codegen'd, no decode. */
