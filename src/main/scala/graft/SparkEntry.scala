@@ -3894,10 +3894,12 @@ object SparkEntry {
     "q_bootstrap_ci" ->
       """WITH base AS (SELECT o_orderkey::VARCHAR AS id,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
-        |e AS (SELECT id, x, unnest(range(0, 32)) AS b FROM base),
-        |u AS (SELECT b, x,
-        |    ('0x' || substr(md5(id || '_' || b::VARCHAR), 1, 8))::BIGINT::DOUBLE
-        |      / 4294967296.0 AS uu FROM e),
+        |e AS (SELECT id, x, unnest(range(0, 8)) AS g FROM base),
+        |h AS (SELECT x, g, md5(id || '_' || g::VARCHAR) AS hh FROM e),
+        |e2 AS (SELECT x, g, hh, unnest(range(0, 4)) AS j FROM h),
+        |u AS (SELECT g * 4 + j AS b, x,
+        |    ('0x' || substr(hh, (j * 8 + 1)::INT, 8))::BIGINT::DOUBLE
+        |      / 4294967296.0 AS uu FROM e2),
         |w AS (SELECT b, x, CASE
         |    WHEN uu < 0.36787944117144233 THEN 0 WHEN uu < 0.7357588823428847 THEN 1
         |    WHEN uu < 0.9196986029286058 THEN 2 WHEN uu < 0.9810118431238462 THEN 3
