@@ -929,22 +929,52 @@ object Profiler {
   /** 2-D skyline (Pareto frontier): the points not dominated under
     * (minimize `xCol`, maximize `yCol`) — "the cheapest offer at every
     * achievable quality level". The classic O(n²) NOT-EXISTS query
-    * collapses to ONE keyed aggregation + one bounded ordered window:
-    * fold to max-y per distinct x (keyed, map-side combined), then keep
-    * the points whose y strictly exceeds the running max over all
-    * smaller x. The window runs over the distinct-x frame only — at
-    * 100 TB the frontier scan is value-cardinality-sized, never
-    * row-sized. */
+    * collapses to ONE keyed aggregation + one distributed prefix-max
+    * sweep: fold to max-y per distinct x (keyed, map-side combined),
+    * then keep the points whose y strictly exceeds the running max over
+    * all smaller x. The sweep is the `wasserstein1Distributed`
+    * ordered-pass template (range sort → per-partition maxes collected →
+    * broadcast prefix carry), so even a continuous-x domain whose
+    * distinct-value frame approaches row count stays fully parallel —
+    * no single-partition window anywhere. */
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
     val perX = df.filter(x.isNotNull && y.isNotNull)
       .groupBy(x.as("x")).agg(max(y).as("y"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    perX.withColumn("__m", max("y").over(w))
-      .filter(col("__m").isNull || col("y") > col("__m"))
-      .select(col("x").as(xCol), col("y").as(yCol))
+    // DISTRIBUTED prefix-max pass (the wasserstein1Distributed template):
+    // range-sort on x, collect one max-y per partition (driver-tiny),
+    // then each partition filters against its broadcast prefix max — no
+    // unpartitioned window, so a continuous-x frame (distinct ≈ rows)
+    // still spreads across the cluster.
+    val rdd = perX.orderBy("x").select("x", "y")
+      .queryExecution.toRdd.map(r => (r.getDouble(0), r.getDouble(1)))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partMax: Array[Option[Double]] = rdd.mapPartitionsWithIndex { (i, it) =>
+        var m = Option.empty[Double]
+        it.foreach { case (_, yy) => if (m.forall(yy > _)) m = Some(yy) }
+        Iterator.single((i, m))
+      }.collect().sortBy(_._1).map(_._2)
+      val carry: Array[Option[Double]] = partMax
+        .scanLeft(Option.empty[Double]) { (a, b) =>
+          (a.toSeq ++ b.toSeq).reduceOption[Double](math.max)
+        }.dropRight(1)
+      val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+        var m = carry(i)
+        it.filter { case (_, yy) =>
+          val keep = m.forall(yy > _)
+          if (keep) m = Some(yy)
+          keep
+        }
+      }
+      // frontier is value-cardinality-bounded; materialize it eagerly so
+      // the persisted sorted frame can be released (triangleStats pattern)
+      kept.toDF("x", "y").select(col("x").as(xCol), col("y").as(yCol))
+        .localCheckpoint()
+    } finally rdd.unpersist()
   }
 
   /** Exact 1-Wasserstein (earth-mover) distance between two cohorts'

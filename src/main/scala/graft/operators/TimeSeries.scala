@@ -31,7 +31,16 @@ object TimeSeries {
 
   /** [[densify]] + LOCF: gaps are filled with the most recent observed
     * value of each `valueCols` entry, and `filled` flags synthesized rows.
-    * Leading gaps (before the first observation) stay null. */
+    * Leading gaps (before the first observation) stay null.
+    *
+    * CONTRACT — bounded global axis only: the dense axis is one
+    * `sequence(min, max)` explode and the LOCF window is unpartitioned,
+    * so BOTH are sized by the global period RANGE. This variant is for
+    * single-series frames with up to ~10⁶ periods (daily/hourly grids,
+    * bounded lags). For many series or fine-grained periods use
+    * [[resampleLocfByKey]] — its axis and window are per-key (one keyed
+    * shuffle, every key streamed independently), which is the at-scale
+    * shape; a spec asserts its plan contains no unpartitioned window. */
   def resampleLocf(df: DataFrame, periodCol: String,
       valueCols: Seq[String]): DataFrame = {
     val dense = densify(df, periodCol)

@@ -135,6 +135,37 @@ class WassersteinSinkSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("skyline2D distributed sweep: continuous x (distinct ≈ rows) matches brute force, no Window") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // continuous doubles: every x distinct, the frame spans all partitions —
+    // the shape where a single-partition window was the scale killer
+    val pts = (1 to 2000).map(_ => (rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val got = Profiler.skyline2D(pts.toDF("x", "y"), "x", "y")
+    assert(got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    val gotSet = got.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val distinct = pts.toSet
+    val want = distinct.filter { case (x, y) =>
+      !distinct.exists { case (x2, y2) => x2 <= x && y2 >= y && (x2 < x || y2 > y) }
+    }
+    assert(gotSet == want && want.size > 5)
+  }
+
+  test("resampleLocfByKey (the at-scale variant) plans only key-partitioned windows") {
+    val s = spark
+    import s.implicits._
+    val sparse = Seq(("a", 1L, Some(10L)), ("a", 4L, Some(11L)), ("b", 2L, Some(5L)),
+      ("b", 6L, None)).toDF("k", "day", "v")
+    val out = graft.operators.TimeSeries.resampleLocfByKey(sparse, "k", "day", Seq("v"))
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("IdempotentSink: re-delivered batchIds are no-ops, new batchIds append") {
     val s = spark
     import s.implicits._
