@@ -117,14 +117,29 @@ object Graph {
     * Floor losses leak a little mass (bounded by N·iters ulps of `scale`)
     * — irrelevant for ranking, essential for determinism.
     *
-    * Scale shape per iteration: ranks (≤ N rows, AQE-broadcastable when
-    * small) join the cached degree-annotated edge list pre-partitioned on
-    * the source key, then one keyed aggregation of the contribution rows
-    * (O(E)); the per-iteration `localCheckpoint` cuts lineage so the plan
-    * never re-derives earlier rounds. Pass a symmetric edge list for an
-    * undirected graph. */
+    * Scale shape per iteration: ranks (≤ N rows) join the cached
+    * degree-annotated edge list pre-partitioned on the destination key,
+    * then one keyed aggregation of the contribution rows (O(E)); the
+    * per-iteration `localCheckpoint` cuts lineage so the plan never
+    * re-derives earlier rounds. Pass a symmetric edge list for an
+    * undirected graph.
+    *
+    * BROADCAST THRESHOLD — what the zero-O(E)-exchange claim scales to:
+    * with `broadcastRanks = true` (default) the N-row share frame is
+    * force-broadcast each iteration, so the claim holds while that frame
+    * fits comfortably in executor AND driver memory — ~16 bytes/node,
+    * i.e. up to roughly 10⁷–10⁸ nodes on typical 8–64 GiB executors.
+    * Past that the hint does not gracefully degrade, it OOMs. For larger
+    * graphs pass `broadcastRanks = false`: edges are cached partitioned
+    * on the SOURCE key instead, so the share join is co-partitioned (the
+    * O(E) side never re-exchanges — spec-asserted on the forced plan;
+    * only the O(N) share frame shuffles into place) and the per-iteration
+    * cost becomes that one O(N) exchange plus the unavoidable O(E)
+    * contribution shuffle into `groupBy(v)` — the standard Pregel
+    * superstep cost, linear and skew-tolerant, not an OOM. */
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 5,
-      dampingPct: Int = 85, scale: Long = 1000000000000L): DataFrame = {
+      dampingPct: Int = 85, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges
       .filter(col(src).isNotNull && col(dst).isNotNull)
@@ -140,13 +155,16 @@ object Graph {
     require(n > 0, "empty graph")
     val init = scale / n
     val base = (100L - dampingPct) * init / 100L
-    // Degree-annotated edges, pre-partitioned on the DESTINATION: the
-    // per-iteration join streams cached edges against a BROADCAST rank
-    // frame (ranks ≤ N rows — small by the time a graph is worth
-    // PageRanking on this path), which preserves the v-partitioning, so
-    // the contribution groupBy(v) runs with NO per-iteration Exchange of
-    // the O(E) side. The only repeated shuffles touch O(N)-row frames.
-    val eo = e.repartition(col("v"))
+    // Cached degree-annotated edges. Broadcast path: pre-partitioned on
+    // the DESTINATION — the per-iteration join streams cached edges
+    // against the broadcast share frame, preserving the v-partitioning,
+    // so the contribution groupBy(v) runs with NO per-iteration Exchange
+    // of the O(E) side and the only repeated shuffles touch O(N)-row
+    // frames. No-broadcast path: pre-partitioned on the SOURCE so the
+    // shuffle join on u is co-partitioned (edges never re-exchange; the
+    // O(N) share frame shuffles to meet them), and groupBy(v) pays the
+    // one O(E) contribution shuffle — the Pregel superstep shape.
+    val eo = e.repartition(if (broadcastRanks) col("v") else col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(init))
     (1 to iters).foreach { _ =>
@@ -155,7 +173,8 @@ object Graph {
       // per edge row
       val shares = ranks.join(out, ranks("node") === out("src"))
         .select(col("src"), expr("rank div outdeg").as("share"))
-      val contribs = eo.join(broadcast(shares), eo("u") === shares("src"))
+      val sharesSide = if (broadcastRanks) broadcast(shares) else shares
+      val contribs = eo.join(sharesSide, eo("u") === shares("src"))
         .select(col("v").as("node"), col("share").as("c"))
       val updated = contribs.groupBy("node").agg(sum("c").as("cs"))
         .select(col("node"),
