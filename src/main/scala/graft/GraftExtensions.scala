@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         k = children.lift(1).map(foldableInt).getOrElse(7),
         w = children.lift(2).map(foldableInt).getOrElse(4))))
 
+    ext.injectFunction((FunctionIdentifier("cdc_boundaries"),
+      info("cdc_boundaries",
+        "cdc_boundaries(text[, w[, d]]) - content-defined chunking cut positions (w=16, d=64)"),
+      (children: Seq[Expression]) => CdcBoundaries(children.head,
+        w = children.lift(1).map(foldableInt).getOrElse(16),
+        d = children.lift(2).map(foldableInt).getOrElse(64))))
+
     ext.injectFunction((FunctionIdentifier("jaro_sim"),
       info("jaro_sim", "jaro_sim(a, b) - Jaro similarity of two strings"),
       (children: Seq[Expression]) => JaroSimilarity(children(0), children(1))))

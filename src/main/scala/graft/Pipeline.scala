@@ -48,6 +48,28 @@ object Pipeline {
   ): DataFrame =
     curateDetailed(docs, evalDocs, idCol, textCol, minQuality, contaminationNgram).curated
 
+  /** [[curate]] + content-defined chunking of the surviving corpus — the
+    * emit shape a training pipeline writes: one row per ~`chunkBytes`
+    * chunk with the doc's split label and the chunk text carried
+    * (`TextAnalysis.cdcChunks`; Rabin rolling-hash cuts, so edited or
+    * re-crawled docs re-align with the previous corpus's chunks after
+    * ~one window — the property chunk-level dedup/caching relies on).
+    * Same shuffle count as [[curate]]: the chunk explode is narrow. */
+  def curateChunked(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.83,
+      contaminationNgram: Int = 8,
+      chunkWindow: Int = 16,
+      chunkBytes: Int = 64
+  ): DataFrame =
+    TextAnalysis.cdcChunks(
+      curateDetailed(docs, evalDocs, idCol, textCol, minQuality, contaminationNgram).curated,
+      idCol, textCol, chunkWindow, chunkBytes,
+      carryCols = Seq("split"), emitText = true)
+
   def curateDetailed(
       docs: DataFrame,
       evalDocs: DataFrame,

@@ -185,6 +185,14 @@ object SparkEntry {
           graft.text.TextAnalysis.tokenCount(col("chunk")).as("n_tokens"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: Rabin rolling-hash cuts (w=16 bytes,
+      // divisor 64 -> ~64-byte chunks); the oracle recomputes the same
+      // polynomial window hashes in closed form
+      graft.text.TextAnalysis.cdcChunks(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_winnow" -> ((s, dir) => {
       // rows-only: winnowing (rolling char-k-gram min-hash) fingerprints —
       // xxhash64 not reproducible in DuckDB; selection property asserted in
@@ -2138,6 +2146,31 @@ object SparkEntry {
         |SELECT ida, idb, round(CAST(m AS DOUBLE) / (ca.c + cb.c - m), 6) AS jaccard
         |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
         |WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9 ORDER BY ida, idb""".stripMargin,
+    "q_cdc_chunks" ->
+      // mirrors HashOps.cdcCuts: window hash at start i (1-based) =
+      // sum_j byte(i+j) * 257^(15-j) mod 1e9+7; cut after byte i+15 when
+      // hash % 64 = 0; chunks partition [1, len]. Powers are 257^k mod
+      // 1e9+7 precomputed; ascii() = byte value on the ASCII fixtures.
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND length(text) > 0),
+        |pos AS (SELECT doc_id, text, n, unnest(range(1, n - 16 + 2)) AS i
+        |  FROM d WHERE n >= 16),
+        |pw(j, p) AS (VALUES (0, 771861642), (1, 469929426), (2, 13501671),
+        |  (3, 326900787), (4, 966252539), (5, 108818104), (6, 447894237),
+        |  (7, 383065739), (8, 13163680), (9, 805498697), (10, 154885210),
+        |  (11, 362470373), (12, 16974593), (13, 66049), (14, 257), (15, 1)),
+        |hsh AS (SELECT doc_id, i, sum(ascii(substr(text, (i + j)::INT, 1))::BIGINT * p
+        |    % 1000000007) % 1000000007 AS h
+        |  FROM pos CROSS JOIN pw GROUP BY doc_id, i),
+        |ends AS (SELECT DISTINCT doc_id, e FROM (
+        |  SELECT doc_id, i + 15 AS e FROM hsh WHERE h % 64 = 0
+        |  UNION ALL SELECT doc_id, n AS e FROM d)),
+        |ch AS (SELECT doc_id, e AS chunk_end,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |  FROM ends)
+        |SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY chunk_end) AS chunk_idx,
+        |  prev + 1 AS chunk_start, chunk_end - prev AS chunk_len
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

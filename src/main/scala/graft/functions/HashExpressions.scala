@@ -225,6 +225,43 @@ object HashOps {
     new GenericArrayData(java.util.Arrays.copyOf(mins, m + 1))
   }
 
+  /** Content-defined chunking cut positions (public Rabin-style scheme):
+    * a polynomial rolling hash (base 257, mod 1e9+7 — a prime, so the
+    * closed form `Σ byte·B^j mod M` is SQL-reproducible without
+    * overflow) slides a `w`-byte window over the string; a cut falls
+    * after every byte position whose window hash ≡ 0 (mod `d`), giving
+    * expected chunk length ~`d` bytes. Returns the sorted 1-based cut
+    * END positions. Because the rule looks only at local content, an
+    * insertion re-synchronizes after ~`w` bytes — the property that
+    * makes chunk-level dedup robust to edits, unlike fixed-size
+    * chunking. O(n) incremental pass; byte positions equal char
+    * positions on ASCII (documented approximation, as with [[winnow]]). */
+  def cdcCuts(s: UTF8String, w: Int, d: Int): ArrayData = {
+    val M = 1000000007L
+    val B = 257L
+    val n = s.numBytes()
+    if (n < w) return new GenericArrayData(Array.emptyIntArray)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    @inline def byteAt(i: Int): Long =
+      (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff).toLong
+    var bw = 1L // B^(w-1) mod M
+    var t = 0
+    while (t < w - 1) { bw = bw * B % M; t += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + byteAt(i)) % M; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    if (h % d == 0L) out += w
+    i = w
+    while (i < n) {
+      h = ((h - byteAt(i - w) * bw % M + M) % M * B + byteAt(i)) % M
+      if (h % d == 0L) out += (i + 1)
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
   /** 64-bit SimHash: bit j of the result is 1 iff the sum over tokens of
     * ±1 (sign of bit j of xxh64(token)) is positive. */
   def simHash(tokens: ArrayData, seed: Long): Long = {
@@ -456,6 +493,30 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long = 42
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashOps.winnow($c, $k, $w, ${seed}L);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `cdc_boundaries(string) -> array<int>` — content-defined chunking cut
+  * positions via a Rabin-style rolling hash (codegen'd via static call). */
+case class CdcBoundaries(child: Expression, w: Int, d: Int)
+    extends UnaryExpression {
+  require(w > 0 && d > 0)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_boundaries"
+
+  protected override def nullSafeEval(s: Any): Any =
+    HashOps.cdcCuts(s.asInstanceOf[UTF8String], w, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.cdcCuts($c, $w, $d);")
 
   protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

@@ -43,6 +43,11 @@ package object functions {
   def winnow_fingerprints(text: Column, k: Int = 7, w: Int = 4, seed: Long = 42L): Column =
     col(WinnowFingerprints(expr(text), k, w, seed))
 
+  /** Content-defined chunking cut positions (Rabin-style rolling hash,
+    * window `w` bytes, cut where hash % d == 0 → ~d-byte chunks). */
+  def cdc_boundaries(text: Column, w: Int = 16, d: Int = 64): Column =
+    col(CdcBoundaries(expr(text), w, d))
+
   /** Sorted distinct rolling word-n-gram hashes of a token array — the
     * allocation-free stand-in for string shingles in dedup pipelines. */
   def shingle_hashes(tokens: Column, n: Int = 3, seed: Long = 42L): Column =

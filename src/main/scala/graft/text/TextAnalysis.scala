@@ -119,6 +119,47 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize)))))
   }
 
+  /** Content-defined chunks (the CCNet/RefinedWeb-family alternative to
+    * [[tokenChunks]]'s fixed windows): cut positions come from
+    * [[graft.functions.cdc_boundaries]]'s Rabin-style rolling hash — a
+    * cut wherever the `w`-byte window hash ≡ 0 (mod `d`), expected chunk
+    * ~`d` bytes — so an edit near the start of a document re-synchronizes
+    * within ~`w` bytes and downstream chunk-level dedup still matches the
+    * untouched remainder (spec-asserted; fixed-size chunking loses every
+    * chunk after the edit). One row per chunk:
+    * `(idCol, chunk_idx, chunk_start, chunk_len)` — 1-based byte
+    * positions, partitioning `[1, len]` exactly. Kernel + HOF
+    * composition: runs at scan speed, the explode is narrow, no shuffle.
+    * Byte positions equal char positions on ASCII (as [[fingerprint]]
+    * documents for its normalization). */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      w: Int = 16, d: Int = 64,
+      /** extra columns copied onto every chunk row (e.g. a split label) */
+      carryCols: Seq[String] = Nil,
+      /** also emit the chunk's text slice as `chunk_text` */
+      emitText: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val len = length(col(textCol))
+    val cuts = graft.functions.cdc_boundaries(col(textCol), w, d)
+    // chunk END positions: every cut plus the doc end (dedup'd when a cut
+    // lands exactly on the last byte)
+    val ends = array_distinct(concat(cuts, array(len)))
+    val starts = concat(array(lit(0)),
+      slice(ends, lit(1), greatest(size(ends) - 1, lit(0))))
+    val spans = zip_with(starts, ends, (p, e) => struct(p.as("p"), e.as("e")))
+    val keep = (col(idCol) +: carryCols.map(col)) :+ col(textCol)
+    val exploded = df.filter(col(textCol).isNotNull && len > 0)
+      .select(keep :+ posexplode(spans).as(Seq("__pos", "__s")): _*)
+    val chunkCols = Seq(
+      (col("__pos") + 1).cast("long").as("chunk_idx"),
+      (col("__s.p") + 1).cast("long").as("chunk_start"),
+      (col("__s.e") - col("__s.p")).cast("long").as("chunk_len")) ++
+      (if (emitText)
+        Seq(col(textCol).substr(col("__s.p") + 1, col("__s.e") - col("__s.p"))
+          .as("chunk_text"))
+       else Nil)
+    exploded.select(col(idCol) +: carryCols.map(col) ++: chunkCols: _*)
+  }
+
   /** Word n-grams as space-joined strings (empty array when < n tokens). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class CdcChunkSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(31)
+  private def randText(n: Int): String =
+    (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+
+  /** naive reference: closed-form polynomial window hash per position. */
+  private def naiveCuts(s: String, w: Int, d: Int): Seq[Int] = {
+    val M = 1000000007L; val B = 257L
+    val bytes = s.getBytes("UTF-8")
+    (0 to bytes.length - w).flatMap { i =>
+      var h = 0L
+      (0 until w).foreach { j => h = (h * B + (bytes(i + j) & 0xff)) % M }
+      if (h % d == 0L) Some(i + w) else None
+    }
+  }
+
+  test("kernel cut positions equal the closed-form polynomial hash on random strings") {
+    import spark.implicits._
+    val texts = (1 to 30).map(i => (i.toLong, randText(50 + rnd.nextInt(500))))
+    val got = texts.toDF("id", "t")
+      .select(col("id"), graft.functions.cdc_boundaries(col("t"), 16, 64).as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == naiveCuts(t, 16, 64), s"doc $id")
+    }
+    // short strings (< window) yield no cuts, not a crash
+    val short = Seq((1L, "tiny")).toDF("id", "t")
+      .select(graft.functions.cdc_boundaries(col("t"), 16, 64)).head().getSeq[Int](0)
+    assert(short.isEmpty)
+  }
+
+  test("chunks partition [1, len] exactly: contiguous, ordered, full coverage") {
+    import spark.implicits._
+    val texts = (1 to 20).map(i => (i.toLong, randText(10 + rnd.nextInt(800))))
+    val chunks = TextAnalysis.cdcChunks(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq)
+      .toMap
+    texts.foreach { case (id, t) =>
+      val spans = chunks(id)
+      assert(spans.head._1 == 1L, s"doc $id starts at 1")
+      spans.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) => assert(s1 + l1 == s2, s"doc $id contiguous")
+        case _ =>
+      }
+      assert(spans.map(_._2).sum == t.length.toLong, s"doc $id covers all bytes")
+      assert(spans.forall(_._2 > 0))
+    }
+  }
+
+  test("content-defined resync: cuts after a prefix edit shift by exactly the edit length") {
+    import spark.implicits._
+    val s0 = randText(600)
+    val prefix = randText(20)
+    val s1 = prefix + s0
+    val both = Seq((0L, s0), (1L, s1)).toDF("id", "t")
+      .select(col("id"), graft.functions.cdc_boundaries(col("t"), 16, 64).as("cuts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    // every window fully inside the old content cuts at the same CONTENT
+    // position: old cut c (>= w) reappears at c + 20. Fixed-size chunking
+    // has no such property — every boundary after the edit moves.
+    val preserved = both(0L).filter(_ >= 16).map(_ + 20)
+    assert(preserved.nonEmpty)
+    assert(preserved.subsetOf(both(1L)),
+      s"missing resynced cuts: ${preserved -- both(1L)}")
+  }
+
+  test("curateChunked: chunk texts reassemble the curated corpus, split carried") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 120)
+    val evalDocs = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val curated = Pipeline.curateDetailed(docs, evalDocs, "doc_id", "text")
+    try {
+      val chunked = Pipeline.curateChunked(docs, evalDocs, "doc_id", "text")
+      val reassembled = chunked
+        .groupBy("doc_id", "split")
+        .agg(concat_ws("", array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("joined"),
+          count(lit(1)).as("n_chunks"))
+      val want = curated.curated.select(col("doc_id"), col("split"), col("text"))
+      val cmp = reassembled.join(want, Seq("doc_id", "split"))
+      assert(cmp.count() == want.count() && cmp.count() > 0)
+      assert(cmp.filter(col("joined") =!= col("text")).isEmpty)
+    } finally curated.unpersist()
+  }
+}

@@ -102,6 +102,7 @@ class ExtensionsSpec extends SparkSpec {
         |  size(shingle_hashes(split(text, ' '), 2)) AS n_sh,
         |  size(minhash_signature(split(text, ' '), 16)) AS n_mh,
         |  size(winnow_fingerprints(text, 5, 3)) AS n_wf,
+        |  size(cdc_boundaries(text, 4, 1)) AS n_cdc,
         |  sorted_intersection_count(shingle_hashes(split(text, ' ')),
         |                            shingle_hashes(split(text, ' '))) AS self_inter,
         |  simhash64(split(text, ' ')) AS sh
@@ -109,6 +110,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("n_sh") === 5)   // 6 tokens -> 5 bigrams
     assert(row.getAs[Int]("n_mh") === 16)
     assert(row.getAs[Int]("n_wf") > 0)
+    // d=1 cuts after every full window: len - w + 1 = 35 - 4 + 1
+    assert(row.getAs[Int]("n_cdc") === 32)
     assert(row.getAs[Long]("self_inter") === 4L) // 4 distinct trigram hashes
     assert(row.getAs[Long]("sh") !== 0L)
   }
