@@ -944,6 +944,15 @@ object SparkEntry {
           round(col("l_extendedprice"), 4).as("price_w"), col("was_clipped"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q_winsorize_grouped" -> ((s, dir) => {
+      // per-group discrete cuts: clipped values are selected elements, so
+      // doubles are bit-identical in both engines -> emitted raw
+      graft.operators.Repair.winsorizeByGroup(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", pLo = 0.05, pHi = 0.95)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").as("price_w"), col("was_clipped"))
+        .orderBy("o_orderkey")
+    }),
     "q_normalize" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.select(col("o_orderkey"), col("o_orderpriority"),
@@ -2772,6 +2781,27 @@ object SparkEntry {
         |    THEN least(greatest(l_extendedprice, lo), hi) END, 4) AS price_w,
         |  (l_extendedprice < lo OR l_extendedprice > hi)::INT AS was_clipped
         |FROM lineitem, c ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_winsorize_grouped" ->
+      // rank-selection mirror of groupQuantilesDisc (same convention as
+      // q_freshness_pcts; DuckDB's quantile_disc uses ceil(p*n) and would
+      // NOT match)
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |c AS (SELECT o_orderpriority,
+        |    max(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+        |      THEN o_totalprice END) AS lo,
+        |    max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+        |      THEN o_totalprice END) AS hi
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |  CASE WHEN o.o_totalprice IS NOT NULL AND c.lo IS NOT NULL
+        |    THEN least(greatest(o.o_totalprice, c.lo), c.hi)
+        |    ELSE o.o_totalprice END AS price_w,
+        |  (o.o_totalprice < c.lo OR o.o_totalprice > c.hi)::INT AS was_clipped
+        |FROM orders o LEFT JOIN c USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_normalize" ->
       """WITH s AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    count(o_totalprice) OVER w AS n,

@@ -49,6 +49,40 @@ object Repair {
         least(greatest(col(valueCol).cast("double"), lo), hi)))
   }
 
+  /** PER-GROUP winsorization: clip `valueCol` to each group's own
+    * `[pLo, pHi]` DISCRETE percentiles — the grouped twin of
+    * [[winsorize]], for heterogeneous populations where one global cut
+    * either mangles small groups or misses group-local whales.
+    *
+    * Cuts come from [[Profiler.groupQuantilesDisc]]'s distributed
+    * selection (per-(group, value) collapse + key-partitioned cumulative
+    * window + conditional-min) — discrete selection picks an actual
+    * observed element, so the cut (and the clipped value) is
+    * bit-identical in any engine, with no interpolation ulps. The cuts
+    * frame is group-cardinality-sized; the join back is AQE-broadcast
+    * when groups are few, a plain keyed join otherwise — never a global
+    * sort, never a driver collect.
+    *
+    * Null `valueCol` rows keep a null value and null `was_clipped` (as
+    * [[winsorize]]); rows whose group has no cuts (null group, or a
+    * group with zero non-null values) pass through unclipped. */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, "need 0 <= pLo < pHi <= 1")
+    val loName = f"q_${(pLo * 100).round}%d"
+    val hiName = f"q_${(pHi * 100).round}%d"
+    val cuts = Profiler.groupQuantilesDisc(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col(groupCol), col(loName).as("__lo"), col(hiName).as("__hi"))
+    df.join(cuts, Seq(groupCol), "left")
+      .withColumn("was_clipped",
+        (col(valueCol) < col("__lo") || col(valueCol) > col("__hi")).cast("int"))
+      .withColumn(valueCol,
+        when(col(valueCol).isNotNull && col("__lo").isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+          .otherwise(col(valueCol).cast("double")))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group z-score normalization: `(x - mean) / stddev` within
     * `groupCol` (sample stddev; degenerate groups — stddev 0 or a single
     * row — yield null). Group stats via an unordered aggregate window —

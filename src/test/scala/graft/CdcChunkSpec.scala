@@ -72,6 +72,38 @@ class CdcChunkSpec extends SparkSpec {
       s"missing resynced cuts: ${preserved -- both(1L)}")
   }
 
+  test("winsorizeByGroup equals naive per-group discrete clipping on random data") {
+    import spark.implicits._
+    val data = (0 until 400).map { i =>
+      val g = if (rnd.nextInt(20) == 0) null else s"g${rnd.nextInt(4)}"
+      val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextGaussian() * 50)
+      (i.toLong, g, v)
+    }
+    val df = data.toDF("id", "g", "v")
+    val got = graft.operators.Repair.winsorizeByGroup(df, "g", "v", 0.1, 0.9)
+      .select("id", "v", "was_clipped").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]))).toMap
+    val cuts = data.filter(d => d._2 != null && d._3.isDefined)
+      .groupBy(_._2).view.mapValues { rows =>
+        val sorted = rows.flatMap(_._3).sorted
+        val n = sorted.length
+        (sorted(math.floor(0.1 * (n - 1)).toInt), sorted(math.floor(0.9 * (n - 1)).toInt))
+      }.toMap
+    data.foreach { case (id, g, v) =>
+      val (gotV, gotClip) = got(id)
+      (v, Option(g).flatMap(cuts.get)) match {
+        case (Some(x), Some((lo, hi))) =>
+          assert(gotV.contains(math.min(math.max(x, lo), hi)), s"row $id value")
+          assert(gotClip.contains(if (x < lo || x > hi) 1 else 0), s"row $id clip")
+        case (Some(x), None) => // null group: pass through unclipped
+          assert(gotV.contains(x) && gotClip.isEmpty, s"row $id null-group")
+        case (None, _) =>
+          assert(gotV.isEmpty && gotClip.isEmpty, s"row $id null value")
+      }
+    }
+  }
+
   test("curateChunked: chunk texts reassemble the curated corpus, split carried") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 120)
