@@ -193,6 +193,23 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_chunk_dedup" -> ((s, dir) => {
+      // chunk-granularity dedup report over the CDC chunks — what content-
+      // defined chunking exists for: repeated ~64-byte chunks across the
+      // corpus are dedupable storage/training mass. One narrow explode +
+      // one hash aggregation on the chunk digest; all stats exact longs
+      // (avg as an exact-int division, engine-identical)
+      val ch = graft.text.TextAnalysis.cdcChunks(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        emitText = true)
+      val perHash = ch.groupBy(md5(col("chunk_text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      perHash.agg(
+        sum("c").cast("long").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("rows_in_dup_groups"),
+        max("c").cast("long").as("max_occurrences"))
+    }),
     "q_winnow" -> ((s, dir) => {
       // rows-only: winnowing (rolling char-k-gram min-hash) fingerprints —
       // xxhash64 not reproducible in DuckDB; selection property asserted in
@@ -2180,6 +2197,33 @@ object SparkEntry {
         |SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY chunk_end) AS chunk_idx,
         |  prev + 1 AS chunk_start, chunk_end - prev AS chunk_len
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_dedup" ->
+      // q_cdc_chunks boundary derivation + chunk-text digest roll-up
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND length(text) > 0),
+        |pos AS (SELECT doc_id, text, n, unnest(range(1, n - 16 + 2)) AS i
+        |  FROM d WHERE n >= 16),
+        |pw(j, p) AS (VALUES (0, 771861642), (1, 469929426), (2, 13501671),
+        |  (3, 326900787), (4, 966252539), (5, 108818104), (6, 447894237),
+        |  (7, 383065739), (8, 13163680), (9, 805498697), (10, 154885210),
+        |  (11, 362470373), (12, 16974593), (13, 66049), (14, 257), (15, 1)),
+        |hsh AS (SELECT doc_id, i, sum(ascii(substr(text, (i + j)::INT, 1))::BIGINT * p
+        |    % 1000000007) % 1000000007 AS h
+        |  FROM pos CROSS JOIN pw GROUP BY doc_id, i),
+        |ends AS (SELECT DISTINCT doc_id, e FROM (
+        |  SELECT doc_id, i + 15 AS e FROM hsh WHERE h % 64 = 0
+        |  UNION ALL SELECT doc_id, n AS e FROM d)),
+        |ch AS (SELECT doc_id, e AS chunk_end,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |  FROM ends),
+        |txt AS (SELECT substr(d.text, (c.prev + 1)::INT,
+        |    (c.chunk_end - c.prev)::INT) AS chunk_text
+        |  FROM ch c JOIN d USING (doc_id)),
+        |g AS (SELECT md5(chunk_text) AS h, count(*) AS c FROM txt GROUP BY 1)
+        |SELECT sum(c)::BIGINT AS n_chunks, count(*)::BIGINT AS n_distinct,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS rows_in_dup_groups,
+        |  max(c)::BIGINT AS max_occurrences
+        |FROM g""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
