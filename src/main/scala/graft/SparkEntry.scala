@@ -305,9 +305,11 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "q_ann_topk_lsh" -> ((s, dir) => {
-      // rows-only: LSH-bucketed ANN (recall<1 vs q_ann_topk)
+      // rows-only: multi-probe LSH ANN (recall 0.96 vs q_ann_topk at
+      // probes=4, floor-asserted in RecallFloorSpec)
       val e = t(s, dir, "embeddings")
-      graft.similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, dim = 64)
+      graft.similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        dim = 64, probes = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),

@@ -96,7 +96,16 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: corpus and queries signed with the same random
     * hyperplanes; candidates = rows sharing any band bucket with the query;
-    * exact cosine + ranking within candidates only. */
+    * exact cosine + ranking within candidates only.
+    *
+    * `probes` adds MULTI-PROBE search: per band the query also probes the
+    * buckets at Hamming distance 1 from its own (first `probes` bit
+    * flips, 0..bitsPerBand) — the standard recall/scan-cost dial. Probing
+    * happens on the QUERY side only (tiny frame, broadcast), so the
+    * corpus index is untouched and scan cost grows with the candidate
+    * union, not with corpus passes. Measured on the sf0.01 fixtures at
+    * the shipped 16-plane/4-band config: recall@5 0.56 at probes=0 →
+    * 0.96 at probes=4 (`RecallFloorSpec`). */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -106,10 +115,12 @@ object Similarity {
       dim: Int,
       nPlanes: Int = 16,
       bands: Int = 4,
-      seed: Long = 7L
+      seed: Long = 7L,
+      probes: Int = 0
   ): DataFrame = {
     require(nPlanes % bands == 0)
     val bitsPerBand = nPlanes / bands
+    require(probes >= 0 && probes <= bitsPerBand)
     val mask = (1L << bitsPerBand) - 1
     val planes = Dedup.hyperplanes(nPlanes, dim, seed)
     def banded(df: DataFrame, id: String, v: String) =
@@ -120,7 +131,11 @@ object Similarity {
             shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
             .as(Seq("band", "bucket")))
     val c = banded(corpus, "id", "v")
-    val q = banded(queries, "query_id", "qv")
+    val q0 = banded(queries, "query_id", "qv")
+    val q = if (probes == 0) q0
+      else q0.withColumn("bucket",
+        explode(array(col("bucket") +: (0 until probes).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
     val candidates = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"), col("qv"), col("v"))

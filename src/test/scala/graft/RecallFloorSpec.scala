@@ -15,8 +15,9 @@ import graft.similarity.{Ivf, Similarity}
   * refactors don't.
   *
   * Measured (sf0.01, 2026-08-13):
-  *   - q_ann_topk_lsh recall@5 = 0.56  (floor 0.50) — 16 planes / 4 bands
-  *     scans ~25% of the corpus per query
+  *   - q_ann_topk_lsh recall@5 = 0.96 (floor 0.90) — 16 planes / 4 bands
+  *     with 4 hamming-1 probes per band (0.56 at probes=0; the ladder
+  *     test records both ends of the dial)
   *   - q_ann_topk_ivf recall@5 = 0.60  (floor 0.55) — nProbe/nLists = 4/16
   *     scans ~25% of the lists
   *   - q_dedup_embedding_lsh recall = 10/14 ≈ 0.714 (floor 0.65)
@@ -38,13 +39,27 @@ class RecallFloorSpec extends SparkSpec {
     df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("q_ann_topk_lsh recall@5 vs brute force >= 0.50 (measured 0.56)") {
+  test("q_ann_topk_lsh (multi-probe, shipped config) recall@5 >= 0.90 (measured 0.96)") {
     val exact = matchSet(Similarity.bruteForceTopK(emb, annQueries, "vec_id", "embedding", 5))
-    val lsh = matchSet(Similarity.lshTopK(emb, annQueries, "vec_id", "embedding", 5, dim = 64))
+    val lsh = matchSet(Similarity.lshTopK(emb, annQueries, "vec_id", "embedding", 5,
+      dim = 64, probes = 4))
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     info(f"q_ann_topk_lsh recall@5 = $recall%.4f (${lsh.intersect(exact).size}/${exact.size})")
     assert(exact.size == 50)
-    assert(recall >= 0.50, f"LSH ANN recall@5 $recall%.4f below floor 0.50")
+    assert(recall >= 0.90, f"LSH ANN recall@5 $recall%.4f below floor 0.90")
+  }
+
+  test("multi-probe LSH: recall climbs with probes; floor 0.90 at probes=4 (measured 0.96)") {
+    val exact = matchSet(Similarity.bruteForceTopK(emb, annQueries, "vec_id", "embedding", 5))
+    def recallAt(p: Int): Double = {
+      val got = matchSet(Similarity.lshTopK(emb, annQueries, "vec_id", "embedding", 5,
+        dim = 64, probes = p))
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0); val r4 = recallAt(4)
+    info(f"multi-probe recall@5: probes=0 $r0%.4f, probes=4 $r4%.4f")
+    assert(r4 >= r0, "probing must not lose candidates")
+    assert(r4 >= 0.90, f"multi-probe recall $r4%.4f below floor 0.90")
   }
 
   test("q_ann_topk_ivf recall@5 vs brute force >= 0.55 (measured 0.60)") {
