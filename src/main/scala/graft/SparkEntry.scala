@@ -248,8 +248,10 @@ object SparkEntry {
       // no SQL oracle (simhash not expressible in DuckDB) → rows-only check.
       // maxHamming=6 catches the planted near-dups (measured hamming <= 6,
       // mean 2.5) while the background word-salad noise ramps up from 4.
+      // probeBits makes <= 7 loss-free (pigeonhole + hamming-1 probes), so
+      // this is EXACT pair enumeration — spec-asserted equal to brute force.
       graft.dedup.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 6).orderBy("ida", "idb")
+        maxHamming = 6, probeBits = true).orderBy("ida", "idb")
     }),
     "q_dedup_embedding" -> ((s, dir) => {
       graft.dedup.Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)

@@ -359,7 +359,8 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit signature over tokens, 4×16-bit band
     * blocking, Hamming-distance verify. Any pair with distance <= 3 is
-    * guaranteed caught (pigeonhole over 4 bands). Output:
+    * guaranteed caught (pigeonhole over 4 bands); with `probeBits = true`
+    * the guarantee extends to distance <= 7 — see below. Output:
     * (ida, idb, hamming). */
   def simHashPairs(
       df: DataFrame,
@@ -372,7 +373,15 @@ object Dedup {
         * at scale. Capping SACRIFICES the pigeonhole guarantee for pairs
         * routed through dropped buckets — keep at MaxValue when exactness
         * within `maxHamming` matters more than the worst-case blowup. */
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      /** Hamming-1 multi-probe: one side of the self-join also lands in the
+        * 16 buckets one bit-flip away per band. Pigeonhole then guarantees
+        * EVERY pair with distance <= 7 is caught (if all 4 bands differed
+        * by >= 2 bits the total would be >= 8), so `maxHamming <= 7`
+        * becomes LOSS-FREE — exact pair enumeration, not approximate
+        * blocking. Cost: 17× the candidate rows on the probed side
+        * (bounded-linear; the verify stays exact either way). */
+      probeBits: Boolean = false
   ): DataFrame = {
     val sigs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -393,7 +402,16 @@ object Dedup {
       }
 
     val l = banded.select(col("id").as("ida"), col("sig").as("siga"), col("band"), col("bucket"))
-    val rt = banded.select(col("id").as("idb"), col("sig").as("sigb"), col("band"), col("bucket"))
+    // probe side: exact bucket + (optionally) every hamming-1 neighbor
+    // bucket. Probing ONE side suffices — bucket_a = bucket_b ^ bit means
+    // a's exact bucket lands in b's probe set — and the pair `distinct`
+    // below already absorbs the symmetric double-find.
+    val rBase = banded.select(col("id").as("idb"), col("sig").as("sigb"), col("band"), col("bucket"))
+    val rt =
+      if (!probeBits) rBase
+      else rBase.withColumn("bucket",
+        explode(array(col("bucket") +: (0 until 16).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
     l.join(rt, Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),

@@ -21,9 +21,10 @@ import graft.similarity.{Ivf, Similarity}
   *   - q_ann_topk_ivf recall@5 = 0.60  (floor 0.55) — nProbe/nLists = 4/16
   *     scans ~25% of the lists
   *   - q_dedup_embedding_lsh recall = 10/14 ≈ 0.714 (floor 0.65)
-  *   - q_dedup_simhash banding recall vs exact hamming<=6 pairs =
-  *     270/360 = 0.75 (floor 0.70); the hamming<=3 subset is 100% by the
-  *     4-band pigeonhole (asserted separately), only the 4..6 tail is lossy
+  *   - q_dedup_simhash (shipped: probeBits=true) = EXACT hamming<=6 pair
+  *     enumeration — loss-free by pigeonhole + hamming-1 probes, asserted
+  *     as set equality; without probes the banding recalls 270/360 = 0.75
+  *     (floor 0.70) with the hamming<=3 subset loss-free
   */
 class RecallFloorSpec extends SparkSpec {
 
@@ -82,7 +83,25 @@ class RecallFloorSpec extends SparkSpec {
     assert(recall >= 0.65, f"embedding-LSH near-dup recall $recall%.4f below floor 0.65")
   }
 
-  test("q_dedup_simhash banding recall vs exact hamming<=6 pairs >= 0.70; hamming<=3 complete") {
+  test("q_dedup_simhash (probeBits, shipped config) EQUALS the exact hamming<=6 pair set") {
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.simhash64(
+        graft.text.TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact6 = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 6
+    } yield (math.min(sigs(i)._1, sigs(j)._1), math.max(sigs(i)._1, sigs(j)._1))).toSet
+    val probed = pairSet(Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 6, probeBits = true))
+    // pigeonhole + hamming-1 probes: loss-free up to distance 7, so at
+    // maxHamming=6 the banding is EXACT enumeration — recall 1, precision 1
+    assert(probed == exact6, s"missing ${exact6 -- probed}, extra ${probed -- exact6}")
+    assert(exact6.nonEmpty)
+  }
+
+  test("simhash banding without probes: recall vs exact hamming<=6 pairs >= 0.70; hamming<=3 complete") {
     // exact twin: brute-force hamming over the SAME 64-bit signatures,
     // computed locally over all ~125k pairs of the 500 signatures. The
     // 4-band pigeonhole guarantees hamming<=3 exactly; this measures how
