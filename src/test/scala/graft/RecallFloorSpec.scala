@@ -73,14 +73,19 @@ class RecallFloorSpec extends SparkSpec {
     assert(recall >= 0.55, f"IVF ANN recall@5 $recall%.4f below floor 0.55")
   }
 
-  test("q_dedup_embedding_lsh recall vs brute pairs >= 0.65 (measured 0.714)") {
+  test("q_dedup_embedding_lsh recall vs brute pairs: probes=0 >= 0.65, probes=4 >= 0.90") {
     val brute = pairSet(Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.45))
-    val lsh = pairSet(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
-      dim = 64, threshold = 0.45))
-    val recall = lsh.intersect(brute).size.toDouble / brute.size
-    info(f"q_dedup_embedding_lsh recall = $recall%.4f (${lsh.intersect(brute).size}/${brute.size})")
-    assert(brute.nonEmpty && lsh.subsetOf(brute)) // precision 1 by construction (exact verify step)
-    assert(recall >= 0.65, f"embedding-LSH near-dup recall $recall%.4f below floor 0.65")
+    def recallAt(p: Int): Double = {
+      val lsh = pairSet(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.45, probes = p))
+      assert(lsh.subsetOf(brute)) // precision 1 by construction (exact verify step)
+      lsh.intersect(brute).size.toDouble / brute.size
+    }
+    assert(brute.nonEmpty)
+    val r0 = recallAt(0); val r4 = recallAt(4)
+    info(f"q_dedup_embedding_lsh recall: probes=0 $r0%.4f, probes=4 $r4%.4f (of ${brute.size})")
+    assert(r0 >= 0.65, f"embedding-LSH near-dup recall $r0%.4f below floor 0.65")
+    assert(r4 >= 0.90, f"multi-probe near-dup recall $r4%.4f below floor 0.90")
   }
 
   test("q_dedup_simhash (probeBits, shipped config) EQUALS the exact hamming<=6 pair set") {
