@@ -1301,6 +1301,14 @@ object SparkEntry {
       graft.operators.Profiler.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)
     }),
+    "q_l_diversity" -> ((s, dir) => {
+      // homogeneity-attack audit: distinct order priorities seen per
+      // (custkey-mod, orderstatus) class — companion to q_k_anonymity
+      val o = t(s, dir, "orders")
+        .withColumn("cust_bucket", col("o_custkey") % 100)
+      graft.operators.Profiler.lDiversity(o,
+        Seq("cust_bucket", "o_orderstatus"), "o_orderpriority", l = 3L)
+    }),
     // --- round 3: dead/constant column detection (one pass) ---
     "q_dead_columns" -> ((s, dir) => {
       graft.operators.Profiler.deadColumns(t(s, dir, "events"),
@@ -3285,6 +3293,21 @@ object SparkEntry {
         |  sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
         |  sum(n)::BIGINT AS n_rows,
         |  round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
+        |    AS at_risk_ratio
+        |FROM cls""".stripMargin,
+    "q_l_diversity" ->
+      // count(DISTINCT x) + (1 if any NULL) mirrors the null-as-value
+      // distinct of Profiler.lDiversity
+      """WITH cls AS (SELECT o_custkey % 100 AS cb, o_orderstatus,
+        |    (count(DISTINCT o_orderpriority)
+        |      + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)) AS l,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT min(l)::BIGINT AS min_l, count(*)::BIGINT AS n_classes,
+        |  sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS classes_below_l,
+        |  sum(CASE WHEN l < 3 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  sum(n)::BIGINT AS n_rows,
+        |  round(CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
         |    AS at_risk_ratio
         |FROM cls""".stripMargin,
     "q_dead_columns" ->

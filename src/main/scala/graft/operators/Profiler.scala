@@ -698,6 +698,35 @@ object Profiler {
           .otherwise(lit("live")))
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion: k-anonymity bounds
+    * class SIZE, but a class whose sensitive attribute is constant still
+    * discloses it to anyone who can place a person in the class
+    * (homogeneity attack). Per quasi-identifier class this measures the
+    * number of DISTINCT sensitive values; one row reports the corpus
+    * minimum, class count, and the classes/rows below the required `l`.
+    * NULL sensitive values count as a value (they are still a
+    * disclosure). One keyed shuffle + a class-frame roll-up — nothing
+    * row-proportional after the first aggregation. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1)
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count_distinct_with_nulls(col(sensitiveCol)).as("__l"),
+        count(lit(1)).as("__n"))
+    classes.agg(
+      min("__l").as("min_l"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("__l") < l, 1L).otherwise(0L)).as("classes_below_l"),
+      sum(when(col("__l") < l, col("__n")).otherwise(0L)).as("rows_at_risk"),
+      sum("__n").as("n_rows"))
+      .withColumn("at_risk_ratio",
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
+  }
+
+  /** `countDistinct` that counts NULL as one value (SQL's excludes it). */
+  private def count_distinct_with_nulls(c: Column): Column =
+    countDistinct(c) + max(when(c.isNull, 1L).otherwise(0L))
+
   /** Exact ROC AUC via the Mann–Whitney identity `AUC = (R⁺ −
     * n⁺(n⁺+1)/2) / (n⁺·n⁻)` with average ranks for tied scores — equal to
     * the trapezoidal ROC area including tie segments, with NO curve

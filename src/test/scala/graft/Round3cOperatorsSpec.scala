@@ -139,6 +139,22 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(r.getDouble(5) === 0.5)
   }
 
+  test("lDiversity: distinct-sensitive-per-class with NULL counted as a value") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "a"), ("x", "b"), ("x", "c"),   // class x: l=3 (ok at l=3)
+      ("y", "a"), ("y", "a"), ("y", "a"),   // class y: l=1 — homogeneous, at risk
+      ("z", "a"), ("z", null)               // class z: l=2 (null IS a value)
+    ).toDF("q", "s")
+    val r = Profiler.lDiversity(df, Seq("q"), "s", l = 3L).collect().head
+    assert(r.getLong(0) === 1L)   // min_l (class y)
+    assert(r.getLong(1) === 3L)   // n_classes
+    assert(r.getLong(2) === 2L)   // classes_below_l (y and z)
+    assert(r.getLong(3) === 5L)   // rows_at_risk
+    assert(r.getLong(4) === 8L)   // n_rows
+    assert(r.getDouble(5) === 0.625)
+  }
+
   test("deadColumns: all_null / constant / live verdicts") {
     import spark.implicits._
     val df = Seq(
