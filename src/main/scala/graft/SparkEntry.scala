@@ -485,9 +485,11 @@ object SparkEntry {
     // --- similarity: IVF coarse-quantizer ANN (rows-only: recall < 1 by
     //     design; recall vs brute force is asserted in IvfSpec) ---
     "q_ann_topk_ivf" -> ((s, dir) => {
+      // nProbe=6/16 lists: measured recall@5 0.80 (ladder recorded in
+      // RecallFloorSpec: 0.60 at 4, 0.84 at 8 — the scan/recall dial)
       val e = t(s, dir, "embeddings")
       graft.similarity.Ivf.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nLists = 16, nProbe = 4)
+        k = 5, nLists = 16, nProbe = 6)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
