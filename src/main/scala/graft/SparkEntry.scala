@@ -526,6 +526,44 @@ object SparkEntry {
         .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment")
     }),
+    "q14_promo_share" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share — conditional aggregation over
+      // one broadcast dim join, decimal-exact revenue, one-row output
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      val l = t(s, dir, "lineitem").select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", col("rev"))).cast("double") * 100.0 /
+            sum(col("rev")).cast("double")).as("promo_share_pct"),
+          sum(col("rev")).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q7_nation_flow" -> ((s, dir) => {
+      // TPC-H Q7 shape: supplier-nation -> customer-nation revenue flows by
+      // ship year. Six-table join, all dimensions broadcast; the only keyed
+      // exchange is lineitem->orders, the final groupBy is nations²×years.
+      val nat = t(s, dir, "nation")
+      val sn = nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = nat.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
     "q5_star_join" -> ((s, dir) => {
       // TPC-H Q5 shape: full star join; every dimension side broadcast, the
       // only shuffle is the final small groupBy on n_name.
@@ -2401,6 +2439,27 @@ object SparkEntry {
         |SELECT user_id, session_idx::BIGINT AS session_idx, min(tsu) AS session_start,
         |  max(tsu) AS session_end, count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2)) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS promo_share_pct,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q7_nation_flow" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate)::INT AS l_year,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
         |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue,
