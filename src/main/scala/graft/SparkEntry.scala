@@ -1341,6 +1341,14 @@ object SparkEntry {
       graft.operators.Profiler.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)
     }),
+    "q_t_closeness" -> ((s, dir) => {
+      // skewness-attack audit: per-class order-priority distribution vs the
+      // corpus (total variation), completing the k-anon / l-div trio
+      val o = t(s, dir, "orders")
+        .withColumn("cust_bucket", (col("o_custkey") % 100).cast("string"))
+      graft.operators.Profiler.tCloseness(o,
+        Seq("cust_bucket", "o_orderstatus"), "o_orderpriority", t = 0.2)
+    }),
     "q_l_diversity" -> ((s, dir) => {
       // homogeneity-attack audit: distinct order priorities seen per
       // (custkey-mod, orderstatus) class — companion to q_k_anonymity
@@ -3356,6 +3364,30 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
         |    AS at_risk_ratio
         |FROM cls""".stripMargin,
+    "q_t_closeness" ->
+      // mirrors Profiler.tCloseness cell algebra: nano-quantized
+      // total-variation terms + analytic absent-cell mass; raw doubles
+      // (exact-long divisions are bit-identical)
+      """WITH base AS (SELECT (o_custkey % 100)::VARCHAR AS cb, o_orderstatus AS st,
+        |    coalesce(o_orderpriority, ' null') AS v FROM orders),
+        |joint AS (SELECT cb, st, v, count(*) AS nxv FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT cb, st, sum(nxv)::BIGINT AS nc FROM joint GROUP BY 1, 2),
+        |marg AS (SELECT v, sum(nxv)::BIGINT AS nv FROM joint GROUP BY 1),
+        |tot AS (SELECT sum(nv)::BIGINT AS n FROM marg),
+        |cells AS (SELECT j.cb, j.st, c.nc,
+        |    CAST(floor(abs(j.nxv::DOUBLE / c.nc - m.nv::DOUBLE / t.n) * 5e8) AS BIGINT) AS tq,
+        |    CAST(floor(m.nv::DOUBLE / t.n * 5e8) AS BIGINT) AS mq
+        |  FROM joint j JOIN cls c USING (cb, st) JOIN marg m USING (v) CROSS JOIN tot t),
+        |pc AS (SELECT cb, st, max(nc) AS nc,
+        |    (sum(tq) + 500000000 - sum(mq))::BIGINT::DOUBLE / 1e9 AS tc
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT max(tc) AS max_t, count(*)::BIGINT AS n_classes,
+        |  sum(CASE WHEN tc > 0.2 THEN 1 ELSE 0 END)::BIGINT AS classes_above_t,
+        |  sum(CASE WHEN tc > 0.2 THEN nc ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  sum(nc)::BIGINT AS n_rows,
+        |  CAST(sum(CASE WHEN tc > 0.2 THEN nc ELSE 0 END) AS DOUBLE) / sum(nc)
+        |    AS at_risk_ratio
+        |FROM pc""".stripMargin,
     "q_l_diversity" ->
       // count(DISTINCT x) + (1 if any NULL) mirrors the null-as-value
       // distinct of Profiler.lDiversity

@@ -727,6 +727,64 @@ object Profiler {
   private def count_distinct_with_nulls(c: Column): Column =
     countDistinct(c) + max(when(c.isNull, 1L).otherwise(0L))
 
+  /** t-closeness audit — the third of the privacy trio after
+    * [[kAnonymity]] (class size) and [[lDiversity]] (sensitive-value
+    * diversity): a class can be large AND diverse yet still leak if its
+    * sensitive DISTRIBUTION deviates from the corpus (skewness attack).
+    * Per quasi-identifier class this measures the total-variation
+    * distance `t_c = ½·Σ_v |p_c(v) − p(v)|` of the class's categorical
+    * sensitive distribution from the global one; one row reports the
+    * maximum, the class count, and classes/rows above the allowed `t`.
+    * NULL sensitive values form a category.
+    *
+    * Shape: one (class, value) joint aggregation (output bounded by
+    * |classes|·|values|), marginals rolled up FROM the joint (no second
+    * scan), absent cells handled by adding each class's
+    * `½·Σ_{v∉class} p(v)` analytically — the full r×c grid is never
+    * materialized (the chi-square-family lesson: absent cells still
+    * carry mass). Per-cell terms are nano-quantized to longs so the sum
+    * is exact under any accumulation order. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t >= 0.0 && t <= 1.0)
+    // quasi cols coalesced to a sentinel so null-classes survive the
+    // equi-joins below (join keys must be non-null); sensitive nulls
+    // form a category the same way
+    val base = df.select(
+      quasiCols.map(c => coalesce(col(c).cast("string"), lit(" null")).as(c)) :+
+        coalesce(col(sensitiveCol).cast("string"), lit(" null")).as("__v"): _*)
+    val joint = base.groupBy(quasiCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__nxv"))
+    val cls = joint.groupBy(quasiCols.map(col): _*).agg(sum("__nxv").as("__nc"))
+    val marg = joint.groupBy("__v").agg(sum("__nxv").as("__nv"))
+    val totals = marg.agg(sum("__nv").as("__n"))
+    // present cells: ½·|nxv/nc − nv/n|; absent cells of a class add
+    // ½·Σ_{absent v} nv/n = ½·(1 − Σ_{present v} nv/n)
+    val withP = joint
+      .join(cls, quasiCols)
+      .join(broadcast(marg), "__v")
+      .crossJoin(broadcast(totals))
+    val presentTermQ = floor(
+      abs(col("__nxv").cast("double") / col("__nc") -
+        col("__nv").cast("double") / col("__n")) * 5e8).cast("long")
+    val presentMassQ = floor(col("__nv").cast("double") / col("__n") * 5e8).cast("long")
+    val perClass = withP.groupBy(quasiCols.map(col): _*)
+      .agg(max("__nc").as("__nc"),
+        ((sum(presentTermQ) + lit(500000000L) - sum(presentMassQ)).cast("double") / 1e9)
+          .as("__t"))
+    // max_t / at_risk_ratio derive from exact longs by single divisions —
+    // bit-identical in any engine, so emitted RAW (a 6-dp round could
+    // flip on half boundaries; see the raw-doubles policy)
+    perClass.agg(
+      max("__t").as("max_t"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("__t") > t, 1L).otherwise(0L)).as("classes_above_t"),
+      sum(when(col("__t") > t, col("__nc")).otherwise(0L)).as("rows_at_risk"),
+      sum("__nc").as("n_rows"))
+      .withColumn("at_risk_ratio",
+        col("rows_at_risk").cast("double") / col("n_rows"))
+  }
+
   /** Exact ROC AUC via the Mann–Whitney identity `AUC = (R⁺ −
     * n⁺(n⁺+1)/2) / (n⁺·n⁻)` with average ranks for tied scores — equal to
     * the trapezoidal ROC area including tie segments, with NO curve

@@ -155,6 +155,24 @@ class Round3cOperatorsSpec extends SparkSpec {
     assert(r.getDouble(5) === 0.625)
   }
 
+  test("tCloseness: hand-computed total variation incl. absent cells; null quasi survives") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "a"), ("x", "a"), ("x", "b"), ("x", "b"), // class x: a .5, b .5
+      ("y", "a"), ("y", "a"), ("y", "a"), ("y", "a"), // class y: all a — skewed
+      (null, "b"), (null, "b"), (null, "b"), (null, "b") // null class: all b
+    ).toDF("q", "s")
+    // global: a 6/12, b 6/12. TV(x) = 0; TV(y) = ½(|1−.5| + .5) = .5;
+    // TV(null-class) = .5
+    val r = Profiler.tCloseness(df, Seq("q"), "s", t = 0.2).collect().head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-8) // max_t (quantization < 1e-8 off)
+    assert(r.getLong(1) === 3L)                   // n_classes (null class counted)
+    assert(r.getLong(2) === 2L)                   // classes_above_t (y and null)
+    assert(r.getLong(3) === 8L)                   // rows_at_risk
+    assert(r.getLong(4) === 12L)                  // n_rows
+    assert(math.abs(r.getDouble(5) - 8.0 / 12.0) < 1e-12)
+  }
+
   test("deadColumns: all_null / constant / live verdicts") {
     import spark.implicits._
     val df = Seq(
