@@ -1110,13 +1110,15 @@ object SparkEntry {
     "q_gini" -> ((s, dir) => {
       // concentration of event volume across users and of order value
       // across customers - the whale/monopoly audit
+      // totals and gini derive from exact cents-quantized longs by fixed
+      // double ops — bit-identical in both engines, emitted raw
       val byUser = graft.operators.Profiler.gini(t(s, dir, "events"), "user_id")
         .select(lit("events_per_user").as("metric"), col("n_keys"),
-          col("total").cast("double").as("total"), col("gini"))
+          col("total"), col("gini"))
       val byCust = graft.operators.Profiler.gini(t(s, dir, "orders"), "o_custkey",
           col("o_totalprice"))
         .select(lit("order_value_per_customer").as("metric"), col("n_keys"),
-          round(col("total").cast("double"), 4).as("total"), col("gini"))
+          col("total"), col("gini"))
       byUser.unionByName(byCust).orderBy("metric")
     }),
     "q_interval_overlap" -> ((s, dir) => {
@@ -3121,19 +3123,24 @@ object SparkEntry {
         |    sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
         |FROM b""".stripMargin,
     "q_gini" ->
-      """WITH u AS (SELECT user_id AS k, count(*)::DOUBLE AS x FROM events
-        |           WHERE user_id IS NOT NULL GROUP BY 1),
-        |ur AS (SELECT k, x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM u),
+      // cents-quantized integer algebra mirroring Profiler.gini: rank
+      // sums and totals are exact BIGINTs, gini = fixed double-op
+      // sequence over them (raw doubles, bit-identical)
+      """WITH u AS (SELECT (sum(1::DECIMAL(30,6)) * 100)::BIGINT AS x FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY user_id),
+        |ur AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS i FROM u),
         |ua AS (SELECT 'events_per_user' AS metric, count(*)::BIGINT AS n_keys,
-        |         sum(x) AS total,
-        |         round(2.0 * sum(i * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*), 6) AS gini
+        |         sum(x)::BIGINT::DOUBLE / 100 AS total,
+        |         2.0 * sum(i * x)::BIGINT / (count(*)::DOUBLE * sum(x)::BIGINT)
+        |           - (count(*) + 1.0) / count(*) AS gini
         |       FROM ur),
-        |c AS (SELECT o_custkey AS k, sum(o_totalprice) AS x FROM orders
-        |      WHERE o_custkey IS NOT NULL GROUP BY 1),
-        |cr AS (SELECT k, x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM c),
+        |c AS (SELECT (sum(o_totalprice::DECIMAL(30,6)) * 100)::BIGINT AS x FROM orders
+        |      WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+        |cr AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS i FROM c),
         |ca AS (SELECT 'order_value_per_customer' AS metric, count(*)::BIGINT,
-        |         round(sum(x), 4),
-        |         round(2.0 * sum(i * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*), 6)
+        |         sum(x)::BIGINT::DOUBLE / 100,
+        |         2.0 * sum(i * x)::BIGINT / (count(*)::DOUBLE * sum(x)::BIGINT)
+        |           - (count(*) + 1.0) / count(*)
         |       FROM cr)
         |SELECT * FROM ua UNION ALL SELECT * FROM ca ORDER BY metric""".stripMargin,
     "q_interval_overlap" ->

@@ -610,25 +610,54 @@ object Profiler {
     * the corpus": 0 = perfectly even (every key equal share), → 1 = one
     * key owns everything (domain monopolies, whale users, boilerplate
     * sources). Uses the sorted-values identity
-    * `G = (2·Σ(i·xᵢ)) / (n·Σx) − (n+1)/n` with ties broken by key for a
-    * deterministic rank. One row `(n_keys, total, gini)`.
+    * `G = (2·Σ(i·xᵢ)) / (n·Σx) − (n+1)/n`. One row
+    * `(n_keys, total, gini)`.
     *
-    * The aggregation to per-key weights is the scalable part (one keyed
-    * shuffle); the rank window then runs over the KEY frame — fine to
-    * ~10^7 keys, the same trade as the exact-KS window
-    * ([[graft.checks.DriftCheck]]), with [[keySkew]]'s top-N as the
-    * any-scale fallback. */
+    * DISTRIBUTED exact pass (the `wasserstein1Distributed` template —
+    * no rank window, no key-count bound): per-key weights are
+    * cents-quantized to exact longs (decimal sum → ×100; 2-dp inputs are
+    * exact), the key frame is range-sorted on the weight, per-partition
+    * counts collect to the driver (#partitions rows), and one
+    * `mapPartitions` sweep accumulates `Σ rank·x` as an exact long from
+    * each partition's broadcast rank offset. Rank ties hold equal `x`,
+    * so any tie order yields the SAME sum — no key tiebreak needed. The
+    * final statistic derives from three exact integers by a fixed
+    * double-op sequence: bit-identical in any engine, emitted raw. */
   def gini(df: DataFrame, keyCol: String, weight: Column = lit(1L)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val perKey = df.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol)).agg(sum(weight).as("x"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("x").asc, col(keyCol).asc)
-    perKey.select(col("x").cast("double").as("x"),
-        row_number().over(w).cast("double").as("i"))
-      .agg(count(lit(1)).as("n_keys"), sum("x").as("total"),
-        (lit(2.0) * sum(col("i") * col("x")) / (count(lit(1)) * sum("x")) -
-          (count(lit(1)) + 1.0) / count(lit(1))).as("__g"))
-      .select(col("n_keys"), col("total"), round(col("__g"), 6).as("gini"))
+      .groupBy(col(keyCol))
+      .agg((sum(weight.cast("decimal(30,6)")) * 100).cast("long").as("xc"))
+    val rdd = perKey.orderBy("xc").select("xc")
+      .queryExecution.toRdd.map(_.getLong(0))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cnt = 0L; var sx = 0L
+        it.foreach { x => cnt += 1; sx += x }
+        Iterator.single((i, cnt, sx))
+      }.collect().sortBy(_._1)
+      val n = parts.map(_._2).sum
+      val total = parts.map(_._3).sum
+      if (n == 0) {
+        Seq((0L, Option.empty[Double], Option.empty[Double]))
+          .toDF("n_keys", "total", "gini")
+      } else {
+        require(total <= 0L || n <= Long.MaxValue / total,
+          s"gini: n*total (${n} * ${total}) overflows the exact accumulator — pre-scale weights")
+        val offs = parts.scanLeft(0L)(_ + _._2).dropRight(1)
+        val s = rdd.mapPartitionsWithIndex { (i, it) =>
+          var r = offs(i); var acc = 0L
+          it.foreach { x => r += 1; acc += r * x }
+          Iterator.single(acc)
+        }.fold(0L)(_ + _)
+        val g =
+          if (total == 0L) Option.empty[Double]
+          else Some(2.0 * s.toDouble / (n.toDouble * total.toDouble) - (n + 1.0) / n)
+        Seq((n, Some(total.toDouble / 100), g)).toDF("n_keys", "total", "gini")
+      }
+    } finally rdd.unpersist()
   }
 
   /** Functional-dependency violation profile for a candidate FD

@@ -251,6 +251,25 @@ class Round3OperatorsSpec extends SparkSpec {
     assert(Profiler.gini(two, "k").head().getDouble(2) === 0.25)
   }
 
+  test("gini distributed pass equals the naive ranked formula bit-exactly on random weights") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 5000).map { _ =>
+      (s"k${rnd.nextInt(300)}", math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val got = Profiler.gini(rows.toDF("k", "w"), "k", col("w")).head()
+    // naive: per-key cents sums, ascending sort, G = 2*sum(i*x)/(n*X) - (n+1)/n
+    val perKey = rows.groupBy(_._1).view
+      .mapValues(_.map(r => math.round(r._2 * 100)).sum).values.toArray.sorted
+    val n = perKey.length.toLong
+    val x = perKey.sum
+    val s = perKey.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+    val expected = 2.0 * s.toDouble / (n.toDouble * x.toDouble) - (n + 1.0) / n
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == x.toDouble / 100)
+    assert(got.getDouble(2) == expected) // bit-exact, not approx
+  }
+
   test("freqItems (stat sketch) surfaces planted heavy hitters; keySkew gives exact shares") {
     import spark.implicits._
     // one whale key (40%) over uniform noise
