@@ -413,27 +413,32 @@ object Profiler {
     * correction in the variance.
     *
     * Scale shape: values pre-aggregate to per-DISTINCT-value counts (one
-    * keyed shuffle), ranks come from a cumulative window over the
-    * distinct-value frame (exact, same moderate-cardinality trade as the
-    * exact KS statistic), and tie terms `t³−t` fall out of the same frame. */
+    * keyed shuffle), then the rank sweep runs DISTRIBUTED (the
+    * `wasserstein1Distributed` template): range sort on the value,
+    * per-partition count totals collected (#partitions rows), one
+    * `mapPartitions` pass accumulating `2·Σ ca·avg_rank` and `Σ(t³−t)`
+    * as EXACT longs from each partition's broadcast rank offset — no
+    * unpartitioned window, so continuous values (distinct ≈ rows) stay
+    * parallel. Rank sums are half-integers, so halving the doubled long
+    * reproduces the window formulation's double bit-for-bit; the final
+    * statistic reuses the identical column expressions (spec-asserted
+    * via the unchanged DuckDB oracle). Exactness envelope: `2·Σ ca·rank
+    * ≤ 2N²` and a tie group contributes `t³` — both must fit a long
+    * (fine to ~10⁹ rows / ~10⁶-deep ties). */
   def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = col(valueCol).cast("double")
     val perVal = df.filter(col(groupCol).isNotNull && v.isNotNull &&
         (col(groupCol) === groupA || col(groupCol) === groupB))
       .groupBy(v.as("v")).agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val t = col("ca") + col("cb")
-    val ranked = perVal.select(col("ca"), col("cb"),
-      (coalesce(sum(t).over(w), lit(0L)) + (t + 1) / lit(2.0)).as("avg_rank"),
-      (t * t * t - t).as("tie_term"))
-    ranked.agg(
-        sum("ca").as("n_a"), sum("cb").as("n_b"),
-        sum(col("ca") * col("avg_rank")).as("__ra"),
-        sum("tie_term").as("__ties"))
+    val (na, nb, ra2, ties) = rankSweep(perVal)
+    if (na == 0L && nb == 0L) nullRow(spark,
+      Seq(("n_a", LongType), ("n_b", LongType), ("u_a", DoubleType), ("z", DoubleType)))
+    else Seq((na, nb, ra2.toDouble / 2.0, ties)).toDF("n_a", "n_b", "__ra", "__ties")
       .select(col("n_a"), col("n_b"),
         (col("__ra") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
         col("__ties"))
@@ -444,6 +449,50 @@ object Profiler {
               ((col("n_a") + col("n_b") + 1) -
                 col("__ties") / ((col("n_a") + col("n_b")) * (col("n_a") + col("n_b") - 1)))),
           6).as("z"))
+  }
+
+  /** One all-null row with the given schema — the empty-input result the
+    * windowed formulations produced via aggregates over zero rows. */
+  private def nullRow(spark: org.apache.spark.sql.SparkSession,
+      fields: Seq[(String, DataType)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(fields.map(_ => null): _*)),
+      StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) }))
+
+  /** Shared DISTRIBUTED rank sweep over a per-distinct-value count frame
+    * `(v, ca, cb)` — the `wasserstein1Distributed` template: range sort
+    * on `v`, per-partition count totals to the driver (#partitions
+    * rows), one `mapPartitions` pass from broadcast rank offsets.
+    * Returns `(n_a, n_b, 2·Σ ca·avg_rank, Σ(t³−t))`, ALL exact longs
+    * (a tie group's average rank is `prevCum + (t+1)/2`, so the doubled
+    * rank sum is integral; halving it reproduces the window
+    * formulation's half-integer double bit-for-bit). */
+  private def rankSweep(perVal: DataFrame): (Long, Long, Long, Long) = {
+    val rdd = perVal.orderBy("v").select("ca", "cb")
+      .queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var a = 0L; var b = 0L
+        it.foreach { case (x, y) => a += x; b += y }
+        Iterator.single((i, a, b))
+      }.collect().sortBy(_._1)
+      val na = parts.map(_._2).sum
+      val nb = parts.map(_._3).sum
+      val offs = parts.scanLeft(0L) { case (acc, (_, a, b)) => acc + a + b }.dropRight(1)
+      val (ra2, ties) = rdd.mapPartitionsWithIndex { (i, it) =>
+        var prev = offs(i); var r2 = 0L; var tt = 0L
+        it.foreach { case (a, b) =>
+          val t = a + b
+          r2 += a * (2 * prev + t + 1)
+          tt += t * t * t - t
+          prev += t
+        }
+        Iterator.single((r2, tt))
+      }.fold((0L, 0L)) { case ((x1, y1), (x2, y2)) => (x1 + x2, y1 + y2) }
+      (na, nb, ra2, ties)
+    } finally rdd.unpersist()
   }
 
   /** Welch's two-sample t statistic for `valueCol` between two groups of
@@ -818,26 +867,25 @@ object Profiler {
     * n⁺(n⁺+1)/2) / (n⁺·n⁻)` with average ranks for tied scores — equal to
     * the trapezoidal ROC area including tie segments, with NO curve
     * materialization and no global row sort: scores collapse to one row
-    * per DISTINCT value first (keyed partial agg), and the single ordered
-    * window runs over that bounded frame (same shape as
-    * [[mannWhitneyU]]). Rank sums stay in half-integers — exactly
-    * representable doubles — so the statistic is bit-deterministic under
-    * any partitioning. `labelCol` must be 0/1 (or boolean). */
+    * per DISTINCT value first (keyed partial agg), then the
+    * [[mannWhitneyU]] distributed rank sweep (no unpartitioned window —
+    * continuous scores whose distinct frame approaches row count stay
+    * parallel). Rank sums are half-integers carried as a doubled exact
+    * long, so the statistic is bit-deterministic under any partitioning.
+    * `labelCol` must be 0/1 (or boolean). */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("int")
     val perVal = df.filter(s.isNotNull && y.isNotNull)
-      .groupBy(s.as("s")).agg(
-        sum(when(y === 1, 1L).otherwise(0L)).as("cp"),
-        sum(when(y === 1, 0L).otherwise(1L)).as("cn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("s")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val t = col("cp") + col("cn")
-    val ranked = perVal.select(col("cp"), col("cn"),
-      (coalesce(sum(t).over(w), lit(0L)) + (t + 1) / lit(2.0)).as("avg_rank"))
-    ranked.agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
-        sum(col("cp") * col("avg_rank")).as("__rp"))
+      .groupBy(s.as("v")).agg(
+        sum(when(y === 1, 1L).otherwise(0L)).as("ca"),
+        sum(when(y === 1, 0L).otherwise(1L)).as("cb"))
+    val (np, nn, rp2, _) = rankSweep(perVal)
+    if (np == 0L && nn == 0L) nullRow(spark,
+      Seq(("n_pos", LongType), ("n_neg", LongType), ("auc", DoubleType)))
+    else Seq((np, nn, rp2.toDouble / 2.0)).toDF("n_pos", "n_neg", "__rp")
       .select(col("n_pos"), col("n_neg"),
         ((col("__rp") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
           (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
