@@ -210,6 +210,16 @@ object SparkEntry {
         sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("rows_in_dup_groups"),
         max("c").cast("long").as("max_occurrences"))
     }),
+    "q_chunk_novelty" -> ((s, dir) => {
+      // per-doc chunk-level novelty vs the rest of the corpus — the batch
+      // twin of the streaming Bloom novelty filter (exact here: real
+      // membership join on digests, no FP)
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.chunkNovelty(
+        docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_winnow" -> ((s, dir) => {
       // rows-only: winnowing (rolling char-k-gram min-hash) fingerprints —
       // xxhash64 not reproducible in DuckDB; selection property asserted in
@@ -2261,6 +2271,37 @@ object SparkEntry {
         |SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY chunk_end) AS chunk_idx,
         |  prev + 1 AS chunk_start, chunk_end - prev AS chunk_len
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_novelty" ->
+      // shared CDC boundary derivation over ALL docs, split into the
+      // incoming (<100) and corpus (>=100) sides, digest membership join
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |pos AS (SELECT doc_id, text, n, unnest(range(1, n - 16 + 2)) AS i
+        |  FROM d WHERE n >= 16),
+        |pw(j, p) AS (VALUES (0, 771861642), (1, 469929426), (2, 13501671),
+        |  (3, 326900787), (4, 966252539), (5, 108818104), (6, 447894237),
+        |  (7, 383065739), (8, 13163680), (9, 805498697), (10, 154885210),
+        |  (11, 362470373), (12, 16974593), (13, 66049), (14, 257), (15, 1)),
+        |hsh AS (SELECT doc_id, i, sum(ascii(substr(text, (i + j)::INT, 1))::BIGINT * p
+        |    % 1000000007) % 1000000007 AS h
+        |  FROM pos CROSS JOIN pw GROUP BY doc_id, i),
+        |ends AS (SELECT DISTINCT doc_id, e FROM (
+        |  SELECT doc_id, i + 15 AS e FROM hsh WHERE h % 64 = 0
+        |  UNION ALL SELECT doc_id, n AS e FROM d)),
+        |ch AS (SELECT doc_id, e AS chunk_end,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |  FROM ends),
+        |txt AS (SELECT c.doc_id, md5(substr(d.text, (c.prev + 1)::INT,
+        |    (c.chunk_end - c.prev)::INT)) AS hh
+        |  FROM ch c JOIN d USING (doc_id)),
+        |seen AS (SELECT DISTINCT hh FROM txt WHERE doc_id >= 100),
+        |dc AS (SELECT doc_id, hh FROM txt WHERE doc_id < 100)
+        |SELECT dc.doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN seen.hh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+        |  (count(*) - sum(CASE WHEN seen.hh IS NOT NULL THEN 1 ELSE 0 END))::BIGINT::DOUBLE
+        |    / count(*) AS novelty
+        |FROM dc LEFT JOIN seen ON dc.hh = seen.hh
+        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
     "q_chunk_dedup" ->
       // q_cdc_chunks boundary derivation + chunk-text digest roll-up
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents

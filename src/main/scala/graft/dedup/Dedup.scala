@@ -108,6 +108,38 @@ object Dedup {
         col("n_eval_grams").cast("long").as("n_eval_grams"))
   }
 
+  /** Per-document chunk-level novelty against a reference corpus — the
+    * oracle-checkable BATCH twin of
+    * [[graft.streaming.StreamingChunkDedup]]: cut both sides into
+    * content-defined chunks ([[graft.text.TextAnalysis.cdcChunks]]),
+    * digest the chunk texts, and report per incoming document how many
+    * of its chunks already exist anywhere in the corpus. Re-crawls and
+    * boilerplate assemblies score near zero `novelty`; genuinely new
+    * text scores near one.
+    *
+    * Shape: the corpus reduces to DISTINCT chunk digests (one hash
+    * aggregation, map-side combined) before the membership join — never
+    * doc×doc pairs; the join is keyed on the digest (AQE-broadcast when
+    * the corpus digest set is small). `novelty = n_new / n_chunks` is an
+    * exact-long division — bit-identical in any engine, emitted raw. */
+  def chunkNovelty(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, w: Int = 16, d: Int = 64): DataFrame = {
+    val dc = graft.text.TextAnalysis
+      .cdcChunks(docs, idCol, textCol, w, d, emitText = true)
+      .select(col(idCol), md5(col("chunk_text")).as("__h"))
+    val seen = graft.text.TextAnalysis
+      .cdcChunks(corpus, idCol, textCol, w, d, emitText = true)
+      .select(md5(col("chunk_text")).as("__h")).distinct()
+      .withColumn("__seen", lit(1L))
+    dc.join(seen, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .select(col(idCol), col("n_chunks"), col("n_seen"),
+        ((col("n_chunks") - col("n_seen")).cast("double") / col("n_chunks"))
+          .as("novelty"))
+  }
+
   /** Embedding-space train/eval decontamination — the SEMANTIC twin of
     * [[crossNgramContamination]] (catches paraphrased benchmark leakage
     * that exact n-gram overlap misses): flags every corpus row whose
