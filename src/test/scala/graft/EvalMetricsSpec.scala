@@ -23,6 +23,39 @@ class EvalMetricsSpec extends SparkSpec {
     assert(Profiler.rocAuc(hand, "score", "label").collect().head.getAs[Double]("auc") == 0.75)
   }
 
+  test("distributed rank sweep equals naive average-rank computation on random tied data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // half the scores land on a 50-value grid -> heavy tie groups; half
+    // continuous -> distinct frame spans all partitions
+    val rows = (1 to 4000).map { _ =>
+      val s = if (rnd.nextBoolean()) rnd.nextInt(50) / 50.0 else rnd.nextDouble()
+      (s, if (rnd.nextDouble() < 0.3 + 0.4 * s) 1 else 0)
+    }
+    val got = Profiler.rocAuc(rows.toDF("score", "label"), "score", "label").head()
+    // naive: average ranks per tie group over the sorted values
+    val sorted = rows.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map.empty[Double, Double]
+    var idx = 0
+    sorted.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+      ranks(v) = (idx + 1 + idx + g.size).toDouble / 2 // avg of rank range
+      idx += g.size
+    }
+    val np = rows.count(_._2 == 1).toLong
+    val nn = rows.size - np
+    val rPos = rows.filter(_._2 == 1).map(r => ranks(r._1)).sum
+    val expected = (rPos - np * (np + 1) / 2.0) / (np.toDouble * nn)
+    assert(got.getLong(0) == np && got.getLong(1) == nn)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-12,
+      s"auc ${got.getDouble(2)} vs naive $expected")
+    // mann-whitney over the same data viewed as two groups
+    val mwRows = rows.map { case (s, y) => (s, if (y == 1) "pos" else "neg") }
+    val mw = Profiler.mannWhitneyU(mwRows.toDF("v", "g"), "v", "g", "pos", "neg").head()
+    val uA = rPos - np * (np + 1) / 2.0
+    assert(mw.getLong(0) == np && mw.getLong(1) == nn)
+    assert(math.abs(mw.getDouble(2) - uA) < 1e-6) // u_a rounded to 4 dp
+  }
+
   test("calibrationBins: boundary scores land in the right bins; top bin closed") {
     val s = spark
     import s.implicits._
