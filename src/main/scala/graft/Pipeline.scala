@@ -70,6 +70,38 @@ object Pipeline {
       idCol, textCol, chunkWindow, chunkBytes,
       carryCols = Seq("split"), emitText = true)
 
+  /** [[curate]] + a chunk-level novelty gate against a reference corpus
+    * (the previous crawl, an already-ingested snapshot): docs whose
+    * content-defined chunks are mostly already present
+    * (`novelty < minNovelty`, [[graft.dedup.Dedup.chunkNovelty]]) drop
+    * before the split — re-crawls and boilerplate assemblies that exact
+    * dedup misses because a few bytes changed. Adds one digest
+    * membership join (corpus reduced to distinct chunk digests) and one
+    * semi join over [[curate]]'s shuffle count.
+    *
+    * Granularity contract: a document that chunks into `k` pieces can
+    * only score novelty in steps of `1/k` — a prefix-edited replay
+    * scores exactly `1/k` (one changed chunk) — so `minNovelty` must
+    * exceed `1/k_min`; with the default ~64-byte chunks, 0.6 catches
+    * replays down to 2-chunk (~128-byte) documents (spec-asserted). */
+  def curateNovel(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      referenceCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.83,
+      contaminationNgram: Int = 8,
+      minNovelty: Double = 0.5
+  ): DataFrame = {
+    val cc = curateDetailed(docs, evalDocs, idCol, textCol, minQuality, contaminationNgram)
+    val novelIds = graft.dedup.Dedup
+      .chunkNovelty(cc.curated, referenceCorpus, idCol, textCol)
+      .filter(col("novelty") >= minNovelty)
+      .select(idCol)
+    cc.curated.join(novelIds, Seq(idCol), "left_semi")
+  }
+
   def curateDetailed(
       docs: DataFrame,
       evalDocs: DataFrame,

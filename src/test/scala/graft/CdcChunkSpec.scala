@@ -104,6 +104,37 @@ class CdcChunkSpec extends SparkSpec {
     }
   }
 
+  test("curateNovel drops near-replays of the reference corpus, keeps fresh docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 80)
+    val evalDocs = docs.filter(col("doc_id") >= 70)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    // reference corpus = half the incoming docs with a tiny prefix edit:
+    // exact dedup misses them, chunk novelty catches them
+    val reference = docs.filter(col("doc_id") < 40 && col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("edited prefix "), col("text")).as("text"))
+    // a k-chunk replay scores exactly 1/k after a prefix edit (only the
+    // first chunk changes), so 0.6 catches even the 2-chunk shortest docs
+    val kept = Pipeline.curateNovel(docs, evalDocs, reference, "doc_id", "text",
+      minNovelty = 0.6).select("doc_id").as[Long].collect().toSet
+    val baseline = Pipeline.curateDetailed(docs, evalDocs, "doc_id", "text")
+    try {
+      val base = baseline.curated.select("doc_id").as[Long].collect().toSet
+      assert(kept.subsetOf(base))
+      // every replayed even doc < 40 that survives curation must be gone...
+      val replayed = base.filter(id => id < 40 && id % 2 == 0)
+      assert(replayed.nonEmpty && replayed.forall(!kept.contains(_)),
+        s"replays not filtered: ${replayed.filter(kept.contains)}")
+      // ...while docs the reference never saw mostly survive (the corpus
+      // plants near-dups, so a few odd docs legitimately resemble evens)
+      val fresh = base.filter(id => id % 2 == 1)
+      val freshKept = fresh.count(kept.contains)
+      assert(fresh.nonEmpty && freshKept.toDouble / fresh.size >= 0.8,
+        s"too many fresh docs lost: $freshKept/${fresh.size}")
+    } finally baseline.unpersist()
+  }
+
   test("curateChunked: chunk texts reassemble the curated corpus, split carried") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 120)
