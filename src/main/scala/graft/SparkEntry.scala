@@ -536,6 +536,42 @@ object SparkEntry {
         .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment")
     }),
+    "q10_returned_revenue" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returned items, top 20 customers —
+      // selective fact filter -> broadcast dims -> TakeOrderedAndProject
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q19_bracket_filter" -> ((s, dir) => {
+      // TPC-H Q19 shape: disjunction of conjunctive brackets over a
+      // broadcast part join — the OR-of-ANDs predicate the optimizer must
+      // keep inside the join instead of exploding into unions
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val l = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
     "q14_promo_share" -> ((s, dir) => {
       // TPC-H Q14 shape: promo revenue share — conditional aggregation over
       // one broadcast dim join, decimal-exact revenue, one-row output
@@ -2490,6 +2526,24 @@ object SparkEntry {
         |SELECT user_id, session_idx::BIGINT AS session_idx, min(tsu) AS session_start,
         |  max(tsu) AS session_end, count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_bracket_filter" ->
+      """SELECT
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q14_promo_share" ->
       """SELECT
         |  CAST(sum(CASE WHEN p_type = 'PROMO'
