@@ -898,6 +898,24 @@ object SparkEntry {
       cc.unpersist()
       out
     }),
+    "q_curate_novel" -> ((s, dir) => {
+      // full novelty-gated curation: quality gate -> exact dedup ->
+      // decontaminate -> drop docs whose CDC chunks mostly exist in the
+      // reference corpus (doc_id % 3 == 0 plays the previous crawl) ->
+      // split labels
+      val d = t(s, dir, "documents")
+      val cc = graft.Pipeline.curateDetailed(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("eval_id"), col("text")),
+        idCol = "doc_id", textCol = "text")
+      val novelIds = graft.dedup.Dedup.chunkNovelty(
+        cc.curated, d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .filter(col("novelty") >= 0.6).select("doc_id")
+      val out = cc.curated.join(novelIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "split").orderBy("doc_id").localCheckpoint()
+      cc.unpersist()
+      out
+    }),
     // --- round 2: embedding near-dup clusters (pairs -> CC, operator
     //     composability: same connectedComponents as the text path) ---
     "q_embed_clusters" -> ((s, dir) => {
@@ -2864,6 +2882,79 @@ object SparkEntry {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM clean ORDER BY doc_id""".stripMargin,
+    "q_curate_novel" ->
+      """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM t0),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id,
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0) AS raw FROM g),
+        |q AS (SELECT t0.doc_id, t0.text FROM t0 JOIN h USING (doc_id)
+        |  WHERE least(greatest(h.raw, 0.0), 1.0) >= 0.83),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM q)
+        |  GROUP BY fp),
+        |dd AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS t FROM documents
+        |        WHERE doc_id % 10 = 0) WHERE len(t) >= 8),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM dd)
+        |  WHERE len(t) >= 8),
+        |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g),
+        |clean AS (SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |dset AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0
+        |  UNION
+        |  SELECT d2.doc_id, d2.text, length(d2.text) AS n FROM documents d2
+        |  JOIN clean ON d2.doc_id = clean.doc_id
+        |  WHERE d2.text IS NOT NULL AND length(d2.text) > 0),
+        |cpos AS (SELECT doc_id, text, n, unnest(range(1, n - 16 + 2)) AS i
+        |  FROM dset WHERE n >= 16),
+        |cpw(j, p) AS (VALUES (0, 771861642), (1, 469929426), (2, 13501671),
+        |  (3, 326900787), (4, 966252539), (5, 108818104), (6, 447894237),
+        |  (7, 383065739), (8, 13163680), (9, 805498697), (10, 154885210),
+        |  (11, 362470373), (12, 16974593), (13, 66049), (14, 257), (15, 1)),
+        |chsh AS (SELECT doc_id, i, sum(ascii(substr(text, (i + j)::INT, 1))::BIGINT * p
+        |    % 1000000007) % 1000000007 AS h
+        |  FROM cpos CROSS JOIN cpw GROUP BY doc_id, i),
+        |cends AS (SELECT DISTINCT doc_id, e FROM (
+        |  SELECT doc_id, i + 15 AS e FROM chsh WHERE h % 64 = 0
+        |  UNION ALL SELECT doc_id, n AS e FROM dset)),
+        |cch AS (SELECT doc_id, e AS chunk_end,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |  FROM cends),
+        |ctxt AS (SELECT c.doc_id, md5(substr(ds.text, (c.prev + 1)::INT,
+        |    (c.chunk_end - c.prev)::INT)) AS hh
+        |  FROM cch c JOIN dset ds USING (doc_id)),
+        |refseen AS (SELECT DISTINCT hh FROM ctxt WHERE doc_id % 3 = 0),
+        |nov AS (SELECT ctxt.doc_id,
+        |    (count(*) - sum(CASE WHEN refseen.hh IS NOT NULL THEN 1 ELSE 0 END))::BIGINT::DOUBLE
+        |      / count(*) AS novelty
+        |  FROM ctxt JOIN clean ON ctxt.doc_id = clean.doc_id
+        |  LEFT JOIN refseen ON ctxt.hh = refseen.hh
+        |  GROUP BY ctxt.doc_id),
+        |novel AS (SELECT doc_id FROM nov WHERE novelty >= 0.6)
+        |SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM novel ORDER BY doc_id""".stripMargin,
     "q_embed_clusters" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb
