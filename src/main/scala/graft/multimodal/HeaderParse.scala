@@ -192,6 +192,10 @@ final class HeaderParseDecoder extends MediaDecoder {
       } else if (id == "data") {
         dataBytes = size
       }
+      // Malformed chunk sizes (e.g. 0xFFFFFFF8 truncated to a negative Int)
+      // could zero or reverse the step and hang the walk; a chunk that cannot
+      // fit the remaining payload degrades to the unknown vector instead.
+      if (size < 0L || size > b.length.toLong - i - 8) return unknown(b.length)
       i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
     }
     if (channels == 0 || dataBytes < 0 || byteRate <= 0) unknown(b.length)

@@ -677,7 +677,11 @@ object Profiler {
     import spark.implicits._
     val perKey = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
-      .agg((sum(weight.cast("decimal(30,6)")) * 100).cast("long").as("xc"))
+      // round() before the long cast: Spark's decimal->long cast truncates
+      // toward zero while DuckDB's ::BIGINT rounds, so sub-cent weights
+      // (>2 dp) would silently lose mass and drift off the oracle. 2-dp
+      // inputs are unaffected (×100 is already integral).
+      .agg(round(sum(weight.cast("decimal(30,6)")) * 100).cast("long").as("xc"))
     val rdd = perKey.orderBy("xc").select("xc")
       .queryExecution.toRdd.map(_.getLong(0))
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -131,7 +131,11 @@ object TextAnalysis {
     * positions, partitioning `[1, len]` exactly. Kernel + HOF
     * composition: runs at scan speed, the explode is narrow, no shuffle.
     * Byte positions equal char positions on ASCII (as [[fingerprint]]
-    * documents for its normalization). */
+    * documents for its normalization); on non-ASCII text the hash still
+    * runs over UTF-8 bytes but any cut at or past the CHAR length is
+    * dropped, so the output is always a valid ascending partition of
+    * `[1, length(text)]` in char units — cut placement inside multi-byte
+    * runs is approximate, structural validity is not. */
   def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       w: Int = 16, d: Int = 64,
       /** extra columns copied onto every chunk row (e.g. a split label) */
@@ -140,9 +144,13 @@ object TextAnalysis {
       emitText: Boolean = false): org.apache.spark.sql.DataFrame = {
     val len = length(col(textCol))
     val cuts = graft.functions.cdc_boundaries(col(textCol), w, d)
-    // chunk END positions: every cut plus the doc end (dedup'd when a cut
-    // lands exactly on the last byte)
-    val ends = array_distinct(concat(cuts, array(len)))
+    // chunk END positions: every cut strictly inside the CHAR range plus the
+    // doc end. cdc_boundaries counts BYTES, so on non-ASCII text a cut can
+    // land at or past the char length — keeping one would leave `ends`
+    // unsorted (negative chunk_len, overlapping spans); dropping it keeps the
+    // spans a valid partition. On ASCII this equals the old
+    // array_distinct(cuts :+ len) exactly (cuts ascending, <= len).
+    val ends = concat(filter(cuts, c => c < len), array(len))
     val starts = concat(array(lit(0)),
       slice(ends, lit(1), greatest(size(ends) - 1, lit(0))))
     val spans = zip_with(starts, ends, (p, e) => struct(p.as("p"), e.as("e")))

@@ -55,6 +55,35 @@ class CdcChunkSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII text: spans stay a valid char partition, chunk_text reassembles") {
+    import spark.implicits._
+    // multi-byte chars make the BYTE length exceed the CHAR length, so raw
+    // byte cuts can land at or past length(text); cdcChunks must drop those
+    // and still emit contiguous positive-length spans covering [1, charLen]
+    val pool = "abcdefgh éüß中文日本語".toCharArray
+    val texts = (1 to 25).map { i =>
+      (i.toLong, (1 to 200 + rnd.nextInt(600)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    }
+    val rows = TextAnalysis.cdcChunks(texts.toDF("doc_id", "text"), "doc_id", "text",
+        emitText = true)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getString(4))).toSeq)
+      .toMap
+    texts.foreach { case (id, t) =>
+      val spans = rows(id)
+      assert(spans.head._1 == 1L, s"doc $id starts at 1")
+      assert(spans.forall(_._2 > 0), s"doc $id positive lengths")
+      spans.sliding(2).foreach {
+        case Seq((s1, l1, _), (s2, _, _)) => assert(s1 + l1 == s2, s"doc $id contiguous")
+        case _ =>
+      }
+      assert(spans.map(_._2).sum == t.length.toLong, s"doc $id covers all chars")
+      assert(spans.map(_._3).mkString == t, s"doc $id chunk_text reassembles")
+    }
+  }
+
   test("content-defined resync: cuts after a prefix edit shift by exactly the edit length") {
     import spark.implicits._
     val s0 = randText(600)

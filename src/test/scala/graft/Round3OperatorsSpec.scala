@@ -270,6 +270,20 @@ class Round3OperatorsSpec extends SparkSpec {
     assert(got.getDouble(2) == expected) // bit-exact, not approx
   }
 
+  test("gini sub-cent weights round to cents (not truncate) before quantization") {
+    import spark.implicits._
+    // 3-dp weights: decimal->long CAST would truncate 0.005*100 = 0.5 to 0
+    // and silently lose the key's whole mass; round() keeps it as 1 cent
+    val rows = Seq(("a", 0.005), ("b", 0.015), ("c", 2.004), ("d", 1.996))
+    val got = Profiler.gini(rows.toDF("k", "w"), "k", col("w")).head()
+    val cents = Array(1L, 2L, 200L, 200L).sorted // HALF_UP per key
+    val n = cents.length.toLong
+    val x = cents.sum
+    val s = cents.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+    assert(got.getDouble(1) == x.toDouble / 100) // mass preserved: 4.03, not 4.00
+    assert(got.getDouble(2) == 2.0 * s.toDouble / (n.toDouble * x.toDouble) - (n + 1.0) / n)
+  }
+
   test("freqItems (stat sketch) surfaces planted heavy hitters; keySkew gives exact shares") {
     import spark.implicits._
     // one whale key (40%) over uniform noise
