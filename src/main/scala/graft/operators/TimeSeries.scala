@@ -33,23 +33,61 @@ object TimeSeries {
     * value of each `valueCols` entry, and `filled` flags synthesized rows.
     * Leading gaps (before the first observation) stay null.
     *
-    * CONTRACT — bounded global axis only: the dense axis is one
-    * `sequence(min, max)` explode and the LOCF window is unpartitioned,
-    * so BOTH are sized by the global period RANGE. This variant is for
-    * single-series frames with up to ~10⁶ periods (daily/hourly grids,
-    * bounded lags). For many series or fine-grained periods use
-    * [[resampleLocfByKey]] — its axis and window are per-key (one keyed
-    * shuffle, every key streamed independently), which is the at-scale
-    * shape; a spec asserts its plan contains no unpartitioned window. */
+    * DISTRIBUTED ordered pass (no unpartitioned window): the dense axis
+    * is range-partitioned and sorted on the period, a first sweep
+    * collects each partition's last non-null per value column
+    * (#partitions rows to the driver), the driver prefix-scans those
+    * into per-partition carry-in state, and a second `mapPartitions`
+    * sweep fills every null from the running carry — each partition
+    * streams once, independent of the others. The sort shuffle is
+    * written once and REUSED by both sweeps (same lineage), and the
+    * carry-in is exactly the global window's `last(ignoreNulls)` at the
+    * partition boundary, so the result is bit-identical to the windowed
+    * formulation for any range split. Single global series by contract
+    * (≤1 row per period); for many series use [[resampleLocfByKey]] —
+    * one keyed shuffle, every key streamed independently. */
   def resampleLocf(df: DataFrame, periodCol: String,
       valueCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     val dense = densify(df, periodCol)
       .withColumn("filled", col(valueCols.head).isNull)
-    val w = Window.orderBy(periodCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(dense) { (d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    val sorted = dense.repartitionByRange(col(periodCol))
+      .sortWithinPartitions(periodCol)
+    val schema = sorted.schema
+    val vIdx = valueCols.map(schema.fieldIndex).toArray
+    val rdd = sorted.rdd // capture ONCE: both sweeps share the sort shuffle
+    // sweep 1: last non-null per value column per partition (one row each)
+    val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val lastNN = Array.fill[Any](vIdx.length)(null)
+      it.foreach { r =>
+        var k = 0
+        while (k < vIdx.length) {
+          val v = r.get(vIdx(k)); if (v != null) lastNN(k) = v; k += 1
+        }
+      }
+      Iterator.single((i, lastNN))
+    }.collect().sortBy(_._1)
+    // driver prefix-scan: carry-in for partition p = last non-null across
+    // all partitions < p (null until the first observation)
+    val carries = Array.fill[Any](parts.length, vIdx.length)(null)
+    for (p <- 1 until parts.length; k <- vIdx.indices)
+      carries(p)(k) =
+        if (parts(p - 1)._2(k) != null) parts(p - 1)._2(k) else carries(p - 1)(k)
+    // sweep 2: LOCF with the broadcast carry as initial state
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val state = carries(i).clone()
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        var k = 0
+        while (k < vIdx.length) {
+          val ci = vIdx(k)
+          if (vals(ci) == null) vals(ci) = state(k) else state(k) = vals(ci)
+          k += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      }
     }
+    spark.createDataFrame(out, schema)
   }
 
   /** Per-key variant of [[resampleLocf]]: the dense axis spans each key's

@@ -381,6 +381,36 @@ class Round3cOperatorsSpec extends SparkSpec {
       (5L, 50.0, false), (6L, 60.0, false)))
   }
 
+  test("resampleLocf distributed sweep equals naive LOCF on random sparse series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // sparse observations over a wide axis, two value columns with
+    // independent null patterns, a leading gap before the first observation
+    val obs = (0 until 400).map { _ =>
+      val day = 100L + rnd.nextInt(5000)
+      (day,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(1000).toDouble),
+        if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(1000).toLong))
+    }.distinctBy(_._1)
+    val got = graft.operators.TimeSeries
+      .resampleLocf(obs.toDF("day", "a", "b"), "day", Seq("a", "b"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))
+    val byDay = obs.map(o => o._1 -> o).toMap
+    val lo = obs.map(_._1).min; val hi = obs.map(_._1).max
+    var la: Option[Any] = None; var lb: Option[Any] = None
+    val want = (lo to hi).map { d =>
+      val o = byDay.get(d)
+      o.flatMap(_._2).foreach(v => la = Some(v))
+      o.flatMap(_._3).foreach(v => lb = Some(v))
+      (d, la, lb, o.flatMap(_._2).isEmpty)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"day ${w._1}") }
+    // partition boundaries were actually exercised (not a 1-partition run)
+    assert(got.length > 1000)
+  }
+
   test("resampleLocfByKey: each key spans its own bounds with its own fills") {
     import spark.implicits._
     val sparse = Seq(("a", 1L, 1.0), ("a", 3L, 3.0), ("b", 10L, 9.0)).toDF("k", "day", "v")
