@@ -416,7 +416,9 @@ object SparkEntry {
         .select(col("p_partkey"),
           (col("p_retailprice") * 0.99).as("lo"),
           (col("p_retailprice") * 1.01).as("hi"))
-      graft.operators.Joins.rangeJoinBanded(points, intervals, "up", "lo", "hi", 20.0)
+      // native plane-sweep exec (BandedRangeJoinNative); the DataFrame twin
+      // rangeJoinBanded stays spec-equivalence-checked against it
+      graft.plans.BandedRangeJoinNative.rangeJoin(points, intervals, "up", "lo", "hi", 20.0)
         .groupBy("p_partkey")
         .agg(count(lit(1)).as("n_in_band"), min(col("up")).as("min_up"), max(col("up")).as("max_up"))
         .orderBy("p_partkey")
@@ -1196,7 +1198,7 @@ object SparkEntry {
         (col("p_retailprice") * 0.9999).as("lo"), (col("p_retailprice") * 1.0001).as("hi"))
       val a = p.select(col("p_partkey").as("ka"), col("lo").as("a_lo"), col("hi").as("a_hi"))
       val b = p.select(col("p_partkey").as("kb"), col("lo").as("b_lo"), col("hi").as("b_hi"))
-      graft.operators.Joins.intervalOverlapJoin(a, b,
+      graft.plans.BandedRangeJoinNative.intervalOverlapJoin(a, b,
           "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 0.25)
         .filter(col("ka") < col("kb"))
         .groupBy(col("ka").as("p_partkey")).agg(count(lit(1)).as("n_overlaps"))
