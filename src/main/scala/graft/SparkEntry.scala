@@ -505,10 +505,12 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
-    // --- sketch profile (rows-only: HLL++/GK sketches are approximate by
-    //     contract; error bounds asserted in OperatorsSpec) ---
+    // --- sketch profile contract: exact counts are oracle values, and the
+    //     HLL++/DDSketch error bounds are checked against the real data as
+    //     booleans the oracle pins to true (eps-bounded oracle — a sketch
+    //     out of contract fails the hash gate) ---
     "q_profile_approx" -> ((s, dir) => {
-      graft.operators.Profiler.profileRow(t(s, dir, "lineitem"),
+      graft.operators.Profiler.profileContract(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_orderkey"))
     }),
     // --- analytics shapes (agg / join / window over the TPC-H-ish tables;
@@ -2667,6 +2669,27 @@ object SparkEntry {
         |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
         |    count(DISTINCT l_shipdate), NULL, NULL, NULL FROM lineitem
         |) ORDER BY "column"""".stripMargin,
+    // exact counts mirrored; the _ok booleans are the sketches' published
+    // error bounds, which the Spark side verifies against the data — the
+    // oracle pins them true, so an out-of-contract sketch hash-fails
+    "q_profile_approx" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, count(l_quantity)::BIGINT AS n,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    count(DISTINCT l_quantity)::BIGINT AS n_distinct,
+        |    true AS distinct_ok, true AS q25_ok, true AS q50_ok, true AS q75_ok
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT l_extendedprice)::BIGINT, true, true, true, true
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', count(l_orderkey)::BIGINT,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT l_orderkey)::BIGINT, true, true, true, true
+        |  FROM lineitem
+        |) ORDER BY col_name""".stripMargin,
     "q_key_skew" ->
       """SELECT user_id, count(*) AS n,
         |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events), 6) AS share

@@ -63,6 +63,76 @@ object Profiler {
     agged.select(outCols: _*)
   }
 
+  /** Sketch-profile CONTRACT check — the eps-bounded oracle face of the
+    * approximate profile: one row per column
+    * `(col_name, n, n_nulls, n_distinct, distinct_ok, q25_ok, q50_ok,
+    * q75_ok)`. The exact counts are oracle-comparable values; the `_ok`
+    * booleans assert each sketch's published error bound AGAINST THE REAL
+    * DATA, so the oracle can pin them to `true` — a sketch drifting out
+    * of contract flips a bit and fails the hash gate, instead of hiding
+    * behind a rows-only entry.
+    *
+    *  - `distinct_ok`: HLL++ `approx_count_distinct` at rsd 0.02 within
+    *    ±3·rsd (6%) of the exact distinct count — rsd is a relative
+    *    STANDARD DEVIATION, not a bound, so the sound check is a k·σ
+    *    envelope (and Spark's HLL++ has no sparse-exact small-range mode:
+    *    the default rsd 0.05 misses 50 distinct by 3 on this very
+    *    fixture; at rsd 0.02 the register count pushes small
+    *    cardinalities into the linear-counting regime);
+    *  - `q{25,50,75}_ok`: the [[graft.functions.DDSketchQuantiles]]
+    *    estimate `est` is within relative α of the value at rank
+    *    `ceil(p·n)` — checked WITHOUT materializing that value, via its
+    *    rank window: `count(x < est·(1−α)) < ceil(p·n) <= count(x <=
+    *    est·(1+α))`. Sound for non-negative columns (asserted): scaling
+    *    by (1±α) widens the window around positive estimates, degenerates
+    *    to the exact-zero window at est = 0 (the sketch stores zeros
+    *    exactly), and would FLIP it around negative ones.
+    *
+    * Two jobs per column: the sketch+counts pass, then one conditional-
+    * count pass at the estimate thresholds (the estimates are a bounded
+    * driver round-trip, as with IVF centroids). Each pass scans only the
+    * profiled column (parquet pruning). */
+  def profileContract(df: DataFrame, cols: Seq[String],
+      alpha: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.{udaf => _, _}
+    val probs = QuantileProbs
+    val ddq = graft.functions.DDSketchQuantiles.columnFn(alpha, probs) _
+    val perCol = cols.map { c =>
+      val x = col(c).cast("double")
+      val first = df.agg(
+        count(x).as("n"),
+        count(when(x.isNull, 1)).as("n_nulls"),
+        countDistinct(x).as("n_distinct"),
+        approx_count_distinct(x, 0.02).as("__approx_d"),
+        min(x).as("__min"),
+        ddq(x).as("__est")).head()
+      val n = first.getLong(0)
+      val est = first.getSeq[Double](5)
+      require(n == 0 || first.getDouble(4) >= 0,
+        s"profileContract: column $c must be non-negative for the relative-error rank check")
+      val checks: Seq[Column] = probs.zipWithIndex.flatMap { case (p, i) =>
+        val r = math.max(1L, math.ceil(p * n).toLong)
+        val e = est(i)
+        Seq(
+          count(when(x < e * (1 - alpha), 1)).as(s"__lo_$i"),
+          count(when(x <= e * (1 + alpha), 1)).as(s"__hi_$i"),
+          lit(r).as(s"__r_$i"))
+      }
+      val second = if (n == 0) null else df.agg(checks.head, checks.tail: _*).head()
+      def qOk(i: Int): Boolean =
+        n == 0 || (second.getLong(3 * i) < second.getLong(3 * i + 2) &&
+          second.getLong(3 * i + 1) >= second.getLong(3 * i + 2))
+      val distinctOk = math.abs(first.getLong(3) - first.getLong(2)).toDouble <=
+        0.06 * math.max(1L, first.getLong(2))
+      (c, n, first.getLong(1), first.getLong(2), distinctOk, qOk(0), qOk(1), qOk(2))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    perCol.toDF("col_name", "n", "n_nulls", "n_distinct",
+      "distinct_ok", "q25_ok", "q50_ok", "q75_ok")
+      .orderBy("col_name")
+  }
+
   /** Long-format profile: one row per (column, stat). Exact stats only —
     * suitable for oracle checks; sketch stats stay in [[profileRow]]. */
   def profileExact(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -8,10 +8,11 @@ import graft.functions.{cosine_sim, dot_product}
   * coarse-quantizer scale path for embedding search (public design: FAISS
   * IVF-Flat; here re-expressed as Spark dataflow):
   *
-  *  1. TRAIN: spherical k-means over a bounded driver-side sample →
-  *     `nLists` unit centroids (the sample is small and fixed-size, so
-  *     driver training is O(sample × nLists × iters) regardless of corpus
-  *     scale; a 100 TB corpus still trains on a 2k-row sample).
+  *  1. TRAIN: spherical k-means → `nLists` unit centroids. Two trainers:
+  *     a bounded driver-side sample (fast, fine while nLists is small),
+  *     and [[trainCentroidsDistributed]] — full-corpus E/M over Spark
+  *     (select it with `sampleSize <= 0`), required once nLists grows
+  *     with corpus size past what a fixed sample can seed.
   *  2. ASSIGN: every corpus vector goes to its nearest centroid's list —
   *     a pure map (argmax of `nLists` dot products, all codegen'd column
   *     ops), no shuffle.
@@ -66,6 +67,80 @@ object Ivf {
     centroids
   }
 
+  /** Full-corpus spherical k-means — the trainer that scales past what a
+    * driver sample supports: nLists must grow with corpus size (FAISS
+    * guidance ~√N lists), and at 100 TB a 2048-row sample cannot even
+    * seed 4096 lists. Same E/M shape as
+    * [[Similarity.kmeansAssign]]/[[Similarity.kmeansUpdate]], specialized
+    * to the cosine objective:
+    *
+    *  - E-step: centroids BROADCAST as a literal matrix; assignment is a
+    *    row-local argmax of dot products (codegen'd kernels, no shuffle —
+    *    the corpus streams through map tasks once per iteration);
+    *  - M-step: `posexplode` each unit vector and hash-aggregate
+    *    `(list, dim)` partial sums — map-side combine bounds the shuffle
+    *    at `nLists·dim` rows regardless of corpus size; only that frame
+    *    reaches the driver to rebuild the broadcast matrix.
+    *
+    * Per-component sums are floor-quantized to integer nano-units and
+    * summed as longs (the [[Similarity.kmeansAssign]] trick), so every
+    * iteration is EXACT and partition-order independent — distributed
+    * training is as deterministic as the driver-sample path. Init =
+    * vectors at `nLists` evenly spaced id quantiles (one
+    * `percentile_approx` pass, a bounded nLists-row fetch). */
+  def trainCentroidsDistributed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iters: Int = 4
+  ): Array[Array[Float]] = {
+    val nrm2 = aggregate(transform(col("v0"), x => x.cast("double") * x),
+      lit(0.0), (a, x) => a + x)
+    val unit = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v0"))
+      .withColumn("v",
+        when(sqrt(nrm2) === 0.0, col("v0").cast("array<double>"))
+          .otherwise(transform(col("v0"), x => x.cast("double") / sqrt(nrm2))))
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // init: rows at evenly spaced id quantiles (deterministic, one pass)
+      val ps = (0 until nLists).map(i => (i + 0.5) / nLists)
+      val cutIds = unit.agg(percentile_approx(col("id"),
+          typedLit(ps), lit(100000)).as("cuts"))
+        .head().getSeq[Long](0).distinct
+      require(cutIds.length >= nLists,
+        s"corpus has only ${cutIds.length} distinct id quantiles < nLists $nLists")
+      var centroids: Array[Array[Float]] = unit
+        .filter(col("id").isin(cutIds: _*))
+        .dropDuplicates("id").orderBy("id").limit(nLists)
+        .collect().map(_.getSeq[Float](1).toArray)
+      var it = 0
+      while (it < iters) {
+        val summed = unit
+          .withColumn("list_id", argmaxList(col("v"), centroids))
+          .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("list_id", "pos")
+          .agg(sum(floor(col("x").cast("double") * 1e9).cast("long")).as("s"))
+          .collect()
+        val dim = centroids.head.length
+        val sums = Array.fill(nLists)(new Array[Double](dim))
+        val touched = new Array[Boolean](nLists)
+        summed.foreach { r =>
+          val l = r.getInt(0); touched(l) = true
+          sums(l)(r.getInt(1)) = r.getLong(2).toDouble / 1e9
+        }
+        centroids = Array.tabulate(nLists) { i =>
+          if (!touched(i)) centroids(i) // empty list keeps its centroid
+          else normalize(sums(i).map(_.toFloat))
+        }
+        it += 1
+      }
+      centroids
+    } finally unit.unpersist()
+  }
+
   private def normalize(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -111,7 +186,9 @@ object Ivf {
       iters: Int = 8,
       sampleSize: Int = 2048
   ): Array[Array[Float]] = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nLists, iters, sampleSize)
+    val centroids =
+      if (sampleSize <= 0) trainCentroidsDistributed(corpus, idCol, vecCol, nLists, iters)
+      else trainCentroids(corpus, idCol, vecCol, nLists, iters, sampleSize)
     corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("list_id", argmaxList(col("v"), centroids))
@@ -182,7 +259,9 @@ object Ivf {
       sampleSize: Int = 2048
   ): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists)
-    val centroids = trainCentroids(corpus, idCol, vecCol, nLists, iters, sampleSize)
+    val centroids =
+      if (sampleSize <= 0) trainCentroidsDistributed(corpus, idCol, vecCol, nLists, iters)
+      else trainCentroids(corpus, idCol, vecCol, nLists, iters, sampleSize)
     val assigned = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).as("v"))

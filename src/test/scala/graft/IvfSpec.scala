@@ -39,6 +39,58 @@ class IvfSpec extends SparkSpec {
       s"expected list_id partition pruning in:\n$plan")
   }
 
+  test("distributed trainer == same ladder at nLists=16 on the real fixture") {
+    // recall floor of the shipped config must hold under the distributed
+    // trainer too (different init/means than the sample path, same contract)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nLists = 16, nProbe = 6, sampleSize = 0) // <= 0 -> distributed E/M
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = ivf.intersect(exact).count().toDouble / exact.count().toDouble
+    assert(recall >= 0.5, s"distributed-trained recall@5 = $recall too low for nProbe=6/16")
+    // and at nProbe = nLists the result is exactly brute force, any trainer
+    val full = Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 8, sampleSize = 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    assert(full.exceptAll(bf).isEmpty && bf.exceptAll(full).isEmpty)
+  }
+
+  test("distributed trainer scales the ladder to nLists=256 on a 6k-vector fixture") {
+    import spark.implicits._
+    // clustered synthetic corpus: 256 seed directions, 24 jittered copies
+    // each -- the shape where a 2048-row sample cannot seed 256 lists well
+    val rnd = new scala.util.Random(67)
+    val dim = 16
+    val seeds = Array.fill(256, dim)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 6144).map { i =>
+      val s = seeds(i % 256)
+      (i.toLong, s.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 10)
+    val centroids = Ivf.trainCentroidsDistributed(vecs, "vec_id", "embedding",
+      nLists = 256, iters = 3)
+    assert(centroids.length === 256)
+    assert(centroids.forall(c => math.abs(c.map(x => x.toDouble * x).sum - 1.0) < 1e-3),
+      "centroids must be unit-norm")
+    // training is deterministic: a second run yields identical centroids
+    val again = Ivf.trainCentroidsDistributed(vecs, "vec_id", "embedding",
+      nLists = 256, iters = 3)
+    assert(centroids.zip(again).forall { case (a, b) => a.sameElements(b) })
+    // recall ladder at scale: probing more lists is monotonically better,
+    // and even a 16/256 probe finds most true neighbors in this geometry
+    val exact = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Ivf.ivfTopK(vecs, qs, "vec_id", "embedding", 5,
+          nLists = 256, nProbe = nProbe, iters = 3, sampleSize = 0)
+        .select(col("query_id"), col("neighbor_id"))
+      ivf.intersect(exact).count().toDouble / exact.count().toDouble
+    }
+    val r16 = recallAt(16)
+    assert(r16 >= 0.8, s"recall@5 with nProbe=16/256 = $r16 on clustered data")
+  }
+
   test("every corpus vector is assigned to exactly one list (partition of corpus)") {
     // at nProbe = nLists every query touches all lists, so candidate set per
     // query = corpus minus itself; k = corpus-1 returns every vector once
