@@ -269,9 +269,10 @@ object SparkEntry {
         .orderBy("ida", "idb")
     }),
     "q_dedup_embedding_lsh" -> ((s, dir) => {
-      // rows-only: banded LSH variant of q_dedup_embedding; hamming-1
-      // multi-probe lifts measured recall to 1.0 on the fixtures
-      // (floor-asserted 0.90 in RecallFloorSpec)
+      // banded LSH variant of q_dedup_embedding; hamming-1 multi-probe
+      // lifts measured recall to 1.0 on the fixtures (floor-asserted 0.90
+      // in RecallFloorSpec). Oracle: exact DuckDB twin of the banding
+      // (embedded hyperplane literals), so this hash-matches too.
       graft.dedup.Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.45, probes = 4)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -319,8 +320,8 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "q_ann_topk_lsh" -> ((s, dir) => {
-      // rows-only: multi-probe LSH ANN (recall 0.96 vs q_ann_topk at
-      // probes=4, floor-asserted in RecallFloorSpec)
+      // multi-probe LSH ANN (recall 0.96 vs q_ann_topk at probes=4,
+      // floor-asserted in RecallFloorSpec); oracle = exact banding twin
       val e = t(s, dir, "embeddings")
       graft.similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         dim = 64, probes = 4)
@@ -2140,9 +2141,68 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB mirror of the sign-LSH signature: the seeded hyperplanes are
+    * embedded as double literals (exactly the floats
+    * `Dedup.hyperplanes(16, 64, 7)` produces — shortest-round-trip repr,
+    * parsed back to the same doubles), and `list_dot_product` on
+    * `DOUBLE[]` is the same ascending sequential fold as the engine's
+    * `dot_product` kernel (probed bit-for-bit), so the 16 sign bits — and
+    * every band bucket derived from them — agree exactly. */
+  private lazy val lshSigSql: String = {
+    val planes = graft.dedup.Dedup.hyperplanes(nPlanes = 16, dim = 64, seed = 7L)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+  }
+
+  /** Shared CTE prefix: per-vector signature and the 4 per-band buckets. */
+  private lazy val lshBandSql: String =
+    s"""sigs AS (SELECT vec_id, $lshSigSql AS sig FROM embeddings),
+       |bnd AS (
+       |  SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band) b)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // sign-LSH near-dup pairs: banded buckets from the mirrored signature;
+    // hamming-1 multi-probe on one side == XOR of buckets in {0,1,2,4,8}
+    "q_dedup_embedding_lsh" ->
+      s"""WITH $lshBandSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.vec_id < b.vec_id
+         |  WHERE xor(a.bucket, b.bucket) IN (0, 1, 2, 4, 8)),
+         |sc AS (
+         |  SELECT ida, idb,
+         |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+         |  FROM pairs
+         |  JOIN embeddings ea ON ea.vec_id = ida
+         |  JOIN embeddings eb ON eb.vec_id = idb)
+         |SELECT ida, idb, round(c, 6) AS cosine FROM sc
+         |WHERE c >= 0.45 ORDER BY ida, idb""".stripMargin,
+    // multi-probe LSH ANN: query buckets expand to the hamming-1 probe set
+    "q_ann_topk_lsh" ->
+      s"""WITH $lshBandSql,
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, band,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         |  FROM bnd WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM bnd c JOIN qprobe q ON c.band = q.band AND c.bucket = q.bucket
+         |  WHERE c.vec_id != q.query_id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS c
+         |  FROM cand
+         |  JOIN embeddings eq ON eq.vec_id = query_id
+         |  JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_completeness_ratio" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS "column", avg(CASE WHEN l_quantity IS NOT NULL THEN 1.0 ELSE 0.0 END) AS value_double FROM lineitem

@@ -354,23 +354,24 @@ object Dedup {
         (col("__m").cast("double") /
           (col("__ca") + col("__cb") - col("__m")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    val out = verified.localCheckpoint()
+    val out = verified.transform(graft.core.Checkpoints.truncate)
     b.unpersist()
     out
   }
 
   /** When the shingle frame was cached, materialize the (much smaller)
-    * verified pair list eagerly via `localCheckpoint` and unpersist the
+    * verified pair list eagerly via [[graft.core.Checkpoints.truncate]]
+    * and unpersist the
     * cache before returning: the persisted corpus-sized frame would
     * otherwise stay pinned in executor storage for as long as the returned
     * lazy plan lives (a storage leak in long-running sessions). The
     * checkpoint also truncates lineage, so downstream iterative consumers
-    * (connected components) never re-run the pair pipeline. Swap
-    * `localCheckpoint` for `checkpoint(dir)` on a real cluster if executor
-    * loss between here and consumption must be survivable. */
+    * (connected components) never re-run the pair pipeline. On a real
+    * cluster set `spark.graft.checkpointDir` and the truncation becomes a
+    * RELIABLE checkpoint, survivable across executor loss. */
   private def finishPairs(pairs: DataFrame, cached: DataFrame, wasCached: Boolean): DataFrame =
     if (wasCached) {
-      val out = pairs.localCheckpoint()
+      val out = pairs.transform(graft.core.Checkpoints.truncate)
       cached.unpersist()
       out
     } else pairs
@@ -536,8 +537,9 @@ object Dedup {
     * Rastogi et al., "Finding Connected Components in Map-Reduce"
     * (ICDE'13, public). Rounds needed = graph diameter, and near-dup
     * graphs are unions of near-cliques (diameter ~2-3), so convergence is
-    * fast; every round materializes via `localCheckpoint` to truncate
-    * lineage (swap for `checkpoint(dir)` on a real cluster).
+    * fast; every round materializes via [[graft.core.Checkpoints.truncate]]
+    * to cut lineage (`spark.graft.checkpointDir` flips it to a reliable
+    * cluster checkpoint).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -565,7 +567,7 @@ object Dedup {
     var labels = sym.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("__mn"))
       .select(col("node"), least(col("node"), col("__mn")).as("component"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.truncate)
     // convergence via a monotone checksum: components only ever DECREASE,
     // so sum(component) is strictly decreasing until fixpoint — one tiny
     // aggregate on the just-materialized frame instead of a join per round
@@ -584,7 +586,7 @@ object Dedup {
         .select(col("b").as("node"), col("component"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.truncate)
       val nextSum = checksum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -97,7 +97,7 @@ object Graph {
           col("n_triangles") * 3.0 / col("n_wedges")).otherwise(lit(0.0))
           .as("global_clustering"))
       // one-row summary: materialize eagerly so the caches can be released
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.truncate)
     canon.unpersist(); oriented.unpersist()
     result
   }
@@ -120,7 +120,8 @@ object Graph {
     * Scale shape per iteration: ranks (≤ N rows) join the cached
     * degree-annotated edge list pre-partitioned on the destination key,
     * then one keyed aggregation of the contribution rows (O(E)); the
-    * per-iteration `localCheckpoint` cuts lineage so the plan never
+    * per-iteration [[graft.core.Checkpoints.truncate]] cuts lineage
+    * (conf-switchable to reliable checkpoints) so the plan never
     * re-derives earlier rounds. Pass a symmetric edge list for an
     * undirected graph.
     *
@@ -147,7 +148,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N-row frames used every iteration: materialize once
     val out = e.groupBy(col("u").as("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .transform(graft.core.Checkpoints.truncate)
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -183,7 +184,7 @@ object Graph {
       // (N-row join, cheap)
       ranks = nodes.join(updated, Seq("node"), "left")
         .select(col("node"), coalesce(col("rank"), lit(base)).as("rank"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.truncate)
     }
     e.unpersist(); eo.unpersist(); nodes.unpersist()
     ranks
@@ -198,18 +199,18 @@ object Graph {
     * unrolls the SAME round count, so both engines agree converged or
     * not). Per round: one degree aggregation + two semi-joins on a
     * monotonically shrinking edge frame; each round's frame is
-    * `localCheckpoint`ed so the plan doesn't grow with rounds (same
+    * lineage-truncated so the plan doesn't grow with rounds (same
     * pattern as [[pageRank]]). */
   def kCorePeel(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = canonicalEdges(edges, src, dst).localCheckpoint()
+    var e = canonicalEdges(edges, src, dst).transform(graft.core.Checkpoints.truncate)
     (1 to rounds).foreach { _ =>
       val keep = degrees(e).filter(col("degree") >= k).select("node")
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.truncate)
     }
     degrees(e)
   }

@@ -1211,7 +1211,7 @@ object Profiler {
       // frontier is value-cardinality-bounded; materialize it eagerly so
       // the persisted sorted frame can be released (triangleStats pattern)
       kept.toDF("x", "y").select(col("x").as(xCol), col("y").as(yCol))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.truncate)
     } finally rdd.unpersist()
   }
 

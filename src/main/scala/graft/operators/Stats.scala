@@ -1,0 +1,96 @@
+package graft.operators
+
+/** Tail probabilities for the engine's significance gates — driver-side
+  * scalar math on aggregated statistics (never per-row). Both tails
+  * derive from the regularized incomplete gamma function, evaluated with
+  * the classic series / continued-fraction split (Abramowitz & Stegun
+  * 6.5; the standard public-domain numerical treatment): the χ²
+  * survival is `Q(df/2, x/2)` and the normal survival is
+  * `0.5·Q(1/2, z²/2)` via `erfc(y) = Q(1/2, y²)` — one kernel, no
+  * hand-tuned polynomial approximations. Accuracy ~1e-12, far below any
+  * gating alpha. */
+object Stats {
+
+  /** ln Γ(x) for x > 0 (Lanczos approximation, g = 5, 6-term series). */
+  def lnGamma(x: Double): Double = {
+    val cof = Array(76.18009172947146, -86.50532032941677, 24.01409824083091,
+      -1.231739572450155, 0.1208650973866179e-2, -0.5395239384953e-5)
+    val xx = x
+    var y = x
+    val tmp0 = xx + 5.5
+    val tmp = tmp0 - (xx + 0.5) * math.log(tmp0)
+    var ser = 1.000000000190015
+    var j = 0
+    while (j < 6) { y += 1.0; ser += cof(j) / y; j += 1 }
+    -tmp + math.log(2.5066282746310005 * ser / xx)
+  }
+
+  private val Eps = 1e-14
+  private val MaxIter = 500
+
+  /** Regularized lower incomplete gamma P(a, x); Q(a, x) = 1 − P(a, x). */
+  def gammaP(a: Double, x: Double): Double = {
+    require(a > 0 && x >= 0, s"gammaP domain: a=$a x=$x")
+    if (x == 0) 0.0
+    else if (x < a + 1.0) gser(a, x)
+    else 1.0 - gcf(a, x)
+  }
+
+  def gammaQ(a: Double, x: Double): Double = 1.0 - gammaP(a, x)
+
+  // series representation (converges fast for x < a+1)
+  private def gser(a: Double, x: Double): Double = {
+    var ap = a
+    var sum = 1.0 / a
+    var del = sum
+    var i = 0
+    while (i < MaxIter && math.abs(del) >= math.abs(sum) * Eps) {
+      ap += 1.0; del *= x / ap; sum += del; i += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - lnGamma(a))
+  }
+
+  // continued fraction (Lentz), for x >= a+1: returns Q(a, x)
+  private def gcf(a: Double, x: Double): Double = {
+    val fpmin = 1e-300
+    var b = x + 1.0 - a
+    var c = 1.0 / fpmin
+    var d = 1.0 / b
+    var h = d
+    var i = 1
+    var del = 0.0
+    do {
+      val an = -i * (i - a)
+      b += 2.0
+      d = an * d + b; if (math.abs(d) < fpmin) d = fpmin
+      c = b + an / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      del = d * c
+      h *= del
+      i += 1
+    } while (i <= MaxIter && math.abs(del - 1.0) >= Eps)
+    math.exp(-x + a * math.log(x) - lnGamma(a)) * h
+  }
+
+  /** χ² survival function: P(X > x) for X ~ χ²(df). */
+  def chiSquareSf(x: Double, df: Double): Double = {
+    require(df > 0)
+    if (x <= 0) 1.0 else gammaQ(df / 2.0, x / 2.0)
+  }
+
+  /** Standard-normal survival P(Z > z), via erfc(y) = Q(1/2, y²). */
+  def normalSf(z: Double): Double =
+    if (z >= 0) 0.5 * gammaQ(0.5, z * z / 2.0)
+    else 1.0 - 0.5 * gammaQ(0.5, z * z / 2.0)
+
+  /** Pooled two-proportion z (same formula as
+    * [[Profiler.twoProportionZ]], scalar form for driver-side gates). */
+  def twoProportionZ(sA: Long, nA: Long, sB: Long, nB: Long): Double = {
+    require(nA > 0 && nB > 0)
+    val pa = sA.toDouble / nA
+    val pb = sB.toDouble / nB
+    val pool = (sA + sB).toDouble / (nA + nB)
+    val se = math.sqrt(pool * (1 - pool) * (1.0 / nA + 1.0 / nB))
+    if (se == 0.0) 0.0 else (pa - pb) / se
+  }
+}

@@ -59,6 +59,51 @@ object StreamingFunnel {
     }
   }
 
+  /** Significance gate over the running funnel — conversion monitoring
+    * WITH error control, not just a statistic: each micro-batch's touched
+    * users give a (reached `fromStage`, reached `toStage`) cohort whose
+    * conversion is two-proportion-z tested (pooled) against the baseline
+    * counts; `onResult(batchId, nFrom, nTo, z, pValue, dropped)` fires
+    * with `dropped = one-sided p < alpha` (drop direction only — a
+    * conversion IMPROVEMENT is not an alarm). False-alarm rate per batch
+    * is alpha by construction, the same control the batch SRM/χ² queries
+    * carry. Per-batch cost: one aggregation over that batch's updates;
+    * the z/p math is driver-side scalar
+    * ([[graft.operators.Stats.twoProportionZ]]/`normalSf`). */
+  def conversionGate(
+      df: DataFrame,
+      stages: Seq[String],
+      fromStage: Int,
+      toStage: Int,
+      baselineFrom: Long,
+      baselineTo: Long,
+      alpha: Double = 0.01
+  )(onResult: (Long, Long, Long, Double, Double, Boolean) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(fromStage < toStage, "fromStage must precede toStage")
+    require(baselineFrom >= baselineTo && baselineTo >= 0 && baselineFrom > 0,
+      "baseline counts must satisfy from >= to >= 0, from > 0")
+    runningFunnel(df, stages).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[FunnelUpdate], id: Long) =>
+        if (!batch.isEmpty) {
+          val r = batch.toDF().agg(
+            sum(when(col("completed_stage") >= fromStage, 1L).otherwise(0L)).as("nf"),
+            sum(when(col("completed_stage") >= toStage, 1L).otherwise(0L)).as("nt"))
+            .head()
+          val nFrom = r.getLong(0); val nTo = r.getLong(1)
+          if (nFrom > 0) {
+            val z = graft.operators.Stats.twoProportionZ(
+              nTo, nFrom, baselineTo, baselineFrom)
+            // one-sided: alarm only when conversion moved DOWN
+            val p = graft.operators.Stats.normalSf(-z)
+            onResult(id, nFrom, nTo, z, p, p < alpha)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Front door: input frame needs `user`, `event_type`, `ts` (long)
     * columns. Requires the RocksDB state-store provider, as all
     * `transformWithState` operators do. */

@@ -170,6 +170,35 @@ class DriftFunnelSpec extends SparkSpec {
     assert(byBatch(1)._2 > 100.0 && byBatch(1)._3 == 100L)          // strong drift
   }
 
+  test("categoricalDriftGate: planted shift alarms, in-distribution batch does not") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val baseline = (Seq.fill(600)("a") ++ Seq.fill(300)("b") ++ Seq.fill(100)("c")).toDF("cat")
+    val mem = MemoryStream[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long, Double, Boolean)]
+    val q = graft.streaming.StreamingDQ.categoricalDriftGate(
+      mem.toDF().toDF("cat"), baseline, "cat", alpha = 0.01) {
+      (id, n, chi2, dof, p, drifted) =>
+        results.synchronized { results += ((id, n, chi2, dof, p, drifted)) }
+    }
+    try {
+      mem.addData(Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(30)("a") ++ Seq.fill(30)("b") ++ Seq.fill(40)("c"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = results.sortBy(_._1)
+    assert(byBatch.size == 2)
+    val (_, n0, chi0, dof0, p0, d0) = byBatch(0)
+    assert(n0 == 100L && dof0 == 2L && chi0 < 1e-9 && p0 > 0.99 && !d0,
+      s"in-distribution batch must not alarm: $byBatch")
+    val (_, _, chi1, _, p1, d1) = byBatch(1)
+    // planted shift: chi2 = (30-60)^2/60 + 0 + (40-10)^2/10 = 105 -> p ~ 1e-23
+    assert(chi1 > 100.0 && p1 < 1e-10 && d1, s"planted shift must alarm: $byBatch")
+  }
+
   test("transitionCounts builds the adjacent-pair matrix per user") {
     val ev = Seq(
       (1L, "a", 1L, 100L), (1L, "b", 2L, 101L), (1L, "a", 3L, 102L),

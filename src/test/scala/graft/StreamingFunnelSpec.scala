@@ -19,6 +19,61 @@ class StreamingFunnelSpec extends SparkSpec {
     }
   }
 
+  test("conversionGate: planted conversion collapse alarms, baseline-rate batch does not") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[(String, String, Long)]
+      val df = mem.toDF().toDF("user", "event_type", "ts")
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double, Boolean)]
+      // baseline view->click conversion: 900/1000 = 0.9
+      val q = StreamingFunnel.conversionGate(df, stages,
+        fromStage = 0, toStage = 1, baselineFrom = 1000L, baselineTo = 900L,
+        alpha = 0.01) { (id, nf, nt, z, p, dropped) =>
+        results.synchronized { results += ((id, nf, nt, z, p, dropped)) }
+      }
+      try {
+        // batch 1: 50 users at exactly the baseline rate (45 convert)
+        val b1 = (0 until 50).flatMap { i =>
+          Seq((s"u$i", "view", 10L)) ++
+            (if (i < 45) Seq((s"u$i", "click", 20L)) else Nil)
+        }
+        mem.addData(b1: _*); q.processAllAvailable()
+        // batch 2: 200 NEW users who only view — conversion collapses
+        val b2 = (0 until 200).map(i => (s"v$i", "view", 30L))
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val byBatch = results.sortBy(_._1)
+      assert(byBatch.size == 2, s"got $byBatch")
+      val (_, nf0, nt0, z0, p0, d0) = byBatch(0)
+      assert(nf0 == 50L && nt0 == 45L && math.abs(z0) < 1e-9 && p0 > 0.4 && !d0,
+        s"baseline-rate batch must not alarm: $byBatch")
+      val (_, nf1, nt1, z1, p1, d1) = byBatch(1)
+      assert(nf1 == 200L && nt1 == 0L && z1 < -10 && p1 < 1e-10 && d1,
+        s"collapse must alarm: $byBatch")
+    }
+  }
+
+  test("Stats tails match reference values (chi-square and normal)") {
+    import graft.operators.Stats
+    // chi2 df=2: SF(x) = exp(-x/2) exactly
+    Seq(0.5, 1.0, 5.0, 20.0).foreach { x =>
+      assert(math.abs(Stats.chiSquareSf(x, 2) - math.exp(-x / 2)) < 1e-12, s"x=$x")
+    }
+    // chi2 df=1: SF(x) = 2*normalSf(sqrt(x))
+    Seq(1.0, 3.84, 6.63).foreach { x =>
+      assert(math.abs(Stats.chiSquareSf(x, 1) - 2 * Stats.normalSf(math.sqrt(x))) < 1e-12)
+    }
+    // classic normal quantiles
+    assert(math.abs(Stats.normalSf(1.6448536269514722) - 0.05) < 1e-9)
+    assert(math.abs(Stats.normalSf(2.3263478740408408) - 0.01) < 1e-9)
+    assert(math.abs(Stats.normalSf(0.0) - 0.5) < 1e-15)
+    assert(math.abs(Stats.normalSf(-1.6448536269514722) - 0.95) < 1e-9)
+    // chi2 critical value sanity: P(X > 5.991 | df=2) ~ 0.05
+    assert(math.abs(Stats.chiSquareSf(5.991464547107979, 2) - 0.05) < 1e-9)
+  }
+
   test("streaming funnel: shuffled cross-batch arrival converges to the batch result") {
     val s = spark
     import s.implicits._
