@@ -636,6 +636,149 @@ object SparkEntry {
         .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    "q4_priority_exists" -> ((s, dir) => {
+      // TPC-H Q4 shape (ref README.md:194 roadmap parity is check-level; this
+      // is the §2c join-coverage extension): EXISTS -> LEFT SEMI join. The
+      // probe side stays orders; the build side is the filtered lineitem key
+      // set, so duplicate matches never multiply rows before the count.
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderpriority")
+      val lk = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").select("l_orderkey")
+      o.join(lk, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: national market share — NATION_3's slice of PROMO-part
+      // revenue sold to EUROPE customers, by order year. The nation dim plays
+      // two roles (supplier flag, customer region gate); every dim broadcasts,
+      // the only keyed exchange is lineitem->orders.
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE").select("r_regionkey")
+      val cn = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val sn = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", col("rev"))).cast("double") /
+            sum(col("rev")).cast("double")).as("mkt_share"),
+          sum(col("rev")).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+    "q12_priority_class" -> ((s, dir) => {
+      // TPC-H Q12 shape: line class vs order criticality — one keyed join,
+      // two conditional counts (l_linestatus stands in for l_shipmode, which
+      // the synthetic schema does not carry).
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") =!= "R")
+        .select("l_orderkey", "l_linestatus")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+    "q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+      // whose predicate lives in the join condition (not a WHERE, so
+      // zero-order customers survive with c_count = 0), then a second
+      // aggregation over the first's output.
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: quarterly revenue per supplier; the max-revenue
+      // supplier(s) selected by a one-row broadcast scalar join — no rank
+      // window, ties kept, exactly the view + subquery semantics.
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      val revenue = l.groupBy("l_suppkey").agg(sum(col("rev")).cast("double").as("total_revenue"))
+      val mx = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      revenue.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: correlated scalar subquery per part, decorrelated
+      // into one part-keyed aggregate joined back (broadcast — the agg frame
+      // is |parts-of-brand| rows, not |lineitem|). avg = exact integral sum
+      // over count, so the 0.2x threshold is bit-deterministic.
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val l = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(15,2)").as("price"))
+      val lp = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgQ = lp.groupBy(col("p_partkey").as("a_partkey"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      lp.join(broadcast(avgQ), col("p_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("price")).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair over the same fact
+      // table, decorrelated into ONE order-level aggregate carrying both
+      // facts (distinct suppliers, distinct returned-suppliers) — one keyed
+      // agg + one keyed join instead of two correlated self-join shuffles.
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val perOrder = l.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_rsupp"))
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      l.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(perOrder.filter(col("n_supp") > 1 && col("n_rsupp") === 1), Seq("l_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+    "q22_idle_balance" -> ((s, dir) => {
+      // TPC-H Q22 shape: uncorrelated scalar subquery (positive-balance mean
+      // as a one-row broadcast) + LEFT ANTI join against the key set of
+      // FINISHED orders (every customer has *some* order in this synthetic
+      // data, so the classic no-orders-at-all gate would be vacuously empty),
+      // rolled up by nation. Decimal-exact balances keep the mean and the
+      // sums bit-deterministic.
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(15,2)").as("bal"))
+      val avgBal = c.filter(col("bal") > 0)
+        .agg((sum(col("bal")).cast("double") / count(lit(1))).as("avg_bal"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("bal").cast("double") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum(col("bal")).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
     "q_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -2658,6 +2801,83 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate)::INT AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2)) END) AS DOUBLE)
+        |    / CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag <> 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(sum(l_extendedprice::DECIMAL(15,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT sum(l2.l_quantity) / count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(c_acctbal::DECIMAL(15,2)) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(c2.c_acctbal::DECIMAL(15,2)) AS DOUBLE) / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
