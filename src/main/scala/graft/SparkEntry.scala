@@ -242,6 +242,11 @@ object SparkEntry {
       graft.dedup.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fingerprint")
     }),
+    "q_dedup_paragraph" -> ((s, dir) => {
+      graft.dedup.Dedup.paragraphDedup(t(s, dir, "documents"), "doc_id", "text",
+        blockWords = 5)
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       graft.dedup.Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5)
@@ -2485,6 +2490,23 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_paragraph" ->
+      // independent reimplementation of the first-occurrence-wins span
+      // dedup + reassembly: same 5-word blocks, same (doc_id, block idx)
+      // tie-break, rebuilt text must match byte-for-byte
+      """WITH d AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+        |blk AS (
+        |  SELECT doc_id, i AS bidx, array_to_string(w[1 + i*5 : (i+1)*5], ' ') AS b
+        |  FROM d CROSS JOIN UNNEST(range(0, CAST(ceil(len(w)/5.0) AS BIGINT))) AS t(i)
+        |  WHERE len(w) > 0),
+        |r AS (SELECT doc_id, bidx, b,
+        |        row_number() OVER (PARTITION BY b ORDER BY doc_id, bidx) AS rn
+        |      FROM blk)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN b END, ' ' ORDER BY bidx), '') AS text,
+        |  count(*) AS n_blocks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

@@ -37,6 +37,63 @@ object Dedup {
       .dropDuplicates("__graft_fp")
       .drop("__graft_fp")
 
+  /** Span-level exact dedup with document reassembly — the C4/RefinedWeb
+    * "remove repeated spans, keep the rest of the document" operator
+    * (public recipe: Raffel et al. 2020 §2.2 dedup three-sentence spans;
+    * reference repo has no span-level op — this is §2c pipeline surface).
+    * Documents are segmented into fixed-width word blocks (`blockWords`;
+    * the synthetic corpus carries no newline/sentence structure, so blocks
+    * stand in for paragraphs — real corpora would pre-split on `\n\n` and
+    * feed blocks directly). The globally FIRST occurrence of each distinct
+    * block — ordered by (doc id, block index) — survives; later occurrences
+    * are dropped, and each document is reassembled from its surviving
+    * blocks in order. Fully-duplicated documents survive as empty text with
+    * `n_kept = 0`, so the caller can count/drop them explicitly.
+    *
+    * Scale: two keyed exchanges, both linear in corpus size — one on the
+    * block text for first-occurrence selection (block strings are short and
+    * high-cardinality; no hot key can exceed its duplicate count), one on
+    * the doc id for reassembly. No self-join, no all-pairs anything.
+    *
+    * Output: (idCol, text, n_blocks, n_kept) — one row per input document;
+    * documents whose text is NULL, empty, or all-whitespace produce no
+    * blocks and are absent from the output (nothing to deduplicate).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 5
+  ): DataFrame = {
+    require(blockWords > 0, "blockWords > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    // consecutive blockWords-word blocks; a short final block is kept as-is
+    val blocks = filter(
+      transform(
+        // greatest(..., 0) keeps the empty-doc end at 0 — Spark's sequence
+        // would otherwise step DOWNWARD to a negative index
+        sequence(lit(0), greatest(
+          floor((size(toks) + lit(blockWords - 1)) / lit(blockWords)).cast("int") - 1, lit(0))),
+        i => array_join(slice(toks, i * blockWords + 1, lit(blockWords)), " ")),
+      b => b =!= "")
+    val exploded = df
+      .select(col(idCol), posexplode(blocks).as(Seq("__bidx", "__blk")))
+    val firstWins = Window.partitionBy("__blk").orderBy(col(idCol), col("__bidx"))
+    exploded
+      .withColumn("__keep", row_number().over(firstWins) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__bidx").as("i"), col("__blk").as("b"))))),
+            s => s.getField("b")),
+          " ").as("text"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Incremental (batch-vs-corpus) exact dedup — the shape every ingestion
     * pipeline runs: flag each NEW document whose normalized-content
     * fingerprint already exists in the accumulated corpus. One equi-join on
