@@ -221,12 +221,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_winnow" -> ((s, dir) => {
-      // rows-only: winnowing (rolling char-k-gram min-hash) fingerprints —
-      // xxhash64 not reproducible in DuckDB; selection property asserted in
-      // ExtensionsSpec. Shared fingerprints indicate copied passages.
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        explode(graft.text.TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+      // winnowing (rolling char-k-gram min-hash) fingerprints through the
+      // md5-gram twin (winnowMd5) so DuckDB reproduces the full selection —
+      // window minima, per-doc dedup — fingerprint-for-fingerprint; the
+      // rolling-XXH64 codegen kernel remains the scale path
+      // (ExtensionsSpec). Shared fingerprints indicate copied passages.
+      graft.text.TextAnalysis.winnowMd5(t(s, dir, "documents"), "doc_id", "text")
         .groupBy("fp").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
         .orderBy(col("n_docs").desc, col("fp"))
@@ -2483,6 +2483,24 @@ object SparkEntry {
         |  length(array_to_string(t[chunk_idx::INT * 48 + 1 : chunk_idx::INT * 48 + 64], ' ')) AS n_chars,
         |  len(t[chunk_idx::INT * 48 + 1 : chunk_idx::INT * 48 + 64])::INT AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_winnow" ->
+      // independent winnowing reimplementation: md5 char-7-grams, min of
+      // every 4-window (single window under 4 grams), sorted distinct,
+      // then the shared-fingerprint roll-up
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_transform(range(1, length(nt) - 5), i -> md5(substr(nt, i::INT, 7))) AS hs
+        |      FROM d WHERE length(nt) >= 7),
+        |wins AS (SELECT doc_id,
+        |           list_sort(list_distinct(list_transform(
+        |             range(1, greatest(len(hs) - 3, 1) + 1),
+        |             p -> list_min(hs[p : p + 3])))) AS fps
+        |         FROM h),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM ex GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY n_docs DESC, fp LIMIT 100""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

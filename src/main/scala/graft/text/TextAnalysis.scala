@@ -459,6 +459,41 @@ object TextAnalysis {
     graft.functions.winnow_fingerprints(
       regexp_replace(lower(trim(text)), "\\s+", " "), k, w)
 
+  /** Winnowing with md5 CHAR-gram hashes — the oracle-reproducible twin of
+    * [[winnowingFingerprints]]: identical selection structure (min of every
+    * w-window of gram hashes, distinct per doc; single window when fewer
+    * than w grams) over a gram hash any SQL engine can recompute
+    * (lowercase-hex md5 compares in the same order as the unsigned 128-bit
+    * value it encodes). Relational formulation — grams explode to rows so
+    * each md5 is computed exactly ONCE and window minima come from a
+    * bounded rows-frame, not nested array lambdas (an HOF draft of this
+    * re-evaluated the hash array per window: O(grams²) md5 calls, ~500×
+    * slower). One keyed exchange on the doc id. Prefer the rolling-XXH64
+    * kernel at scale; this is the verification surface.
+    *
+    * Output: (idCol, fp) — one row per distinct fingerprint per doc. */
+  def winnowMd5(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 7, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, "k > 0, w > 0")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("__nt"))
+      .filter(length(col("__nt")) >= k)
+      .select(col(idCol), (length(col("__nt")) - lit(k - 1)).as("__g"),
+        explode(sequence(lit(1), length(col("__nt")) - lit(k - 1))).as("__pos"),
+        col("__nt"))
+      .select(col(idCol), col("__g"), col("__pos"),
+        md5(col("__nt").substr(col("__pos"), lit(k))).as("__h"))
+    val win = Window.partitionBy(idCol).orderBy("__pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("__m", min(col("__h")).over(win))
+      // valid window starts only; the frame self-clamps for the g<w case
+      .filter(col("__pos") <= greatest(col("__g") - lit(w - 1), lit(1)))
+      .select(col(idCol), col("__m").as("fp"))
+      .distinct()
+  }
+
   /** Zipf's-law fit of the corpus token-frequency distribution: OLS slope/
     * intercept of `ln(freq) ~ ln(rank)` over the `topK` most frequent
     * lowercased tokens (a healthy natural-language corpus slopes ≈ −1;

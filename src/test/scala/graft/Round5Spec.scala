@@ -51,6 +51,35 @@ class Round5Spec extends SparkSpec {
     assert(got === Array((1L, "a b c", 2L)))
   }
 
+  test("winnowMd5 matches an independent in-memory winnowing over md5 grams") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the  QUICK   brown fox"), // normalizes to a prefix of doc 1
+      (3L, "abcdefgh"),               // g=2 < w -> single window
+      (4L, "abcdef"),                 // g=0 (6 < k=7) -> no fingerprints
+      (5L, "abcdefg")                 // g=1 exactly one gram
+    )
+    val got = graft.text.TextAnalysis
+      .winnowMd5(texts.toDF("doc_id", "text"), "doc_id", "text", k = 7, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnow(text: String, k: Int, w: Int): Set[String] = {
+      val nt = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (nt.length < k) return Set.empty
+      val hs = (0 to nt.length - k).map(i => md5hex(nt.substring(i, i + k)))
+      val nw = math.max(hs.length - w + 1, 1)
+      (0 until nw).map(p => hs.slice(p, p + w).min).toSet
+    }
+    for (id <- Seq(1L, 2L, 3L, 5L))
+      assert(got(id) === winnow(texts.find(_._1 == id).get._2, 7, 4), s"doc $id")
+    assert(!got.contains(4L))
+    assert(got(3L).size === 1 && got(5L).size === 1)
+  }
+
   test("paragraphDedup is idempotent on its own output") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val once = Dedup.paragraphDedup(docs, "doc_id", "text", blockWords = 5)
