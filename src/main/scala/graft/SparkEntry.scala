@@ -260,13 +260,16 @@ object SparkEntry {
         .orderBy("ida", "idb")
     }),
     "q_dedup_simhash" -> ((s, dir) => {
-      // no SQL oracle (simhash not expressible in DuckDB) → rows-only check.
       // maxHamming=6 catches the planted near-dups (measured hamming <= 6,
       // mean 2.5) while the background word-salad noise ramps up from 4.
       // probeBits makes <= 7 loss-free (pigeonhole + hamming-1 probes), so
-      // this is EXACT pair enumeration — spec-asserted equal to brute force.
+      // this is EXACT pair enumeration; with md5 token hashes the DuckDB
+      // oracle recomputes the signatures and enumerates pairs brute-force —
+      // banded-vs-brute equality is checked end-to-end, not just in spec.
+      // The XXH64-token-hash path stays the scale default (RecallFloorSpec).
       graft.dedup.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 6, probeBits = true).orderBy("ida", "idb")
+        maxHamming = 6, probeBits = true, md5TokenHash = true)
+        .orderBy("ida", "idb")
     }),
     "q_dedup_embedding" -> ((s, dir) => {
       graft.dedup.Dedup.embeddingNearDupBrute(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -2525,6 +2528,26 @@ object SparkEntry {
         |  count(*) AS n_blocks,
         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      // independent signature recomputation + brute-force pair enumeration:
+      // md5-first-8-bytes token hash, per-bit majority vote, all-pairs
+      // hamming <= 6 — the engine's banded+probed path must equal this
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |              FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        |n AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY 1),
+        |bits AS (SELECT th.doc_id, j,
+        |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+        |         FROM th CROSS JOIN UNNEST(range(0, 64)) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT b.doc_id,
+        |          bit_or(CASE WHEN 2 * ones > nt THEN 1::UBIGINT << j::INT
+        |                      ELSE 0::UBIGINT END) AS sig
+        |        FROM bits b JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+        |ORDER BY ida, idb""".stripMargin,
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

@@ -471,13 +471,20 @@ object Dedup {
         * becomes LOSS-FREE — exact pair enumeration, not approximate
         * blocking. Cost: 17× the candidate rows on the probed side
         * (bounded-linear; the verify stays exact either way). */
-      probeBits: Boolean = false
+      probeBits: Boolean = false,
+      /** md5 token hashes instead of XXH64: same algorithm, ~5-10× hash
+        * cost, but the signature is recomputable by any SQL engine with an
+        * md5 builtin — the oracle path. `seed` is ignored when set. */
+      md5TokenHash: Boolean = false
   ): DataFrame = {
+    val sigExpr =
+      if (md5TokenHash) graft.functions.simhash64_md5(col("toks"))
+      else simhash64(col("toks"), seed)
     val sigs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("id"), simhash64(col("toks"), seed).as("sig"))
+      .select(col("id"), sigExpr.as("sig"))
 
     val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

@@ -33,6 +33,10 @@ package object functions {
   def simhash64(tokens: Column, seed: Long = 0L): Column =
     col(SimHash64(expr(tokens), seed))
 
+  /** md5-token-hash SimHash — SQL-reproducible twin of [[simhash64]]. */
+  def simhash64_md5(tokens: Column): Column =
+    col(SimHash64Md5(expr(tokens)))
+
   /** Intersection size of two pre-sorted distinct string/long arrays
     * (linear merge, no per-pair hash sets). */
   def sorted_intersection_count(a: Column, b: Column): Column =

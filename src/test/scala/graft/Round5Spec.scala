@@ -80,6 +80,33 @@ class Round5Spec extends SparkSpec {
     assert(got(3L).size === 1 && got(5L).size === 1)
   }
 
+  test("simhash64_md5 matches an independent per-bit majority over md5 token hashes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "beta")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), graft.functions.simhash64_md5(col("toks")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def tokHash(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xffL))
+    }
+    def ref(toks: Seq[String]): Long = {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val h = tokHash(t)
+        for (j <- 0 until 64) if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      }
+      (0 until 64).foldLeft(0L)((o, j) => if (counts(j) > 0) o | (1L << j) else o)
+    }
+    assert(got(1L) === ref(Seq("alpha", "beta", "gamma", "beta")))
+    assert(got(2L) === tokHash("x")) // single token: signature == its hash
+    assert(got(3L) === 0L)
+  }
+
   test("paragraphDedup is idempotent on its own output") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val once = Dedup.paragraphDedup(docs, "doc_id", "text", blockWords = 5)
