@@ -88,43 +88,64 @@ object Profiler {
     *    to the exact-zero window at est = 0 (the sketch stores zeros
     *    exactly), and would FLIP it around negative ones.
     *
-    * Two jobs per column: the sketch+counts pass, then one conditional-
-    * count pass at the estimate thresholds (the estimates are a bounded
-    * driver round-trip, as with IVF centroids). Each pass scans only the
-    * profiled column (parquet pruning). */
+    * THREE jobs total for ANY number of columns (all columns fused per
+    * pass): sketch+counts, exact distincts, then one conditional-count
+    * pass at the estimate thresholds (the estimates are a bounded driver
+    * round-trip, as with IVF centroids). Each pass scans only the
+    * profiled columns (parquet pruning). The exact `countDistinct`s run
+    * in their OWN aggregate deliberately: a distinct agg and a typed
+    * `Aggregator` buffer in one aggregate push the whole thing onto the
+    * sort-based fallback path, which re-serializes the sketch buffer per
+    * input row — measured 35 s vs 1.3 s for the sketch alone at sf0.1. */
   def profileContract(df: DataFrame, cols: Seq[String],
       alpha: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.functions.{udaf => _, _}
     val probs = QuantileProbs
     val ddq = graft.functions.DDSketchQuantiles.columnFn(alpha, probs) _
-    val perCol = cols.map { c =>
-      val x = col(c).cast("double")
-      val first = df.agg(
-        count(x).as("n"),
-        count(when(x.isNull, 1)).as("n_nulls"),
-        countDistinct(x).as("n_distinct"),
-        approx_count_distinct(x, 0.02).as("__approx_d"),
-        min(x).as("__min"),
-        ddq(x).as("__est")).head()
-      val n = first.getLong(0)
-      val est = first.getSeq[Double](5)
-      require(n == 0 || first.getDouble(4) >= 0,
+    val xs = cols.map(c => c -> col(c).cast("double"))
+    // job 1: counts, HLL, min, DDSketch — no distinct aggs in here
+    val firstAggs = xs.flatMap { case (c, x) => Seq(
+      count(x).as(s"__n_$c"),
+      count(when(x.isNull, 1)).as(s"__nulls_$c"),
+      approx_count_distinct(x, 0.02).as(s"__apd_$c"),
+      min(x).as(s"__min_$c"),
+      ddq(x).as(s"__est_$c")) }
+    val first = df.agg(firstAggs.head, firstAggs.tail: _*).head()
+    // job 2: exact distincts (one Expand over all columns, pure codegen)
+    val distinctAggs = xs.map { case (c, x) => countDistinct(x).as(s"__d_$c") }
+    val distincts = df.agg(distinctAggs.head, distinctAggs.tail: _*).head()
+    val n = cols.indices.map(ci => first.getLong(5 * ci))
+    val est = cols.indices.map(ci =>
+      if (n(ci) == 0) Seq.fill(probs.size)(0.0) else first.getSeq[Double](5 * ci + 4))
+    xs.zipWithIndex.foreach { case ((c, _), ci) =>
+      require(n(ci) == 0 || first.getDouble(5 * ci + 3) >= 0,
         s"profileContract: column $c must be non-negative for the relative-error rank check")
-      val checks: Seq[Column] = probs.zipWithIndex.flatMap { case (p, i) =>
-        val r = math.max(1L, math.ceil(p * n).toLong)
-        val e = est(i)
+    }
+    // job 3: rank-window conditional counts for every (column, prob)
+    val checks: Seq[Column] = xs.zipWithIndex.flatMap { case ((_, x), ci) =>
+      if (n(ci) == 0) Nil
+      else probs.indices.flatMap { i =>
+        val e = est(ci)(i)
         Seq(
-          count(when(x < e * (1 - alpha), 1)).as(s"__lo_$i"),
-          count(when(x <= e * (1 + alpha), 1)).as(s"__hi_$i"),
-          lit(r).as(s"__r_$i"))
+          count(when(x < e * (1 - alpha), 1)).as(s"__lo_${ci}_$i"),
+          count(when(x <= e * (1 + alpha), 1)).as(s"__hi_${ci}_$i"))
       }
-      val second = if (n == 0) null else df.agg(checks.head, checks.tail: _*).head()
+    }
+    val second = if (checks.isEmpty) null else df.agg(checks.head, checks.tail: _*).head()
+    // second-pass fields are laid out per non-empty column in order
+    val secondBase = cols.indices.scanLeft(0)((acc, ci) =>
+      acc + (if (n(ci) == 0) 0 else 2 * probs.size))
+    val perCol = xs.zipWithIndex.map { case ((c, _), ci) =>
       def qOk(i: Int): Boolean =
-        n == 0 || (second.getLong(3 * i) < second.getLong(3 * i + 2) &&
-          second.getLong(3 * i + 1) >= second.getLong(3 * i + 2))
-      val distinctOk = math.abs(first.getLong(3) - first.getLong(2)).toDouble <=
-        0.06 * math.max(1L, first.getLong(2))
-      (c, n, first.getLong(1), first.getLong(2), distinctOk, qOk(0), qOk(1), qOk(2))
+        n(ci) == 0 || {
+          val r = math.max(1L, math.ceil(probs(i) * n(ci)).toLong)
+          second.getLong(secondBase(ci) + 2 * i) < r &&
+            second.getLong(secondBase(ci) + 2 * i + 1) >= r
+        }
+      val nDistinct = distincts.getLong(ci)
+      val distinctOk = math.abs(first.getLong(5 * ci + 2) - nDistinct).toDouble <=
+        0.06 * math.max(1L, nDistinct)
+      (c, n(ci), first.getLong(5 * ci + 1), nDistinct, distinctOk, qOk(0), qOk(1), qOk(2))
     }
     val spark = df.sparkSession
     import spark.implicits._
