@@ -102,7 +102,7 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("asofJoin equals the naive per-row max-<=-ts lookup on real events") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("value").as("pv"))

@@ -27,7 +27,7 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("sessionAgg invariants on real events: coverage + gap bounds") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
     val gap = 7200L * 1000 * 1000 * 1000
     val sessions = Sessionize.sessionAgg(ev, "user_id", "ts", gap).cache()
     // every event lands in exactly one session
