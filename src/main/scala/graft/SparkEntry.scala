@@ -522,6 +522,51 @@ object SparkEntry {
       graft.operators.Profiler.profileContract(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_orderkey"))
     }),
+    // --- md5-reproducible sketches (CMS / KMV / HLL): constant-size
+    //     mergeable aggregation state, FULL hash-match oracles — the DuckDB
+    //     twin rebuilds each sketch bit-for-bit from the same md5 hashes ---
+    "q_cms_estimate" -> ((s, dir) => {
+      // width 16 << 31 distinct tokens forces real collisions (17 of the
+      // 31 keys overestimate, up to 4x at sf0.01), so the oracle must
+      // reproduce the min-over-rows estimates exactly, not just the true
+      // counts; est >= cnt for every key (CMS guarantee)
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      val keys = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      graft.operators.Sketches.cmsEstimates(toks, "toks", keys, "tok",
+        depth = 4, width = 16)
+        .select(col("tok"), col("est"), col("cnt"))
+        .orderBy("tok")
+    }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = graft.operators.Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", k = 64)
+        .select(col("event_type"), round(col("est_distinct"), 4).as("est_distinct"),
+          element_at(col("kmv"), 1).as("min_hash"), size(col("kmv")).as("sketch_size"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      sk.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
+    "q_kmv_overlap" -> ((s, dir) => {
+      // month-cohort customer overlap from 64-long KMV sketches alone: the
+      // pair stage never touches raw orders — the 100 TB set-overlap shape
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+      graft.operators.Sketches.kmvOverlap(o, "month", "o_custkey", k = 64)
+        .select(col("ga"), col("gb"), round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("est_union"), 4).as("est_union"),
+          round(col("est_intersection"), 4).as("est_intersection"))
+        .orderBy("ga", "gb")
+    }),
+    "q_hll_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = graft.operators.Sketches.hllDistinct(ev, Seq("event_type"), "user_id", p = 8)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      sk.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
     // --- analytics shapes (agg / join / window over the TPC-H-ish tables;
     //     decimal sums so values are exact and partition-order-independent) ---
     "q1_agg" -> ((s, dir) => {
@@ -2548,6 +2593,92 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 6
         |ORDER BY ida, idb""".stripMargin,
+    "q_cms_estimate" ->
+      // independent Count-Min rebuild: same md5 row hashes
+      // (hash60(j:tok) = first 15 hex digits of md5), same 4x16 counter
+      // matrix from ALL token occurrences, same min-over-rows estimates
+      """WITH toks AS (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |counters AS (SELECT j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 15))::BIGINT % 16 AS b,
+        |    count(*) AS c
+        |  FROM toks CROSS JOIN UNNEST(range(0, 4)) t(j) GROUP BY 1, 2)
+        |SELECT cnt.tok, min(c) AS est, cnt.cnt
+        |FROM cnt CROSS JOIN UNNEST(range(0, 4)) u(j)
+        |JOIN counters ON counters.j = u.j
+        | AND counters.b = ('0x' || substr(md5(u.j::VARCHAR || ':' || cnt.tok), 1, 15))::BIGINT % 16
+        |GROUP BY cnt.tok, cnt.cnt
+        |ORDER BY tok""".stripMargin,
+    "q_kmv_distinct" ->
+      // k=64 minimum md5-hash values per group; estimate = exact size
+      // below k, else (k-1) * 2^60 / h_k — all-integer inputs, one
+      // exactly-rounded double division on both engines
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |agg AS (SELECT event_type, min(hv) AS min_hash,
+        |    max(CASE WHEN rn = 64 THEN hv END) AS h64,
+        |    sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)::INT AS sketch_size
+        |  FROM r GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type,
+        |  round(CASE WHEN a.sketch_size < 64 THEN a.sketch_size::DOUBLE
+        |        ELSE 63.0 * 1152921504606846976.0 / a.h64 END, 4) AS est_distinct,
+        |  a.min_hash, a.sketch_size, ex.exact_distinct
+        |FROM agg a JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_kmv_overlap" ->
+      // per-month KMV sketches -> pair overlap purely from sketch lists:
+      // union sketch = k smallest of the merged lists, jaccard = fraction
+      // of the union sketch present in BOTH input sketches
+      """WITH e AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey AS k
+        |  FROM orders WHERE year(o_orderdate) = 1995),
+        |h AS (SELECT DISTINCT month, ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS hv FROM e),
+        |r AS (SELECT month, hv, row_number() OVER (PARTITION BY month ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT month, list(hv ORDER BY hv) AS kl FROM r WHERE rn <= 64 GROUP BY month),
+        |p AS (SELECT a.month AS ga, b.month AS gb, a.kl AS ka, b.kl AS kb
+        |  FROM sk a JOIN sk b ON a.month < b.month),
+        |u AS (SELECT ga, gb, ka, kb,
+        |    list_sort(list_distinct(flatten([ka, kb])))[1:64] AS ku FROM p),
+        |m AS (SELECT ga, gb, ku,
+        |    len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS rho,
+        |    len(ku) AS ul,
+        |    CASE WHEN len(ku) < 64 THEN len(ku)::DOUBLE
+        |         ELSE 63.0 * 1152921504606846976.0 / ku[64] END AS est_union
+        |  FROM u)
+        |SELECT ga, gb, round(rho / ul::DOUBLE, 6) AS jaccard_est,
+        |  round(est_union, 4) AS est_union,
+        |  round((rho / ul::DOUBLE) * est_union, 4) AS est_intersection
+        |FROM m ORDER BY ga, gb""".stripMargin,
+    "q_hll_distinct" ->
+      // HyperLogLog rebuilt register-by-register: index = low 8 bits of
+      // hash60, rank = leftmost-1 position in the remaining 52 bits; the
+      // harmonic sum is exact long arithmetic (sum of 2^(53-M_j)) so the
+      // only float ops are one cast + one division, identical in IEEE754
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM events),
+        |reg AS (SELECT event_type, hv % 256 AS idx,
+        |    CASE WHEN hv // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(hv // 256)) END AS rho FROM h),
+        |mx AS (SELECT event_type, idx, max(rho) AS mj FROM reg GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT event_type FROM events),
+        |funll AS (SELECT g.event_type, gr.i AS idx, coalesce(mx.mj, 0) AS mj
+        |  FROM grid g CROSS JOIN UNNEST(range(0, 256)) gr(i)
+        |  LEFT JOIN mx ON mx.event_type = g.event_type AND mx.idx = gr.i),
+        |s AS (SELECT event_type, sum(1::BIGINT << (53 - mj)::INT)::BIGINT AS hs,
+        |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::INT AS zeros
+        |  FROM funll GROUP BY 1),
+        |est AS (SELECT event_type, hs, zeros,
+        |    (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 9007199254740992.0 / hs::DOUBLE AS raw
+        |  FROM s),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  round(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256 * ln(256.0 / zeros)
+        |        ELSE raw END, 2) AS est_distinct,
+        |  hs AS harmonic_sum_scaled, zeros AS zero_registers, ex.exact_distinct
+        |FROM est e JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
