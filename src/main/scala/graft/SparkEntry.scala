@@ -567,6 +567,19 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("exact_distinct"))
       sk.join(exact, Seq("event_type")).orderBy("event_type")
     }),
+    // --- z-order (Morton) clustering: the bit-interleave key behind
+    //     two-dimensional file skipping (ZOrderSpec measures the actual
+    //     footer-pruning win; this query pins the key algebra itself) ---
+    "q_zorder" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+        .distinct()
+      pairs
+        .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y"), bits = 10))
+        .groupBy(shiftright(col("z"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n_pairs"), min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("zbucket")
+    }),
     // --- analytics shapes (agg / join / window over the TPC-H-ish tables;
     //     decimal sums so values are exact and partition-order-independent) ---
     "q1_agg" -> ((s, dir) => {
@@ -2679,6 +2692,16 @@ object SparkEntry {
         |        ELSE raw END, 2) AS est_distinct,
         |  hs AS harmonic_sum_scaled, zeros AS zero_registers, ex.exact_distinct
         |FROM est e JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_zorder" ->
+      // term-for-term Morton-code rebuild: bit j of x at position 2j,
+      // bit j of y at 2j+1, summed over 10 bits per dimension
+      """WITH pairs AS (SELECT DISTINCT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+        |bits AS (SELECT x, y, j FROM pairs CROSS JOIN UNNEST(range(0, 10)) t(j)),
+        |z AS (SELECT x, y,
+        |    sum((((x >> j) & 1) << (2*j)) + (((y >> j) & 1) << (2*j + 1)))::BIGINT AS z
+        |  FROM bits GROUP BY x, y)
+        |SELECT (z >> 12) AS zbucket, count(*) AS n_pairs, min(z) AS min_z, max(z) AS max_z
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
