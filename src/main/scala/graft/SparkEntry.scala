@@ -1661,6 +1661,17 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node").as("part_id"), col("rank"))
     }),
+    "q_bfs_hops" -> ((s, dir) => {
+      // min-hop distance profile over the part co-order graph, from the
+      // level-synchronous distributed BFS (oracle: recursive-CTE min-dist)
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      graft.operators.Graph.bfsHops(sym, "u", "v", source = 0L, maxHops = 4)
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop")
+    }),
     // --- round 3: Zipf's-law corpus health fit ---
     "q_zipf" -> ((s, dir) =>
       graft.text.TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topK = 1000)),
@@ -4251,6 +4262,22 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bfs_hops" ->
+      // independent min-distance computation: semi-naive recursive CTE
+      // over the same co-order graph, then min(hop) per node — the
+      // level-synchronous BFS must produce exactly these levels
+      """WITH RECURSIVE base AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |und AS (SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM base a JOIN base b ON a.k = b.k AND a.i <> b.i),
+        |bfs(node, hop) AS (
+        |  SELECT 0::BIGINT AS node, 0 AS hop
+        |  UNION
+        |  SELECT e.v, bfs.hop + 1 FROM bfs JOIN und e ON e.u = bfs.node
+        |  WHERE bfs.hop < 4),
+        |mind AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+        |SELECT hop::INT AS hop, count(*) AS n_nodes FROM mind
+        |GROUP BY 1 ORDER BY hop""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE anc(k, a, depth) AS (
         |  SELECT p_partkey, p_partkey, 0 FROM part

@@ -215,6 +215,46 @@ object Graph {
     degrees(e)
   }
 
+  /** Level-synchronous single-source BFS: `(node, hop)` for every node
+    * reachable from `source` within `maxHops` (min-hop distance — level
+    * order IS minimality, so the result is deterministic with no
+    * tie-breaking). Per hop: the O(F)-row frontier joins the cached edge
+    * list pre-partitioned on the SOURCE key (the O(E) side never
+    * re-exchanges — only the frontier shuffles into place), one
+    * distinct, one anti-join against the visited set; each round is
+    * lineage-truncated like [[pageRank]]'s, and the loop exits early on
+    * an empty frontier (the driver-side count is the standard Pregel
+    * termination probe, O(1) rows). `q_bfs_hops` checks the result
+    * against a DuckDB recursive-CTE min-distance twin. */
+  def bfsHops(edges: DataFrame, src: String, dst: String, source: Long,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.filter(col(src).isNotNull && col(dst).isNotNull)
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = Seq((source, 0)).toDF("node", "hop")
+    var frontier = visited
+    var hop = 0
+    var frontierSize = 1L
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val next = e.join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .transform(graft.core.Checkpoints.truncate)
+      frontierSize = next.count()
+      visited = visited.unionByName(next).transform(graft.core.Checkpoints.truncate)
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Co-occurrence edge list: items sharing a basket become edges (a<b,
     * distinct). The standard projection of a bipartite basket-item table
     * onto items; one self-join per basket key. */
