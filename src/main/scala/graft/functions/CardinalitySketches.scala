@@ -195,39 +195,37 @@ object KmvSketchAgg {
   */
 final case class HllEstimate(est: Double, harmonicSumScaled: Long, zeros: Int)
 
-class HllSketchAgg(p: Int)
-    extends Aggregator[Option[String], Array[Byte], HllEstimate] {
-  // p >= 8 keeps rho <= 61-p <= 53, so 2^(53-M_j) stays a legal long shift
-  require(p >= 8 && p <= 16)
-  private val m = 1 << p
-
-  override def zero: Array[Byte] = new Array[Byte](m)
-
-  override def reduce(b: Array[Byte], in: Option[String]): Array[Byte] = in match {
-    case Some(s) if s != null =>
-      val h = Md5Hash60.hash60(s)
-      val idx = (h % m).toInt
-      val w = h >>> p
-      val bits = 60 - p
-      val rho = if (w == 0L) bits + 1 else bits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
-      if (rho > b(idx)) b(idx) = rho.toByte
-      b
-    case _ => b
+/** The register algebra shared by the batch Aggregator and the streaming
+  * processor ([[graft.streaming.StreamingDistinct]]) — max-merge means
+  * batch and streaming sketches over the same keys are BIT-IDENTICAL
+  * under any sharding and any micro-batch split. */
+object HllAlgebra {
+  /** mutates `regs` in place with one observed key */
+  def update(regs: Array[Byte], key: String, p: Int): Unit = {
+    val m = 1 << p
+    val h = Md5Hash60.hash60(key)
+    val idx = (h % m).toInt
+    val w = h >>> p
+    val bits = 60 - p
+    val rho = if (w == 0L) bits + 1 else bits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rho > regs(idx)) regs(idx) = rho.toByte
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  /** element-wise max into `a` (commutative, associative, idempotent) */
+  def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
     while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
-  override def finish(b: Array[Byte]): HllEstimate = {
+  def estimate(regs: Array[Byte], p: Int): HllEstimate = {
+    val m = 1 << p
     var s = 0L
     var zeros = 0
     var i = 0
     while (i < m) {
-      s += 1L << (53 - b(i)) // M_j in [0, 53] given p >= 8
-      if (b(i) == 0) zeros += 1
+      s += 1L << (53 - regs(i)) // M_j in [0, 53] given p >= 8
+      if (regs(i) == 0) zeros += 1
       i += 1
     }
     val alpha = 0.7213 / (1 + 1.079 / m)
@@ -235,8 +233,26 @@ class HllSketchAgg(p: Int)
     val est =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
       else raw
-    HllEstimate(est, s, zeros) // caller rounds; see scaladoc
+    HllEstimate(est, s, zeros) // caller rounds; see class scaladoc
   }
+}
+
+class HllSketchAgg(p: Int)
+    extends Aggregator[Option[String], Array[Byte], HllEstimate] {
+  // p >= 8 keeps rho <= 61-p <= 53, so 2^(53-M_j) stays a legal long shift
+  require(p >= 8 && p <= 16)
+
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+
+  override def reduce(b: Array[Byte], in: Option[String]): Array[Byte] = in match {
+    case Some(s) if s != null => HllAlgebra.update(b, s, p); b
+    case _ => b
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllAlgebra.mergeInto(a, b)
+
+  override def finish(b: Array[Byte]): HllEstimate = HllAlgebra.estimate(b, p)
 
   override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
   override def outputEncoder: Encoder[HllEstimate] = ExpressionEncoder[HllEstimate]()
