@@ -1661,6 +1661,17 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node").as("part_id"), col("rank"))
     }),
+    "q_ppr" -> ((s, dir) => {
+      // related-parts ranking: random-walk-with-restart from part 0 over
+      // the co-order graph, integer-exact, sparse nonzero-rank frontier
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      graft.operators.Graph.personalizedPageRank(sym, "u", "v", source = 0L, iters = 4)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node").as("part_id"), col("rank"))
+    }),
     "q_bfs_hops" -> ((s, dir) => {
       // min-hop distance profile over the part co-order graph, from the
       // level-synchronous distributed BFS (oracle: recursive-CTE min-dist)
@@ -4262,6 +4273,39 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ppr" ->
+      // integer-exact personalized PageRank: 4 unrolled iterations of the
+      // same floor-div algebra, restart mass CASE'd onto the source node,
+      // a zero contribution keeping the source alive in every round
+      """WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pe AS (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM b x JOIN b y ON x.k = y.k AND x.i < y.i),
+        |e AS (SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe),
+        |deg AS (SELECT u, count(*) AS od FROM e GROUP BY 1),
+        |r0(node, rank) AS (VALUES (0::BIGINT, 1000000000000::BIGINT)),
+        |r1 AS (SELECT node, CASE WHEN node = 0 THEN 150000000000 ELSE 0 END
+        |    + 85 * sum(cc) // 100 AS rank FROM (
+        |    SELECT e.v AS node, r.rank // d.od AS cc
+        |    FROM e JOIN r0 r ON e.u = r.node JOIN deg d ON e.u = d.u
+        |    UNION ALL SELECT 0::BIGINT, 0) GROUP BY node HAVING rank <> 0),
+        |r2 AS (SELECT node, CASE WHEN node = 0 THEN 150000000000 ELSE 0 END
+        |    + 85 * sum(cc) // 100 AS rank FROM (
+        |    SELECT e.v AS node, r.rank // d.od AS cc
+        |    FROM e JOIN r1 r ON e.u = r.node JOIN deg d ON e.u = d.u
+        |    UNION ALL SELECT 0::BIGINT, 0) GROUP BY node HAVING rank <> 0),
+        |r3 AS (SELECT node, CASE WHEN node = 0 THEN 150000000000 ELSE 0 END
+        |    + 85 * sum(cc) // 100 AS rank FROM (
+        |    SELECT e.v AS node, r.rank // d.od AS cc
+        |    FROM e JOIN r2 r ON e.u = r.node JOIN deg d ON e.u = d.u
+        |    UNION ALL SELECT 0::BIGINT, 0) GROUP BY node HAVING rank <> 0),
+        |r4 AS (SELECT node, CASE WHEN node = 0 THEN 150000000000 ELSE 0 END
+        |    + 85 * sum(cc) // 100 AS rank FROM (
+        |    SELECT e.v AS node, r.rank // d.od AS cc
+        |    FROM e JOIN r3 r ON e.u = r.node JOIN deg d ON e.u = d.u
+        |    UNION ALL SELECT 0::BIGINT, 0) GROUP BY node HAVING rank <> 0)
+        |SELECT node AS part_id, rank::BIGINT AS rank FROM r4
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
     "q_bfs_hops" ->
       // independent min-distance computation: semi-naive recursive CTE
       // over the same co-order graph, then min(hop) per node — the

@@ -215,6 +215,57 @@ object Graph {
     degrees(e)
   }
 
+  /** Personalized PageRank from a single `source` node — the
+    * random-walk-with-restart similarity ranking behind
+    * recommendation / related-item queries. Same INTEGER-EXACT algebra
+    * as [[pageRank]] (scaled longs, floor-div shares, so results are
+    * bit-stable under any partitioning and the oracle unrolls the exact
+    * iterations in SQL): rank(source) gets the full restart mass
+    * `(100-dampingPct)% · scale` each round, everything else only
+    * propagated mass.
+    *
+    * Scale shape: the rank frontier is SPARSE — nodes keep exact rank 0
+    * until a walk reaches them, and integer floor-div keeps far nodes at
+    * exact 0 — so each iteration joins only the nonzero-rank frontier
+    * (broadcast; bounded by the k-hop neighborhood) against edges cached
+    * pre-partitioned on the source key. The zero-rank filter is EXACT
+    * sparsity, not an approximation: dropped nodes contribute
+    * `0 div od = 0`. A one-row zero contribution for `source` flows
+    * through the same aggregation so the restart mass survives even when
+    * no walk returns to the source. */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+      source: Long, iters: Int = 4, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.filter(col(src).isNotNull && col(dst).isNotNull)
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = e.groupBy(col("u").as("srcn")).agg(count(lit(1)).as("outdeg"))
+      .transform(graft.core.Checkpoints.truncate)
+    val eo = e.repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (100L - dampingPct) * scale / 100L
+    val srcZero = Seq((source, 0L)).toDF("node", "c")
+    var ranks = Seq((source, scale)).toDF("node", "rank")
+    (1 to iters).foreach { _ =>
+      val shares = ranks.join(out, ranks("node") === out("srcn"))
+        .select(col("srcn"), expr("rank div outdeg").as("share"))
+      val contribs = eo.join(broadcast(shares), eo("u") === shares("srcn"))
+        .select(col("v").as("node"), col("share").as("c"))
+        .unionByName(srcZero)
+      ranks = contribs.groupBy("node").agg(sum("c").as("cs"))
+        .select(col("node"),
+          (when(col("node") === source, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * cs) div 100")).as("rank"))
+        .filter(col("rank") =!= 0L)
+        .transform(graft.core.Checkpoints.truncate)
+    }
+    e.unpersist(); eo.unpersist()
+    ranks
+  }
+
   /** Level-synchronous single-source BFS: `(node, hop)` for every node
     * reachable from `source` within `maxHops` (min-hop distance — level
     * order IS minimality, so the result is deterministic with no

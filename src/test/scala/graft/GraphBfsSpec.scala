@@ -36,4 +36,44 @@ class GraphBfsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(42L -> 0))
   }
+
+  test("personalizedPageRank equals an independent integer reference simulation") {
+    // random sparse digraph, symmetrized; reference = dense Map loop with
+    // the same scaled-long floor-div algebra
+    val rnd = new scala.util.Random(7)
+    val raw = (0 until 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val df = sym.toDF("u", "v")
+
+    val scale = 1000000000000L
+    val damping = 85
+    val base = (100L - damping) * scale / 100L
+    val out = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ref = Map(0L -> scale)
+    (1 to 4).foreach { _ =>
+      val contribs = scala.collection.mutable.Map(0L -> 0L)
+      ref.foreach { case (node, rank) =>
+        val share = rank / out(node) // every node in ref has out-edges here
+        sym.filter(_._1 == node).foreach { case (_, v) =>
+          contribs(v) = contribs.getOrElse(v, 0L) + share
+        }
+      }
+      ref = contribs.map { case (node, cs) =>
+        node -> ((if (node == 0L) base else 0L) + damping * cs / 100L)
+      }.filter(_._2 != 0L).toMap
+    }
+
+    val got = Graph.personalizedPageRank(df, "u", "v", source = 0L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    // restart mass keeps the source ranked
+    assert(got.contains(0L))
+  }
+
+  test("personalizedPageRank: isolated source keeps exactly the restart mass") {
+    val got = Graph.personalizedPageRank(edges, "u", "v", source = 42L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(42L -> 150000000000L))
+  }
 }
