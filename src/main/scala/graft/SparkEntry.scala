@@ -567,15 +567,16 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("exact_distinct"))
       sk.join(exact, Seq("event_type")).orderBy("event_type")
     }),
-    // --- z-order (Morton) clustering: the bit-interleave key behind
-    //     two-dimensional file skipping (ZOrderSpec measures the actual
-    //     footer-pruning win; this query pins the key algebra itself) ---
+    // --- z-order (Morton) key algebra: full oracle for the bit-interleave
+    //     behind Bucketing.writeZOrdered's two-dimensional file skipping
+    //     (ZOrderSpec measures the actual footer-pruning win; the round-3
+    //     spec pins known Morton pairs + per-file rectangle bounds) ---
     "q_zorder" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem")
         .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
         .distinct()
       pairs
-        .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y"), bits = 10))
+        .withColumn("z", graft.sources.Bucketing.zValue(col("x"), col("y")))
         .groupBy(shiftright(col("z"), 12).as("zbucket"))
         .agg(count(lit(1)).as("n_pairs"), min("z").as("min_z"), max("z").as("max_z"))
         .orderBy("zbucket")

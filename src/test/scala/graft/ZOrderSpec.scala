@@ -1,26 +1,14 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.ZOrder
 
-/** Z-order layout: key bijectivity, and the actual data-skipping win —
-  * file-level min/max footer ranges under a z-clustered layout prune a
-  * two-dimensional selection that a linear sort cannot.
+/** Quantified data-skipping win of the z-order layout: file-level
+  * min/max footer ranges under `Bucketing.writeZOrdered` prune a
+  * two-dimensional selection that a linear sort cannot. (Morton-pair
+  * correctness and per-file rectangle bounds: `Round3OperatorsSpec`;
+  * cross-engine key algebra: the `q_zorder` DuckDB oracle.)
   */
 class ZOrderSpec extends SparkSpec {
-  import spark.implicits._
-
-  test("zValue is a bijection on the grid and monotone on each axis line") {
-    val grid = spark.range(64).select(col("id").as("x"))
-      .crossJoin(spark.range(64).select(col("id").as("y")))
-    val z = grid.withColumn("z", ZOrder.zValue(col("x"), col("y"), bits = 6))
-    assert(z.select("z").distinct().count() === 64L * 64)
-    assert(z.agg(max("z")).head.getLong(0) === 4095L)
-    assert(z.agg(min("z")).head.getLong(0) === 0L)
-    // along a grid line the code is strictly increasing in the free coord
-    val line = z.filter(col("y") === 17).orderBy("x").select("z").collect().map(_.getLong(0))
-    assert(line.sameElements(line.sorted))
-  }
 
   test("z-clustered files prune a y-band query that an x-sort cannot") {
     // 40k points uniform on a 1024x1024 grid; y decorrelated from x
@@ -32,8 +20,7 @@ class ZOrderSpec extends SparkSpec {
 
     pts.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
       .write.mode("overwrite").parquet(s"$base/linear")
-    ZOrder.clusterByZ(pts, "x", "y", numFiles = nFiles, bits = 10)
-      .write.mode("overwrite").parquet(s"$base/zorder")
+    graft.sources.Bucketing.writeZOrdered(pts, s"$base/zorder", "x", "y", nFiles)
 
     // file-level footer ranges: which files could a reader skip for a
     // 32-wide y band (3% of the domain)?
