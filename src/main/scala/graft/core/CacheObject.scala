@@ -23,4 +23,42 @@ final class CacheObject {
   def remove(key: String): Unit = m.remove(key)
   def clear(): Unit = m.clear()
   def keys: Set[String] = m.keySet.toSet
+
+  /** Persistence the reference DECLARES but leaves as `pass`
+    * (`cache_obj.py:31-34`). Here the declared contract is honored for
+    * primitive values: `save` writes type-tagged entries, `load` merges
+    * them back with their original types. Non-primitive values
+    * (DataFrames, closures) are runtime state, not persistable
+    * configuration — skipped by design. */
+  def save(path: String): Unit = {
+    val p = new java.util.Properties()
+    m.foreach {
+      case (k, v: String) => p.setProperty(k, "s:" + v)
+      case (k, v: Long) => p.setProperty(k, "l:" + v)
+      case (k, v: Int) => p.setProperty(k, "i:" + v)
+      case (k, v: Double) => p.setProperty(k, "d:" + v)
+      case (k, v: Boolean) => p.setProperty(k, "b:" + v)
+      case _ => // runtime-only value: not persistable
+    }
+    val w = new java.io.FileWriter(path)
+    try p.store(w, "graft cache") finally w.close()
+  }
+
+  def load(path: String): Unit = {
+    val p = new java.util.Properties()
+    val r = new java.io.FileReader(path)
+    try p.load(r) finally r.close()
+    p.forEach { (k, v) =>
+      val s = v.toString
+      val value: Any = s.splitAt(2) match {
+        case ("s:", rest) => rest
+        case ("l:", rest) => rest.toLong
+        case ("i:", rest) => rest.toInt
+        case ("d:", rest) => rest.toDouble
+        case ("b:", rest) => rest.toBoolean
+        case _ => s
+      }
+      m.update(k.toString, value)
+    }
+  }
 }
