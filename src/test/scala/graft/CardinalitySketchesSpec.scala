@@ -80,6 +80,30 @@ class CardinalitySketchesSpec extends SparkSpec {
     assert(ac.getAs[Double]("est_intersection") === 0.0)
   }
 
+  test("plan shapes: one aggregation pass per sketch; CMS estimates join a broadcast one-row sketch") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    val keys = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val cmsPlan = Sketches.cmsEstimates(toks, "toks", keys, "tok", 4, 16)
+      .queryExecution.executedPlan.toString
+    // the counters side reaches the keys through a broadcast, never a shuffle
+    assert(cmsPlan.contains("BroadcastNestedLoopJoin") || cmsPlan.contains("BroadcastExchange"),
+      s"counters must broadcast:\n$cmsPlan")
+
+    // per-group sketches: exactly one shuffle (the groupBy) feeds the agg —
+    // no extra exchange for a distinct pre-pass (the sketches dedup internally)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    Seq(
+      Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", 64),
+      Sketches.hllDistinct(ev, Seq("event_type"), "user_id", 8)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val nExchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(nExchanges == 1, s"expected exactly 1 shuffle, got $nExchanges:\n$plan")
+    }
+  }
+
   test("HLL: duplicate-idempotent, partition-invariant, within 20% at n=1500") {
     val base = spark.range(1500).select(concat(lit("u"), col("id")).as("k"))
       .withColumn("g", lit(1))
