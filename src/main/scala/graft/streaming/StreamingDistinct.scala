@@ -65,4 +65,56 @@ object StreamingDistinct {
     latestRegs.foreach(HllAlgebra.mergeInto(acc, _))
     HllAlgebra.estimate(acc, p)
   }
+
+  // ---------------------------------------------------------------- KMV
+
+  final case class ShardKmv(shard: Int, n: Long, mins: Array[Long])
+
+  /** Streaming KMV twin: per-shard k smallest distinct hash60 values.
+    * Insert is idempotent (a re-delivered key re-inserts the same hash,
+    * which dedups), so like the HLL twin the merged streaming sketch is
+    * BIT-IDENTICAL to the batch [[graft.functions.KmvSketchAgg]] under
+    * any sharding, micro-batch split, or replay. */
+  final class KmvProcessor(k: Int)
+      extends StatefulProcessor[Int, (Int, String), ShardKmv] {
+    @transient private var state: ValueState[(Long, Array[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Array[Long])]("kmv",
+        Encoders.tuple(Encoders.scalaLong,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()),
+        TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[ShardKmv] = {
+      val (n0, mins0) =
+        if (state.exists()) state.get() else (0L, Array.emptyLongArray)
+      val agg = new graft.functions.KmvSketchAgg(k)
+      var mins = mins0
+      var n = n0
+      rows.foreach { case (_, key) => mins = agg.reduce(mins, Some(key)); n += 1 }
+      state.update((n, mins))
+      Iterator.single(ShardKmv(shard, n, mins))
+    }
+  }
+
+  /** Front door: `key` column, sharded as [[runningDistinct]]. */
+  def runningKmv(df: DataFrame, k: Int = 64, nShards: Int = 8): Dataset[ShardKmv] = {
+    require(nShards >= 1 && k >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("key").isNotNull)
+      .select(pmod(xxhash64(col("key")), lit(nShards)).cast("int").as("shard"),
+        col("key").cast("string"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Merge latest per-shard k-min arrays into the global sketch. */
+  def mergedKmv(latest: Seq[Array[Long]], k: Int): Array[Long] = {
+    val agg = new graft.functions.KmvSketchAgg(k)
+    latest.foldLeft(Array.emptyLongArray)(agg.merge)
+  }
 }
