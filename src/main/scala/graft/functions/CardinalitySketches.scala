@@ -43,19 +43,40 @@ object Md5Hash60 {
   * commutative, associative, deterministic ⇒ `merge(shard sketches) ≡
   * single-pass sketch` EXACTLY, bit-stable under any partitioning.
   *
-  * Row j hashes with `Md5Hash60.hash60(j + ":" + key) % width`, so a SQL
-  * oracle can rebuild the identical matrix (group keys by `(j, bucket)`)
-  * and the identical point estimates (`min_j counts[j][h_j(key)]`) —
-  * every estimate satisfies `est >= true count` with equality unless the
-  * key collides in all `depth` rows.
+  * With `md5Hash = true` (default, the ORACLE path) row j hashes with
+  * `Md5Hash60.hash60(j + ":" + key) % width`, so a SQL oracle can
+  * rebuild the identical matrix (group keys by `(j, bucket)`) and the
+  * identical point estimates (`min_j counts[j][h_j(key)]`) — every
+  * estimate satisfies `est >= true count` with equality unless the key
+  * collides in all `depth` rows. `md5Hash = false` is the SCALE path:
+  * XXH64 seeded by the row index (~5-10× cheaper per token — this
+  * sketch hashes every token `depth` times, so the hash IS the hot
+  * loop at 100 TB), same guarantees, spec-verified instead of
+  * oracle-verified (same split as simhash's `md5TokenHash` dial).
   *
   * Input is one token ARRAY per row (e.g. a document's token list) so
   * the sketch consumes documents without a pre-explode shuffle; null
   * arrays and null elements are ignored.
   */
-class CountMinSketchAgg(depth: Int, width: Int)
+class CountMinSketchAgg(depth: Int, width: Int, md5Hash: Boolean = true)
     extends Aggregator[Option[Seq[String]], Array[Long], Seq[Long]] {
   require(depth >= 1 && width >= 1)
+
+  // Scale-path hash = EXACTLY what the Column expression
+  // `xxhash64(lit(j.toLong), key)` computes (seed 42, then the long row
+  // index, then the key bytes), so JVM-built counters and Column-space
+  // estimate lookups always agree — CmsSpec's est>=cnt assertion would
+  // catch any divergence as an underestimate.
+  private def bucket(j: Int, tok: String): Int =
+    if (md5Hash) (Md5Hash60.hash60(s"$j:$tok") % width).toInt
+    else {
+      import org.apache.spark.sql.catalyst.expressions.XXH64.{hashLong, hashUnsafeBytes}
+      val seedJ = hashLong(j.toLong, 42L)
+      val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seedJ)
+      java.lang.Math.floorMod(h, width.toLong).toInt
+    }
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
@@ -66,7 +87,7 @@ class CountMinSketchAgg(depth: Int, width: Int)
           if (tok != null) {
             var j = 0
             while (j < depth) {
-              b(j * width + (Md5Hash60.hash60(s"$j:$tok") % width).toInt) += 1L
+              b(j * width + bucket(j, tok)) += 1L
               j += 1
             }
           }
@@ -90,10 +111,10 @@ class CountMinSketchAgg(depth: Int, width: Int)
 
 object CountMinSketchAgg {
   /** `cms(tokenArrayCol)` → `array<long>` of `depth*width` counters. */
-  def columnFn(depth: Int, width: Int)(toks: Column): Column = {
+  def columnFn(depth: Int, width: Int, md5Hash: Boolean = true)(toks: Column): Column = {
     implicit val inEnc: Encoder[Option[Seq[String]]] =
       ExpressionEncoder[Option[Seq[String]]]()
-    udaf(new CountMinSketchAgg(depth, width)).apply(toks)
+    udaf(new CountMinSketchAgg(depth, width, md5Hash)).apply(toks)
   }
 }
 

@@ -35,15 +35,17 @@ object Sketches {
     */
   def cmsEstimates(tokenArrays: DataFrame, tokenArrayCol: String,
       keys: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 64): DataFrame = {
-    val cms = CountMinSketchAgg.columnFn(depth, width)(col(tokenArrayCol))
+      depth: Int = 4, width: Int = 64, md5Hash: Boolean = true): DataFrame = {
+    val cms = CountMinSketchAgg.columnFn(depth, width, md5Hash)(col(tokenArrayCol))
     val counters = tokenArrays.agg(cms.as("__cms"))
+    // the lookup hash must be the SAME function the Aggregator used:
+    // md5 path mirrors hash60(j + ":" + key); xxh64 scale path mirrors
+    // xxhash64(lit(j), key) (see CountMinSketchAgg.bucket)
+    def rowBucket(j: Int) =
+      if (md5Hash) hash60(concat(lit(s"$j:"), col(keyCol))) % width
+      else pmod(xxhash64(lit(j.toLong), col(keyCol)), lit(width.toLong))
     val est = (0 until depth)
-      .map { j =>
-        element_at(col("__cms"),
-          (lit(j * width) + hash60(concat(lit(s"$j:"), col(keyCol))) % width + 1)
-            .cast("int"))
-      }
+      .map(j => element_at(col("__cms"), (lit(j * width) + rowBucket(j) + 1).cast("int")))
       .reduce(least(_, _))
     keys.crossJoin(broadcast(counters)).withColumn("est", est).drop("__cms")
   }

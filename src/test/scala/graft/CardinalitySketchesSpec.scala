@@ -80,6 +80,25 @@ class CardinalitySketchesSpec extends SparkSpec {
     assert(ac.getAs[Double]("est_intersection") === 0.0)
   }
 
+  test("CMS xxh64 scale path: JVM counters agree with Column lookups; same guarantees") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    val keys = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // wide sketch: collisions rare, so est == cnt for most keys — any
+    // JVM-vs-Column hash divergence would surface as underestimates
+    val rows = Sketches.cmsEstimates(toks, "toks", keys, "tok",
+      depth = 4, width = 512, md5Hash = false).select("tok", "est", "cnt").collect()
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2), s"underestimate: $r"))
+    assert(rows.count(r => r.getLong(1) == r.getLong(2)) >= rows.length - 2)
+    // and partition invariance holds on the scale path too
+    val a = Sketches.cmsEstimates(toks.repartition(1), "toks", keys, "tok", 4, 16, md5Hash = false)
+      .select("tok", "est").orderBy("tok").collect().toSeq
+    val b = Sketches.cmsEstimates(toks.repartition(13), "toks", keys, "tok", 4, 16, md5Hash = false)
+      .select("tok", "est").orderBy("tok").collect().toSeq
+    assert(a === b)
+  }
+
   test("plan shapes: one aggregation pass per sketch; CMS estimates join a broadcast one-row sketch") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     val toks = docs.select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
