@@ -1662,6 +1662,25 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node").as("part_id"), col("rank"))
     }),
+    "q_attribution" -> ((s, dir) => {
+      // last-touch revenue attribution: each purchase credits the most
+      // recent PRIOR non-purchase touch of the same user (asof backward;
+      // (user_id, ts) is unique in the fixture so the match is total-order
+      // deterministic); purchases with no prior touch report as 'none'.
+      // Cents-exact decimal sums keep the report partition-order-proof.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_type").as("touch_type"))
+      graft.operators.Joins.asofJoin(purchases, touches, Seq("user_id"),
+          "ts", "touch_ts", Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(15,2)")).cast("double").as("attributed_revenue"))
+        .orderBy("touch_type")
+    }),
     "q_ppr" -> ((s, dir) => {
       // related-parts ranking: random-walk-with-restart from part 0 over
       // the co-order graph, integer-exact, sparse nonzero-rank frontier
@@ -4274,6 +4293,16 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS total,
         |  min(value) AS vmin, max(value) AS vmax
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      // same last-touch credit via DuckDB ASOF LEFT JOIN + decimal sums
+      """SELECT coalesce(r.event_type, 'none') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(l.value::DECIMAL(15,2)) AS DOUBLE) AS attributed_revenue
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_type FROM events
+        |                WHERE event_type IN ('click', 'view', 'signup')) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
     "q_ppr" ->
       // integer-exact personalized PageRank: 4 unrolled iterations of the
       // same floor-div algebra, restart mass CASE'd onto the source node,
