@@ -567,6 +567,19 @@ object SparkEntry {
         .agg(countDistinct("user_id").as("exact_distinct"))
       sk.join(exact, Seq("event_type")).orderBy("event_type")
     }),
+    "q_hll_rollup" -> ((s, dir) => {
+      // sketch lifecycle: per-(type, day) registers (the persistable
+      // daily table) rolled up to per-type WITHOUT touching raw keys;
+      // max-merge associativity makes this hash-match the DIRECT path's
+      // oracle — rollup-of-dailies == sketch-of-raw, bit for bit
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+      val daily = graft.operators.Sketches.hllRegisters(
+        ev, Seq("event_type", "day"), "user_id", p = 8)
+      graft.operators.Sketches.hllRollup(daily, Seq("event_type"), p = 8)
+        .select("event_type", "est_distinct", "harmonic_sum_scaled", "zero_registers")
+        .orderBy("event_type")
+    }),
     // --- z-order (Morton) key algebra: full oracle for the bit-interleave
     //     behind Bucketing.writeZOrdered's two-dimensional file skipping
     //     (ZOrderSpec measures the actual footer-pruning win; the round-3
@@ -2734,6 +2747,32 @@ object SparkEntry {
         |        ELSE raw END, 2) AS est_distinct,
         |  hs AS harmonic_sum_scaled, zeros AS zero_registers, ex.exact_distinct
         |FROM est e JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_hll_rollup" ->
+      // IDENTICAL register computation as q_hll_distinct's oracle — the
+      // engine side goes through daily sketches + max-merge rollup, and
+      // associativity means the result must still hash-match this direct
+      // rebuild (no day indirection needed in SQL)
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM events),
+        |reg AS (SELECT event_type, hv % 256 AS idx,
+        |    CASE WHEN hv // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(hv // 256)) END AS rho FROM h),
+        |mx AS (SELECT event_type, idx, max(rho) AS mj FROM reg GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT event_type FROM events),
+        |funll AS (SELECT g.event_type, gr.i AS idx, coalesce(mx.mj, 0) AS mj
+        |  FROM grid g CROSS JOIN UNNEST(range(0, 256)) gr(i)
+        |  LEFT JOIN mx ON mx.event_type = g.event_type AND mx.idx = gr.i),
+        |s AS (SELECT event_type, sum(1::BIGINT << (53 - mj)::INT)::BIGINT AS hs,
+        |    sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::INT AS zeros
+        |  FROM funll GROUP BY 1),
+        |est AS (SELECT event_type, hs, zeros,
+        |    (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 9007199254740992.0 / hs::DOUBLE AS raw
+        |  FROM s)
+        |SELECT event_type,
+        |  round(CASE WHEN raw <= 640.0 AND zeros > 0 THEN 256 * ln(256.0 / zeros)
+        |        ELSE raw END, 2) AS est_distinct,
+        |  hs AS harmonic_sum_scaled, zeros AS zero_registers
+        |FROM est ORDER BY event_type""".stripMargin,
     "q_zorder" ->
       // term-for-term Morton-code rebuild: bit j of x at position 2j,
       // bit j of y at 2j+1, summed over 10 bits per dimension

@@ -258,6 +258,51 @@ object HllAlgebra {
   }
 }
 
+/** Rollup output: the merged registers (for further levels) plus the
+  * estimate read off them. */
+final case class HllRolled(est: Double, harmonicSumScaled: Long, zeros: Int,
+    regs: Array[Byte])
+
+/** Second-level HLL aggregation: merges ALREADY-BUILT register arrays
+  * (element-wise max). This is the re-aggregation half of the sketch
+  * lifecycle at scale — persist per-(group, day) registers as a binary
+  * column, then roll up months/segments later WITHOUT reprocessing raw
+  * keys. Because max-merge is associative, rollup-of-dailies is
+  * BIT-IDENTICAL to a direct sketch over the raw keys (`q_hll_rollup`
+  * hash-matches the same oracle as the direct path). */
+class HllMergeAgg(p: Int)
+    extends Aggregator[Option[Array[Byte]], Array[Byte], HllRolled] {
+  require(p >= 8 && p <= 16)
+
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+
+  override def reduce(b: Array[Byte], in: Option[Array[Byte]]): Array[Byte] = in match {
+    case Some(regs) if regs != null =>
+      require(regs.length == b.length, s"register width mismatch: ${regs.length}")
+      HllAlgebra.mergeInto(b, regs)
+    case _ => b
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllAlgebra.mergeInto(a, b)
+
+  override def finish(b: Array[Byte]): HllRolled = {
+    val e = HllAlgebra.estimate(b, p)
+    HllRolled(e.est, e.harmonicSumScaled, e.zeros, b)
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+  override def outputEncoder: Encoder[HllRolled] = ExpressionEncoder[HllRolled]()
+}
+
+object HllMergeAgg {
+  def columnFn(p: Int)(regs: Column): Column = {
+    implicit val inEnc: Encoder[Option[Array[Byte]]] =
+      ExpressionEncoder[Option[Array[Byte]]]()
+    udaf(new HllMergeAgg(p)).apply(regs)
+  }
+}
+
 class HllSketchAgg(p: Int)
     extends Aggregator[Option[String], Array[Byte], HllEstimate] {
   // p >= 8 keeps rho <= 61-p <= 53, so 2^(53-M_j) stays a legal long shift
@@ -277,6 +322,30 @@ class HllSketchAgg(p: Int)
 
   override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
   override def outputEncoder: Encoder[HllEstimate] = ExpressionEncoder[HllEstimate]()
+}
+
+/** First-level variant emitting the raw registers (binary) instead of
+  * the estimate — the persistable form consumed by [[HllMergeAgg]]. */
+class HllRegistersAgg(p: Int)
+    extends Aggregator[Option[String], Array[Byte], Array[Byte]] {
+  require(p >= 8 && p <= 16)
+  override def zero: Array[Byte] = new Array[Byte](1 << p)
+  override def reduce(b: Array[Byte], in: Option[String]): Array[Byte] = in match {
+    case Some(s) if s != null => HllAlgebra.update(b, s, p); b
+    case _ => b
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllAlgebra.mergeInto(a, b)
+  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+  override def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder[Array[Byte]]()
+}
+
+object HllRegistersAgg {
+  def columnFn(p: Int)(key: Column): Column = {
+    implicit val inEnc: Encoder[Option[String]] = ExpressionEncoder[Option[String]]()
+    udaf(new HllRegistersAgg(p)).apply(key)
+  }
 }
 
 object HllSketchAgg {

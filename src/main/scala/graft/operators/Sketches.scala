@@ -110,4 +110,31 @@ object Sketches {
         col("__h.harmonicSumScaled").as("harmonic_sum_scaled") :+
         col("__h.zeros").as("zero_registers"): _*)
   }
+
+  /** Per-group HLL REGISTERS as a persistable binary column — the
+    * sketch-lifecycle form: write these per (segment, day), and any
+    * later rollup re-aggregates them with [[hllRollup]] without ever
+    * reprocessing raw keys. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 8): DataFrame = {
+    val hll = graft.functions.HllRegistersAgg.columnFn(p)(col(keyCol).cast("string"))
+    df.groupBy(groupCols.map(col): _*).agg(hll.as("hll_regs"))
+  }
+
+  /** Second-level rollup of stored register columns to coarser groups:
+    * the same `(est_distinct, harmonic_sum_scaled, zero_registers)`
+    * surface as [[hllDistinct]] plus the merged registers for further
+    * levels. Max-merge associativity makes this BIT-IDENTICAL to
+    * sketching the raw keys directly — `q_hll_rollup` hash-matches the
+    * direct path's oracle. */
+  def hllRollup(sketches: DataFrame, rollupCols: Seq[String],
+      p: Int = 8, regsCol: String = "hll_regs"): DataFrame = {
+    val merged = graft.functions.HllMergeAgg.columnFn(p)(col(regsCol))
+    sketches.groupBy(rollupCols.map(col): _*).agg(merged.as("__r"))
+      .select(rollupCols.map(col) :+
+        round(col("__r.est"), 2).as("est_distinct") :+
+        col("__r.harmonicSumScaled").as("harmonic_sum_scaled") :+
+        col("__r.zeros").as("zero_registers") :+
+        col("__r.regs").as("hll_regs"): _*)
+  }
 }
