@@ -76,4 +76,59 @@ class GraphBfsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(42L -> 150000000000L))
   }
+
+  test("iteration plan shapes: BFS frontier meets cached edges co-partitioned; PPR shares broadcast") {
+    // one iteration of each loop, constructed exactly as the operators
+    // build it (same pattern as the pageRank no-broadcast plan spec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .distinct()
+      val eo = e.repartition(col("u")).persist()
+      eo.count()
+
+      // BFS hop: frontier joins on u — the cached u-partitioned edge side
+      // must NOT re-exchange: its join branch is Sort-over-InMemoryTableScan
+      // directly (no Exchange between cache scan and join); only the O(F)
+      // frontier and the distinct stage shuffle
+      val frontier = Seq(0L, 1L).toDF("u")
+      val hop = eo.join(frontier, Seq("u"))
+        .select(col("v").as("node")).distinct()
+      hop.collect()
+      val bfsPlan = hop.queryExecution.executedPlan.toString
+      assert(!bfsPlan.contains("BroadcastExchange"))
+      val edgeBranchClean =
+        "Sort \\[u#\\d+L ASC[^\\n]*\\n[^\\n]*InMemoryTableScan".r
+          .findFirstIn(bfsPlan).isDefined
+      assert(edgeBranchClean,
+        s"cached edges must feed the join without a new Exchange:\n$bfsPlan")
+      eo.unpersist()
+
+      // PPR iteration: the nonzero-rank share frame is force-broadcast,
+      // so the edge side streams with ZERO runtime shuffles
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val eo2 = e.repartition(col("u")).persist()
+      eo2.count()
+      val shares = e.select(col("u").as("srcn")).limit(2)
+        .withColumn("share", lit(100L))
+      val contribs = eo2.join(broadcast(shares), eo2("u") === shares("srcn"))
+        .select(col("v").as("node"), col("share").as("c"))
+      contribs.collect()
+      val pprPlan = contribs.queryExecution.executedPlan.toString
+      assert(pprPlan.contains("BroadcastHashJoin"), pprPlan)
+      // the join's STREAMED side is the cache scan directly — no runtime
+      // Exchange touches the O(E) edges (the one in the stored cache-build
+      // plan ran once at persist time)
+      val streamedClean =
+        "BroadcastHashJoin[^\\n]*\\n[^\\n]*InMemoryTableScan".r
+          .findFirstIn(pprPlan).isDefined
+      assert(streamedClean,
+        s"PPR iteration must stream cached edges without a new Exchange:\n$pprPlan")
+      eo2.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
