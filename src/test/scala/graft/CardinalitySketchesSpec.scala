@@ -123,6 +123,22 @@ class CardinalitySketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL lifecycle: daily registers round-trip through parquet; rollup == direct sketch") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("hll_daily").toString
+    // the persistable daily sketch table, actually persisted
+    Sketches.hllRegisters(ev, Seq("event_type", "day"), "user_id", p = 8)
+      .write.mode("overwrite").parquet(dir)
+    val rolled = Sketches.hllRollup(spark.read.parquet(dir), Seq("event_type"), p = 8)
+      .select("event_type", "est_distinct", "harmonic_sum_scaled", "zero_registers")
+      .orderBy("event_type").collect().toSeq
+    val direct = Sketches.hllDistinct(ev, Seq("event_type"), "user_id", p = 8)
+      .orderBy("event_type").collect().toSeq
+    assert(rolled === direct,
+      "rollup of parquet-persisted dailies must equal the direct sketch bit-for-bit")
+  }
+
   test("HLL: duplicate-idempotent, partition-invariant, within 20% at n=1500") {
     val base = spark.range(1500).select(concat(lit("u"), col("id")).as("k"))
       .withColumn("g", lit(1))
