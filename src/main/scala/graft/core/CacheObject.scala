@@ -26,22 +26,34 @@ final class CacheObject {
 
   /** Persistence the reference DECLARES but leaves as `pass`
     * (`cache_obj.py:31-34`). Here the declared contract is honored for
-    * primitive values: `save` writes type-tagged entries, `load` merges
-    * them back with their original types. Non-primitive values
-    * (DataFrames, closures) are runtime state, not persistable
-    * configuration — skipped by design. */
-  def save(path: String): Unit = {
+    * ALL primitive/scalar values (String, Long, Int, Double, Boolean,
+    * Float, Short, Byte, Char, BigDecimal, BigInt): `save` writes
+    * type-tagged entries, `load` merges them back with their original
+    * types. Non-scalar values (DataFrames, closures, collections) are
+    * runtime state, not persistable configuration — skipped by design.
+    * @return the number of entries SKIPPED as non-persistable, so a
+    *         caller can detect (and log) silent drops instead of
+    *         discovering them at load time. */
+  def save(path: String): Int = {
     val p = new java.util.Properties()
+    var skipped = 0
     m.foreach {
       case (k, v: String) => p.setProperty(k, "s:" + v)
       case (k, v: Long) => p.setProperty(k, "l:" + v)
       case (k, v: Int) => p.setProperty(k, "i:" + v)
       case (k, v: Double) => p.setProperty(k, "d:" + v)
       case (k, v: Boolean) => p.setProperty(k, "b:" + v)
-      case _ => // runtime-only value: not persistable
+      case (k, v: Float) => p.setProperty(k, "f:" + v)
+      case (k, v: Short) => p.setProperty(k, "h:" + v)
+      case (k, v: Byte) => p.setProperty(k, "y:" + v)
+      case (k, v: Char) => p.setProperty(k, "c:" + v)
+      case (k, v: BigDecimal) => p.setProperty(k, "m:" + v)
+      case (k, v: BigInt) => p.setProperty(k, "g:" + v)
+      case _ => skipped += 1 // runtime-only value: not persistable
     }
     val w = new java.io.FileWriter(path)
     try p.store(w, "graft cache") finally w.close()
+    skipped
   }
 
   def load(path: String): Unit = {
@@ -56,6 +68,12 @@ final class CacheObject {
         case ("i:", rest) => rest.toInt
         case ("d:", rest) => rest.toDouble
         case ("b:", rest) => rest.toBoolean
+        case ("f:", rest) => rest.toFloat
+        case ("h:", rest) => rest.toShort
+        case ("y:", rest) => rest.toByte
+        case ("c:", rest) if rest.length == 1 => rest.charAt(0)
+        case ("m:", rest) => BigDecimal(rest)
+        case ("g:", rest) => BigInt(rest)
         case _ => s
       }
       m.update(k.toString, value)

@@ -232,8 +232,14 @@ object HllAlgebra {
     if (rho > regs(idx)) regs(idx) = rho.toByte
   }
 
-  /** element-wise max into `a` (commutative, associative, idempotent) */
+  /** element-wise max into `a` (commutative, associative, idempotent).
+    * Register arrays built with different `p` have different widths, and a
+    * silent partial merge would yield a wrong estimate with no error — so
+    * width mismatch fails fast here, covering every caller (the streaming
+    * processors and direct users, not just the Aggregator's own guard). */
   def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"HLL register width mismatch: ${a.length} vs ${b.length} (different p)")
     var i = 0
     while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a

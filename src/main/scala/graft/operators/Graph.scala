@@ -200,17 +200,33 @@ object Graph {
     * not). Per round: one degree aggregation + two semi-joins on a
     * monotonically shrinking edge frame; each round's frame is
     * lineage-truncated so the plan doesn't grow with rounds (same
-    * pattern as [[pageRank]]). */
+    * pattern as [[pageRank]]).
+    *
+    * EARLY EXIT: peeling only ever removes edges, so an unchanged edge
+    * count after a sweep IS the fixpoint — every surviving node already
+    * has degree ≥ k. The O(1)-row driver probe (the same Pregel
+    * termination shape as [[bfsHops]]') stops the loop there; the count
+    * scans the round's eagerly-truncated blocks, not recomputed lineage.
+    * A truncated (`rounds` too small) run remains deterministic for the
+    * oracle: the SQL twin unrolls the same round count, and once both
+    * have converged extra unrolled rounds are no-ops. */
   def kCorePeel(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var e = canonicalEdges(edges, src, dst).transform(graft.core.Checkpoints.truncate)
-    (1 to rounds).foreach { _ =>
+    var prevEdges = e.count()
+    var round = 0
+    var converged = prevEdges == 0
+    while (round < rounds && !converged) {
+      round += 1
       val keep = degrees(e).filter(col("degree") >= k).select("node")
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .transform(graft.core.Checkpoints.truncate)
+      val nEdges = e.count()
+      converged = nEdges == prevEdges
+      prevEdges = nEdges
     }
     degrees(e)
   }
@@ -232,10 +248,27 @@ object Graph {
     * sparsity, not an approximation: dropped nodes contribute
     * `0 div od = 0`. A one-row zero contribution for `source` flows
     * through the same aggregation so the restart mass survives even when
-    * no walk returns to the source. */
+    * no walk returns to the source; the source row is additionally kept
+    * through the sparsity filter unconditionally, so even the degenerate
+    * `dampingPct = 100` case (restart base 0) stays anchored instead of
+    * decaying to an empty frame.
+    *
+    * BROADCAST THRESHOLD — same contract as [[pageRank]]'s
+    * `broadcastRanks`: with `broadcastFrontier = true` (default) the
+    * nonzero-rank frontier is force-broadcast each iteration. The
+    * scaladoc bound — the k-hop neighborhood — is O(V) by hop 3-4 on a
+    * power-law graph, so at 100× scale a forced broadcast is a
+    * driver/executor OOM, not a slowdown. For such graphs pass
+    * `broadcastFrontier = false`: edges stay cached pre-partitioned on
+    * the SOURCE key, the share join is co-partitioned (the O(E) side
+    * never re-exchanges — spec-asserted on the forced plan; only the
+    * O(F) frontier shuffles into place), and each iteration costs that
+    * one O(F) exchange plus the O(E) contribution shuffle — the Pregel
+    * superstep shape, linear and OOM-free. */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
       source: Long, iters: Int = 4, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastFrontier: Boolean = true): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -252,14 +285,15 @@ object Graph {
     (1 to iters).foreach { _ =>
       val shares = ranks.join(out, ranks("node") === out("srcn"))
         .select(col("srcn"), expr("rank div outdeg").as("share"))
-      val contribs = eo.join(broadcast(shares), eo("u") === shares("srcn"))
+      val sharesSide = if (broadcastFrontier) broadcast(shares) else shares
+      val contribs = eo.join(sharesSide, eo("u") === shares("srcn"))
         .select(col("v").as("node"), col("share").as("c"))
         .unionByName(srcZero)
       ranks = contribs.groupBy("node").agg(sum("c").as("cs"))
         .select(col("node"),
           (when(col("node") === source, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampingPct * cs) div 100")).as("rank"))
-        .filter(col("rank") =!= 0L)
+        .filter(col("rank") =!= 0L || col("node") === lit(source))
         .transform(graft.core.Checkpoints.truncate)
     }
     e.unpersist(); eo.unpersist()

@@ -77,6 +77,63 @@ class GraphBfsSpec extends SparkSpec {
     assert(got === Map(42L -> 150000000000L))
   }
 
+  test("personalizedPageRank forced no-broadcast: bit-identical ranks") {
+    val rnd = new scala.util.Random(11)
+    val raw = (0 until 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val df = (raw ++ raw.map(_.swap)).distinct.toDF("u", "v")
+    val bc = Graph.personalizedPageRank(df, "u", "v", source = 0L, iters = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nobc = Graph.personalizedPageRank(df, "u", "v", source = 0L, iters = 4,
+      broadcastFrontier = false)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bc === nobc) // integer arithmetic: identical under either plan
+  }
+
+  test("personalizedPageRank dampingPct=100 stays anchored at the source") {
+    // restart base is 0; without the unconditional source-row keep the
+    // sparsity filter would decay an isolated source to an empty frame
+    val got = Graph.personalizedPageRank(edges, "u", "v", source = 42L,
+      iters = 3, dampingPct = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(42L -> 0L))
+    // connected graph, damping 100: pure-walk ranks, source still present
+    val walk = Graph.personalizedPageRank(edges, "u", "v", source = 0L,
+      iters = 2, dampingPct = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(walk.contains(0L))
+  }
+
+  test("PPR no-broadcast iteration plan: edges co-partitioned, one runtime exchange") {
+    // mirror of the pageRank no-broadcast plan spec: with the frontier
+    // past broadcastable size (simulated by threshold -1), the cached
+    // u-partitioned edge side must NOT re-exchange — the only
+    // ENSURE_REQUIREMENTS shuffle feeds the O(F) share frame
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      val eo = e.repartition(col("u")).persist()
+      eo.count()
+      // literal frontier frame: no exchanges of its own, so the count
+      // below isolates the join's requirements
+      val shares = Seq((0L, 100L), (1L, 100L)).toDF("srcn", "share")
+      val contribs = eo.join(shares, eo("u") === shares("srcn"))
+        .select(col("v").as("node"), col("share").as("c"))
+      contribs.collect()
+      val plan = contribs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Broadcast"), s"expected no broadcast in forced plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      val nExchanges = "ENSURE_REQUIREMENTS".r.findAllMatchIn(plan).size
+      assert(nExchanges == 1,
+        s"expected exactly 1 runtime exchange (share side only):\n$plan")
+      eo.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("iteration plan shapes: BFS frontier meets cached edges co-partitioned; PPR shares broadcast") {
     // one iteration of each loop, constructed exactly as the operators
     // build it (same pattern as the pageRank no-broadcast plan spec)
