@@ -503,14 +503,15 @@ object SparkEntry {
         .filter(col("rnk") <= 5)
         .orderBy("lang", "rnk")
     }),
-    // --- similarity: IVF coarse-quantizer ANN (rows-only: recall < 1 by
-    //     design; recall vs brute force is asserted in IvfSpec) ---
+    // --- similarity: IVF coarse-quantizer ANN. Training/assignment/probing
+    //     run in INTEGER-EXACT quantized algebra (Ivf.trainCentroidsQuantized),
+    //     so the whole pipeline — k-means included — carries a FULL
+    //     hash-match oracle (ivfTopkSql replays both Lloyd iterations in
+    //     SQL); recall vs brute force is still floor-asserted in IvfSpec ---
     "q_ann_topk_ivf" -> ((s, dir) => {
-      // nProbe=6/16 lists: measured recall@5 0.80 (ladder recorded in
-      // RecallFloorSpec: 0.60 at 4, 0.84 at 8 — the scan/recall dial)
       val e = t(s, dir, "embeddings")
-      graft.similarity.Ivf.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nLists = 16, nProbe = 6)
+      graft.similarity.Ivf.ivfTopKExact(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 7, iters = 8)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
@@ -2427,9 +2428,78 @@ object SparkEntry {
        |  SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bucket
        |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band) b)""".stripMargin
 
+  /** One unrolled Lloyd E/M iteration of the INTEGER-EXACT IVF trainer
+    * ([[graft.similarity.Ivf.trainCentroidsQuantized]]): assignment is the
+    * argmax of integer dot products (computed in DOUBLE, exact below 2^53),
+    * the mean is `floor(sum/count)` — bit-equal to the engine's
+    * `Math.floorDiv` long algebra. `prev` is the previous centroid CTE. */
+  private def ivfIterSql(n: Int, prev: String): String =
+    s"""d$n AS (
+       |  SELECT s.rnk, c.cid,
+       |    list_dot_product(list_transform(s.qv, x -> x::DOUBLE),
+       |                     list_transform(c.cv, x -> x::DOUBLE)) AS d
+       |  FROM smp s CROSS JOIN $prev c),
+       |a$n AS (
+       |  SELECT rnk, cid FROM (
+       |    SELECT rnk, cid, row_number() OVER (PARTITION BY rnk ORDER BY d DESC, cid ASC) AS rn
+       |    FROM d$n) WHERE rn = 1),
+       |m$n AS (
+       |  SELECT a.cid, p.i AS pos,
+       |    CAST(floor(CAST(sum(s.qv[p.i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+       |  FROM a$n a JOIN smp s ON s.rnk = a.rnk CROSS JOIN range(1, 65) p(i)
+       |  GROUP BY a.cid, p.i),
+       |c$n AS (
+       |  SELECT $prev.cid, coalesce(m.cv, $prev.cv) AS cv
+       |  FROM $prev LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS cv
+       |                        FROM m$n GROUP BY cid) m USING (cid))""".stripMargin
+
+  /** Full IVF twin: quantize → deterministic init (evenly spaced sample
+    * ranks) → eight exact E/M iterations → corpus assignment + query probes
+    * from the SAME integer dots → float cosine rerank like every other ANN
+    * oracle. Probe ties break to the HIGHER centroid index (cid DESC),
+    * mirroring the engine's reversed (score, index) struct sort. */
+  private lazy val ivfTopkSql: String =
+    s"""WITH smp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048)),
+       |sn AS (SELECT count(*) AS s FROM smp),
+       |c0 AS (
+       |  SELECT r.i AS cid, s.qv AS cv
+       |  FROM range(0, 16) r(i) JOIN smp s ON s.rnk = (r.i * (SELECT s FROM sn)) // 16),
+       |${(1 to 8).map(n => ivfIterSql(n, s"c${n - 1}")).mkString(",\n")},
+       |allq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ad AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_dot_product(list_transform(e.qv, x -> x::DOUBLE),
+       |                     list_transform(c.cv, x -> x::DOUBLE)) AS d
+       |  FROM allq e CROSS JOIN c8 c),
+       |asg AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |prb AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS pn
+       |    FROM ad WHERE vec_id < 10) WHERE pn <= 7),
+       |sc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS c
+       |  FROM prb p JOIN asg a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+       |  JOIN embeddings eq ON eq.vec_id = p.query_id
+       |  JOIN embeddings en ON en.vec_id = a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_topk_ivf" -> ivfTopkSql,
     // sign-LSH near-dup pairs: banded buckets from the mirrored signature;
     // hamming-1 multi-probe on one side == XOR of buckets in {0,1,2,4,8}
     "q_dedup_embedding_lsh" ->

@@ -245,6 +245,127 @@ object Ivf {
       .drop("__probe")
   }
 
+  /** INTEGER-EXACT spherical-ish k-means on the same deterministic sample
+    * rule as [[trainCentroids]] (first `sampleSize` rows by ascending id),
+    * re-expressed so an external SQL engine can replay training bit-for-bit
+    * (the md5-twin playbook applied to k-means — exact long algebra instead
+    * of drift-prone float means):
+    *
+    *  - components quantize once: `q6(x) = floor(x·1e6)` as a long (the
+    *    corpus embeddings are unit-norm, so inner-product assignment IS
+    *    cosine assignment and no per-vector normalization is needed);
+    *  - E-step: argmax of LONG dot products (≤ 64·1e12 per dot — no
+    *    overflow, no float rounding), ties to the lowest centroid index;
+    *  - M-step: component means as `floorDiv(Σ q6, count)` — exact
+    *    integer division, an empty list keeps its centroid.
+    *
+    * Every quantity is an integer below 2^53, so a DOUBLE-arithmetic SQL
+    * engine reproduces each step exactly; that is what graduates the IVF
+    * query from rows-only to a full hash-match oracle. Quantization moves
+    * centroids by ≤ 1e-6 per component vs float training — irrelevant to
+    * recall, decisive for reproducibility. */
+  def trainCentroidsQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iters: Int = 8,
+      sampleSize: Int = 2048
+  ): Array[Array[Long]] = {
+    val sample: Array[Array[Long]] = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e6).toLong))
+    require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(nLists)(i => sample((i * sample.length) / nLists).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Long](dim))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Long.MinValue; var i = 0
+        while (i < nLists) {
+          var dot = 0L; var d = 0
+          val c = centroids(i)
+          while (d < dim) { dot += c(d) * v(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = i } // strict >: first max wins ties
+          i += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(nLists) { i =>
+        if (counts(i) == 0) centroids(i) // empty list keeps its centroid
+        else sums(i).map(s => Math.floorDiv(s, counts(i).toLong))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Column: `q6`-quantized long components of a float vector — the same
+    * rounding an oracle applies (`floor(x::DOUBLE * 1e6)`). */
+  private def q6(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)))
+
+  /** Column: array of LONG dot products of the quantized `vec` against each
+    * quantized centroid (all codegen'd built-ins, row-local). */
+  private def centroidScoresLong(qvec: Column, centroids: Array[Array[Long]]): Column =
+    array(centroids.toIndexedSeq.map(c =>
+      aggregate(zip_with(qvec, typedLit(c.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)): _*)
+
+  /** End-to-end IVF top-k with INTEGER-EXACT training + assignment +
+    * probing ([[trainCentroidsQuantized]]): the coarse-quantizer routing is
+    * reproducible in plain SQL, so the whole query carries a full
+    * hash-match oracle; only the final rerank uses float cosine, rounded
+    * like every other ANN query. Same dataflow shape (and the same 100 TB
+    * story) as [[ivfTopK]]: assignment is a row-local argmax map, probes
+    * broadcast, candidates = corpus rows in probed lists only. */
+  def ivfTopKExact(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 6,
+      iters: Int = 8,
+      sampleSize: Int = 2048
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists)
+    val centroids = trainCentroidsQuantized(corpus, idCol, vecCol, nLists, iters, sampleSize)
+    val scores = centroidScoresLong(col("qv6"), centroids)
+    val assigned = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("qv6", q6(col("v")))
+      .withColumn("list_id", (array_position(scores, array_max(scores)) - 1).cast("int"))
+      .drop("qv6")
+    // nProbe best lists per query, ties to the HIGHER centroid index —
+    // the (score, index) struct sort reversed, mirrored by the oracle's
+    // ORDER BY dot DESC, cid DESC
+    val probeIdx = slice(
+      reverse(array_sort(zip_with(scores,
+        sequence(lit(0), lit(nLists - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))),
+      1, nProbe)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qv6", q6(col("qv")))
+      .withColumn("__probe", explode(probeIdx))
+      .withColumn("list_id", col("__probe.i").cast("int"))
+      .drop("__probe", "qv6")
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cosine"))
+    Similarity.topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
+  }
+
   /** End-to-end IVF top-k. Output schema matches
     * [[Similarity.bruteForceTopK]]: (query_id, rank, neighbor_id, cosine). */
   def ivfTopK(
