@@ -62,46 +62,21 @@ class CountMinSketchAgg(depth: Int, width: Int, md5Hash: Boolean = true)
     extends Aggregator[Option[Seq[String]], Array[Long], Seq[Long]] {
   require(depth >= 1 && width >= 1)
 
-  // Scale-path hash = EXACTLY what the Column expression
-  // `xxhash64(lit(j.toLong), key)` computes (seed 42, then the long row
-  // index, then the key bytes), so JVM-built counters and Column-space
-  // estimate lookups always agree — CmsSpec's est>=cnt assertion would
-  // catch any divergence as an underestimate.
-  private def bucket(j: Int, tok: String): Int =
-    if (md5Hash) (Md5Hash60.hash60(s"$j:$tok") % width).toInt
-    else {
-      import org.apache.spark.sql.catalyst.expressions.XXH64.{hashLong, hashUnsafeBytes}
-      val seedJ = hashLong(j.toLong, 42L)
-      val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seedJ)
-      java.lang.Math.floorMod(h, width.toLong).toInt
-    }
-
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(b: Array[Long], in: Option[Seq[String]]): Array[Long] = {
     in match {
       case Some(toks) if toks != null =>
         toks.foreach { tok =>
-          if (tok != null) {
-            var j = 0
-            while (j < depth) {
-              b(j * width + bucket(j, tok)) += 1L
-              j += 1
-            }
-          }
+          if (tok != null) CmsAlgebra.update(b, tok, depth, width, md5Hash)
         }
       case _ =>
     }
     b
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    CmsAlgebra.mergeInto(a, b)
 
   override def finish(b: Array[Long]): Seq[Long] = b.toSeq
 
@@ -115,6 +90,64 @@ object CountMinSketchAgg {
     implicit val inEnc: Encoder[Option[Seq[String]]] =
       ExpressionEncoder[Option[Seq[String]]]()
     udaf(new CountMinSketchAgg(depth, width, md5Hash)).apply(toks)
+  }
+}
+
+/** The counter algebra shared by [[CountMinSketchAgg]] and the streaming
+  * processor ([[graft.streaming.StreamingHeavyHitters.runningCmsRegisters]]).
+  * CMS is LINEAR — counters add — so shard sketches built from any
+  * partition of the stream sum to exactly the single-pass batch sketch:
+  * batch and streaming registers over the same tokens are BIT-IDENTICAL
+  * under any sharding and any micro-batch split (spec-asserted). */
+object CmsAlgebra {
+  /** Row-`j` bucket of `tok`. md5 path = the oracle-reproducible
+    * `hash60("j:tok") % width`; scale path = EXACTLY what the Column
+    * expression `xxhash64(lit(j.toLong), key)` computes (seed 42, then the
+    * long row index, then the key bytes), so JVM-built counters and
+    * Column-space estimate lookups always agree — CmsSpec's est>=cnt
+    * assertion would catch any divergence as an underestimate. */
+  def bucket(j: Int, tok: String, width: Int, md5Hash: Boolean): Int =
+    if (md5Hash) (Md5Hash60.hash60(s"$j:$tok") % width).toInt
+    else {
+      import org.apache.spark.sql.catalyst.expressions.XXH64.{hashLong, hashUnsafeBytes}
+      val seedJ = hashLong(j.toLong, 42L)
+      val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seedJ)
+      java.lang.Math.floorMod(h, width.toLong).toInt
+    }
+
+  /** mutates `regs` (length `depth*width`) in place with one observed token */
+  def update(regs: Array[Long], tok: String, depth: Int, width: Int,
+      md5Hash: Boolean): Unit = {
+    var j = 0
+    while (j < depth) {
+      regs(j * width + bucket(j, tok, width, md5Hash)) += 1L
+      j += 1
+    }
+  }
+
+  /** element-wise sum into `a` (commutative, associative — CMS linearity);
+    * width mismatch fails fast, same contract as [[HllAlgebra.mergeInto]] */
+  def mergeInto(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"CMS register size mismatch: ${a.length} vs ${b.length} (different depth*width)")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  /** point estimate: min over the depth rows (the CM upper bound) */
+  def estimate(regs: Array[Long], tok: String, depth: Int, width: Int,
+      md5Hash: Boolean): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      val c = regs(j * width + bucket(j, tok, width, md5Hash))
+      if (c < best) best = c
+      j += 1
+    }
+    best
   }
 }
 

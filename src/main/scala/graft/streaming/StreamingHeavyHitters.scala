@@ -117,4 +117,68 @@ object StreamingHeavyHitters {
       .agg(sum("count").as("count"), sum("error").as("error"))
       .orderBy(col("count").desc, col("item"))
       .limit(top)
+
+  final case class CmsUpdate(shard: Int, n: Long, regs: Array[Long])
+
+  /** Streaming Count-Min registers — state is the SAME flat
+    * `depth*width` counter array as the batch
+    * [[graft.functions.CountMinSketchAgg]] Aggregator, updated through
+    * the shared [[graft.functions.CmsAlgebra]]. CMS is linear (counters
+    * add), so the shard registers summed with
+    * [[mergedCmsRegisters]] equal the single-pass batch sketch
+    * BIT-FOR-BIT under any sharding and any micro-batch split
+    * (spec-asserted) — the count-estimate twin of
+    * [[StreamingDistinct]]'s HLL contract. SpaceSaving
+    * ([[runningHeavyHitters]]) remains the exact-top-k tracker; this is
+    * the point-estimate store behind ad-hoc "how often did X occur so
+    * far" probes with batch parity. */
+  final class CmsRegistersProcessor(depth: Int, width: Int, md5Hash: Boolean)
+      extends StatefulProcessor[Int, (Int, String), CmsUpdate] {
+    require(depth >= 1 && width >= 1)
+    @transient private var regsState: ValueState[Array[Long]] = _
+    @transient private var nState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      regsState = getHandle.getValueState[Array[Long]]("cms",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[CmsUpdate] = {
+      val regs = if (regsState.exists()) regsState.get()
+        else new Array[Long](depth * width)
+      var n = if (nState.exists()) nState.get() else 0L
+      rows.foreach { case (_, item) =>
+        graft.functions.CmsAlgebra.update(regs, item, depth, width, md5Hash)
+        n += 1
+      }
+      regsState.update(regs)
+      nState.update(n)
+      Iterator.single(CmsUpdate(shard, n, regs))
+    }
+  }
+
+  /** Front door: input frame needs an `item` (string; nulls dropped)
+    * column. Emits each shard's full register array per micro-batch
+    * (Update mode). Requires the RocksDB state-store provider. */
+  def runningCmsRegisters(df: DataFrame, depth: Int, width: Int,
+      md5Hash: Boolean = true, nShards: Int = 8): Dataset[CmsUpdate] = {
+    require(nShards >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("item").isNotNull)
+      .select(pmod(xxhash64(col("item")), lit(nShards)).cast("int").as("shard"),
+        col("item").cast("string"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CmsRegistersProcessor(depth, width, md5Hash),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Sum the latest per-shard register arrays into the global sketch —
+    * equals the batch Aggregator's registers exactly (CMS linearity). */
+  def mergedCmsRegisters(latest: Seq[Array[Long]], depth: Int, width: Int): Array[Long] =
+    latest.foldLeft(new Array[Long](depth * width))(graft.functions.CmsAlgebra.mergeInto)
 }

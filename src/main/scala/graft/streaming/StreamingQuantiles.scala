@@ -139,4 +139,72 @@ object StreamingQuantiles {
       .transformWithState(new GKQuantileProcessor(probs, eps),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** DDSketch-backed per-key streaming quantiles — state is the SAME
+    * bucket-count representation as the batch
+    * [[graft.functions.DDSketchQuantiles]] Aggregator (one
+    * [[graft.functions.DDSketchBuf]] per key), updated and read through
+    * the shared [[graft.functions.DdSketchAlgebra]]. Bucket-count
+    * addition is order-independent, so after any micro-batch split the
+    * per-key state — and every quantile read off it — is BIT-IDENTICAL
+    * to the single-pass batch aggregation over the same rows
+    * (spec-asserted), the property the order-dependent
+    * [[GKQuantileProcessor]] cannot offer. Use GK when the ε-rank bound
+    * per event matters; use this when batch/stream parity does. */
+  /** [[graft.functions.DDSketchBuf]] flattened to parallel arrays — the
+    * RocksDB state encoder (Avro) has no MapType, so the bucket maps are
+    * persisted as (index[], count[]) pairs and rebuilt on read, exactly
+    * like [[SSState]]/[[GKState]] flatten their sketches. */
+  final case class DDState(negIdx: Array[Int], negCnt: Array[Long], zero: Long,
+      posIdx: Array[Int], posCnt: Array[Long]) {
+    def toBuf: graft.functions.DDSketchBuf = graft.functions.DDSketchBuf(
+      negIdx.zip(negCnt).toMap, zero, posIdx.zip(posCnt).toMap)
+  }
+
+  object DDState {
+    def fromBuf(b: graft.functions.DDSketchBuf): DDState = {
+      val neg = b.neg.toArray.sortBy(_._1)
+      val pos = b.pos.toArray.sortBy(_._1)
+      DDState(neg.map(_._1), neg.map(_._2), b.zero, pos.map(_._1), pos.map(_._2))
+    }
+  }
+
+  final class DDQuantileProcessor(probs: Seq[Double], alpha: Double)
+      extends StatefulProcessor[String, (String, Double), QuantileUpdate] {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+    require(alpha > 0 && alpha < 1)
+    @transient private var state: ValueState[DDState] = _
+    @transient private lazy val lnGamma =
+      math.log(graft.functions.DdSketchAlgebra.gammaOf(alpha))
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DDState]("dd",
+        Encoders.product[DDState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: TimerValues): Iterator[QuantileUpdate] = {
+      val alg = graft.functions.DdSketchAlgebra
+      var buf = if (state.exists()) state.get().toBuf
+        else graft.functions.DDSketchBuf(Map.empty, 0L, Map.empty)
+      rows.foreach { case (_, v) => buf = alg.update(buf, v, lnGamma) }
+      state.update(DDState.fromBuf(buf))
+      val n = alg.totalCount(buf)
+      val qs = alg.quantiles(buf, probs, alpha)
+      probs.iterator.zip(qs.iterator).map { case (p, v) => QuantileUpdate(key, n, p, v) }
+    }
+  }
+
+  /** Front door for [[DDQuantileProcessor]]: same input/output contract
+    * as [[runningGroupQuantiles]], with batch-bit-identical state. */
+  def runningGroupQuantilesDD(df: DataFrame, probs: Seq[Double],
+      alpha: Double = 0.01): Dataset[QuantileUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("value").isNotNull)
+      .select(col("key").cast("string"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new DDQuantileProcessor(probs, alpha),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
