@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder evidence run: measures the heavy-tail queries at sf0.1 and
+  * at a generated sf1-scale replica (10× rows), so the "survives a scale-up"
+  * claims in BASELINE.md are measured growth exponents, not plan-reading.
+  *
+  * The sf1 replica derives ONLY from the driver-shipped sf0.1 fixtures
+  * (10 deterministic copies; nothing synthesized from outside the fixture):
+  *
+  *  - `lineitem`: copy `c` shifts `l_orderkey` by `c·200000` (disjoint
+  *    order space — orders are per-copy, as in TPC-H where orders never
+  *    repeat) and `l_partkey` by `c·7400` (~37% of the 20k part space):
+  *    overlapping part intervals make copies SHARE part nodes, so the
+  *    co-purchase graph grows CONNECTED (~4.3× nodes, 10× edges) instead
+  *    of falling apart into 10 islands that a single-source BFS/PPR would
+  *    never traverse.
+  *  - `documents`: copy `c` shifts `doc_id` by `c·5000` and suffixes every
+  *    token with `_c<c>` (c>0), so shingles never collide across copies:
+  *    pure weak scaling — per-copy dedup workload identical to sf0.1,
+  *    total workload 10× — without manufacturing 10-way duplicate cliques
+  *    that no real corpus at sf1 would contain.
+  *
+  * Methodology matches [[Bench]]: warm-up run per query (steady-state
+  * codegen), then 3 timed runs, per-query MEDIANS; materialization via
+  * `toRdd.count` so computed projections aren't pruned. One JSON line per
+  * scale plus a final summary line with the sf1/sf0.1 growth ratio per
+  * query (ideal ≤ ~10 for 10× data; >> 10 flags super-linear work). */
+object ScaleLadder {
+
+  private val Copies = 10
+  private val HeavyTail = Seq(
+    "q_pagerank", "q_ppr", "q_bfs_hops", "q_triangles",
+    "q_dedup_clusters", "q_dedup_ngram_jaccard")
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val liCopies = (0 until Copies).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 200000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * 7400L))
+    }.reduce(_ unionByName _)
+    liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val docCopies = (0 until Copies).map { c =>
+      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(c * 5000L))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1_c" + c))
+    }.reduce(_ unionByName _)
+    docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val sf1Dir = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$sf1Dir/lineitem.parquet").isDirectory) {
+      System.err.println(s"[ladder] generating sf1 replica at $sf1Dir")
+      generate(spark, srcDir, sf1Dir)
+    }
+
+    def d2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+    def benchAt(dir: String): Map[String, Double] = {
+      val qs = HeavyTail.map(n => n -> SparkEntry.queries(n))
+      // warm-up at the measured dir: steady-state codegen, AQE-final plans
+      qs.foreach { case (n, fn) =>
+        try run(fn(spark, dir))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[ladder] warm-up $n FAILED at $dir: ${e.getMessage}") }
+      }
+      val meds = qs.map { case (n, fn) =>
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run(fn(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        n -> median(times)
+      }.toMap
+      val line = meds.map { case (k, v) => "\"" + k + "\":" + d2(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"ladder","sf":"$dir","queries":$line}""")
+      meds
+    }
+
+    val at01 = benchAt(srcDir)
+    val at1 = benchAt(sf1Dir)
+    val ratios = HeavyTail.map { n =>
+      "\"" + n + "\":" + d2(at1(n) / math.max(at01(n), 1e-9))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"ladder_ratio_sf1_over_sf01","data_ratio":$Copies,"queries":$ratios}""")
+    spark.stop()
+  }
+}
