@@ -860,6 +860,108 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum(col("bal")).cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2 shape over the DERIVED partsupp (Tables.partsupp — the
+      // fixture set ships no partsupp; both engines reconstruct it from
+      // part × supplier with identical integer arithmetic). Correlated
+      // min-supplycost subquery decorrelated into a part-keyed min joined
+      // back; every dimension side (region⋈nation⋈supplier, filtered part)
+      // is broadcast, so the only shuffle is partsupp's groupBy — which at
+      // 100 TB is still |part|×4, the small side of the schema.
+      val euSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = t(s, dir, "part")
+        .filter(col("p_type") === "SMALL" && col("p_size") <= 25)
+        .select("p_partkey", "p_brand")
+      val euPs = graft.sources.Tables.partsupp(s, dir)
+        .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      val minCost = euPs.groupBy(col("ps_partkey").as("m_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      euPs.join(broadcast(minCost),
+          col("ps_partkey") === col("m_partkey") && col("ps_supplycost") === col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+    "q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 shape: per-part stock value among EUROPE suppliers vs a
+      // group-total threshold. The fraction must scale with SF (TPC-H uses
+      // 0.0001/SF for exactly this reason), so the gate is SF-invariant:
+      // value > 2× the group MEAN per part. Decimal-exact products keep the
+      // sums order-independent, and the comparison is cross-multiplied
+      // (sv·nparts > 2·total) so no engine-specific decimal division runs.
+      val euSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val euPs = graft.sources.Tables.partsupp(s, dir)
+        .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost").cast("decimal(12,2)") * col("ps_availqty")).as("v"))
+      val tot = euPs.agg(sum(col("v")).as("total"),
+        countDistinct(col("ps_partkey")).as("nparts"))
+      euPs.groupBy("ps_partkey").agg(sum(col("v")).as("sv"))
+        .crossJoin(broadcast(tot))
+        .filter(col("sv") * col("nparts") > col("total") * 2)
+        .select(col("ps_partkey"), col("sv").cast("double").as("stock_value"))
+        .orderBy("ps_partkey")
+    }),
+    "q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+      // with an anti-joined supplier exclusion list (negative balance stands
+      // in for dbgen's comment-complaints filter — the fixture supplier has
+      // no comment column). Part filter and exclusion list broadcast; the
+      // only shuffle is the distinct-count aggregation.
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "ECONOMY" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      graft.sources.Tables.partsupp(s, dir)
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    "q20_excess_stock" -> ((s, dir) => {
+      // TPC-H Q20 shape: suppliers in EUROPE whose available qty of some
+      // red part exceeds half of what they shipped of it in 1996. The
+      // correlated per-(part,supplier) sum decorrelates into one keyed agg
+      // of the FILTERED fact table (year + semi-join on red parts pushes
+      // the scan down before the shuffle); partsupp joins it on the pair
+      // key. NULL-sum semantics (no 1996 shipments → excluded) fall out of
+      // the inner join, matching the SQL comparison-with-NULL.
+      val redParts = t(s, dir, "part").filter(col("p_name").like("red%")).select("p_partkey")
+      val shipped = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty96"))
+      val candidates = graft.sources.Tables.partsupp(s, dir)
+        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > lit(0.5) * col("qty96"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(candidates, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    }),
     "q_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -2498,6 +2600,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB mirror of [[graft.sources.Tables.partsupp]] — the derived
+    * partsupp relation, reconstructed from part × supplier with the exact
+    * same integer arithmetic (`//` is DuckDB's integer division = Spark's
+    * `div`), so the oracle and the engine materialize bit-identical rows
+    * from the same parquet inputs. */
+  private val psCte: String =
+    """WITH ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 4 + i + p_partkey // s_cnt) % s_cnt AS ps_suppkey
+      |  FROM part
+      |  CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier)
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+      |), partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |         (ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
+      |         ((ps_partkey * 31 + ps_suppkey * 17) % 20000) / 100.0 + 1.0 AS ps_supplycost
+      |  FROM ps0
+      |)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_topk_ivf" -> ivfTopkSql,
     // sign-LSH near-dup pairs: banded buckets from the mirrored signature;
@@ -3247,6 +3369,54 @@ object SparkEntry {
         |    FROM customer c2 WHERE c2.c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2_min_cost_supplier" -> (psCte +
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        |FROM partsupp
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN part ON ps_partkey = p_partkey AND p_type = 'SMALL' AND p_size <= 25
+        |WHERE ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+        |    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+        |    WHERE ps2.ps_partkey = partsupp.ps_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin),
+    "q11_important_stock" -> (psCte +
+      """, eu_ps AS (
+        |  SELECT ps_partkey, CAST(ps_supplycost AS DECIMAL(12,2)) * ps_availqty AS v
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |), tot AS (SELECT sum(v) AS total, count(DISTINCT ps_partkey) AS nparts FROM eu_ps)
+        |SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS stock_value
+        |FROM eu_ps CROSS JOIN tot
+        |GROUP BY ps_partkey, total, nparts
+        |HAVING sum(v) * nparts > total * 2
+        |ORDER BY ps_partkey""".stripMargin),
+    "q16_supplier_cnt" -> (psCte +
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q20_excess_stock" -> (psCte +
+      """SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > 0.5 * (
+        |          SELECT sum(l_quantity) FROM lineitem
+        |          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |            AND year(l_shipdate) = 1996))
+        |ORDER BY s_name""".stripMargin),
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -126,9 +126,14 @@ object Profiler {
       if (n(ci) == 0) Nil
       else probs.indices.flatMap { i =>
         val e = est(ci)(i)
+        // DDSketch guarantees e ∈ [x_r(1-α), x_r(1+α)]; the inverted
+        // interval for the TRUE rank-r value is x_r ∈ [e/(1+α), e/(1-α)].
+        // (e·(1±α) is NOT equivalent: e·(1+α) < e/(1-α), i.e. strictly
+        // tighter than the contract — it flaked on small-n discrete
+        // columns where the bucket midpoint sits near a value boundary.)
         Seq(
-          count(when(x < e * (1 - alpha), 1)).as(s"__lo_${ci}_$i"),
-          count(when(x <= e * (1 + alpha), 1)).as(s"__hi_${ci}_$i"))
+          count(when(x < e / (1 + alpha), 1)).as(s"__lo_${ci}_$i"),
+          count(when(x <= e / (1 - alpha), 1)).as(s"__hi_${ci}_$i"))
       }
     }
     val second = if (checks.isEmpty) null else df.agg(checks.head, checks.tail: _*).head()
