@@ -247,6 +247,13 @@ object SparkEntry {
         blockWords = 5)
         .orderBy("doc_id")
     }),
+    "q_dedup_substring" -> ((s, dir) => {
+      // ExactSubstr removal (Lee et al.): cut every char span covered by a
+      // duplicated 40-byte gram; oracle rebuilds the cover per character
+      graft.dedup.Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 40)
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       graft.dedup.Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5)
@@ -2816,6 +2823,32 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_substring" ->
+      // independent per-character reconstruction of the duplicated-gram
+      // cover: flag every 1-based start whose 40-char gram repeats
+      // corpus-wide, mark covered characters, rebuild the kept text and
+      // count maximal removed intervals via a lag() island boundary
+      """WITH pos AS (
+        |  SELECT doc_id, i, substr(text, i, 40) AS gram
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 39, 0))) AS i)
+        |), dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |starts AS (SELECT p.doc_id, p.i FROM pos p JOIN dup d USING (gram)),
+        |chars AS (
+        |  SELECT d.doc_id, j, substr(d.text, j, 1) AS ch,
+        |    EXISTS (SELECT 1 FROM starts s
+        |            WHERE s.doc_id = d.doc_id AND s.i <= j AND j < s.i + 40) AS cov
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(generate_series(1, length(d.text))) AS j)
+        |), c2 AS (
+        |  SELECT *, coalesce(lag(cov) OVER (PARTITION BY doc_id ORDER BY j), false) AS prev
+        |  FROM chars
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT cov THEN ch END, '' ORDER BY j), '') AS clean_text,
+        |  CAST(sum(CASE WHEN cov AND NOT prev THEN 1 ELSE 0 END) AS INT) AS n_spans,
+        |  CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS INT) AS n_removed
+        |FROM c2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_paragraph" ->
       // independent reimplementation of the first-occurrence-wins span
       // dedup + reassembly: same 5-word blocks, same (doc_id, block idx)

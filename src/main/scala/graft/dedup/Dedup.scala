@@ -835,6 +835,57 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Exact-substring REMOVAL (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    * pass, re-expressed Spark-first): cut every CHARACTER span covered by
+    * a k-byte gram occurring ≥ `minOccurrences` times corpus-wide, and
+    * return the cleaned documents. The character-granular removal twin of
+    * [[duplicatedSpans]] (which reports token spans).
+    *
+    * The paper builds one corpus-wide suffix array — a single-machine
+    * construction. Here the same cover falls out of relational pieces:
+    * positional XXH64 byte-gram hashes (one codegen pass per doc,
+    * [[graft.functions.SpanOps.charGramHashes]]) → ONE corpus-wide
+    * shuffle keyed by the 8-byte gram hash (map-side combined) → dup
+    * start positions collected per doc (sorted array, bounded by doc
+    * length) → spans merged and cut row-locally by the
+    * [[graft.functions.SpanOps.cutSpans]] kernel. A repeat of length
+    * L ≥ k duplicates all its L−k+1 constituent k-grams, which merge
+    * back into the full span — so the removed cover equals the union of
+    * all length-≥k repeats, exactly what the suffix array finds; sub-k
+    * repeats are ignored by construction (the paper's own threshold).
+    * All copies of a repeat are removed, as in the paper. Hash collisions
+    * (~1e-14 per corpus slice) can only add a span, never drop one. Byte
+    * positions equal char positions on ASCII (documented approximation,
+    * as with winnowing/CDC).
+    *
+    * Returns (id, clean_text, n_spans, n_removed), one row per input doc. */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 40,
+      minOccurrences: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(k > 0 && minOccurrences >= 2, "k > 0, minOccurrences >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol),
+      posexplode(graft.functions.char_gram_hashes(col(textCol), k, seed))
+        .as(Seq("__p0", "__h")))
+    val dupStarts = pos
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__c") >= minOccurrences)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__p0").cast("long"))).as("__starts"))
+    df.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.cut_spans(col(textCol),
+          coalesce(col("__starts"), array().cast("array<bigint>")), k).as("__cut"))
+      .select(col(idCol), col("__cut.clean_text").as("clean_text"),
+        col("__cut.n_spans").as("n_spans"), col("__cut.n_removed").as("n_removed"))
+  }
+
   /** Brute-force cosine pairs (oracle/baseline; O(n²) — small inputs only). */
   def embeddingNearDupBrute(
       df: DataFrame,

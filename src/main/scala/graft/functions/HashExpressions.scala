@@ -590,3 +590,125 @@ case class SimHash64Md5(child: Expression) extends UnaryExpression {
 
   protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
+
+/** Kernels for exact-substring (character-span) dedup — the Lee et al.
+  * ("Deduplicating Training Data Makes Language Models Better",
+  * arXiv:2107.06499, public) ExactSubstr family, re-expressed for Spark:
+  * instead of a corpus-wide suffix array (a single-machine construction),
+  * every k-byte gram is hashed positionally in one pass per document; the
+  * corpus-wide duplicate-gram set falls out of ONE hash-keyed groupBy
+  * (8-byte shuffle keys, map-side partial aggregation), and covered spans
+  * are cut back out row-locally. Byte positions equal char positions on
+  * ASCII (same documented approximation as [[HashOps.winnow]]/
+  * [[HashOps.cdcCuts]]). */
+object SpanOps {
+
+  /** POSITIONAL k-byte-gram hashes: out(i) = XXH64 of bytes [i, i+k).
+    * One allocation-bounded pass; empty result when the doc is shorter
+    * than one gram. */
+  def charGramHashes(s: UTF8String, k: Int, seed: Long): ArrayData = {
+    val n = s.numBytes()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val g = n - k + 1
+    val out = new Array[Long](g)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    while (i < g) { out(i) = XXH64.hashUnsafeBytes(base, off + i, k, seed); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Cut every byte span `[p, p+k)` for the SORTED ascending 0-based
+    * `starts` out of `s`; overlapping/adjacent spans merge into maximal
+    * intervals first. Returns `struct(clean_text, n_spans, n_removed)` —
+    * the kept bytes in order, the number of maximal removed intervals,
+    * and the number of bytes removed. Row-local, O(n + |starts|). */
+  def cutSpans(s: UTF8String, starts: ArrayData, k: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numBytes()
+    val m = starts.numElements()
+    if (m == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(s, 0, 0)
+    val bytes = s.getBytes
+    val out = new Array[Byte](n)
+    var w = 0          // write cursor into out
+    var read = 0       // next uncut byte
+    var nSpans = 0
+    var removed = 0
+    var i = 0
+    while (i < m) {
+      var lo = starts.getLong(i).toInt
+      var hi = math.min(lo + k, n) // exclusive
+      // absorb every start overlapping/extending the current interval
+      while (i + 1 < m && starts.getLong(i + 1).toInt <= hi) {
+        i += 1
+        hi = math.min(math.max(hi, starts.getLong(i).toInt + k), n)
+      }
+      if (lo < read) lo = read // defensive: unsorted input cannot double-cut
+      if (lo < hi) {
+        val keep = lo - read
+        if (keep > 0) { System.arraycopy(bytes, read, out, w, keep); w += keep }
+        nSpans += 1
+        removed += hi - lo
+        read = hi
+      }
+      i += 1
+    }
+    if (read < n) { System.arraycopy(bytes, read, out, w, n - read); w += n - read }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromBytes(java.util.Arrays.copyOf(out, w)), nSpans, removed)
+  }
+}
+
+/** `char_gram_hashes(string) -> array<long>` — positional k-byte-gram
+  * XXH64 hashes (codegen'd via static call). */
+case class CharGramHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0, "gram length must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_gram_hashes"
+
+  protected override def nullSafeEval(s: Any): Any =
+    SpanOps.charGramHashes(s.asInstanceOf[UTF8String], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SpanOps.charGramHashes($c, $k, ${seed}L);")
+
+  protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `cut_spans(string, array<long>) -> struct(clean_text, n_spans,
+  * n_removed)` — remove every k-byte span starting at the given sorted
+  * 0-based positions, merging overlaps (codegen'd via static call). */
+case class CutSpans(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k > 0, "gram length must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<bigint>), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cut_spans"
+
+  protected override def nullSafeEval(s: Any, starts: Any): Any =
+    SpanOps.cutSpans(s.asInstanceOf[UTF8String], starts.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SpanOps.cutSpans($a, $b, $k);")
+
+  protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}

@@ -47,6 +47,16 @@ package object functions {
   def winnow_fingerprints(text: Column, k: Int = 7, w: Int = 4, seed: Long = 42L): Column =
     col(WinnowFingerprints(expr(text), k, w, seed))
 
+  /** Positional k-byte-gram XXH64 hashes of a string (one pass; element i
+    * hashes bytes [i, i+k)). The gram index of exact-substring dedup. */
+  def char_gram_hashes(text: Column, k: Int, seed: Long = 42L): Column =
+    col(CharGramHashes(expr(text), k, seed))
+
+  /** Cut every k-byte span starting at the sorted 0-based `starts` out of
+    * `text`, merging overlaps → struct(clean_text, n_spans, n_removed). */
+  def cut_spans(text: Column, starts: Column, k: Int): Column =
+    col(CutSpans(expr(text), expr(starts), k))
+
   /** Content-defined chunking cut positions (Rabin-style rolling hash,
     * window `w` bytes, cut where hash % d == 0 → ~d-byte chunks). */
   def cdc_boundaries(text: Column, w: Int = 16, d: Int = 64): Column =
