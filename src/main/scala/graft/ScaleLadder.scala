@@ -33,7 +33,11 @@ object ScaleLadder {
   private val Copies = 10
   private val HeavyTail = Seq(
     "q_pagerank", "q_ppr", "q_bfs_hops", "q_triangles",
-    "q_dedup_clusters", "q_dedup_ngram_jaccard")
+    "q_dedup_clusters", "q_dedup_ngram_jaccard",
+    // ExactSubstr removal: the `_c<c>` token suffixes shift its char grams
+    // too, so copies never share 40-grams — pure weak scaling like the
+    // other dedup entries
+    "q_dedup_substring")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")

@@ -36,6 +36,18 @@ class PartsuppSpec extends SparkSpec {
     } finally ps.unpersist()
   }
 
+  test("the TPC-H partsupp queries keep every dimension join broadcast") {
+    // the claim in SparkEntry: partsupp is the ONLY shuffled side — every
+    // region/nation/supplier/part join is a broadcast hash join, so no
+    // sort-merge exchange appears anywhere in the four plans
+    for (q <- Seq("q2_min_cost_supplier", "q11_important_stock",
+        "q16_supplier_cnt", "q20_excess_stock")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: dimension join fell back to sort-merge:\n$plan")
+    }
+  }
+
   test("partsupp derivation is deterministic across evaluations") {
     val a = graft.sources.Tables.partsupp(spark, dir)
     val b = graft.sources.Tables.partsupp(spark, dir)

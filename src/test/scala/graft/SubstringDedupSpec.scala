@@ -68,6 +68,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(removed === 90 && clean === "S-tail-only-here")
   }
 
+  test("matches a brute-force reference on random binary-alphabet corpora") {
+    // alphabet {a, b} with k=6 forces dense duplication, overlap chains,
+    // and whole-doc covers — the adversarial shapes for interval merging
+    val rnd = new scala.util.Random(20260814L)
+    val kk = 6
+    def brute(docs: Seq[(Long, String)]): Seq[(Long, String, Int, Int)] = {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, t) <- docs; i <- 0 to t.length - kk)
+        counts.updateWith(t.substring(i, i + kk))(c => Some(c.getOrElse(0) + 1))
+      docs.map { case (id, t) =>
+        val covered = new Array[Boolean](t.length)
+        for (i <- 0 to t.length - kk; if counts(t.substring(i, i + kk)) >= 2;
+             j <- i until i + kk) covered(j) = true
+        val clean = t.indices.collect { case j if !covered(j) => t(j) }.mkString
+        val spans = t.indices.count(j => covered(j) && (j == 0 || !covered(j - 1)))
+        (id, clean, spans, covered.count(identity))
+      }
+    }
+    for (trial <- 1 to 5) {
+      val docs = (1L to 12L).map(id =>
+        id -> Seq.fill(5 + rnd.nextInt(40))(if (rnd.nextBoolean()) 'a' else 'b').mkString)
+      val got = run(docs, k = kk).toSeq
+      assert(got === brute(docs), s"trial $trial mismatch")
+    }
+  }
+
   test("hash-keyed grouping matches exact substring grouping on the fixture") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val viaHash = graft.dedup.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = k)
