@@ -767,6 +767,42 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("o_year")
     }),
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (product-type profit) over the DERIVED partsupp:
+      // profit = revenue - supply cost, per supplier nation x order year,
+      // for parts whose name carries a color token. The composite-key join
+      // lineitem->(ps_partkey, ps_suppkey) runs FIRST because it is the
+      // selective one (only lineitems whose supplier is one of the part's 4
+      // derived suppliers survive); the red-filtered partsupp side is
+      // |red parts|x4 rows — a broadcast dim at any SF where part fits a
+      // dim table, and an AQE shuffle join beyond that. The only keyed
+      // exchange is the survivors->orders join. Decimal(15,2) arithmetic
+      // keeps the profit sum order-independent; cast to double at the end.
+      val redPs = graft.sources.Tables.partsupp(s, dir)
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%red%")).select("p_partkey")),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          col("ps_supplycost").cast("decimal(15,2)").as("cost"))
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"),
+        col("l_quantity").cast("decimal(15,2)").as("qty"))
+      l.join(broadcast(redPs),
+          col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("rev") - col("cost") * col("qty")).cast("double").as("sum_profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
     "q12_priority_class" -> ((s, dir) => {
       // TPC-H Q12 shape: line class vs order criticality — one keyed join,
       // two conditional counts (l_linestatus stands in for l_shipmode, which
@@ -3348,6 +3384,19 @@ object SparkEntry {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" -> (psCte +
+      """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))
+        |           - ps_supplycost::DECIMAL(15,2) * l_quantity::DECIMAL(15,2)) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin),
     "q12_priority_class" ->
       """SELECT l_linestatus,
         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,

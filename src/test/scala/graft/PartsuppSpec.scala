@@ -48,6 +48,19 @@ class PartsuppSpec extends SparkSpec {
     }
   }
 
+  test("q9 keeps every dimension side broadcast; only orders may shuffle") {
+    // Q9's selective composite-key join (lineitem -> red partsupp) plus the
+    // supplier/nation dims are all broadcast; the single permissible keyed
+    // exchange is survivors -> orders (which AQE may also broadcast at
+    // small SF, hence <= 1 rather than == 1)
+    val plan = SparkEntry.queries("q9_product_profit")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nSmj <= 1, s"q9: ${nSmj} sort-merge joins (only orders may shuffle):\n$plan")
+    assert(nBhj >= 4, s"q9: expected >=4 broadcast joins, saw $nBhj:\n$plan")
+  }
+
   test("partsupp derivation is deterministic across evaluations") {
     val a = graft.sources.Tables.partsupp(spark, dir)
     val b = graft.sources.Tables.partsupp(spark, dir)
