@@ -316,6 +316,25 @@ object SparkEntry {
           round(-col("neg_dist"), 6).as("l2"))
         .orderBy("query_id", "rank")
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive-training prep: for each query vector, the 5 closest
+      // vectors with a DIFFERENT label (hard negatives). Same broadcast +
+      // pre-shuffle-heap shape as q_ann_topk.
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Similarity.hardNegativesTopK(
+          e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neg_label"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup: pairwise cosine confined WITHIN each cluster (here the
+      // embedding's label column stands in for the k-means assignment);
+      // dup = some smaller-id same-cluster vector within tau = 0.35.
+      graft.dedup.Dedup.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.35)
+        .orderBy("vec_id")
+    }),
     "q_media_features" -> ((s, dir) => {
       // REAL header decode: deterministic PNG/JPEG/WAV container bytes are
       // synthesized per doc, then parsed back by the pure-JVM
@@ -1865,6 +1884,11 @@ object SparkEntry {
     // --- round 3: Zipf's-law corpus health fit ---
     "q_zipf" -> ((s, dir) =>
       graft.text.TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topK = 1000)),
+    "q_bpe_pairs" -> ((s, dir) =>
+      // the BPE tokenizer-training kernel: adjacent char-pair counts
+      // weighted by word frequency, over the vocabulary table (the corpus
+      // collapses to word counts first — the 100 TB shape)
+      graft.text.TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", topN = 30)),
     // --- round 3: trailing-7-day distinct users per day (explode, not
     //     per-day self-joins) ---
     "q_sliding_dau" -> ((s, dir) => {
@@ -3164,6 +3188,25 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
         |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nl,
+        |  list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q CROSS JOIN embeddings e WHERE e.label != q.ql),
+        |r AS (SELECT query_id, neighbor_id, nl, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, rank::INT AS rank, neighbor_id, nl AS neg_label, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_semdedup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |drp AS (SELECT idb AS vec_id, min(ida) AS nn_id FROM p WHERE c >= 0.35 GROUP BY 1)
+        |SELECT e.vec_id, e.label AS cluster, (d.vec_id IS NOT NULL) AS is_dup, d.nn_id
+        |FROM embeddings e LEFT JOIN drp d ON e.vec_id = d.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "q_ann_topk_l2" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -4588,6 +4631,12 @@ object SparkEntry {
         |  round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
         |  round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept
         |FROM rk""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w0 WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest(range(1, length(w))) AS gs, w, wc FROM wc),
+        |agg AS (SELECT substr(w, gs::INT, 2) AS pair, sum(wc)::BIGINT AS n FROM p GROUP BY 1)
+        |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "q_sliding_dau" ->
       """WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
         |  FROM events WHERE user_id IS NOT NULL),

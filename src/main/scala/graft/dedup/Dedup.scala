@@ -903,4 +903,39 @@ object Dedup {
       .select(col("ida"), col("idb"), cosine_sim(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at the
+    * CLUSTER level — pairwise cosine is computed only WITHIN each cluster
+    * of a prior partitioning (k-means assignment, or any label column), so
+    * the quadratic term is bounded per cluster instead of corpus-wide. A
+    * vector is a duplicate iff some same-cluster vector with a smaller id
+    * sits within `tau` cosine of it (the paper's keep-one-representative
+    * greedy, made deterministic by the id order).
+    *
+    * Scale shape: one keyed self-join on the cluster id — each cluster's
+    * pairs are generated inside its own shuffle partition, never across.
+    * At 100 TB the operator's contract is that k grows with the corpus
+    * (SemDeDup uses ~100k clusters for LAION-scale) so per-cluster
+    * membership stays bounded; the cluster assignment itself is
+    * [[graft.similarity.Similarity.kmeansAssign]]'s broadcast-centroid
+    * map pass. Output: every input id with its cluster, an `is_dup` flag,
+    * and `nn_id` — the smallest-id retained neighbor that shadows it
+    * (null for keepers). */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      tau: Double
+  ): DataFrame = {
+    val a = emb.select(col(clusterCol).as("__ca"), col(idCol).as("ida"), col(vecCol).as("va"))
+    val b = emb.select(col(clusterCol).as("__cb"), col(idCol).as("idb"), col(vecCol).as("vb"))
+    val shadowed = a.join(b, col("__ca") === col("__cb") && col("ida") < col("idb"))
+      .filter(cosine_sim(col("va"), col("vb")) >= tau)
+      .groupBy(col("idb").as("__vid"))
+      .agg(min(col("ida")).as("nn_id"))
+    emb.select(col(idCol), col(clusterCol).as("cluster"))
+      .join(shadowed, col(idCol) === col("__vid"), "left_outer")
+      .select(col(idCol), col("cluster"), col("nn_id").isNotNull.as("is_dup"), col("nn_id"))
+  }
 }

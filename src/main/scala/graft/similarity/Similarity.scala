@@ -41,6 +41,40 @@ object Similarity {
     topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the k most-similar corpus vectors carrying a DIFFERENT label — the
+    * "hard" negatives that sit close in embedding space but belong to
+    * another class, which is exactly the pair set contrastive losses
+    * (InfoNCE, triplet) learn most from.
+    *
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, corpus
+    * streams through map tasks once, the bounded-heap aggregate reduces
+    * each partition to ≤ k rows per query BEFORE the shuffle. The negative
+    * label is re-attached afterwards by broadcasting the tiny
+    * |queries| × k result back against the corpus — the corpus side is
+    * never shuffled. */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col(labelCol).as("__nl"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val scored = c.join(broadcast(q), col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cosine"))
+    val tk = topKByKey(scored, "query_id", "cosine", "neighbor_id", k)
+    corpus.select(col(idCol).as("__lid"), col(labelCol).as("neg_label"))
+      .join(broadcast(tk), col("__lid") === col("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("cosine"))
+  }
+
   /** Per-key exact top-k of a scored frame via the heap aggregate; output
     * ranks match `row_number() OVER (PARTITION BY key ORDER BY score DESC,
     * id)` exactly. */

@@ -516,4 +516,83 @@ object TextAnalysis {
         round(regr_slope(log(col("freq")), log(col("rank"))), 6).as("slope"),
         round(regr_intercept(log(col("freq")), log(col("rank"))), 6).as("intercept"))
   }
+
+  /** The BPE merge-step statistic — the inner kernel of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
+    * frequency of every adjacent character pair, weighted by word
+    * frequency, top `topN`. At 100 TB this is the pass that dominates each
+    * training round, and its shape here is the one that scales: the corpus
+    * collapses to the WORD-FREQUENCY table first (one map-side-combined
+    * shuffle over tokens — vocabulary-sized output, orders of magnitude
+    * smaller than the corpus), then pair explosion runs over the
+    * vocabulary only, never the raw text. */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 30): org.apache.spark.sql.DataFrame = {
+    val wc = df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2) // sequence(1, len-1) needs len >= 2
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    wc.select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Full BPE tokenizer training: `nMerges` greedy rounds, each picking the
+    * most frequent adjacent SYMBOL pair (count desc, then lexicographic —
+    * deterministic) and merging its non-overlapping left-to-right
+    * occurrences in every word. Returns the learned merge table
+    * `(rank, left, right, n)` — the tokenizer artifact.
+    *
+    * Distribution: the corpus is read ONCE into the cached word-frequency
+    * table; every round after that is (a) one vocabulary-sized pair count
+    * (map-side combined), (b) a 1-row driver argmax, (c) a row-local
+    * merge rewrite of the symbol arrays. The merge kernel is the
+    * fold `out + s`, replacing `out`'s tail when `(last(out), s)` equals
+    * the chosen pair — exactly greedy non-overlapping (a merged symbol
+    * `left||right` can never equal `left` again since `right` is
+    * non-empty), expressed as a codegen'd `aggregate` HOF, no UDF. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("wc"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val merged = words.select(aggregate(col("syms"),
+            lit(Array.empty[String]).cast("array<string>"),
+            (out, s) => when(
+              size(out) > 0 && element_at(out, -1) === lit(l) && s === lit(r),
+              concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+              .otherwise(concat(out, array(s)))).as("syms"),
+          col("wc")).cache()
+        merged.count() // materialize before dropping the parent
+        words.unpersist()
+        words = merged
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "n")
+  }
 }
