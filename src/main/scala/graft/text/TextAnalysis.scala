@@ -579,12 +579,7 @@ object TextAnalysis {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, n))
-        val merged = words.select(aggregate(col("syms"),
-            lit(Array.empty[String]).cast("array<string>"),
-            (out, s) => when(
-              size(out) > 0 && element_at(out, -1) === lit(l) && s === lit(r),
-              concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
-              .otherwise(concat(out, array(s)))).as("syms"),
+        val merged = words.select(mergePair(col("syms"), l, r).as("syms"),
           col("wc")).cache()
         merged.count() // materialize before dropping the parent
         words.unpersist()
@@ -594,5 +589,39 @@ object TextAnalysis {
     }
     words.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** Greedy non-overlapping left-to-right merge of one symbol pair inside
+    * a symbol array — the shared BPE kernel ([[bpeTrain]] round rewrite,
+    * [[bpeEncode]] apply pass). A codegen `aggregate` fold: append each
+    * symbol, except replace the tail when `(last(out), s)` equals the
+    * pair. Greedy because the merged symbol `l+r` can never re-match `l`
+    * (`r` is non-empty). */
+  private def mergePair(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      lit(Array.empty[String]).cast("array<string>"),
+      (out, s) => when(
+        size(out) > 0 && element_at(out, -1) === lit(l) && s === lit(r),
+        concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+        .otherwise(concat(out, array(s))))
+
+  /** Apply a trained BPE merge table to a corpus: per word, split to
+    * characters and replay the merges in rank order; tokens across words
+    * concatenate in document order. Entirely row-local (the merge table is
+    * compiled INTO the expression tree — zero joins, zero shuffles, the
+    * corpus streams through one WholeStageCodegen projection), which is
+    * the right shape for the small merge tables this trainer produces.
+    * A production 30k-merge vocabulary would blow up an expression tree —
+    * that regime wants the merge table broadcast into a per-partition
+    * trie kernel instead; this operator documents the cutover rather than
+    * pretending one shape fits both.
+    *
+    * Output: every input column plus `tokens` (array) and `n_tokens`. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val encodedWord = (w: Column) => merges.foldLeft(
+      filter(split(w, ""), c => c =!= "")) { case (syms, (l, r)) => mergePair(syms, l, r) }
+    df.withColumn("tokens", flatten(transform(tokens(col(textCol)), encodedWord)))
+      .withColumn("n_tokens", size(col("tokens")))
   }
 }

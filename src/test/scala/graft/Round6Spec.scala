@@ -74,6 +74,38 @@ class Round6Spec extends SparkSpec {
     assert(got.length === 1) // after merging (a,b) every word is one symbol
   }
 
+  test("bpeEncode replays the trained merges exactly (reference round-trip)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("low low lower lowest", "new newer newest wide wider widest",
+      "low newer new low wider").toDF("text")
+    val nM = 6
+    val mergeTable = TextAnalysis.bpeTrain(docs, "text", nM)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // reference encoder: greedy merge replay per word, single-machine
+    def encodeRef(text: String): Seq[String] =
+      text.trim.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        for ((l, r) <- mergeTable) {
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+        }
+        syms
+      }
+    val got = TextAnalysis.bpeEncode(docs, "text", mergeTable)
+      .select("text", "tokens", "n_tokens").collect()
+    for (row <- got) {
+      val want = encodeRef(row.getString(0))
+      assert(row.getSeq[String](1) === want, s"doc '${row.getString(0)}'")
+      assert(row.getInt(2) === want.length)
+    }
+  }
+
   test("semanticDedup agrees with within-cluster brute-force pairs") {
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val got = Dedup.semanticDedup(emb, "vec_id", "embedding", "label", 0.35)
