@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *    pure weak scaling — per-copy dedup workload identical to sf0.1,
   *    total workload 10× — without manufacturing 10-way duplicate cliques
   *    that no real corpus at sf1 would contain.
+  *  - `embeddings`: copy `c` shifts `vec_id` by `c·5000` and `label` by
+  *    `c·10` — each copy gets its own cluster space, so cluster SIZE stays
+  *    fixed while cluster COUNT grows 10×. That is SemDeDup's published
+  *    contract (k grows with the corpus precisely so the within-cluster
+  *    quadratic term stays bounded); scaling vectors 10× under a FIXED k
+  *    would instead measure the 100× pair blow-up the algorithm exists to
+  *    avoid.
   *
   * Methodology matches [[Bench]]: warm-up run per query (steady-state
   * codegen), then 3 timed runs, per-query MEDIANS; materialization via
@@ -37,23 +44,39 @@ object ScaleLadder {
     // ExactSubstr removal: the `_c<c>` token suffixes shift its char grams
     // too, so copies never share 40-grams — pure weak scaling like the
     // other dedup entries
-    "q_dedup_substring")
+    "q_dedup_substring",
+    // round-6 additions: cluster-count-scaled SemDeDup, broadcast top-k
+    // hard negatives, and the BPE pair kernel over a 10x vocabulary
+    "q_semdedup", "q_hard_negatives", "q_bpe_pairs")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val liCopies = (0 until Copies).map { c =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 200000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(c * 7400L))
-    }.reduce(_ unionByName _)
-    liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    val docCopies = (0 until Copies).map { c =>
-      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(c * 5000L))
-      if (c == 0) shifted
-      else shifted.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1_c" + c))
-    }.reduce(_ unionByName _)
-    docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
+    if (missing("lineitem")) {
+      val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      val liCopies = (0 until Copies).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 200000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(c * 7400L))
+      }.reduce(_ unionByName _)
+      liCopies.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+    if (missing("documents")) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val docCopies = (0 until Copies).map { c =>
+        val shifted = docs.withColumn("doc_id", col("doc_id") + lit(c * 5000L))
+        if (c == 0) shifted
+        else shifted.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_c" + c))
+      }.reduce(_ unionByName _)
+      docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (missing("embeddings")) {
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val embCopies = (0 until Copies).map { c =>
+        emb.withColumn("vec_id", col("vec_id") + lit(c * 5000L))
+          .withColumn("label", (col("label") + lit(c * 10)).cast("int"))
+      }.reduce(_ unionByName _)
+      embCopies.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
   }
 
   private def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
@@ -73,10 +96,8 @@ object ScaleLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$sf1Dir/lineitem.parquet").isDirectory) {
-      System.err.println(s"[ladder] generating sf1 replica at $sf1Dir")
-      generate(spark, srcDir, sf1Dir)
-    }
+    // per-table idempotent: only missing replica tables are generated
+    generate(spark, srcDir, sf1Dir)
 
     def d2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 

@@ -335,6 +335,19 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.35)
         .orderBy("vec_id")
     }),
+    "q_semdedup_kmeans" -> ((s, dir) => {
+      // paper-faithful SemDeDup: cluster with the engine's OWN k-means
+      // E-step (integer-exact broadcast-centroid assignment), THEN dedup
+      // within each learned cluster — the full pipeline composition, not
+      // just the within-cluster kernel.
+      val e = t(s, dir, "embeddings")
+      val assigned = graft.similarity.Similarity
+        .kmeansAssign(e, "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("assigned"))
+      graft.dedup.Dedup.semanticDedup(
+          e.join(assigned, "vec_id"), "vec_id", "embedding", "assigned", 0.35)
+        .orderBy("vec_id")
+    }),
     "q_media_features" -> ((s, dir) => {
       // REAL header decode: deterministic PNG/JPEG/WAV container bytes are
       // synthesized per doc, then parsed back by the pure-JVM
@@ -3206,6 +3219,32 @@ object SparkEntry {
         |drp AS (SELECT idb AS vec_id, min(ida) AS nn_id FROM p WHERE c >= 0.35 GROUP BY 1)
         |SELECT e.vec_id, e.label AS cluster, (d.vec_id IS NOT NULL) AS is_dup, d.nn_id
         |FROM embeddings e LEFT JOIN drp d ON e.vec_id = d.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+    "q_semdedup_kmeans" ->
+      """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps AS (SELECT label, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cent FROM comps GROUP BY 1),
+        |dist AS (SELECT e.vec_id, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(floor((e.embedding[i]::DOUBLE - c.cent[i])
+        |        * (e.embedding[i]::DOUBLE - c.cent[i]) * 1e9) AS BIGINT)))::BIGINT AS dq
+        |  FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, clabel AS assigned FROM (
+        |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY dq, clabel) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |p AS (SELECT aa.vec_id AS ida, bb.vec_id AS idb,
+        |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+        |  FROM asg aa JOIN asg bb ON aa.assigned = bb.assigned AND aa.vec_id < bb.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = aa.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = bb.vec_id),
+        |drp AS (SELECT idb AS vec_id, min(ida) AS nn_id FROM p WHERE c >= 0.35 GROUP BY 1)
+        |SELECT e.vec_id, a2.assigned AS cluster, (d.vec_id IS NOT NULL) AS is_dup, d.nn_id
+        |FROM embeddings e JOIN asg a2 ON a2.vec_id = e.vec_id
+        |LEFT JOIN drp d ON e.vec_id = d.vec_id
         |ORDER BY e.vec_id""".stripMargin,
     "q_ann_topk_l2" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

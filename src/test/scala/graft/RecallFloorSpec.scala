@@ -141,4 +141,30 @@ class RecallFloorSpec extends SparkSpec {
     assert(exactPairs(3).subsetOf(banded)) // pigeonhole: hamming<=3 is loss-free
     assert(recall >= 0.70, f"simhash banding recall $recall%.4f below floor 0.70")
   }
+
+  test("SemDeDup cluster confinement: measured share of global pairs, kmeans > labels") {
+    // SemDeDup's deliberate tradeoff: pairwise cosine runs only WITHIN a
+    // cluster, so cross-cluster near-dups are never examined — that is
+    // what makes it tractable at corpus scale. This pins the measured
+    // coverage on the gate data (deterministic fixtures, no RNG): the
+    // learned k-means clusters capture 70/271 = 0.258 of all tau=0.35
+    // pairs, vs 26/271 = 0.096 for the raw label partition — clustering
+    // quality directly buys dedup coverage, which is the reason
+    // q_semdedup_kmeans composes the E-step instead of trusting labels.
+    val brute = Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.35)
+    val asg = Similarity.kmeansAssign(emb, "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("assigned"))
+    def captured(cluster: org.apache.spark.sql.DataFrame, cName: String): Long =
+      brute
+        .join(cluster.select(col("vec_id").as("ida"), col(cName).as("ca")), "ida")
+        .join(cluster.select(col("vec_id").as("idb"), col(cName).as("cb")), "idb")
+        .filter(col("ca") === col("cb")).count()
+    val total = brute.count()
+    val byKmeans = captured(asg, "assigned")
+    val byLabel = captured(emb.select(col("vec_id"), col("label")), "label")
+    info(s"semdedup coverage: kmeans $byKmeans/$total, label $byLabel/$total")
+    assert(total === 271L)
+    assert(byKmeans === 70L && byLabel === 26L) // deterministic constants
+    assert(byKmeans > byLabel) // learned clusters beat arbitrary partitions
+  }
 }
