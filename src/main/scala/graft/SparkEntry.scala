@@ -348,6 +348,16 @@ object SparkEntry {
           e.join(assigned, "vec_id"), "vec_id", "embedding", "assigned", 0.35)
         .orderBy("vec_id")
     }),
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance reweighting (Xie et al. 2023): hashed uni+bigram
+      // bag-of-words models fit on the English slice (target) vs the rest
+      // (source); per-doc mean smoothed log-likelihood ratio. High avg_llr
+      // = "looks like the target domain" — the curation keep-signal.
+      graft.text.TextAnalysis.dsirWeights(
+          t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
     "q_media_features" -> ((s, dir) => {
       // REAL header decode: deterministic PNG/JPEG/WAV container bytes are
       // synthesized per doc, then parsed back by the pure-JVM
@@ -578,6 +588,18 @@ object SparkEntry {
         depth = 4, width = 16)
         .select(col("tok"), col("est"), col("cnt"))
         .orderBy("tok")
+    }),
+    "q_cms_join_size" -> ((s, dir) => {
+      // planner-style join cardinality estimation WITHOUT running the
+      // join (CMS inner product, Cormode-Muthukrishnan §4.2): self-join
+      // size of events on user_id — skew-dominated, so the sketch's
+      // min-of-inner-products lands within ~8% of truth at width 1024
+      val ev = t(s, dir, "events")
+      val est = graft.operators.Sketches.cmsJoinSize(
+        ev, "user_id", ev, "user_id", depth = 4, width = 1024)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
     }),
     "q_kmv_distinct" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2396,6 +2418,13 @@ object SparkEntry {
         .orderBy("category")
     }),
     // --- round 4: sample-ratio-mismatch gate (A/B allocation health) ---
+    "q_woe_encode" -> ((s, dir) => {
+      // weight-of-evidence + information-value screening of order
+      // priority against the finished-order outcome
+      graft.operators.Repair.woeEncode(t(s, dir, "orders"),
+          "o_orderpriority", col("o_orderstatus") === "F")
+        .orderBy("category")
+    }),
     "q_srm" -> ((s, dir) => {
       val o = t(s, dir, "orders").withColumn("arm",
         when(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
@@ -2975,6 +3004,20 @@ object SparkEntry {
         | AND counters.b = ('0x' || substr(md5(u.j::VARCHAR || ':' || cnt.tok), 1, 15))::BIGINT % 16
         |GROUP BY cnt.tok, cnt.cnt
         |ORDER BY tok""".stripMargin,
+    "q_cms_join_size" ->
+      // independent rebuild of BOTH 4x1024 Count-Min counter matrices
+      // (same md5 hash60(j:key) buckets), per-row inner products, min
+      // over rows; exact self-join size from the key histogram
+      """WITH k AS (SELECT user_id::VARCHAR AS key FROM events),
+        |counters AS (SELECT j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || key), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*)::BIGINT AS c
+        |  FROM k CROSS JOIN UNNEST(range(0, 4)) t(j) GROUP BY 1, 2),
+        |ip AS (SELECT j, sum(c * c)::BIGINT AS s FROM counters GROUP BY 1),
+        |ex AS (SELECT sum(c * c)::BIGINT AS exact_join_size FROM
+        |   (SELECT count(*)::BIGINT AS c FROM k GROUP BY key))
+        |SELECT (SELECT min(s) FROM ip) AS est_join_size, ex.exact_join_size
+        |FROM ex""".stripMargin,
     "q_kmv_distinct" ->
       // k=64 minimum md5-hash values per group; estimate = exact size
       // below k, else (k-1) * 2^60 / h_k — all-integer inputs, one
@@ -3246,6 +3289,29 @@ object SparkEntry {
         |FROM embeddings e JOIN asg a2 ON a2.vec_id = e.vec_id
         |LEFT JOIN drp d ON e.vec_id = d.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, is_target, unnest(l) AS term,
+        |    generate_subscripts(l, 1) AS pos
+        |  FROM (SELECT doc_id, lang = 'en' AS is_target,
+        |        regexp_extract_all(trim(text), '\S+') AS l FROM documents)),
+        |grams AS (
+        |  SELECT doc_id, is_target, term AS g FROM toks
+        |  UNION ALL
+        |  SELECT a.doc_id, a.is_target, a.term || ' ' || b.term AS g
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bg AS (SELECT doc_id, is_target,
+        |    (('0x' || substr(md5(g), 1, 4))::BIGINT % 256)::INT AS b FROM grams),
+        |cnt AS (SELECT b,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cs
+        |  FROM bg GROUP BY 1),
+        |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cs)::BIGINT AS ns FROM cnt),
+        |lr AS (SELECT b, round(ln(((ct + 1)::DOUBLE / (nt + 256)::DOUBLE) /
+        |        ((cs + 1)::DOUBLE / (ns + 256)::DOUBLE)), 6)::DECIMAL(18,6) AS lr
+        |  FROM cnt, tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  round(sum(lr)::DOUBLE / count(*), 4) AS avg_llr
+        |FROM bg JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_topk_l2" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -5304,6 +5370,18 @@ object SparkEntry {
         |SELECT category, n,
         |  round((sc::DOUBLE + 20.0 * (sg::DOUBLE / ng)) / (n + 20.0), 6) AS encoded
         |FROM c, g ORDER BY category""".stripMargin,
+    "q_woe_encode" ->
+      """WITH c AS (SELECT o_orderpriority AS category, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n_pos)::BIGINT AS pt, sum(n - n_pos)::BIGINT AS nt FROM c),
+        |w AS (SELECT category, n, n_pos,
+        |    round(ln(((n_pos + 0.5) / pt::DOUBLE) /
+        |             (((n - n_pos) + 0.5) / nt::DOUBLE)), 6) AS woe
+        |  FROM c, t)
+        |SELECT category, n, n_pos, woe,
+        |  round((n_pos::DOUBLE / t.pt - (n - n_pos)::DOUBLE / t.nt) * woe, 6) AS iv_term
+        |FROM w, t ORDER BY category""".stripMargin,
     "q_srm" ->
       """WITH arms AS (SELECT CASE
         |    WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 2 = 0

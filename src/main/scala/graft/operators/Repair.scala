@@ -122,4 +122,33 @@ object Repair {
       .select(col("category"), col("n"),
         ((col("__sc").cast("double") + lit(m) * prior) / (col("n") + m)).as("encoded"))
   }
+
+  /** Weight-of-evidence encoding + information value — the standard
+    * credit-scoring / feature-screening transform for a categorical
+    * feature against a binary outcome:
+    * `woe(c) = ln( ((pos_c + 0.5)/pos_tot) / ((neg_c + 0.5)/neg_tot) )`
+    * (0.5 = the Laplace half-count that keeps pure categories finite) and
+    * `iv_term(c) = (pos_c/pos_tot − neg_c/neg_tot) · woe(c)`; the
+    * feature's IV is the sum of the terms. One keyed aggregation plus a
+    * broadcast 1-row totals join — map-side combined, category-sized
+    * output, no data-sized shuffle. Determinism: counts are exact longs;
+    * `woe` is rounded to 6 dp before the IV product, so every double op
+    * is a single correctly-rounded IEEE step reproducible in SQL. */
+  def woeEncode(df: DataFrame, catCol: String, positive: Column): DataFrame = {
+    val pos = when(positive, 1L).otherwise(0L)
+    val byCat = df.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(pos).as("__pos"))
+      .withColumn("__neg", col("n") - col("__pos"))
+    val totals = byCat.agg(sum("__pos").as("__pt"), sum("__neg").as("__nt"))
+    val woe = round(log(
+      ((col("__pos") + 0.5d) / col("__pt").cast("double")) /
+      ((col("__neg") + 0.5d) / col("__nt").cast("double"))), 6)
+    byCat.crossJoin(broadcast(totals))
+      .withColumn("woe", woe)
+      .select(col("category"), col("n"), col("__pos").as("n_pos"),
+        col("woe"),
+        round((col("__pos").cast("double") / col("__pt") -
+               col("__neg").cast("double") / col("__nt")) * col("woe"), 6)
+          .as("iv_term"))
+  }
 }

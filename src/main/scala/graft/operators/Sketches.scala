@@ -50,6 +50,36 @@ object Sketches {
     keys.crossJoin(broadcast(counters)).withColumn("est", est).drop("__cms")
   }
 
+  /** Sketch-based equi-join cardinality estimate (Cormode &
+    * Muthukrishnan 2005 §4.2, "An improved data stream summary: the
+    * count-min sketch and its applications", J. Algorithms): build one
+    * Count-Min sketch over each side's join key, then
+    * `est = min_j Σ_b cmsA[j][b] · cmsB[j][b]` — the per-row inner
+    * product is an UPPER bound on the true join size
+    * `Σ_k cntA(k)·cntB(k)` (colliding keys only add cross terms), and
+    * the min over `depth` independent rows tightens it. The query
+    * planner's use case: size a join BEFORE running it — two O(input)
+    * sketch passes with `depth·width` longs of aggregation state replace
+    * the shuffle the join itself would need, which is what makes the
+    * estimate affordable at 100 TB (both sketches broadcast; the final
+    * inner product is a driver-sized crossJoin of two 1-row frames).
+    * All-integer math end to end — the DuckDB oracle rebuilds both
+    * counter matrices and the min-of-inner-products bit-for-bit. */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 256, md5Hash: Boolean = true): DataFrame = {
+    val cms = CountMinSketchAgg.columnFn(depth, width, md5Hash)(_)
+    val skA = a.select(array(col(aKey).cast("string")).as("__t"))
+      .agg(cms(col("__t")).as("__ra"))
+    val skB = b.select(array(col(bKey).cast("string")).as("__t"))
+      .agg(cms(col("__t")).as("__rb"))
+    val prod = zip_with(col("__ra"), col("__rb"), (x, y) => x * y)
+    val rowSums = (0 until depth).map { j =>
+      aggregate(slice(prod, j * width + 1, width), lit(0L), (acc, x) => acc + x)
+    }
+    skA.crossJoin(broadcast(skB))
+      .select(least(rowSums: _*).as("est_join_size"))
+  }
+
   /** Per-group KMV sketch (array of the k smallest distinct hash60
     * values of `keyCol`) plus the distinct-count estimate read off it:
     * exact set size while `|group| < k`, else `(k-1)·2^60 / h_k`.

@@ -384,6 +384,62 @@ object TextAnalysis {
         round(sum("__lp").cast("double") / count(lit(1)), 4).as("avg_logp"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, public method): fit hashed n-gram
+    * (unigram + word-bigram) bag-of-words models on a TARGET slice of the
+    * corpus and on the rest (the raw/source slice), then score every
+    * document by its summed smoothed log-likelihood ratio
+    * `Σ_g ln(p_target(bucket(g)) / p_source(bucket(g)))` — documents that
+    * "look like" the target distribution score high and are kept when
+    * curating pretraining data toward a trusted domain. Hashing n-grams
+    * into `buckets` buckets (the paper's trick) makes the model size O(B)
+    * instead of O(vocab²), so both models broadcast at any corpus scale.
+    *
+    * Returns `(idCol, n_grams, avg_llr)` — per-doc mean bucket
+    * log-likelihood ratio (importance weight in nats per gram) — for every
+    * doc with ≥ 1 token; resampling is a caller-side top-k / threshold on
+    * `avg_llr`.
+    *
+    * Scale shape: the exploded gram stream feeds (a) a B-row keyed count
+    * (map-side combined) and (b) a broadcast join against the B-row
+    * log-ratio frame — so the only data-sized shuffle is the final
+    * per-doc aggregation. Bigrams are built row-local with
+    * `zip_with(toks, toks[1:], concat)`, no self-join. Determinism: the
+    * bucket is an md5 prefix (engine-reproducible; the DuckDB oracle
+    * rebuilds it bit-for-bit) and per-bucket log-ratios are rounded to
+    * 6 dp then summed as exact DECIMAL, so doc scores are
+    * partition-order independent (same contract as [[unigramLogProb]]). */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in (0, 65536]")
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("__toks"), lit(1), n1), slice(col("__toks"), lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = df
+      .select(col(idCol), isTarget.cast("boolean").as("__t"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__t"),
+        explode(concat(col("__toks"), bigrams)).as("__g"))
+    val bucket = (conv(substring(md5(col("__g")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val bg = grams.select(col(idCol), col("__t"), bucket.as("__b"))
+    val counts = bg.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cs"))
+    val totals = counts.agg(sum("__ct").as("__nt"), sum("__cs").as("__ns"))
+    val ratios = counts.crossJoin(broadcast(totals)).select(col("__b"),
+      round(log(
+        ((col("__ct") + 1).cast("double") / (col("__nt") + buckets).cast("double")) /
+        ((col("__cs") + 1).cast("double") / (col("__ns") + buckets).cast("double"))), 6)
+        .cast("decimal(18,6)").as("__lr"))
+    bg.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum("__lr").cast("double") / count(lit(1)), 4).as("avg_llr"))
+  }
+
   // --- repetition signals (Gopher-style quality rules) ---
 
   /** Per-document repetition signals over whitespace tokens — the standard
