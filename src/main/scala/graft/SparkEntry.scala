@@ -327,6 +327,49 @@ object SparkEntry {
           col("neg_label"), round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    "q_retrieval_eval" -> ((s, dir) => {
+      // IR-metric triple (nDCG@10 / MRR / recall@10) of the L2-distance
+      // ranking scored against the exact-cosine ground truth — both sides
+      // produced by the scale-safe heap top-k; evaluation joins are
+      // queries x k sized.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val truth = graft.similarity.Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .join(broadcast(qv), col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          (-graft.functions.l2_distance(col("qv"), col("v"))).as("neg_dist"))
+      val retrieved = graft.similarity.Similarity
+        .topKByKey(scored, "query_id", "neg_dist", "neighbor_id", 10)
+      graft.similarity.RetrievalEval
+        .rankedEval(retrieved, truth, "query_id", "neighbor_id", 10)
+        .orderBy("query_id")
+    }),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // hybrid search: reciprocal-rank fusion (k=60) of the BM25 lexical
+      // top-50 and the cosine-to-query-0 semantic top-50 (doc_id aligns
+      // with vec_id); fused top-20. Both input rankings are bounded, so
+      // the final sort touches <= 100 rows.
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val bm = graft.text.TextAnalysis
+        .bm25(docs, "doc_id", "text", Seq("hash", "join", "vector", "spark"))
+        .select(lit(1).as("__g"), col("doc_id"), col("bm25"))
+      val listA = graft.similarity.Similarity
+        .topKByKey(bm, "__g", "bm25", "doc_id", 50)
+      val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val scoredB = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(lit(1).as("__g"), col("vec_id").as("doc_id"),
+          graft.functions.cosine_sim(col("qv"), col("embedding")).as("cos"))
+      val listB = graft.similarity.Similarity
+        .topKByKey(scoredB, "__g", "cos", "doc_id", 50)
+      graft.similarity.RetrievalEval
+        .rrfFuse(Seq(listA, listB), "doc_id", 60)
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup: pairwise cosine confined WITHIN each cluster (here the
       // embedding's label column stands in for the k-means assignment);
@@ -489,6 +532,23 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")
+    }),
+    "q_bloom_join" -> ((s, dir) => {
+      // guaranteed-pruning form of AQE's runtime bloom filter: the 1-row
+      // bloom aggregate over the ~1/25-of-suppliers small side is embedded
+      // as a scan-filter literal, so non-matching lineitem rows are shed
+      // BEFORE the join's shuffle; false positives are removed by the
+      // exact join, so the result equals the plain join (= the oracle).
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+        (col("l_extendedprice").cast("decimal(15,2)") *
+          (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))).as("rev"))
+      val sup = t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.operators.Joins.bloomPreFilteredJoin(li, sup, "suppkey",
+          expectedItems = 4096L, numBits = 1L << 16)
+        .groupBy("suppkey", "s_name")
+        .agg(count(lit(1)).as("n_items"), sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("suppkey")
     }),
     "q_sessionize" -> ((s, dir) => {
       // 2-hour-gap sessions per user; micros (exact integer div) so gap
@@ -3254,6 +3314,62 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM sc)
         |SELECT query_id, rank::INT AS rank, neighbor_id, nl AS neg_label, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_retrieval_eval" ->
+      // truth = exact-cosine top-10, retrieved = L2 top-10; graded gain
+      // 11 - truth_rank; DCG/IDCG terms rounded to 6 dp and summed as
+      // exact DECIMAL (mirrors RetrievalEval.rankedEval bit-for-bit)
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c,
+        |  list_distance(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS d
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+        |tr AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS trank FROM sc),
+        |re AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rrank FROM sc),
+        |j AS (SELECT t.query_id, t.trank, r.rrank
+        |  FROM (SELECT * FROM tr WHERE trank <= 10) t
+        |  LEFT JOIN (SELECT * FROM re WHERE rrank <= 10) r
+        |    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id)
+        |SELECT query_id, count(rrank)::BIGINT AS n_hits,
+        |  round(count(rrank)::DOUBLE / count(*), 6) AS recall_at_k,
+        |  CASE WHEN min(rrank) IS NULL THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(1.0 / min(rrank), 6) END AS mrr,
+        |  round(sum(CASE WHEN rrank IS NOT NULL
+        |      THEN round((11 - trank) / (ln(rrank + 1.0) / ln(2.0)), 6)::DECIMAL(18,6)
+        |      ELSE 0::DECIMAL(18,6) END)::DOUBLE
+        |    / sum(round((11 - trank) / (ln(trank + 1.0) / ln(2.0)), 6)::DECIMAL(18,6))::DOUBLE,
+        |    6) AS ndcg
+        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q_rrf_fusion" ->
+      // both rankings rebuilt independently (BM25 via the same quantized
+      // scoring as q_bm25; cosine vs vec 0), RRF terms rounded to 9 dp and
+      // summed as exact DECIMAL, fused top-20 by (rrf desc, doc_id)
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(trim(text), '\S+')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'vector', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT tf.doc_id,
+        |    sum(CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl::DOUBLE / n_docs))))
+        |      * 1e9) AS BIGINT))::BIGINT::DOUBLE / 1e9 AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats GROUP BY 1),
+        |la AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm),
+        |cs AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id != 0),
+        |lb AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank FROM cs),
+        |u AS (SELECT doc_id, rank FROM la WHERE rank <= 50
+        |  UNION ALL SELECT doc_id, rank FROM lb WHERE rank <= 50),
+        |f AS (SELECT doc_id, count(*)::BIGINT AS n_lists, min(rank) AS best_rank,
+        |    round(sum(round(1.0 / (60 + rank), 9)::DECIMAL(18,9))::DOUBLE, 9) AS rrf
+        |  FROM u GROUP BY 1)
+        |SELECT doc_id, n_lists, best_rank, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_semdedup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
@@ -3448,6 +3564,14 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_join" ->
+      // the bloom prefilter is pruning-only (false positives removed by
+      // the exact join), so the oracle is simply the plain join
+      """SELECT l_suppkey AS suppkey, s_name, count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(15,2) * (1::DECIMAL(15,2) - l_discount::DECIMAL(15,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
         |m AS (SELECT user_id, tsu,
