@@ -401,6 +401,13 @@ object SparkEntry {
           col("lang") === "en", buckets = 256)
         .orderBy("doc_id")
     }),
+    "q_kn_bigram" -> ((s, dir) => {
+      // CCNet-style perplexity filter signal: interpolated Kneser-Ney
+      // bigram LM fit on the corpus, each doc scored by mean bigram logp
+      graft.text.TextAnalysis.knBigramScore(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_media_features" -> ((s, dir) => {
       // REAL header decode: deterministic PNG/JPEG/WAV container bytes are
       // synthesized per doc, then parsed back by the pure-JVM
@@ -3428,6 +3435,28 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_grams,
         |  round(sum(lr)::DOUBLE / count(*), 4) AS avg_llr
         |FROM bg JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_kn_bigram" ->
+      // independent KN rebuild: bigram starts c(w1.), continuation counts
+      // N1+(.w2), distinct-bigram total; identical double association,
+      // per-bigram logp rounded to 6 dp, exact DECIMAL sum
+      """WITH toks AS (SELECT doc_id, unnest(l) AS term,
+        |    generate_subscripts(l, 1) AS pos
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l FROM documents)),
+        |pairs AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+        |w1t AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f FROM big GROUP BY 1),
+        |w2t AS (SELECT w2, count(*)::BIGINT AS cont FROM big GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nbb FROM big),
+        |lp AS (SELECT p.doc_id,
+        |    round(ln((c12::DOUBLE - 0.75) / c1::DOUBLE
+        |      + 0.75 * n1f::DOUBLE / c1::DOUBLE * (cont::DOUBLE / nbb::DOUBLE)), 6)
+        |      ::DECIMAL(18,6) AS lp
+        |  FROM pairs p JOIN big USING (w1, w2) JOIN w1t USING (w1)
+        |    JOIN w2t USING (w2), tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_topk_l2" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,

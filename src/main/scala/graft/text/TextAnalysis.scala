@@ -384,6 +384,60 @@ object TextAnalysis {
         round(sum("__lp").cast("double") / count(lit(1)), 4).as("avg_logp"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995; the
+    * n-gram LM behind CCNet-style perplexity filtering of pretraining
+    * corpora, Wenzek et al. 2020): fit the bigram model on the corpus and
+    * score each document by its mean bigram log-probability
+    * `P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *              + D · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)`
+    * with absolute discount `D` (0.75 — the textbook value) and the
+    * continuation-count backoff that makes KN the strongest fixed-order
+    * smoother. `c(w1·)` counts bigram STARTS (so every row's
+    * interpolation weights sum to one over the vocabulary — spec-checked).
+    * Returns `(idCol, n_bigrams, avg_logp)` for docs with ≥ 2 tokens;
+    * garbled/templated text scores far from the corpus-typical band.
+    *
+    * Scale shape: the exploded bigram stream is aggregated once per
+    * model table — c(w1,w2) keyed on the bigram, N1+(w1·)/c(w1·) on w1,
+    * N1+(·w2) on w2 — all map-side combined; scoring is three keyed
+    * equi-joins on those tables (AQE broadcasts the unigram-sized ones
+    * when they fit) plus one broadcast 1-row total. No driver-side state:
+    * the model lives in DataFrames, never on the driver.
+    * Determinism: counts are exact longs; each bigram's log-prob is one
+    * `ln` over an identically-associated double expression, rounded to
+    * 6 dp and summed as exact DECIMAL (same contract as
+    * [[unigramLogProb]]). */
+  def knBigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val pairs = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), n1), slice(col("__toks"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val big = pairs.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val w1t = big.groupBy("__w1")
+      .agg(sum("__c12").as("__c1"), count(lit(1)).as("__n1f"))
+    val w2t = big.groupBy("__w2").agg(count(lit(1)).as("__cont"))
+    val tot = big.agg(count(lit(1)).as("__nbb"))
+    val d = lit(discount)
+    val p = (col("__c12").cast("double") - d) / col("__c1").cast("double") +
+      d * col("__n1f").cast("double") / col("__c1").cast("double") *
+        (col("__cont").cast("double") / col("__nbb").cast("double"))
+    pairs
+      .join(big, Seq("__w1", "__w2"))
+      .join(w1t, Seq("__w1"))
+      .join(w2t, Seq("__w2"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), round(log(p), 6).cast("decimal(18,6)").as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("__lp").cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023, public method): fit hashed n-gram
     * (unigram + word-bigram) bag-of-words models on a TARGET slice of the
