@@ -2492,6 +2492,25 @@ object SparkEntry {
           "o_orderpriority", col("o_orderstatus") === "F")
         .orderBy("category")
     }),
+    "q_conformal" -> ((s, dir) => {
+      // split-conformal interval around a fixed linear price predictor:
+      // md5-split calibration half -> exact order-statistic qhat ->
+      // achieved coverage on the held-out half (>= 0.9 by the guarantee)
+      val li = t(s, dir, "lineitem").select(
+        abs(col("l_extendedprice") - lit(1000.0) * col("l_quantity")).as("resid"),
+        (conv(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
+          .cast("long") % 2 === 0).as("cal"))
+      graft.operators.Conformal.splitConformal(li, "resid", col("cal"), alpha = 0.1)
+    }),
+    "q_fairness" -> ((s, dir) => {
+      // four-fifths-rule audit of the quality filter across languages:
+      // does thresholding the composite quality score thin any language's
+      // slice of the corpus disproportionately?
+      val d = t(s, dir, "documents")
+      graft.operators.Repair.disparateImpact(d, "lang",
+          round(graft.text.TextAnalysis.qualityScore(col("text")), 6) >= 0.87)
+        .orderBy("group")
+    }),
     "q_srm" -> ((s, dir) => {
       val o = t(s, dir, "orders").withColumn("arm",
         when(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
@@ -5523,6 +5542,50 @@ object SparkEntry {
         |SELECT category, n,
         |  round((sc::DOUBLE + 20.0 * (sg::DOUBLE / ng)) / (n + 20.0), 6) AS encoded
         |FROM c, g ORDER BY category""".stripMargin,
+    "q_conformal" ->
+      // same md5 split, k-th order statistic via ORDER BY/OFFSET, same
+      // ceil((n+1)*0.9) rank; qhat is a selected value so no interpolation
+      """WITH r AS (SELECT abs(l_extendedprice - 1000.0 * l_quantity) AS resid,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 4))::BIGINT % 2 = 0 AS cal
+        |  FROM lineitem),
+        |c AS (SELECT resid FROM r WHERE cal),
+        |n AS (SELECT count(*)::BIGINT AS n_cal FROM c),
+        |k AS (SELECT n_cal, LEAST(n_cal, CAST(ceil((n_cal + 1) * 0.9::DOUBLE) AS BIGINT)) AS k FROM n),
+        |q AS (SELECT resid AS qhat FROM c ORDER BY resid LIMIT 1 OFFSET (SELECT k - 1 FROM k)),
+        |t AS (SELECT count(*)::BIGINT AS n_test,
+        |    sum(CASE WHEN resid <= (SELECT qhat FROM q) THEN 1 ELSE 0 END)::BIGINT AS cov
+        |  FROM r WHERE NOT cal)
+        |SELECT k.n_cal, t.n_test, round(q.qhat, 6) AS qhat,
+        |  round(cov::DOUBLE / n_test, 6) AS coverage FROM k, q, t""".stripMargin,
+    "q_fairness" ->
+      // quality score rebuilt via the q_quality formula (rounded to 6 dp),
+      // thresholded at 0.87; rates rounded before the ratio
+      """WITH f AS (SELECT doc_id, lang,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id, lang,
+        |  round(least(greatest(0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0), 0.0), 1.0), 6) AS s FROM g),
+        |a AS (SELECT lang AS "group", count(*)::BIGINT AS n,
+        |    sum(CASE WHEN s >= 0.87 THEN 1 ELSE 0 END)::BIGINT AS n_keep FROM h GROUP BY 1),
+        |b AS (SELECT "group", n, n_keep, round(n_keep::DOUBLE / n, 6) AS keep_rate FROM a),
+        |m AS (SELECT max(keep_rate) AS mx FROM b)
+        |SELECT "group", n, n_keep, keep_rate,
+        |  round(keep_rate / mx, 6) AS impact_ratio,
+        |  round(keep_rate / mx, 6) < 0.8 AS below_four_fifths
+        |FROM b, m ORDER BY "group"""".stripMargin,
     "q_woe_encode" ->
       """WITH c AS (SELECT o_orderpriority AS category, count(*)::BIGINT AS n,
         |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_pos

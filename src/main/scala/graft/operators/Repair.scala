@@ -134,6 +134,30 @@ object Repair {
     * output, no data-sized shuffle. Determinism: counts are exact longs;
     * `woe` is rounded to 6 dp before the IV product, so every double op
     * is a single correctly-rounded IEEE step reproducible in SQL. */
+  /** Disparate-impact audit of a keep/drop decision across groups — the
+    * four-fifths (80 %) rule applied to a curation filter: per group the
+    * selection rate, its ratio to the best group's rate, and the
+    * below-four-fifths flag. For corpus curation this is the language /
+    * source equity check: a quality filter whose keep-rate for one
+    * language is < 0.8× the best language's systematically thins that
+    * slice of the corpus. One map-side-combined keyed aggregate plus a
+    * broadcast 1-row max — group-sized output, no data-sized shuffle.
+    * Rates are rounded to 6 dp BEFORE the ratio (single IEEE division,
+    * engine-reproducible); the flag thresholds the rounded ratio. */
+  def disparateImpact(df: DataFrame, groupCol: String, keep: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n"), 6))
+    val mx = g.agg(max("keep_rate").as("__max"))
+    g.crossJoin(broadcast(mx))
+      .withColumn("impact_ratio", round(col("keep_rate") / col("__max"), 6))
+      .select(col("group"), col("n"), col("n_keep"), col("keep_rate"),
+        col("impact_ratio"),
+        (col("impact_ratio") < 0.8).as("below_four_fifths"))
+  }
+
   def woeEncode(df: DataFrame, catCol: String, positive: Column): DataFrame = {
     val pos = when(positive, 1L).otherwise(0L)
     val byCat = df.groupBy(col(catCol).as("category"))
