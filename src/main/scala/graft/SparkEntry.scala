@@ -2681,6 +2681,14 @@ object SparkEntry {
       graft.operators.Graph.kCorePeel(edges, "a", "b", k = 90, rounds = 3)
         .orderBy("node")
     }),
+    "q_lpa" -> ((s, dir) => {
+      // deterministic synchronous label propagation (min-label ties) on
+      // the part co-purchase graph, 3 sweeps — community per part
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+        .orderBy("node")
+    }),
     // --- round 4: string schema inference (CSV-ingest profiling) ---
     "q_type_infer" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(
@@ -5872,6 +5880,25 @@ object SparkEntry {
         |SELECT node, count(*)::BIGINT AS degree FROM
         |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
         |GROUP BY 1 ORDER BY node""".stripMargin,
+    "q_lpa" ->
+      // 3 synchronous sweeps unrolled; argmax via row_number ordered by
+      // (count desc, label) = the operator's max(struct(c, -label))
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) y USING (k)
+        |  WHERE x.i < y.i),
+        |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+        |c1 AS (SELECT adj.u, l.label, count(*) AS c FROM adj JOIN l0 l ON adj.v = l.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT u AS node, label FROM (
+        |  SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT adj.u, l.label, count(*) AS c FROM adj JOIN l1 l ON adj.v = l.node GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT u AS node, label FROM (
+        |  SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT adj.u, l.label, count(*) AS c FROM adj JOIN l2 l ON adj.v = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT u AS node, label FROM (
+        |  SELECT u, label, row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
     "q_type_infer" ->
       """WITH src AS (SELECT o_orderkey::VARCHAR AS s_int, o_totalprice::VARCHAR AS s_dec,
         |    strftime(o_orderdate, '%Y-%m-%d') AS s_date, o_orderpriority AS s_str,

@@ -231,6 +231,48 @@ object Graph {
     degrees(e)
   }
 
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks"), made DETERMINISTIC: every node
+    * starts labeled with its own id; each sweep every node simultaneously
+    * adopts the label held by the largest number of its neighbors, ties
+    * broken by the SMALLEST label (the paper's random tie-break is what
+    * makes vanilla LPA non-reproducible — min-label ties and synchronous
+    * sweeps pin a unique fixed-`rounds` output, which is what lets a SQL
+    * twin unroll the exact same sweeps). Synchronous LPA can 2-cycle on
+    * bipartite structures; a fixed `rounds` makes the result well-defined
+    * regardless (spec pins the oscillation semantics on a path graph).
+    *
+    * Scale shape per sweep: one equi-join of the symmetric adjacency
+    * (cached, pre-partitioned on the propagation key `u` — the join with
+    * the label frame reuses that layout every round) against the O(V)
+    * label frame, then two map-side-combined aggregations — the
+    * (node, label) count and the per-node argmax via a single
+    * `max(struct(count, -label))` (no window, no sort). Lineage is cut
+    * per round by [[graft.core.Checkpoints.truncate]] like every other
+    * iterative op here. Returns `(node, label)`. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = canonicalEdges(edges, src, dst)
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u")).cache()
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .transform(graft.core.Checkpoints.truncate)
+    for (_ <- 1 to rounds) {
+      labels = adj.join(labels, adj("v") === labels("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("u").as("node"), (-col("__m.__nl")).as("label"))
+        .transform(graft.core.Checkpoints.truncate)
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** Personalized PageRank from a single `source` node — the
     * random-walk-with-restart similarity ranking behind
     * recommendation / related-item queries. Same INTEGER-EXACT algebra
