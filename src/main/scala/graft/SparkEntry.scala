@@ -2708,6 +2708,34 @@ object SparkEntry {
         .select(col("doc_id"), length(clean).cast("bigint").as("n_clean"),
           md5(clean).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+    // --- round 6: multinomial Naive Bayes language classifier (train on
+    //     even doc ids, score the odd half; the fastText-classifier slot
+    //     of a curation pipeline — model IS a (token,label) count table) ---
+    "q_nb_classify" -> ((s, dir) => {
+      graft.ml.Classify.naiveBayesScore(t(s, dir, "documents"),
+          "doc_id", "text", "lang", col("doc_id") % 2 === 0)
+        .orderBy("doc_id")
+    }),
+    // --- round 6: kNN majority-vote classification over embeddings (every
+    //     20th vector held out; exact L2, broadcast queries, heap top-k) ---
+    "q_knn_classify" -> ((s, dir) => {
+      graft.ml.Classify.knnClassify(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", col("vec_id") % 20 === 0, 5)
+        .orderBy("query_id")
+    }),
+    // --- round 6: leakage-safe splits — near-dup clusters share a split ---
+    "q_cluster_split" -> ((s, dir) => {
+      graft.operators.Splits.clusterSafeSplit(t(s, dir, "documents"),
+          "doc_id", "text", n = 1, threshold = 0.9, blockCols = Seq("lang"))
+        .orderBy("doc_id")
+    }),
+    // --- round 6: covariance matrix of the embedding table (single-pass
+    //     mergeable moments buffer; O(d^2) state, not O(rows)) ---
+    "q_embed_covariance" -> ((s, dir) => {
+      graft.ml.Covariance.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")
     })
   )
 
@@ -5928,6 +5956,85 @@ object SparkEntry {
       """SELECT doc_id,
         |  length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS n_clean,
         |  md5(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS clean_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_nb_classify" ->
+      // add-one multinomial NB; unseen-token terms vanish at alpha=1, so
+      // only observed (token,label) pairs join. Ranked on round(score,6)
+      // exactly like the Spark side.
+      """WITH base AS (SELECT doc_id, lang,
+        |    regexp_extract_all(trim(text), '\S+') AS tk FROM documents),
+        |tr AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+        |tok AS (SELECT lang AS lbl, unnest(tk) AS tok FROM tr),
+        |cnt AS (SELECT lbl, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lbl, sum(c) AS tot FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS nv FROM cnt),
+        |ntr AS (SELECT count(*) AS n FROM tr),
+        |pri AS (SELECT lang AS lbl, count(*) AS nd FROM tr GROUP BY 1),
+        |tc AS (SELECT doc_id, unnest(tk) AS tok FROM te),
+        |tcc AS (SELECT doc_id, tok, count(*) AS ct FROM tc GROUP BY 1, 2),
+        |sw AS (SELECT doc_id, lbl, sum(ct * ln(c + 1.0)) AS sw
+        |  FROM tcc JOIN cnt USING (tok) GROUP BY 1, 2),
+        |sc AS (SELECT t.doc_id, t.lang, p.lbl,
+        |    round(ln(p.nd::DOUBLE) - ln(ntr.n::DOUBLE) + coalesce(sw.sw, 0.0)
+        |      - len(t.tk) * ln((tot.tot + v.nv)::DOUBLE), 6) AS score
+        |  FROM te t CROSS JOIN pri p
+        |  JOIN tot ON tot.lbl = p.lbl CROSS JOIN v CROSS JOIN ntr
+        |  LEFT JOIN sw ON sw.doc_id = t.doc_id AND sw.lbl = p.lbl),
+        |r AS (SELECT doc_id, lang, lbl AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl) AS rn
+        |  FROM sc)
+        |SELECT doc_id, lang, pred, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |tr AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 != 0),
+        |sc AS (SELECT q.query_id, tr.vec_id AS nid, tr.label AS nl,
+        |    list_distance(q.qv::DOUBLE[], tr.embedding::DOUBLE[]) AS d
+        |  FROM q CROSS JOIN tr),
+        |r AS (SELECT query_id, nl,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, nid) AS rk FROM sc),
+        |vt AS (SELECT query_id, nl, count(*) AS n_votes
+        |  FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT query_id, nl, n_votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nl) AS pr
+        |  FROM vt)
+        |SELECT p.query_id, q.true_label, p.nl AS pred_label, p.n_votes
+        |FROM p JOIN q ON q.query_id = p.query_id WHERE pr = 1
+        |ORDER BY p.query_id""".stripMargin,
+    "q_cluster_split" ->
+      // q_dedup_clusters' recursive-CTE components + q_split's md5
+      // thresholds, keyed on the cluster representative
+      """WITH RECURSIVE d AS (SELECT doc_id, lang,
+        |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ida, idb FROM inter
+        |  JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+        |lbl(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b),
+        |cl AS (SELECT node AS doc_id, min(label) AS crep FROM lbl GROUP BY node),
+        |a AS (SELECT doc.doc_id, coalesce(cl.crep, doc.doc_id) AS rep
+        |  FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id)
+        |SELECT doc_id, rep,
+        |  CASE WHEN md5(CAST(rep AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(rep AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_embed_covariance" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+        |  round(covar_pop(a.v, b.v), 6) AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
   )
 }

@@ -1,0 +1,227 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Distributed, oracle-reproducible classical-ML operators for corpus
+  * curation: a multinomial Naive Bayes text classifier (the standard cheap
+  * language/quality/domain scorer run over every document before training a
+  * real model — the fastText-classifier slot of an LLM-data pipeline) and a
+  * k-nearest-neighbor majority-vote classifier over the embedding table.
+  *
+  * Both are pure DataFrame compositions — training IS an aggregation, so the
+  * "model" is a small DataFrame joined back against the scoring set. No
+  * driver-side learning loop, no mutable state: the shapes that survive
+  * 100 TB are (token, label) count tables (bounded by vocabulary, not corpus)
+  * and broadcast query sets.
+  */
+object Classify {
+
+  /** Whitespace tokens, empty-free — the corpus-wide convention shared with
+    * [[graft.text.TextAnalysis.tokens]] so DuckDB oracles mirror it with
+    * `regexp_extract_all(trim(text), '\S+')`. No case folding: locale-free,
+    * byte-exact across engines. */
+  private def toks(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Multinomial Naive Bayes with add-one (Laplace) smoothing, trained and
+    * scored in one job. Train rows are `filter(isTrain)`, every other row is
+    * scored; the label with the highest posterior wins.
+    *
+    * With α = 1 the per-label score telescopes to
+    * {{{ score(d, l) = ln(n_l / n_train)                       // log prior
+    *                 + Σ_{t ∈ d, cnt(t,l)>0} c_t · ln(cnt(t,l) + 1)
+    *                 - |d| · ln(tot_l + |V|)                   // normalizer }}}
+    * because unseen-token contributions `c_t · ln(α) = 0` vanish — so the
+    * scoring join touches ONLY (token, label) pairs observed in training.
+    *
+    * Distributed shape: training is one groupBy((label, token)) count — the
+    * model is that count table, bounded by |V|·|labels|, NOT corpus size, so
+    * AQE broadcasts it into the scoring join. Scoring is one groupBy on the
+    * test tokens plus a labels×docs grid from a broadcast of the (tiny)
+    * per-label stats. Two shuffles total, both map-side combinable; nothing
+    * driver-side. Argmax ranks on `round(score, 6)` (ties → smaller label)
+    * so the winner is reproducible bit-for-bit by any engine that rounds
+    * half-up — the same determinism contract the rest of the engine uses.
+    *
+    * Returns one row per scored doc:
+    * `(id, <labelCol> true label, pred label, score rounded 6)`.
+    */
+  def naiveBayesScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      isTrain: Column
+  ): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      toks(col(textCol)).as("__tk"), isTrain.as("__tr"))
+    val train = base.filter(col("__tr"))
+    val test = base.filter(!col("__tr"))
+
+    // the model: (label, token) -> count. Reused three times (likelihoods,
+    // per-label totals, vocabulary), so persist the one aggregation.
+    val cnt = train
+      .select(col("__lbl"), explode(col("__tk")).as("__tok"))
+      .groupBy("__lbl", "__tok").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-label stats frame: one row per label — broadcast-sized by nature.
+    // |V| and n_train ride along via one-row broadcast cross joins (the
+    // engine's standard scalar-join idiom; no driver round trip).
+    val tot = cnt.groupBy("__lbl").agg(sum("__c").as("__tot"))
+    val vocab = cnt.agg(countDistinct(col("__tok")).as("__v"))
+    val nTrain = train.agg(count(lit(1)).as("__n"))
+    val priors = train.groupBy("__lbl").agg(count(lit(1)).as("__nd"))
+    val labelStats = priors.join(tot, "__lbl")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTrain))
+      .select(col("__lbl"),
+        (log(col("__nd")) - log(col("__n"))).as("__logprior"),
+        log(col("__tot") + col("__v")).as("__lognorm"))
+
+    // scoring: per-doc token counts join the model on the token key only —
+    // the model side is vocabulary-bounded, so AQE turns this into a
+    // broadcast join at any corpus scale.
+    val testTok = test
+      .select(col("__id"), explode(col("__tk")).as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__ct"))
+    val seen = testTok.join(cnt, "__tok")
+      .groupBy("__id", "__lbl")
+      .agg(sum(col("__ct") * log(col("__c") + lit(1.0))).as("__sw"))
+
+    val grid = test
+      .select(col("__id"), col("__lbl").as("__true"), size(col("__tk")).as("__len"))
+      .crossJoin(broadcast(labelStats))
+    val scored = grid.join(seen, Seq("__id", "__lbl"), "left")
+      .select(col("__id"), col("__true"), col("__lbl"),
+        round(col("__logprior") + coalesce(col("__sw"), lit(0.0))
+          - col("__len") * col("__lognorm"), 6).as("score"))
+
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("__lbl").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__true").as(labelCol),
+        col("__lbl").as("pred"), col("score"))
+  }
+
+  /** k-nearest-neighbor majority vote over an embedding column: queries are
+    * `filter(isQuery)` rows, candidates are the rest; each query takes the
+    * labels of its k nearest candidates by exact L2 distance (ties → smaller
+    * id — the [[graft.similarity.Similarity.topKByKey]] heap contract) and
+    * predicts the majority label (vote ties → smaller label).
+    *
+    * Scale shape is the proven ANN one: broadcast the query set, scan the
+    * candidate corpus once, per-partition heap top-k BEFORE the shuffle so
+    * only |queries|·k rows move; the vote is a |queries|·k-sized aggregate.
+    *
+    * Returns `(query_id, true_label, pred_label, n_votes)`.
+    */
+  def knnClassify(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      isQuery: Column,
+      k: Int
+  ): DataFrame = {
+    val q = emb.filter(isQuery).select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("true_label"))
+    val cand = emb.filter(!isQuery).select(
+      col(idCol).as("__nid"), col(vecCol).as("__v"), col(labelCol).as("__nl"))
+    val scored = cand
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), lit(true))
+      .select(col("query_id"),
+        // pack the neighbor label into the heap id (id * 2^20 + label) so a
+        // single top-k pass carries both; labels are small non-negative ints
+        (col("__nid") * lit(1048576L) + col("__nl")).as("__packed"),
+        (-graft.functions.l2_distance(col("__qv"), col("__v"))).as("__negd"))
+    val topk = graft.similarity.Similarity
+      .topKByKey(scored, "query_id", "__negd", "__packed", k)
+      .select(col("query_id"),
+        (col("__packed") % 1048576L).cast("int").as("__nl"))
+    val votes = topk.groupBy("query_id", "__nl").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("__nl").asc)
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(q.select("query_id", "true_label"), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("__nl").as("pred_label"), col("n_votes"))
+  }
+}
+
+/** Single-pass second-moment accumulator for a fixed-dimension vector
+  * column: n, per-dim sums, and the upper-triangular pairwise product sums —
+  * everything a covariance / correlation / PCA step needs, in one mergeable
+  * buffer of `1 + d + d(d+1)/2` doubles. Merge is elementwise addition
+  * (commutative + associative), so map-side partial aggregation applies and
+  * the reduce moves ONE buffer per partition regardless of corpus size —
+  * the only shape that survives 100 TB of embeddings. Rows of the wrong
+  * dimension fail fast; null rows are ignored (SQL aggregate semantics). */
+class VectorMomentsAgg(d: Int)
+    extends Aggregator[Array[Float], Array[Double], Array[Double]] {
+  require(d > 0, "dimension must be positive")
+  private val len = 1 + d + d * (d + 1) / 2
+
+  override def zero: Array[Double] = new Array[Double](len)
+
+  override def reduce(b: Array[Double], a: Array[Float]): Array[Double] = {
+    if (a == null) return b
+    require(a.length == d, s"expected dimension $d, got ${a.length}")
+    b(0) += 1.0
+    var i = 0
+    while (i < d) { b(1 + i) += a(i); i += 1 }
+    var k = 1 + d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { b(k) += a(i).toDouble * a(j); k += 1; j += 1 }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < len) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Double]): Array[Double] = b
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+object Covariance {
+
+  /** Population covariance matrix of a vector column as tidy rows
+    * `(i, j, cov)` for `i <= j` — the input a distributed PCA / whitening /
+    * Mahalanobis step consumes. One pass over the data (the
+    * [[VectorMomentsAgg]] buffer), then an O(d²) driver expansion of the
+    * single aggregated buffer into rows — bounded by dimension², never by
+    * corpus size. `cov(i,j) = Σxy/n − (Σx/n)(Σy/n)`. */
+  def covarianceMatrix(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val buf = emb.select(col(vecCol).cast("array<float>").as("v"))
+      .agg(udaf(new VectorMomentsAgg(d)).apply(col("v")).as("m"))
+      .as[Array[Double]]
+      .head()
+    val n = buf(0)
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val k = 1 + d + (i * (2 * d - i + 1)) / 2 + (j - i)
+      (i, j, buf(k) / n - (buf(1 + i) / n) * (buf(1 + j) / n))
+    }
+    rows.toDF("i", "j", "cov")
+  }
+}

@@ -30,6 +30,34 @@ object Splits {
       .otherwise("test")
   }
 
+  /** Leakage-safe split: assign train/val/test by NEAR-DUP CLUSTER, not by
+    * row, so two near-duplicate documents can never land in different
+    * splits — the contamination mode that silently inflates eval numbers
+    * when a test doc's twin sits in train. Clusters come from
+    * [[graft.dedup.Dedup.dedupClusters]] (token-shingle Jaccard ≥ threshold
+    * → connected components); every member inherits the split of its
+    * cluster representative `rep = min doc id in the component` (docs in no
+    * cluster are their own rep), hashed through the same md5 thresholds as
+    * [[splitCol]].
+    *
+    * Scale shape: the cluster frame is |near-dup docs|-sized (typically a
+    * few % of the corpus), joined back on the id key; the split itself is a
+    * row-local hash. One extra join over plain [[assignSplit]].
+    * Returns `(idCol, rep, split)`.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blockCols: Seq[String] = Nil,
+      trainUpper: Int = 204, valUpper: Int = 230): DataFrame = {
+    val clusters = graft.dedup.Dedup
+      .dedupClusters(docs, idCol, textCol, n, threshold, blockCols)
+      .withColumnRenamed("cluster_rep", "__rep")
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__rep"), col(idCol)).as("rep"))
+      .withColumn("split", splitCol(col("rep"), trainUpper, valUpper))
+  }
+
   /** Attach a `split` column. */
   def assignSplit(df: DataFrame, idCol: String,
       trainUpper: Int = 204, valUpper: Int = 230): DataFrame =
