@@ -2736,6 +2736,31 @@ object SparkEntry {
       graft.ml.Covariance.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64)
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
         .orderBy("i", "j")
+    }),
+    // --- round 6: leading principal component (fixed 8-step power
+    //     iteration on the one-pass covariance; O(d^2) driver math) ---
+    "q_pca_top" -> ((s, dir) => {
+      graft.ml.Covariance.principalComponent(t(s, dir, "embeddings"), "embedding", 64)
+        .select(col("dim"), round(col("loading"), 6).as("loading"),
+          round(col("eigval"), 6).as("eigval"))
+        .orderBy("dim")
+    }),
+    // --- round 6: diagonal-Mahalanobis embedding outliers (stats folded
+    //     into the scan as literals — one pass, no join) ---
+    "q_embed_outlier" -> ((s, dir) => {
+      graft.ml.Covariance.embeddingOutliers(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 64)
+        .select(col("vec_id"), round(col("md2"), 6).as("md2"), col("is_outlier"))
+        .orderBy("vec_id")
+    }),
+    // --- round 6: C4 line-level rule audit (Raffel et al. 2020) ---
+    "q_c4_rules" -> ((s, dir) => {
+      val f = graft.text.TextAnalysis.c4LineAudit(col("text")).toMap
+      t(s, dir, "documents").select(col("doc_id"),
+        f("n_lines").as("n_lines"), f("n_kept_lines").as("n_kept_lines"),
+        f("n_sentences").as("n_sentences"), f("has_brace").as("has_brace"),
+        f("has_lorem").as("has_lorem"), f("keep").as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6035,6 +6060,58 @@ object SparkEntry {
         |SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
         |  round(covar_pop(a.v, b.v), 6) AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q_pca_top" ->
+      // the 8 unnormalized power-iteration mat-vec steps unrolled as CTEs
+      // (same determinism contract as the Spark side: v0 = 1/d, Rayleigh
+      // eigenvalue, unit loadings, sign fixed by the largest-|l| entry)
+      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |c AS (SELECT a.i AS i, b.i AS j, covar_pop(a.v, b.v) AS cv
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT unnest(range(0, 64)) AS i, 1.0 / 64 AS v),
+        |v1 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v0 p ON c.j = p.i GROUP BY 1),
+        |v2 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v1 p ON c.j = p.i GROUP BY 1),
+        |v3 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v2 p ON c.j = p.i GROUP BY 1),
+        |v4 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v3 p ON c.j = p.i GROUP BY 1),
+        |v5 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v4 p ON c.j = p.i GROUP BY 1),
+        |v6 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v5 p ON c.j = p.i GROUP BY 1),
+        |v7 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v6 p ON c.j = p.i GROUP BY 1),
+        |v8 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v7 p ON c.j = p.i GROUP BY 1),
+        |v9 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v8 p ON c.j = p.i GROUP BY 1),
+        |ray AS (SELECT sum(a.v * b.v) / sum(a.v * a.v) AS eig, sum(a.v * a.v) AS vv
+        |  FROM v8 a JOIN v9 b ON a.i = b.i),
+        |ld AS (SELECT v8.i, v8.v / sqrt(ray.vv) AS l FROM v8 CROSS JOIN ray),
+        |sgn AS (SELECT CASE WHEN l < 0 THEN -1.0 ELSE 1.0 END AS s
+        |  FROM ld ORDER BY abs(l) DESC, i LIMIT 1)
+        |SELECT ld.i::INT AS dim, round(ld.l * sgn.s, 6) AS loading,
+        |  round(ray.eig, 6) AS eigval
+        |FROM ld CROSS JOIN sgn CROSS JOIN ray ORDER BY dim""".stripMargin,
+    "q_embed_outlier" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |st AS (SELECT i, avg(v) AS mu, var_pop(v) AS s2 FROM x GROUP BY 1),
+        |m AS (SELECT vec_id, sum((x.v - st.mu) * (x.v - st.mu) / st.s2) AS md2
+        |  FROM x JOIN st ON x.i = st.i GROUP BY 1)
+        |SELECT vec_id, round(md2, 6) AS md2, md2 > 128.0 AS is_outlier
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q_c4_rules" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |k AS (SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN len(regexp_extract_all(trim(line), '\S+')) >= 5
+        |             AND regexp_matches(line, '[.!?][ \t]*$')
+        |        THEN 1 ELSE 0 END)::INT AS n_kept_lines
+        |  FROM l GROUP BY 1),
+        |f AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '[.!?]'))::INT AS n_sentences,
+        |    contains(text, '{') AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem
+        |  FROM documents)
+        |SELECT f.doc_id, k.n_lines::INT AS n_lines, k.n_kept_lines,
+        |  f.n_sentences, f.has_brace, f.has_lorem,
+        |  (NOT f.has_brace AND NOT f.has_lorem AND f.n_sentences >= 3
+        |    AND k.n_kept_lines >= 1) AS keep
+        |FROM f JOIN k ON f.doc_id = k.doc_id ORDER BY f.doc_id""".stripMargin
   )
 }

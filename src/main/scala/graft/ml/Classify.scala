@@ -201,6 +201,20 @@ class VectorMomentsAgg(d: Int)
 
 object Covariance {
 
+  /** One [[VectorMomentsAgg]] pass → the raw `1 + d + d(d+1)/2` buffer.
+    * O(d²) driver bytes regardless of corpus size. */
+  private def momentsBuffer(emb: DataFrame, vecCol: String, d: Int): Array[Double] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(vecCol).cast("array<float>").as("v"))
+      .agg(udaf(new VectorMomentsAgg(d)).apply(col("v")).as("m"))
+      .as[Array[Double]]
+      .head()
+  }
+
+  private def upperIdx(d: Int, i: Int, j: Int): Int =
+    1 + d + (i * (2 * d - i + 1)) / 2 + (j - i)
+
   /** Population covariance matrix of a vector column as tidy rows
     * `(i, j, cov)` for `i <= j` — the input a distributed PCA / whitening /
     * Mahalanobis step consumes. One pass over the data (the
@@ -210,18 +224,85 @@ object Covariance {
   def covarianceMatrix(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val buf = emb.select(col(vecCol).cast("array<float>").as("v"))
-      .agg(udaf(new VectorMomentsAgg(d)).apply(col("v")).as("m"))
-      .as[Array[Double]]
-      .head()
+    val buf = momentsBuffer(emb, vecCol, d)
     val n = buf(0)
     val rows = for {
       i <- 0 until d
       j <- i until d
-    } yield {
-      val k = 1 + d + (i * (2 * d - i + 1)) / 2 + (j - i)
-      (i, j, buf(k) / n - (buf(1 + i) / n) * (buf(1 + j) / n))
-    }
+    } yield (i, j, buf(upperIdx(d, i, j)) / n - (buf(1 + i) / n) * (buf(1 + j) / n))
     rows.toDF("i", "j", "cov")
+  }
+
+  /** Leading principal component by FIXED-ITERATION power iteration on the
+    * covariance matrix — the PCA step a whitening / dim-reduction pipeline
+    * runs before projecting a 100 TB embedding table. The data pass is the
+    * same single moments aggregation as [[covarianceMatrix]]; the power
+    * iteration is O(iters·d²) driver arithmetic on the d×d matrix, which at
+    * any corpus scale is noise next to the scan.
+    *
+    * Determinism contract: `v₀ = (1/d,…,1/d)`, exactly `iters` unnormalized
+    * mat-vec products (no convergence test, no per-step normalization —
+    * those would make the result run-dependent), Rayleigh-quotient
+    * eigenvalue, final loadings unit-normalized with the sign fixed so the
+    * largest-|loading| entry is positive (ties → smaller dim). Every step
+    * is plain double arithmetic an oracle can replay as unrolled SQL CTEs.
+    *
+    * Returns one row per dimension: `(dim, loading, eigval)`. */
+  def principalComponent(emb: DataFrame, vecCol: String, d: Int, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val buf = momentsBuffer(emb, vecCol, d)
+    val n = buf(0)
+    val c = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val v = buf(upperIdx(d, i, j)) / n - (buf(1 + i) / n) * (buf(1 + j) / n)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / d)
+    for (_ <- 1 to iters)
+      v = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+    val cv = Array.tabulate(d) { i =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += c(i)(j) * v(j); j += 1 }
+      s
+    }
+    val vv = v.map(x => x * x).sum
+    val eig = v.zip(cv).map { case (a, b) => a * b }.sum / vv
+    val norm = math.sqrt(vv)
+    val loadings = v.map(_ / norm)
+    val m = loadings.zipWithIndex.maxBy { case (l, i) => (math.abs(l), -i) }._2
+    val sign = if (loadings(m) < 0) -1.0 else 1.0
+    loadings.zipWithIndex
+      .map { case (l, i) => (i, l * sign, eig) }
+      .toSeq.toDF("dim", "loading", "eigval")
+  }
+
+  /** Per-row diagonal-covariance Mahalanobis distance² over a vector
+    * column — the cheap embedding-space outlier score (full-covariance
+    * Mahalanobis needs a matrix inverse; with per-dim variances it
+    * decomposes to `Σ_i (x_i − μ_i)² / σ²_i`, which is row-local once the
+    * d per-dim stats are known). One bounded stats job (the same moments
+    * buffer), then a single scan with the stats folded in as literals — no
+    * join, no explode, no second shuffle: the 100 TB shape.
+    *
+    * Returns `(idCol, md2, is_outlier)` with `is_outlier = md2 > 2d`
+    * (E[md2] = d for in-distribution rows). */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String, d: Int): DataFrame = {
+    val buf = momentsBuffer(emb, vecCol, d)
+    val n = buf(0)
+    val mu = Array.tabulate(d)(i => buf(1 + i) / n)
+    val s2 = Array.tabulate(d)(i => buf(upperIdx(d, i, i)) / n - mu(i) * mu(i))
+    val muCol = array(mu.map(lit).toIndexedSeq: _*)
+    val s2Col = array(s2.map(lit).toIndexedSeq: _*)
+    val diffs = zip_with(col(vecCol).cast("array<double>"), muCol, (x, m) => x - m)
+    val md2 = aggregate(
+      zip_with(diffs, s2Col, (dd, s) => dd * dd / s),
+      lit(0.0), (acc, x) => acc + x)
+    emb.select(col(idCol), md2.as("md2"))
+      .select(col(idCol), col("md2"), (col("md2") > 2.0 * d).as("is_outlier"))
   }
 }

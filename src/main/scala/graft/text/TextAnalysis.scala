@@ -251,6 +251,33 @@ object TextAnalysis {
     least(greatest(raw, lit(0.0)), lit(1.0))
   }
 
+  /** C4-style line-level rule audit (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the public cleaning recipe behind the C4 corpus): per document,
+    * how many lines survive the "at least 5 words AND ends in terminal
+    * punctuation" rule, how many sentences the doc has, and the two
+    * discard tripwires (curly brace = code/markup, "lorem ipsum" =
+    * placeholder text). `keep` is the document-level verdict: no tripwire,
+    * ≥ 3 sentences, ≥ 1 surviving line.
+    *
+    * Pure codegen column ops over one scan (split + higher-order filter) —
+    * ASCII-only regexes so the DuckDB oracle mirrors them byte-for-byte. */
+  def c4LineAudit(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      size(filter(split(trim(l), "\\s+"), t => t =!= "")) >= 5 &&
+        l.rlike("[.!?][ \\t]*$"))
+    val nSentences = size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+    val hasBrace = text.contains("{")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    Seq(
+      "n_lines" -> size(lines),
+      "n_kept_lines" -> size(kept),
+      "n_sentences" -> nSentences,
+      "has_brace" -> hasBrace,
+      "has_lorem" -> hasLorem,
+      "keep" -> (!hasBrace && !hasLorem && nSentences >= 3 && size(kept) >= 1))
+  }
+
   // --- fingerprinting ---
 
   /** Content fingerprint of whitespace-normalized lowercase text (md5 —

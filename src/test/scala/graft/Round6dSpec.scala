@@ -114,6 +114,78 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(out((0, 1)) - 2 * out((0, 0))) < 1e-9)
   }
 
+  test("principalComponent: recovers the exact axis of rank-1 data") {
+    import spark.implicits._
+    // points t·(3,4) for t ∈ {-2,-1,1,2}: covariance is rank 1 with
+    // eigenvector (0.6, 0.8) and eigenvalue 25·Var(t) = 25·2.5 = 62.5
+    val df = Seq(-2f, -1f, 1f, 2f).map(t => Tuple1(Array(3 * t, 4 * t)))
+      .toDF("embedding")
+    val out = Covariance.principalComponent(df, "embedding", 2)
+      .orderBy("dim").collect()
+    assert(math.abs(out(0).getAs[Double]("loading") - 0.6) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("loading") - 0.8) < 1e-9)
+    assert(math.abs(out(0).getAs[Double]("eigval") - 62.5) < 1e-9)
+  }
+
+  test("principalComponent: sign fixed positive on the dominant entry") {
+    import spark.implicits._
+    // axis (-0.8, 0.6): dominant |loading| is dim 0 -> flipped to +0.8
+    val df = Seq(-2f, -1f, 1f, 2f).map(t => Tuple1(Array(-4 * t, 3 * t)))
+      .toDF("embedding")
+    val out = Covariance.principalComponent(df, "embedding", 2)
+      .orderBy("dim").collect()
+    assert(math.abs(out(0).getAs[Double]("loading") - 0.8) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("loading") - (-0.6)) < 1e-9)
+  }
+
+  test("embeddingOutliers: matches the hand-computed diagonal Mahalanobis") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, Array(0f, 10f)), (2L, Array(2f, 12f)),
+      (3L, Array(0f, 12f)), (4L, Array(2f, 10f)), (5L, Array(20f, 40f)))
+    val df = data.toDF("vec_id", "embedding")
+    val xs = data.map(_._2)
+    def stats(i: Int) = {
+      val v = xs.map(_(i).toDouble)
+      val mu = v.sum / v.size
+      (mu, v.map(x => (x - mu) * (x - mu)).sum / v.size)
+    }
+    val out = Covariance.embeddingOutliers(df, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    data.foreach { case (id, v) =>
+      val exp = (0 until 2).map { i =>
+        val (mu, s2) = stats(i); (v(i) - mu) * (v(i) - mu) / s2
+      }.sum
+      assert(math.abs(out(id)._1 - exp) < 1e-9, s"md2($id)")
+      assert(out(id)._2 === (exp > 4.0), s"flag($id)")
+    }
+    assert(out(5L)._2, "the planted outlier is flagged")
+  }
+
+  test("c4LineAudit: line rules, tripwires, and the keep verdict") {
+    import spark.implicits._
+    val good = "This is a perfectly fine sentence with many words.\n" +
+      "Another long and complete line that ends with punctuation!\n" +
+      "Third full sentence right here to pass the minimum."
+    val short = "Too short.\nNo punct line here at all\nok."
+    val brace = "A sentence with code { inside it. More text here. And more."
+    val lorem = "Lorem ipsum dolor sit amet consectetur. Two. Three."
+    val df = Seq((1L, good), (2L, short), (3L, brace), (4L, lorem))
+      .toDF("doc_id", "text")
+    val f = graft.text.TextAnalysis.c4LineAudit(col("text")).toMap
+    val out = df.select(col("doc_id"), f("n_lines").as("nl"),
+        f("n_kept_lines").as("nk"), f("n_sentences").as("ns"),
+        f("has_brace").as("hb"), f("has_lorem").as("hl"), f("keep").as("keep"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("nl") === 3 && out(0).getAs[Int]("nk") === 3)
+    assert(out(0).getAs[Boolean]("keep"))
+    // doc 2: "Too short." has <5 words; middle line lacks punctuation;
+    // "ok." is too short -> 0 kept lines, keep = false
+    assert(out(1).getAs[Int]("nk") === 0 && !out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Boolean]("hb") && !out(2).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Boolean]("hl") && !out(3).getAs[Boolean]("keep"))
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
