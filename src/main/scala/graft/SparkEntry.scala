@@ -2761,6 +2761,37 @@ object SparkEntry {
         f("n_sentences").as("n_sentences"), f("has_brace").as("has_brace"),
         f("has_lorem").as("has_lorem"), f("keep").as("keep"))
         .orderBy("doc_id")
+    }),
+    // --- round 6: exact-dup leakage audit of the row-hash split (the
+    //     contamination clusterSafeSplit prevents, quantified) ---
+    "q_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.operators.Splits.splitCol(col("doc_id")).as("split"))
+      val train = d.filter(col("split") === "train")
+        .select(col("fp")).distinct().withColumn("__hit", lit(1L))
+      d.filter(col("split") =!= "train")
+        .join(train, Seq("fp"), "left")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__hit"), lit(0L))).cast("bigint").as("n_leaked"))
+        .orderBy("split")
+    }),
+    // --- round 6: curriculum interleave (per-lang quality rank woven
+    //     round-robin; global position via the row-local closed form) ---
+    "q_curriculum" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      graft.operators.Splits.curriculumInterleave(scored, "doc_id", "lang", "q")
+        .orderBy("doc_id")
+    }),
+    // --- round 6: simplified silhouette over the label clustering (exact
+    //     nano-quantized centroid distances; a<=b by argmin construction) ---
+    "q_silhouette" -> ((s, dir) => {
+      graft.similarity.Similarity.silhouetteByCluster(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("cluster"), col("n_vecs"),
+          round(col("avg_silhouette"), 6).as("avg_silhouette"))
+        .orderBy("cluster")
     })
   )
 
@@ -6112,6 +6143,67 @@ object SparkEntry {
         |  f.n_sentences, f.has_brace, f.has_lorem,
         |  (NOT f.has_brace AND NOT f.has_lorem AND f.n_sentences >= 3
         |    AND k.n_kept_lines >= 1) AS keep
-        |FROM f JOIN k ON f.doc_id = k.doc_id ORDER BY f.doc_id""".stripMargin
+        |FROM f JOIN k ON f.doc_id = k.doc_id ORDER BY f.doc_id""".stripMargin,
+    "q_split_leakage" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT fp FROM d WHERE split = 'train')
+        |SELECT d.split, count(*) AS n_docs,
+        |  sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+        |FROM d LEFT JOIN tr ON d.fp = tr.fp
+        |WHERE d.split != 'train' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_curriculum" ->
+      // q_quality's score feeds a per-lang best-first rank; the global
+      // position is a plain global row_number here (DuckDB is single-node;
+      // the engine side uses the closed-form interleave instead)
+      """WITH f AS (SELECT doc_id, lang,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  0.3 * (CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END)
+        |    + 0.2 * (1.0 - least((CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END) * 5.0, 1.0))
+        |    + 0.2 * (CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * (CASE WHEN (CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END)
+        |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0) AS raw FROM f),
+        |s AS (SELECT doc_id, lang, round(least(greatest(raw, 0.0), 1.0), 6) AS q FROM g),
+        |r AS (SELECT doc_id, lang, q,
+        |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn FROM s)
+        |SELECT doc_id, lang, q, row_number() OVER (ORDER BY rn, lang) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_silhouette" ->
+      // same exact nano-quantized centroid distances as q_kmeans_assign;
+      // a = rank-1 dq (own centroid), b = rank-2 dq (closest other)
+      """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps AS (SELECT label, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cent FROM comps GROUP BY 1),
+        |dist AS (SELECT e.vec_id, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(floor((e.embedding[i]::DOUBLE - c.cent[i])
+        |        * (e.embedding[i]::DOUBLE - c.cent[i]) * 1e9) AS BIGINT)))::BIGINT AS dq
+        |  FROM embeddings e CROSS JOIN cents c),
+        |r AS (SELECT vec_id, clabel, dq,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dq, clabel) AS rn FROM dist),
+        |ab AS (SELECT a.vec_id, a.clabel AS cluster, a.dq::DOUBLE AS adq, b.dq::DOUBLE AS bdq
+        |  FROM (SELECT * FROM r WHERE rn = 1) a
+        |  JOIN (SELECT * FROM r WHERE rn = 2) b ON a.vec_id = b.vec_id),
+        |sil AS (SELECT cluster,
+        |    CASE WHEN greatest(adq, bdq) = 0 THEN 0.0
+        |         ELSE (bdq - adq) / greatest(adq, bdq) END AS s FROM ab)
+        |SELECT cluster, count(*) AS n_vecs, round(avg(s), 6) AS avg_silhouette
+        |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin
   )
 }

@@ -58,6 +58,44 @@ object Splits {
       .withColumn("split", splitCol(col("rep"), trainUpper, valUpper))
   }
 
+  /** Curriculum interleave: order the corpus best-first WITHIN each
+    * stratum (language, domain, source …) and weave the strata together
+    * round-robin — rank-1 docs of every stratum first, then rank-2, … —
+    * the standard way to turn per-group quality scores into a single
+    * training order that preserves the group mix at every prefix.
+    *
+    * The global position is NOT computed with a global window (a
+    * single-reducer sort at scale). Because `(rank, stratum)` is unique,
+    * `pos` is a closed-form function of the row's own rank and the tiny
+    * per-stratum count vector:
+    * {{{ pos = Σ_s min(n_s, rank−1)                    // earlier rounds
+    *         + Σ_{s < stratum} [n_s ≥ rank] + 1       // this round }}}
+    * so after the per-stratum rank (a keyed window; one shuffle on the
+    * stratum key) the interleave is a ROW-LOCAL fold over a broadcast
+    * |strata|-row array. For few massive strata, substitute the
+    * range-partitioned ordered-pass rank; the fold is unchanged.
+    *
+    * Returns `(idCol, strataCol, scoreCol, pos)` with `pos` the 1-based
+    * global curriculum position. */
+  def curriculumInterleave(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val ranked = df.select(col(idCol), col(strataCol), col(scoreCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .agg(array_sort(collect_list(struct(col(strataCol).as("s"), col("n"))))
+        .as("__cnts"))
+    ranked.crossJoin(broadcast(counts))
+      .withColumn("pos",
+        aggregate(col("__cnts"), lit(0L), (acc, c) =>
+          acc + least(c.getField("n"), col("__rn") - 1)
+            + when(c.getField("s") < col(strataCol)
+                && c.getField("n") >= col("__rn"), 1L).otherwise(0L))
+          + 1)
+      .select(col(idCol), col(strataCol), col(scoreCol), col("pos"))
+  }
+
   /** Attach a `split` column. */
   def assignSplit(df: DataFrame, idCol: String,
       trainUpper: Int = 204, valUpper: Int = 230): DataFrame =

@@ -230,6 +230,44 @@ object Similarity {
         (shiftrightunsigned(col("__packed"), 20).cast("double") / 1e9).as("dist_sq"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster — the standard
+    * cheap clustering-quality readout: for each vector, `a` = squared
+    * distance to its assigned (nearest) centroid, `b` = squared distance
+    * to the closest OTHER centroid, `s = (b − a) / max(a, b)` (0 when both
+    * are 0), averaged per cluster. True silhouette needs all pairwise
+    * distances (O(n²)); the centroid form is the one that scales — one
+    * row-local pass against the broadcast k×d centroid matrix, identical
+    * to [[kmeansAssign]]'s shape, plus a k-bounded `collect_list` per
+    * vector (k = #clusters, never corpus-sized).
+    *
+    * Distances reuse the exact nano-quantized longs, so the a/b pair and
+    * therefore `s` are deterministic rationals any engine reproduces
+    * bit-for-bit. Output: `(cluster, n_vecs, avg_silhouette)`. */
+  def silhouetteByCluster(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = centroidComponents(emb, vecCol, labelCol)
+      .groupBy("__label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cent"))
+    val sqDiffQ = zip_with(col(vecCol).cast("array<double>"), col("cent"),
+      (a, b) => floor((a - b) * (a - b) * lit(1e9)).cast("long"))
+    val labelType = emb.schema(labelCol).dataType
+    val packed = emb.crossJoin(broadcast(cents))
+      .withColumn("__dq", aggregate(sqDiffQ, lit(0L), (acc, x) => acc + x))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__dq") * lit(1048576L)
+        + col("__label").cast("long"))).as("__ps"))
+    val a = shiftrightunsigned(col("__ps")(0), 20).cast("double")
+    val b = shiftrightunsigned(col("__ps")(1), 20).cast("double")
+    val s = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    packed
+      .select(pmod(col("__ps")(0), lit(1048576L)).cast(labelType).as("cluster"),
+        s.as("__s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), avg(col("__s")).as("avg_silhouette"))
+  }
+
   /** The matching M-step: re-compute exact centroids under a new
     * assignment and roll each cluster up to (size, centroid L2 norm) —
     * the convergence signature of the iteration. */

@@ -186,6 +186,61 @@ class Round6dSpec extends SparkSpec {
     assert(out(3).getAs[Boolean]("hl") && !out(3).getAs[Boolean]("keep"))
   }
 
+  test("curriculumInterleave: round-robin weave matches the global sort") {
+    import spark.implicits._
+    // strata a(3 docs), b(2), c(1) with distinct scores
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.1),
+      (4L, "b", 0.8), (5L, "b", 0.2), (6L, "c", 0.7)
+    ).toDF("doc_id", "lang", "q")
+    val out = graft.operators.Splits.curriculumInterleave(df, "doc_id", "lang", "q")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    // round 1: a:1, b:4, c:6 ; round 2: a:2, b:5 ; round 3: a:3
+    assert(out === Map(1L -> 1L, 4L -> 2L, 6L -> 3L, 2L -> 4L, 5L -> 5L, 3L -> 6L))
+  }
+
+  test("curriculumInterleave: pos is a 1..n bijection on the fixture") {
+    val scored = Tables.docs(spark).select(col("doc_id"), col("lang"),
+      round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    val out = graft.operators.Splits.curriculumInterleave(scored, "doc_id", "lang", "q")
+    val n = out.count()
+    assert(out.select("pos").distinct().count() === n)
+    val mm = out.agg(min(col("pos")), max(col("pos"))).collect()(0)
+    assert(mm.getLong(0) === 1L && mm.getLong(1) === n)
+  }
+
+  test("silhouetteByCluster: hand-computed 1-D clusters") {
+    import spark.implicits._
+    // cluster 0 at {0, 2} (centroid 1), cluster 1 at {10, 12} (centroid 11)
+    // every point: a = 1, b = 81 (0,12) or 121 (2,10)... compute exactly:
+    // point 0: a=(0-1)^2=1, b=(0-11)^2=121 -> s=(121-1)/121
+    // point 2: a=1, b=81 -> s=80/81 ; symmetric for 10, 12
+    val df = Seq(
+      (0L, Array(0f), 0), (1L, Array(2f), 0),
+      (2L, Array(10f), 1), (3L, Array(12f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity
+      .silhouetteByCluster(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("avg_silhouette"))).toMap
+    val exp = (120.0 / 121 + 80.0 / 81) / 2
+    assert(out(0)._1 === 2L)
+    assert(math.abs(out(0)._2 - exp) < 1e-6)
+    assert(math.abs(out(1)._2 - exp) < 1e-6)
+  }
+
+  test("silhouetteByCluster: coincident centroids give s = 0") {
+    import spark.implicits._
+    // both labels sit at the same point -> a = b = 0 -> s defined as 0
+    val df = Seq(
+      (0L, Array(1f), 0), (1L, Array(1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity
+      .silhouetteByCluster(df, "vec_id", "embedding", "label")
+      .collect()
+    assert(out.forall(_.getAs[Double]("avg_silhouette") === 0.0))
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
