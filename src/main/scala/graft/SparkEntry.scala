@@ -2792,6 +2792,52 @@ object SparkEntry {
         .select(col("cluster"), col("n_vecs"),
           round(col("avg_silhouette"), 6).as("avg_silhouette"))
         .orderBy("cluster")
+    }),
+    // --- round 6: lexical diversity per language (type-token ratio +
+    //     distinct-bigram ratio — the diversity-collapse early warning) ---
+    "q_ngram_diversity" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      val d = t(s, dir, "documents")
+      val uni = d.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang").agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+      val bi = d.select(col("lang"), explode(tokenBigrams(col("text"))).as("bg"))
+        .groupBy("lang").agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_distinct_bigrams"))
+      uni.join(bi, "lang")
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          col("n_bigrams"), col("n_distinct_bigrams"),
+          round(col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+            .as("bigram_ratio"))
+        .orderBy("lang")
+    }),
+    // --- round 6: per-source governance scorecard (exact-dup rate +
+    //     language-mix entropy; H = ln T − Σ c·ln c / T, single agg) ---
+    "q_source_scorecard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val base = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      val ent = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(sum(col("c")).as("tt"),
+          sum(col("c") * log(col("c"))).as("sl"))
+        .select(col("source"),
+          (log(col("tt")) - col("sl") / col("tt")).as("h"))
+      base.join(ent, "source")
+        .select(col("source"), col("n_docs"), col("n_distinct_fp"),
+          round(lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          round(col("h"), 6).as("lang_entropy"))
+        .orderBy("source")
+    }),
+    // --- round 6: 1-D PCA coordinate per vector (loadings folded into
+    //     the scan as literals — row-local, no join) ---
+    "q_pca_project" -> ((s, dir) => {
+      graft.ml.Covariance.pcaProject(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 64)
+        .select(col("vec_id"), round(col("proj"), 6).as("proj"))
+        .orderBy("vec_id")
     })
   )
 
@@ -6204,6 +6250,61 @@ object SparkEntry {
         |    CASE WHEN greatest(adq, bdq) = 0 THEN 0.0
         |         ELSE (bdq - adq) / greatest(adq, bdq) END AS s FROM ab)
         |SELECT cluster, count(*) AS n_vecs, round(avg(s), 6) AS avg_silhouette
-        |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin
+        |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "q_ngram_diversity" ->
+      """WITH tk AS (SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS t
+        |  FROM documents),
+        |uni AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+        |  FROM (SELECT lang, unnest(t) AS tok FROM tk) GROUP BY 1),
+        |bg AS (SELECT lang, count(*) AS n_bigrams,
+        |    count(DISTINCT b) AS n_distinct_bigrams
+        |  FROM (SELECT lang, unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS b FROM tk WHERE len(t) >= 2)
+        |  GROUP BY 1)
+        |SELECT uni.lang, n_tokens::BIGINT AS n_tokens, n_types::BIGINT AS n_types,
+        |  round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+        |  n_bigrams::BIGINT AS n_bigrams,
+        |  n_distinct_bigrams::BIGINT AS n_distinct_bigrams,
+        |  round(n_distinct_bigrams::DOUBLE / n_bigrams, 6) AS bigram_ratio
+        |FROM uni JOIN bg ON uni.lang = bg.lang ORDER BY uni.lang""".stripMargin,
+    "q_source_scorecard" ->
+      """WITH d AS (SELECT source, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |base AS (SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT fp) AS n_distinct_fp FROM d GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+        |ent AS (SELECT source, ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c) AS h
+        |  FROM lc GROUP BY 1)
+        |SELECT base.source, n_docs::BIGINT AS n_docs,
+        |  n_distinct_fp::BIGINT AS n_distinct_fp,
+        |  round(1.0 - n_distinct_fp::DOUBLE / n_docs, 6) AS dup_rate,
+        |  round(ent.h, 6) AS lang_entropy
+        |FROM base JOIN ent ON base.source = ent.source ORDER BY base.source""".stripMargin,
+    "q_pca_project" ->
+      // the same unrolled power iteration as q_pca_top, then a row-local
+      // dot product of every embedding with the signed unit loadings
+      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |c AS (SELECT a.i AS i, b.i AS j, covar_pop(a.v, b.v) AS cv
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT unnest(range(0, 64)) AS i, 1.0 / 64 AS v),
+        |v1 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v0 p ON c.j = p.i GROUP BY 1),
+        |v2 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v1 p ON c.j = p.i GROUP BY 1),
+        |v3 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v2 p ON c.j = p.i GROUP BY 1),
+        |v4 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v3 p ON c.j = p.i GROUP BY 1),
+        |v5 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v4 p ON c.j = p.i GROUP BY 1),
+        |v6 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v5 p ON c.j = p.i GROUP BY 1),
+        |v7 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v6 p ON c.j = p.i GROUP BY 1),
+        |v8 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v7 p ON c.j = p.i GROUP BY 1),
+        |ray AS (SELECT sum(a.v * a.v) AS vv FROM v8 a),
+        |ld AS (SELECT v8.i, v8.v / sqrt(ray.vv) AS l FROM v8 CROSS JOIN ray),
+        |sgn AS (SELECT CASE WHEN l < 0 THEN -1.0 ELSE 1.0 END AS s
+        |  FROM ld ORDER BY abs(l) DESC, i LIMIT 1),
+        |ldl AS (SELECT list(ld.l * sgn.s ORDER BY ld.i) AS ls FROM ld CROSS JOIN sgn)
+        |SELECT e.vec_id,
+        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> e.embedding[i]::DOUBLE * ldl.ls[i])), 6) AS proj
+        |FROM embeddings e CROSS JOIN ldl ORDER BY e.vec_id""".stripMargin
   )
 }

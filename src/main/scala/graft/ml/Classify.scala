@@ -251,6 +251,17 @@ object Covariance {
   def principalComponent(emb: DataFrame, vecCol: String, d: Int, iters: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val (loadings, eig) = topComponent(emb, vecCol, d, iters)
+    loadings.zipWithIndex
+      .map { case (l, i) => (i, l, eig) }
+      .toSeq.toDF("dim", "loading", "eigval")
+  }
+
+  /** The loadings/eigenvalue pair behind [[principalComponent]], for
+    * callers that fold the component back into a scan (projection,
+    * whitening). Same determinism contract. */
+  def topComponent(emb: DataFrame, vecCol: String, d: Int,
+      iters: Int = 8): (Array[Double], Double) = {
     val buf = momentsBuffer(emb, vecCol, d)
     val n = buf(0)
     val c = Array.ofDim[Double](d, d)
@@ -276,9 +287,23 @@ object Covariance {
     val loadings = v.map(_ / norm)
     val m = loadings.zipWithIndex.maxBy { case (l, i) => (math.abs(l), -i) }._2
     val sign = if (loadings(m) < 0) -1.0 else 1.0
-    loadings.zipWithIndex
-      .map { case (l, i) => (i, l * sign, eig) }
-      .toSeq.toDF("dim", "loading", "eigval")
+    (loadings.map(_ * sign), eig)
+  }
+
+  /** Project every vector onto the leading principal component — the 1-D
+    * PCA coordinate used for sorting, binning, or coreset selection over
+    * an embedding table. The component comes from [[topComponent]] (one
+    * bounded stats job); the projection folds the d loadings into the scan
+    * as literals, so the corpus pass is row-local with no join — the same
+    * shape as [[embeddingOutliers]]. Returns `(idCol, proj)`. */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String, d: Int,
+      iters: Int = 8): DataFrame = {
+    val (loadings, _) = topComponent(emb, vecCol, d, iters)
+    val lCol = array(loadings.map(lit).toIndexedSeq: _*)
+    val proj = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), lCol, (x, l) => x * l),
+      lit(0.0), (acc, x) => acc + x)
+    emb.select(col(idCol), proj.as("proj"))
   }
 
   /** Per-row diagonal-covariance Mahalanobis distance² over a vector

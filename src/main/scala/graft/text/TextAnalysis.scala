@@ -251,6 +251,16 @@ object TextAnalysis {
     least(greatest(raw, lit(0.0)), lit(1.0))
   }
 
+  /** Adjacent-token bigrams ("a b", "b c", …) — empty for docs under two
+    * tokens. Row-local array fold (two slices zipped), no explode until
+    * the caller chooses to. */
+  def tokenBigrams(text: Column): Column = {
+    val tk = tokens(text)
+    val n = greatest(size(tk) - 1, lit(0))
+    zip_with(slice(tk, lit(1), n), slice(tk, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** C4-style line-level rule audit (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the public cleaning recipe behind the C4 corpus): per document,
     * how many lines survive the "at least 5 words AND ends in terminal

@@ -241,6 +241,40 @@ class Round6dSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("avg_silhouette") === 0.0))
   }
 
+  test("tokenBigrams: adjacent pairs, empty under two tokens") {
+    import spark.implicits._
+    val df = Seq("a b c", "solo", "", "x y").toDF("text")
+    val out = df.select(graft.text.TextAnalysis.tokenBigrams(col("text")).as("bg"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) === List("a b", "b c"))
+    assert(out(1) === Nil && out(2) === Nil)
+    assert(out(3) === List("x y"))
+  }
+
+  test("pcaProject: projection equals the dot with the signed loadings") {
+    import spark.implicits._
+    val df = Seq(-2f, -1f, 1f, 2f).map(t => Tuple1(Array(3 * t, 4 * t)))
+      .toDF("embedding").withColumn("vec_id", monotonically_increasing_id())
+    val out = graft.ml.Covariance.pcaProject(df, "vec_id", "embedding", 2)
+      .collect().map(_.getAs[Double]("proj")).sorted
+    // loadings (0.6, 0.8): projections are 5t for t in {-2,-1,1,2}
+    assert(out.zip(Seq(-10.0, -5.0, 5.0, 10.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("source scorecard entropy: single-lang source has H = 0") {
+    import spark.implicits._
+    val d = Seq(("s1", "en", "t1"), ("s1", "en", "t2"),
+      ("s2", "en", "t3"), ("s2", "fr", "t4")).toDF("source", "lang", "text")
+    val ent = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(col("c")).as("tt"),
+        sum(col("c") * log(col("c"))).as("sl"))
+      .select(col("source"), (log(col("tt")) - col("sl") / col("tt")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ent("s1")) < 1e-12)
+    assert(math.abs(ent("s2") - math.log(2)) < 1e-12)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
