@@ -2838,6 +2838,13 @@ object SparkEntry {
           "vec_id", "embedding", 64)
         .select(col("vec_id"), round(col("proj"), 6).as("proj"))
         .orderBy("vec_id")
+    }),
+    // --- round 6: market-basket pair lift on the fact table (row-local
+    //     pair generation from per-order item arrays, no basket self-join) ---
+    "q_basket_lift" -> ((s, dir) => {
+      graft.operators.Basket.pairLift(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", 20)
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
     })
   )
 
@@ -6305,6 +6312,21 @@ object SparkEntry {
         |SELECT e.vec_id,
         |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
         |    i -> e.embedding[i]::DOUBLE * ldl.ls[i])), 6) AS proj
-        |FROM embeddings e CROSS JOIN ldl ORDER BY e.vec_id""".stripMargin
+        |FROM embeddings e CROSS JOIN ldl ORDER BY e.vec_id""".stripMargin,
+    "q_basket_lift" ->
+      """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS item FROM lineitem GROUP BY 1, 2),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+        |ic AS (SELECT item, count(*) AS ni FROM b GROUP BY 1),
+        |pc AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item GROUP BY 1, 2),
+        |top AS (SELECT * FROM pc ORDER BY n_ab DESC, item_a, item_b LIMIT 20)
+        |SELECT t.item_a, t.item_b, t.n_ab::BIGINT AS n_ab,
+        |  ia.ni::BIGINT AS n_a, ib.ni::BIGINT AS n_b,
+        |  round(t.n_ab::DOUBLE / nb.n, 6) AS support,
+        |  round(t.n_ab::DOUBLE / ia.ni, 6) AS confidence,
+        |  round(t.n_ab::DOUBLE * nb.n / (ia.ni * ib.ni), 6) AS lift
+        |FROM top t JOIN ic ia ON ia.item = t.item_a
+        |JOIN ic ib ON ib.item = t.item_b CROSS JOIN nb
+        |ORDER BY t.n_ab DESC, t.item_a, t.item_b""".stripMargin
   )
 }

@@ -275,6 +275,49 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(ent("s2") - math.log(2)) < 1e-12)
   }
 
+  test("pairLift: hand-computed support/confidence/lift") {
+    import spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,3}, {2} -> n=4; pair (1,2): n_ab=2,
+    // n_1=3, n_2=3 -> support .5, conf 2/3, lift 2*4/9
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), // dup item in basket
+      (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L), (40L, 2L)
+    ).toDF("bk", "item")
+    val out = graft.operators.Basket.pairLift(df, "bk", "item", 10)
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    assert(out.size === 3)
+    assert(out((1L, 2L))._1 === 2L)
+    assert(out((1L, 2L))._2 === 0.5)
+    assert(math.abs(out((1L, 2L))._3 - 0.666667) < 1e-9)
+    assert(math.abs(out((1L, 2L))._4 - 0.888889) < 1e-9)
+    assert(out((1L, 3L))._1 === 2L)
+    assert(out((2L, 3L))._1 === 1L)
+  }
+
+  test("pairLift: top-k cut is deterministic under count ties") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (1L, 6L), (1L, 7L), (1L, 8L)).toDF("bk", "item")
+    // all 6 pairs have n_ab = 1; top-3 must be the lexicographically first
+    val out = graft.operators.Basket.pairLift(df, "bk", "item", 3)
+      .orderBy("item_a", "item_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((5L, 6L), (5L, 7L), (5L, 8L)))
+  }
+
+  test("VectorMomentsAgg: shard merge equals the single-pass buffer") {
+    import spark.implicits._
+    // incremental maintenance: moments(all) == merge(moments(A), moments(B))
+    val a = Seq(Array(1f, 2f), Array(3f, 4f), Array(5f, 6f))
+    val b = Seq(Array(7f, 8f), Array(9f, 10f))
+    val agg = new VectorMomentsAgg(2)
+    def buf(xs: Seq[Array[Float]]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(buf(a), buf(b))
+    val single = buf(a ++ b)
+    assert(merged.toSeq === single.toSeq)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
