@@ -47,7 +47,11 @@ object ScaleLadder {
     "q_dedup_substring",
     // round-6 additions: cluster-count-scaled SemDeDup, broadcast top-k
     // hard negatives, and the BPE pair kernel over a 10x vocabulary
-    "q_semdedup", "q_hard_negatives", "q_bpe_pairs")
+    "q_semdedup", "q_hard_negatives", "q_bpe_pairs",
+    // round-6 continuation: cluster-keyed splits (pair gen + CC + join),
+    // the NB classifier (vocabulary-keyed model join), and basket pair
+    // mining (row-local pair explosion on the 10x fact table)
+    "q_cluster_split", "q_nb_classify", "q_basket_lift")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
