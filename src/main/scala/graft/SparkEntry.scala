@@ -2845,6 +2845,17 @@ object SparkEntry {
       graft.operators.Basket.pairLift(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", 20)
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+    }),
+    // --- round 6: harmonic centrality from 8 pinned seeds — ONE bitmask
+    //     multi-source BFS loop, not 8 per-seed traversals ---
+    "q_harmonic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      graft.operators.Graph.harmonicCentrality(sym, "u", "v",
+          sources = (0L to 7L), maxHops = 4, k = 20)
+        .orderBy(col("harmonic").desc, col("node").asc)
     })
   )
 
@@ -6327,6 +6338,25 @@ object SparkEntry {
         |  round(t.n_ab::DOUBLE * nb.n / (ia.ni * ib.ni), 6) AS lift
         |FROM top t JOIN ic ia ON ia.item = t.item_a
         |JOIN ic ib ON ib.item = t.item_b CROSS JOIN nb
-        |ORDER BY t.n_ab DESC, t.item_a, t.item_b""".stripMargin
+        |ORDER BY t.n_ab DESC, t.item_a, t.item_b""".stripMargin,
+    "q_harmonic" ->
+      // independent per-seed min-distance BFS (recursive CTE over the same
+      // co-order graph), then h(v) = sum over reaching seeds of 1/d
+      """WITH RECURSIVE base AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |und AS (SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM base a JOIN base b ON a.k = b.k AND a.i <> b.i),
+        |seeds AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS s),
+        |bfs(s, node, hop) AS (
+        |  SELECT s, s::BIGINT AS node, 0 FROM seeds
+        |  UNION
+        |  SELECT bfs.s, e.v, bfs.hop + 1 FROM bfs JOIN und e ON e.u = bfs.node
+        |  WHERE bfs.hop < 4),
+        |mind AS (SELECT s, node, min(hop) AS d FROM bfs GROUP BY 1, 2),
+        |h AS (SELECT node, count(*)::BIGINT AS n_seeds,
+        |    round(sum(1.0 / d), 6) AS harmonic
+        |  FROM mind WHERE d > 0 GROUP BY 1)
+        |SELECT node, n_seeds, harmonic FROM h
+        |ORDER BY harmonic DESC, node LIMIT 20""".stripMargin
   )
 }

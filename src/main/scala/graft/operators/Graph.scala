@@ -382,6 +382,70 @@ object Graph {
     visited
   }
 
+  /** Harmonic centrality from a pinned seed set, via MULTI-SOURCE
+    * level-synchronous BFS with a bitmask frontier: all `sources` (≤ 64)
+    * explore in ONE propagation loop — per node the visited state is a
+    * single long whose bit `i` is set once seed `i` has reached it, so the
+    * per-hop work is one frontier⋈edges join + one `bit_or` aggregate
+    * regardless of seed count (64× cheaper than per-seed BFS). Newly set
+    * bits at hop `h` contribute `popcount / h` to the node's harmonic sum
+    * `h(v) = Σ_{seeds s ≠ v} 1 / d(s, v)` (unreachable seeds contribute
+    * 0 — the property harmonic centrality has and closeness lacks).
+    *
+    * Scale shape mirrors [[bfsHops]]: edges cached pre-partitioned on the
+    * source key, O(F) frontier shuffles into place, O(1)-row driver
+    * termination probe, lineage truncated per round. Returns the top-`k`
+    * nodes: `(node, n_seeds, harmonic)`, ranked `(harmonic desc, node)` on
+    * the 6-dp-rounded sum so the cut is engine-reproducible. */
+  def harmonicCentrality(edges: DataFrame, src: String, dst: String,
+      sources: Seq[Long], maxHops: Int, k: Int): DataFrame = {
+    require(sources.nonEmpty && sources.size <= 64, "at most 64 seeds per mask")
+    require(sources.distinct.size == sources.size, "seeds must be distinct")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.filter(col(src).isNotNull && col(dst).isNotNull)
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.zipWithIndex
+      .map { case (s, i) => (s, 1L << i) }
+      .toDF("node", "mask")
+    var frontier = visited
+    val contribs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var hop = 0
+    var frontierSize = sources.size.toLong
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val prop = e
+        .join(frontier.select(col("node").as("u"), col("mask").as("fm")), Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(expr("bit_or(fm)").as("pm"))
+      val merged = visited.join(prop, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("mask"), lit(0L)).as("old"),
+          coalesce(col("pm"), lit(0L)).as("pm"))
+        .withColumn("nw", expr("pm & ~old"))
+        .transform(graft.core.Checkpoints.truncate)
+      contribs += merged.filter(col("nw") =!= 0L)
+        .select(col("node"),
+          (expr("bit_count(nw)").cast("double") / hop).as("inv"),
+          expr("bit_count(nw)").cast("long").as("cnt"))
+      frontier = merged.filter(col("nw") =!= 0L)
+        .select(col("node"), col("nw").as("mask"))
+      frontierSize = frontier.count()
+      visited = merged.select(col("node"), expr("old | pm").as("mask"))
+    }
+    e.unpersist()
+    if (contribs.isEmpty) return Seq.empty[(Long, Long, Double)]
+      .toDF("node", "n_seeds", "harmonic")
+    contribs.reduce(_ unionByName _)
+      .groupBy("node")
+      .agg(sum(col("cnt")).as("n_seeds"), round(sum(col("inv")), 6).as("harmonic"))
+      .orderBy(col("harmonic").desc, col("node").asc)
+      .limit(k)
+  }
+
   /** Co-occurrence edge list: items sharing a basket become edges (a<b,
     * distinct). The standard projection of a bipartite basket-item table
     * onto items; one self-join per basket key. */

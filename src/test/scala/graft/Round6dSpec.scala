@@ -318,6 +318,32 @@ class Round6dSpec extends SparkSpec {
     assert(merged.toSeq === single.toSeq)
   }
 
+  test("harmonicCentrality: hand-computed path graph, two seeds") {
+    import spark.implicits._
+    // path 0-1-2-3 (symmetric edges), seeds {0,1}, maxHops 4:
+    // node 0: d(1,0)=1 -> h=1 ; node 1: d(0,1)=1 -> h=1
+    // node 2: d(0,2)=2, d(1,2)=1 -> 1.5 ; node 3: 1/3 + 1/2 = .833333
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val sym = (e ++ e.map(_.swap)).toDF("u", "v")
+    val out = graft.operators.Graph
+      .harmonicCentrality(sym, "u", "v", Seq(0L, 1L), 4, 10)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_seeds"), r.getAs[Double]("harmonic"))).toMap
+    assert(out === Map(
+      0L -> (1L, 1.0), 1L -> (1L, 1.0),
+      2L -> (2L, 1.5), 3L -> (2L, 0.833333)))
+  }
+
+  test("harmonicCentrality: maxHops bounds the reach") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L))
+    val sym = (e ++ e.map(_.swap)).toDF("u", "v")
+    val out = graft.operators.Graph
+      .harmonicCentrality(sym, "u", "v", Seq(0L), 1, 10)
+      .collect().map(r => r.getAs[Long]("node")).toSet
+    assert(out === Set(1L)) // node 2 is at hop 2, beyond maxHops=1
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
