@@ -2856,6 +2856,24 @@ object SparkEntry {
       graft.operators.Graph.harmonicCentrality(sym, "u", "v",
           sources = (0L to 7L), maxHops = 4, k = 20)
         .orderBy(col("harmonic").desc, col("node").asc)
+    }),
+    // --- round 6: Kaplan-Meier churn curve (per-user lifetime collapse is
+    //     the only corpus-sized shuffle; KM math on day-bounded rows) ---
+    "q_survival" -> ((s, dir) => {
+      graft.operators.Retention.kaplanMeier(
+          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", censorDays = 7)
+        .select(col("t_days"), col("n_at_risk"), col("d_churned"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t_days")
+    }),
+    // --- round 6: Laplace-mechanism noisy counts (md5-seeded inverse-CDF
+    //     draw -> reproducible release, oracle-checkable arithmetic) ---
+    "q_dp_counts" -> ((s, dir) => {
+      graft.operators.Stats.dpNoisyCounts(t(s, dir, "events"), "event_type", b = 1.0)
+        .select(col("event_type"), col("n"), round(col("noise"), 6).as("noise"),
+          round(col("noisy_n"), 6).as("noisy_n"))
+        .orderBy("event_type")
     })
   )
 
@@ -6357,6 +6375,38 @@ object SparkEntry {
         |    round(sum(1.0 / d), 6) AS harmonic
         |  FROM mind WHERE d > 0 GROUP BY 1)
         |SELECT node, n_seeds, harmonic FROM h
-        |ORDER BY harmonic DESC, node LIMIT 20""".stripMargin
+        |ORDER BY harmonic DESC, node LIMIT 20""".stripMargin,
+    "q_survival" ->
+      """WITH u AS (SELECT user_id, min(epoch_ns(ts) // 1000) AS f,
+        |    max(epoch_ns(ts) // 1000) AS l
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |h AS (SELECT max(l) AS hz FROM u),
+        |lt AS (SELECT (l - f) // 86400000000 AS t,
+        |    CASE WHEN l < h.hz - 7 * 86400000000 THEN 1 ELSE 0 END AS churned
+        |  FROM u CROSS JOIN h),
+        |byt AS (SELECT t, count(*) AS c, sum(churned)::BIGINT AS d FROM lt GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM lt),
+        |w AS (SELECT t, c, d, tot.n - coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM byt CROSS JOIN tot),
+        |s AS (SELECT t, n_at_risk, d,
+        |    exp(sum(ln(1.0 - d::DOUBLE / n_at_risk)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+        |  FROM w)
+        |SELECT t AS t_days, n_at_risk::BIGINT AS n_at_risk, d AS d_churned,
+        |  round(surv, 6) AS survival
+        |FROM s WHERE d > 0 ORDER BY t_days""".stripMargin,
+    "q_dp_counts" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1),
+        |s AS (SELECT event_type, n,
+        |    (('0x' || substring(md5(event_type), 1, 13))::BIGINT + 1.0)
+        |      / 4503599627370497.0 AS u FROM g),
+        |t AS (SELECT event_type, n,
+        |    -1.0 * (CASE WHEN u > 0.5 THEN 1.0 WHEN u < 0.5 THEN -1.0 ELSE 0.0 END)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise FROM s)
+        |SELECT event_type, n, round(noise, 6) AS noise,
+        |  round(n + noise, 6) AS noisy_n
+        |FROM t ORDER BY event_type""".stripMargin
   )
 }

@@ -101,4 +101,53 @@ object Retention {
           .otherwise(lit(0.0)).as("z"))
       .filter(abs(col("z")) > k)
   }
+
+  /** Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier 1958;
+    * the standard churn-curve readout): per user, lifetime = days between
+    * first and last event; users whose last event falls within
+    * `censorDays` of the observation horizon are right-CENSORED (still at
+    * risk, not churned). At each lifetime `t` with ≥ 1 churn,
+    * `S(t) = Π_{t_j ≤ t} (1 − d_j / n_j)` with `d_j` churns at `t_j` and
+    * `n_j` users whose lifetime ≥ `t_j`.
+    *
+    * Distributed shape: one `groupBy(user)` collapses the event log to a
+    * per-user (lifetime, churned) pair — the only corpus-sized shuffle.
+    * Everything after operates on ≤ #distinct-lifetime rows (day-bounded
+    * by construction), so the cumulative windows are driver-scale; the
+    * product is computed as `exp(Σ ln(1 − d/n))` over the time-ordered
+    * window — a sequential fold both engines evaluate in the same order,
+    * so the oracle matches to the ulp.
+    *
+    * `tsCol` must be epoch MICROS (the engine's events convention).
+    * Returns `(t_days, n_at_risk, d_churned, survival)` for churn times. */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int): DataFrame = {
+    val us = 86400000000L // µs per day
+    val users = df.filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+    val horizon = users.agg(max(col("last_ts")).as("h"))
+    val lifetimes = users.crossJoin(broadcast(horizon))
+      .select(
+        // integer `div`, not double `/`: exact day bucketing either engine
+        expr(s"(last_ts - first_ts) div $us").as("t"),
+        (col("last_ts") < col("h") - lit(censorDays.toLong * us))
+          .cast("long").as("churned"))
+    val byT = lifetimes.groupBy("t")
+      .agg(count(lit(1)).as("c"), sum(col("churned")).as("d"))
+    val total = lifetimes.count()
+    // ≤ #distinct-day rows from here on: the unpartitioned windows run on
+    // a day-bounded frame, not the event log
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT
+      .withColumn("n_at_risk", lit(total) - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("survival",
+        exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_at_risk"))).over(wCum)))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_days"), col("n_at_risk"),
+        col("d").as("d_churned"), col("survival"))
+  }
 }

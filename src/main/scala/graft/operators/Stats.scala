@@ -85,6 +85,30 @@ object Stats {
 
   /** Pooled two-proportion z (same formula as
     * [[Profiler.twoProportionZ]], scalar form for driver-side gates). */
+  /** Laplace-mechanism noisy counts (Dwork et al. 2006, the ε-DP release
+    * primitive): per group, `count + Laplace(b)` with `b = Δf/ε = 1/ε` for
+    * a unit-sensitivity count. The Laplace draw inverts the CDF at an
+    * md5-derived uniform — REPRODUCIBLE noise so the release is
+    * oracle-checkable and the mechanism's arithmetic is testable end to
+    * end; a production DP release swaps the md5 uniform for fresh entropy
+    * (deterministic noise re-used across releases is not DP).
+    * One hash aggregation; the noise is a row-local expression on the
+    * group key. Returns `(keyCol, n, noise, noisy_n)`. */
+  def dpNoisyCounts(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      b: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 1.0) / 4503599627370497.0 // 16^13 + 1, u ∈ (0,1)
+    val x = u - 0.5
+    val noise = -lit(b) * signum(x) * log(lit(1.0) - lit(2.0) * abs(x))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("noisy_n", col("n") + col("noise"))
+  }
+
   def twoProportionZ(sA: Long, nA: Long, sB: Long, nB: Long): Double = {
     require(nA > 0 && nB > 0)
     val pa = sA.toDouble / nA

@@ -344,6 +344,50 @@ class Round6dSpec extends SparkSpec {
     assert(out === Set(1L)) // node 2 is at hop 2, beyond maxHops=1
   }
 
+  test("kaplanMeier: hand-computed churn curve with right censoring") {
+    import spark.implicits._
+    val day = 86400000000L
+    // A: lifetime 2d (churn), B: 0d (churn), C: 9d (censored - at horizon),
+    // D: 8d (censored - within 1d of horizon). KM: t=0 S=.75, t=2 S=.5
+    val ev = Seq(
+      ("A", 0L), ("A", 2 * day),
+      ("B", 0L),
+      ("C", 0L), ("C", 9 * day),
+      ("D", 0L), ("D", 8 * day)
+    ).toDF("user_id", "ts_us")
+    val out = graft.operators.Retention
+      .kaplanMeier(ev, "user_id", "ts_us", censorDays = 1)
+      .orderBy("t_days").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("t_days") === 0L)
+    assert(out(0).getAs[Long]("n_at_risk") === 4L)
+    assert(out(0).getAs[Long]("d_churned") === 1L)
+    assert(math.abs(out(0).getAs[Double]("survival") - 0.75) < 1e-9)
+    assert(out(1).getAs[Long]("t_days") === 2L)
+    assert(out(1).getAs[Long]("n_at_risk") === 3L)
+    assert(math.abs(out(1).getAs[Double]("survival") - 0.5) < 1e-9)
+  }
+
+  test("dpNoisyCounts: noise matches the inverse-CDF draw from md5") {
+    import spark.implicits._
+    val df = Seq("click", "click", "view").toDF("k")
+    val out = graft.operators.Stats.dpNoisyCounts(df, "k", b = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("noise"), r.getAs[Double]("noisy_n"))).toMap
+    def expected(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val u = (v.toDouble + 1.0) / 4503599627370497.0
+      val x = u - 0.5
+      -1.0 * math.signum(x) * math.log(1.0 - 2.0 * math.abs(x))
+    }
+    assert(out("click")._1 === 2L)
+    assert(math.abs(out("click")._2 - expected("click")) < 1e-12)
+    assert(math.abs(out("view")._2 - expected("view")) < 1e-12)
+    assert(math.abs(out("click")._3 - (2.0 + expected("click"))) < 1e-12)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
