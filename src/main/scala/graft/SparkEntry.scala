@@ -2874,6 +2874,37 @@ object SparkEntry {
         .select(col("event_type"), col("n"), round(col("noise"), 6).as("noise"),
           round(col("noisy_n"), 6).as("noisy_n"))
         .orderBy("event_type")
+    }),
+    // --- round 6: degree histogram of the co-order graph (graph profiling;
+    //     histogram bounded by max degree, not node count) ---
+    "q_degree_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("d")
+    }),
+    // --- round 6: degree assortativity (Pearson r of endpoint degrees over
+    //     edges) + power-law slope of the log-log degree histogram ---
+    "q_assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      val r = sym
+        .join(deg.select(col("u"), col("d").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .agg(count(lit(1)).as("n_edges"),
+          round(corr(col("du").cast("double"), col("dv").cast("double")), 6)
+            .as("assortativity"))
+      val slope = deg.groupBy("d").agg(count(lit(1)).as("n"))
+        .agg(round(expr("regr_slope(ln(cast(n as double)), ln(cast(d as double)))"), 6)
+          .as("powerlaw_slope"))
+      r.crossJoin(broadcast(slope))
     })
   )
 
@@ -6407,6 +6438,27 @@ object SparkEntry {
         |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise FROM s)
         |SELECT event_type, n, round(noise, 6) AS noise,
         |  round(n + noise, 6) AS noisy_n
-        |FROM t ORDER BY event_type""".stripMargin
+        |FROM t ORDER BY event_type""".stripMargin,
+    "q_degree_stats" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sym AS (SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM base a JOIN base b ON a.k = b.k AND a.i <> b.i),
+        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1)
+        |SELECT d, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY d""".stripMargin,
+    "q_assortativity" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sym AS (SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM base a JOIN base b ON a.k = b.k AND a.i <> b.i),
+        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+        |r AS (SELECT count(*) AS n_edges,
+        |    round(corr(da.d::DOUBLE, db.d::DOUBLE), 6) AS assortativity
+        |  FROM sym JOIN deg da ON sym.u = da.u JOIN deg db ON sym.v = db.u),
+        |hist AS (SELECT d, count(*) AS n FROM deg GROUP BY 1),
+        |sl AS (SELECT round(regr_slope(ln(n::DOUBLE), ln(d::DOUBLE)), 6)
+        |    AS powerlaw_slope FROM hist)
+        |SELECT r.n_edges, r.assortativity, sl.powerlaw_slope
+        |FROM r CROSS JOIN sl""".stripMargin
   )
 }

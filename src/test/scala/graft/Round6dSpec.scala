@@ -388,6 +388,20 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(out("click")._3 - (2.0 + expected("click"))) < 1e-12)
   }
 
+  test("degree assortativity of a star graph is -1") {
+    import spark.implicits._
+    // K1,3: center 0 (degree 3) only ever pairs with leaves (degree 1)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val sym = (e ++ e.map(_.swap)).toDF("u", "v")
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val r = sym
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(corr(col("du").cast("double"), col("dv").cast("double")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - (-1.0)) < 1e-12)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
