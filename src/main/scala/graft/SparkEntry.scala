@@ -2905,6 +2905,40 @@ object SparkEntry {
         .agg(round(expr("regr_slope(ln(cast(n as double)), ln(cast(d as double)))"), 6)
           .as("powerlaw_slope"))
       r.crossJoin(broadcast(slope))
+    }),
+    // --- round 6: Flesch reading-ease per doc (vowel-run syllable
+    //     heuristic; one scan, pure column ops) ---
+    "q_readability" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      t(s, dir, "documents").select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+          .cast("long").as("n_sentences"),
+        syllableCount(col("text")).as("n_syllables"),
+        round(fleschScore(col("text")), 6).as("flesch"))
+        .orderBy("doc_id")
+    }),
+    // --- round 6: cross-language vocabulary overlap (Jaccard of distinct
+    //     token sets; the self-join is vocabulary-bounded, never corpus) ---
+    "q_vocab_overlap" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      val vocab = t(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("nv"))
+      val inter = vocab.withColumnRenamed("lang", "lang_a")
+        .join(vocab.withColumnRenamed("lang", "lang_b"), "tok")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("lang").as("lang_a"), col("nv").as("nv_a")), "lang_a")
+        .join(sizes.select(col("lang").as("lang_b"), col("nv").as("nv_b")), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("n_shared"),
+          col("nv_a"), col("nv_b"),
+          round(col("n_shared").cast("double")
+            / (col("nv_a") + col("nv_b") - col("n_shared")), 6).as("jaccard"))
+        .orderBy("lang_a", "lang_b")
     })
   )
 
@@ -6459,6 +6493,38 @@ object SparkEntry {
         |sl AS (SELECT round(regr_slope(ln(n::DOUBLE), ln(d::DOUBLE)), 6)
         |    AS powerlaw_slope FROM hist)
         |SELECT r.n_edges, r.assortativity, sl.powerlaw_slope
-        |FROM r CROSS JOIN sl""".stripMargin
+        |FROM r CROSS JOIN sl""".stripMargin,
+    "q_readability" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS w
+        |  FROM documents),
+        |sy AS (SELECT doc_id,
+        |    count(*) AS n_words,
+        |    sum(greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))::BIGINT
+        |      AS n_syllables
+        |  FROM tk GROUP BY 1),
+        |se AS (SELECT doc_id, len(regexp_extract_all(text, '[.!?]')) AS n_sentences
+        |  FROM documents)
+        |SELECT se.doc_id, coalesce(sy.n_words, 0)::BIGINT AS n_words,
+        |  se.n_sentences::BIGINT AS n_sentences,
+        |  coalesce(sy.n_syllables, 0) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (greatest(coalesce(sy.n_words, 0), 1)::DOUBLE
+        |               / greatest(se.n_sentences, 1))
+        |    - 84.6 * (coalesce(sy.n_syllables, 0)::DOUBLE
+        |              / greatest(coalesce(sy.n_words, 0), 1)), 6) AS flesch
+        |FROM se LEFT JOIN sy ON se.doc_id = sy.doc_id
+        |ORDER BY se.doc_id""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |    FROM documents)),
+        |sz AS (SELECT lang, count(*) AS nv FROM v GROUP BY 1),
+        |i AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang GROUP BY 1, 2)
+        |SELECT i.lang_a, i.lang_b, i.n_shared::BIGINT AS n_shared,
+        |  sa.nv::BIGINT AS nv_a, sb.nv::BIGINT AS nv_b,
+        |  round(i.n_shared::DOUBLE / (sa.nv + sb.nv - i.n_shared), 6) AS jaccard
+        |FROM i JOIN sz sa ON sa.lang = i.lang_a JOIN sz sb ON sb.lang = i.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin
   )
 }

@@ -251,6 +251,30 @@ object TextAnalysis {
     least(greatest(raw, lit(0.0)), lit(1.0))
   }
 
+  /** Heuristic syllable count: per word, the number of vowel-letter runs
+    * (`[aeiouy]+` on the lowercased word), floored at 1 so vowel-less
+    * tokens (digits, CJK, punctuation runs) still count one — the standard
+    * cheap approximation behind readability scores. Row-local array fold;
+    * ASCII-only regex so DuckDB mirrors it exactly. */
+  def syllableCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), w =>
+        greatest(size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))), lit(1))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Flesch reading-ease (Flesch 1948):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`, with
+    * sentence/word denominators floored at 1 so the score is total on
+    * degenerate docs. Higher = easier; the classic pre-LLM readability
+    * quality signal. One scan, pure column ops. */
+  def fleschScore(text: Column): Column = {
+    val words = greatest(tokenCount(text).cast("double"), lit(1.0))
+    val sents = greatest(
+      size(regexp_extract_all(text, lit("[.!?]"), lit(0))).cast("double"), lit(1.0))
+    val syls = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (syls / words)
+  }
+
   /** Adjacent-token bigrams ("a b", "b c", …) — empty for docs under two
     * tokens. Row-local array fold (two slices zipped), no explode until
     * the caller chooses to. */

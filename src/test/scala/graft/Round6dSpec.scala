@@ -402,6 +402,28 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(r - (-1.0)) < 1e-12)
   }
 
+  test("fleschScore: hand-computed on a known sentence") {
+    import spark.implicits._
+    // "the cat sat." -> words 3, sentences 1, syllables 1+1+1 = 3
+    // flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    val df = Seq("the cat sat.").toDF("text")
+    val out = df.select(
+      graft.text.TextAnalysis.syllableCount(col("text")).as("sy"),
+      round(graft.text.TextAnalysis.fleschScore(col("text")), 6).as("f"))
+      .collect()(0)
+    assert(out.getAs[Long]("sy") === 3L)
+    assert(math.abs(out.getAs[Double]("f") - 119.19) < 1e-9)
+  }
+
+  test("syllableCount: vowel runs floored at one per token") {
+    import spark.implicits._
+    // "beautiful" -> eau|i|u = 3 runs; "rhythm" -> y = 1; "123" -> 0 -> 1
+    val df = Seq("beautiful rhythm 123").toDF("text")
+    val out = df.select(graft.text.TextAnalysis.syllableCount(col("text")))
+      .collect()(0).getLong(0)
+    assert(out === 5L)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
