@@ -2918,6 +2918,26 @@ object SparkEntry {
         round(fleschScore(col("text")), 6).as("flesch"))
         .orderBy("doc_id")
     }),
+    // --- round 6: rank-biased overlap of the L2 ranking vs the exact
+    //     cosine ground truth (top-weighted ranking agreement) ---
+    "q_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val truth = graft.similarity.Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .join(broadcast(qv), col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          (-graft.functions.l2_distance(col("qv"), col("v"))).as("neg_dist"))
+      val retr = graft.similarity.Similarity
+        .topKByKey(scored, "query_id", "neg_dist", "neighbor_id", 10)
+      graft.similarity.RetrievalEval
+        .rbo(retr, truth, "query_id", "neighbor_id", k = 10, p = 0.9)
+        .select(col("query_id"), round(col("rbo"), 6).as("rbo"))
+        .orderBy("query_id")
+    }),
     // --- round 6: cross-language vocabulary overlap (Jaccard of distinct
     //     token sets; the self-join is vocabulary-bounded, never corpus) ---
     "q_vocab_overlap" -> ((s, dir) => {
@@ -6525,6 +6545,36 @@ object SparkEntry {
         |  sa.nv::BIGINT AS nv_a, sb.nv::BIGINT AS nv_b,
         |  round(i.n_shared::DOUBLE / (sa.nv + sb.nv - i.n_shared), 6) AS jaccard
         |FROM i JOIN sz sa ON sa.lang = i.lang_a JOIN sz sb ON sb.lang = i.lang_b
-        |ORDER BY lang_a, lang_b""".stripMargin
+        |ORDER BY lang_a, lang_b""".stripMargin,
+    "q_rbo" ->
+      // (1 - 0.9) written as the expression, not the literal 0.1, so both
+      // engines evaluate the identical IEEE double
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |ca AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |      e.vec_id) AS rank
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        |  WHERE rank <= 10),
+        |lb AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_distance(q.qv::DOUBLE[], e.embedding::DOUBLE[]), e.vec_id) AS rank
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        |  WHERE rank <= 10),
+        |m AS (SELECT ca.query_id, greatest(ca.rank, lb.rank) AS mr
+        |  FROM ca JOIN lb ON ca.query_id = lb.query_id
+        |    AND ca.neighbor_id = lb.neighbor_id),
+        |d AS (SELECT unnest(range(1, 11)) AS dep),
+        |ov AS (SELECT query_id, dep, count(*) AS ov
+        |  FROM m CROSS JOIN d WHERE mr <= dep GROUP BY 1, 2),
+        |r AS (SELECT query_id,
+        |    (1.0 - 0.9) * sum(power(0.9, dep - 1) * ov::DOUBLE / dep) AS rbo
+        |  FROM ov GROUP BY 1)
+        |SELECT q.query_id, round(coalesce(r.rbo, 0.0), 6) AS rbo
+        |FROM q LEFT JOIN r ON q.query_id = r.query_id
+        |ORDER BY q.query_id""".stripMargin
   )
 }

@@ -79,4 +79,40 @@ object RetrievalEval {
       .agg(count(lit(1)).as("n_lists"), min(col("__rank")).as("best_rank"),
         round(sum(col("__term")).cast("double"), 9).as("rrf"))
   }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) —
+    * top-weighted similarity of two ranked lists, the standard answer to
+    * "how different is the approximate ranking from the exact one":
+    * `RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d`.
+    *
+    * A document shared by both lists enters every prefix from depth
+    * `max(rank_A, rank_B)` on, so the overlap-at-depth table comes from
+    * ONE equi-join of the two queries×k frames plus a k-row depth
+    * cross-join — no per-depth set intersection. All frames are
+    * |queries|·k bounded; the corpus never appears. Inputs are ranked
+    * `(queryCol, rank, idCol)` frames; returns `(queryCol, rbo)` with one
+    * row per query of `rankingA` (queries with zero overlap score 0). */
+  def rbo(rankingA: DataFrame, rankingB: DataFrame, queryCol: String,
+      idCol: String, k: Int, p: Double): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1)
+    val spark = rankingA.sparkSession
+    import spark.implicits._
+    val a = rankingA.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as("__ra"))
+    val b = rankingB.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").as("__rb"))
+    val m = a.join(b, Seq(queryCol, idCol))
+      .select(col(queryCol), greatest(col("__ra"), col("__rb")).as("__m"))
+    val depths = (1 to k).toDF("__d")
+    val ov = m.crossJoin(broadcast(depths))
+      .filter(col("__m") <= col("__d"))
+      .groupBy(queryCol, "__d").agg(count(lit(1)).as("__ov"))
+    val terms = ov.select(col(queryCol),
+      (pow(lit(p), col("__d") - 1) * col("__ov").cast("double") / col("__d"))
+        .as("__t"))
+    rankingA.select(col(queryCol)).distinct()
+      .join(terms.groupBy(queryCol)
+        .agg(((lit(1.0) - lit(p)) * sum(col("__t"))).as("__rbo")), Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("__rbo"), lit(0.0)).as("rbo"))
+  }
 }

@@ -424,6 +424,28 @@ class Round6dSpec extends SparkSpec {
     assert(out === 5L)
   }
 
+  test("rbo: identical rankings score the truncated maximum") {
+    import spark.implicits._
+    val r = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)).toDF("q", "rank", "id")
+    val out = graft.similarity.RetrievalEval.rbo(r, r, "q", "id", 3, 0.9)
+      .collect()(0).getAs[Double]("rbo")
+    // identical lists: overlap(d) = d -> rbo = (1-p)·Σ p^(d-1) = 1 - p^3
+    assert(math.abs(out - (1.0 - math.pow(0.9, 3))) < 1e-12)
+  }
+
+  test("rbo: disjoint rankings score 0; partial overlap hand-checked") {
+    import spark.implicits._
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("q", "rank", "id")
+    val b = Seq((1L, 1, 98L), (1L, 2, 99L)).toDF("q", "rank", "id")
+    assert(graft.similarity.RetrievalEval.rbo(a, b, "q", "id", 2, 0.9)
+      .collect()(0).getAs[Double]("rbo") === 0.0)
+    // shared doc 10 at ranks (1, 2): enters prefixes from depth 2
+    val c = Seq((1L, 1, 99L), (1L, 2, 10L)).toDF("q", "rank", "id")
+    val out = graft.similarity.RetrievalEval.rbo(a, c, "q", "id", 2, 0.9)
+      .collect()(0).getAs[Double]("rbo")
+    assert(math.abs(out - (1.0 - 0.9) * 0.9 * (1.0 / 2)) < 1e-12)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
