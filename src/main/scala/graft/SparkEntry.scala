@@ -2938,6 +2938,38 @@ object SparkEntry {
         .select(col("query_id"), round(col("rbo"), 6).as("rbo"))
         .orderBy("query_id")
     }),
+    // --- round 6: drift suite with FDR control — per-nation segment-mix
+    //     chi2 (df=4 closed-form p), Benjamini-Hochberg step-up at q=0.1 ---
+    "q_fdr_drift" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val obs = c.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("o"))
+      val ni = c.groupBy("c_nationkey").agg(count(lit(1)).as("n_i"))
+      val ns = c.groupBy("c_mktsegment").agg(count(lit(1)).as("n_s"))
+      val tot = c.agg(count(lit(1)).as("N"))
+      // zero-observed cells contribute e each; sum over present cells of
+      // ((o-e)^2/e - e) + n_i equals the full-grid chi2 without grid fill
+      val e = (col("n_i") * col("n_s")).cast("double") / col("N")
+      val chi2 = obs.join(broadcast(ns), "c_mktsegment").join(broadcast(ni), "c_nationkey")
+        .crossJoin(broadcast(tot))
+        .withColumn("__t", (col("o") - e) * (col("o") - e) / e - e)
+        .groupBy("c_nationkey")
+        .agg((sum(col("__t")) + max(col("n_i"))).as("chi2"))
+      // p rounded to 12 dp BEFORE ranking: nations with identical segment
+      // vectors produce the same term multiset summed in different orders,
+      // and an ulp flip would otherwise swap their BH ranks across engines
+      val p = chi2.withColumn("p",
+        round(exp(-col("chi2") / 2) * (lit(1.0) + col("chi2") / 2), 12))
+      graft.operators.Stats.bhReject(p, "c_nationkey", "p", q = 0.1)
+        .select(col("c_nationkey"), round(col("chi2"), 6).as("chi2"),
+          round(col("p"), 6).as("p_value"), col("p_rank"), col("rejected"))
+        .orderBy("c_nationkey")
+    }),
+    // --- round 6: Spearman rank correlation (tie-averaged ranks over the
+    //     bounded quantity/discount domains; rank maps broadcast back) ---
+    "q_spearman" -> ((s, dir) => {
+      graft.operators.Stats.spearman(t(s, dir, "lineitem"), "l_quantity", "l_discount")
+        .select(col("n"), round(col("rho"), 6).as("rho"))
+    }),
     // --- round 6: cross-language vocabulary overlap (Jaccard of distinct
     //     token sets; the self-join is vocabulary-bounded, never corpus) ---
     "q_vocab_overlap" -> ((s, dir) => {
@@ -6575,6 +6607,46 @@ object SparkEntry {
         |  FROM ov GROUP BY 1)
         |SELECT q.query_id, round(coalesce(r.rbo, 0.0), 6) AS rbo
         |FROM q LEFT JOIN r ON q.query_id = r.query_id
-        |ORDER BY q.query_id""".stripMargin
+        |ORDER BY q.query_id""".stripMargin,
+    "q_fdr_drift" ->
+      """WITH obs AS (SELECT c_nationkey, c_mktsegment, count(*) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |ni AS (SELECT c_nationkey, count(*) AS n_i FROM customer GROUP BY 1),
+        |ns AS (SELECT c_mktsegment, count(*) AS n_s FROM customer GROUP BY 1),
+        |tot AS (SELECT count(*) AS N FROM customer),
+        |x AS (SELECT obs.c_nationkey,
+        |    sum((obs.o - (ni.n_i * ns.n_s)::DOUBLE / tot.N)
+        |      * (obs.o - (ni.n_i * ns.n_s)::DOUBLE / tot.N)
+        |      / ((ni.n_i * ns.n_s)::DOUBLE / tot.N)
+        |      - (ni.n_i * ns.n_s)::DOUBLE / tot.N) + max(ni.n_i) AS chi2
+        |  FROM obs JOIN ns ON obs.c_mktsegment = ns.c_mktsegment
+        |  JOIN ni ON obs.c_nationkey = ni.c_nationkey CROSS JOIN tot
+        |  GROUP BY 1),
+        |p AS (SELECT c_nationkey, chi2,
+        |    round(exp(-chi2 / 2) * (1.0 + chi2 / 2), 12) AS pv FROM x),
+        |m AS (SELECT count(*) AS m FROM p),
+        |r AS (SELECT c_nationkey, chi2, pv,
+        |    row_number() OVER (ORDER BY pv, c_nationkey) AS p_rank FROM p),
+        |rm AS (SELECT max(p_rank) AS rmax FROM r CROSS JOIN m
+        |  WHERE pv <= p_rank * 0.1 / m),
+        |f AS (SELECT r.c_nationkey, r.chi2, r.pv, r.p_rank,
+        |    (rm.rmax IS NOT NULL AND r.p_rank <= rm.rmax) AS rejected
+        |  FROM r CROSS JOIN rm)
+        |SELECT c_nationkey, round(chi2, 6) AS chi2, round(pv, 6) AS p_value,
+        |  p_rank, rejected
+        |FROM f ORDER BY c_nationkey""".stripMargin,
+    "q_spearman" ->
+      """WITH b AS (SELECT l_quantity AS a, l_discount AS d FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |ga AS (SELECT a, count(*) AS n FROM b GROUP BY 1),
+        |ra AS (SELECT a, coalesce(sum(n) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1) / 2.0 AS r
+        |  FROM ga),
+        |gd AS (SELECT d, count(*) AS n FROM b GROUP BY 1),
+        |rd AS (SELECT d, coalesce(sum(n) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1) / 2.0 AS r
+        |  FROM gd)
+        |SELECT count(*) AS n, round(corr(ra.r, rd.r), 6) AS rho
+        |FROM b JOIN ra ON b.a = ra.a JOIN rd ON b.d = rd.d""".stripMargin
   )
 }

@@ -109,6 +109,58 @@ object Stats {
       .withColumn("noisy_n", col("n") + col("noise"))
   }
 
+  /** Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg 1995):
+    * given one p-value per hypothesis, find the largest rank `r` with
+    * `p_(r) ≤ (r/m)·q` and reject every hypothesis ranked ≤ r — the
+    * standard correction when a drift/DQ suite tests hundreds of
+    * columns/segments at once and per-test α would drown in false alarms.
+    *
+    * The frame is hypothesis-sized (one row per tested column/segment),
+    * never data-sized, so the rank window is bounded by `m`. Ties in `p`
+    * break on the key for a deterministic ranking. Returns the input plus
+    * `(p_rank, bh_threshold, rejected)`. */
+  def bhReject(pvals: org.apache.spark.sql.DataFrame, keyCol: String,
+      pCol: String, q: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(q > 0 && q < 1, "FDR level q must be in (0,1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol).asc, col(keyCol).asc)
+    val m = pvals.count()
+    val ranked = pvals
+      .withColumn("p_rank", row_number().over(w).cast("long"))
+      .withColumn("bh_threshold", col("p_rank") * lit(q) / lit(m.toDouble))
+    val rmax = ranked.filter(col(pCol) <= col("bh_threshold"))
+      .agg(max(col("p_rank")).as("__rmax"))
+    ranked.crossJoin(broadcast(rmax))
+      .withColumn("rejected",
+        col("__rmax").isNotNull && col("p_rank") <= col("__rmax"))
+      .drop("__rmax")
+  }
+
+  /** Spearman rank correlation of two BOUNDED-DOMAIN columns (tie-averaged
+    * ranks — the textbook definition). Ranks are computed per DISTINCT
+    * value (`avg_rank = #smaller + (count+1)/2`), so the rank windows run
+    * over ≤ |domain| rows and the corpus-sized work is two hash
+    * aggregations plus two broadcast joins of the tiny rank maps — for
+    * unbounded-domain columns, bucket first. Returns one row `(n, rho)`. */
+  def spearman(df: org.apache.spark.sql.DataFrame, colA: String,
+      colB: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+    def rankMap(c: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .withColumn("__rank",
+          coalesce(sum(col("__n")).over(w), lit(0L)) + (col("__n") + 1) / 2.0)
+        .select(col(c), col("__rank"))
+    }
+    base
+      .join(broadcast(rankMap(colA).withColumnRenamed("__rank", "__ra")), colA)
+      .join(broadcast(rankMap(colB).withColumnRenamed("__rank", "__rb")), colB)
+      .agg(count(lit(1)).as("n"), corr(col("__ra"), col("__rb")).as("rho"))
+  }
+
   def twoProportionZ(sA: Long, nA: Long, sB: Long, nB: Long): Double = {
     require(nA > 0 && nB > 0)
     val pa = sA.toDouble / nA

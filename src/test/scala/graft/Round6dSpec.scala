@@ -446,6 +446,45 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(out - (1.0 - 0.9) * 0.9 * (1.0 / 2)) < 1e-12)
   }
 
+  test("bhReject: textbook step-up example") {
+    import spark.implicits._
+    // m=5, q=0.25; sorted p: .01 .02 .03 .2 .9 -> thresholds .05 .10 .15
+    // .20 .25; largest satisfied rank = 4 (.2 <= .2) -> reject first 4
+    val p = Seq(("a", 0.01), ("b", 0.9), ("c", 0.02), ("d", 0.2), ("e", 0.03))
+      .toDF("k", "p")
+    val out = graft.operators.Stats.bhReject(p, "k", "p", q = 0.25)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("rejected")).toMap
+    assert(out === Map("a" -> true, "c" -> true, "e" -> true, "d" -> true,
+      "b" -> false))
+  }
+
+  test("bhReject: nothing rejected when all p large") {
+    import spark.implicits._
+    val p = Seq(("a", 0.5), ("b", 0.9)).toDF("k", "p")
+    val out = graft.operators.Stats.bhReject(p, "k", "p", q = 0.1)
+      .collect().map(_.getAs[Boolean]("rejected"))
+    assert(out.forall(!_))
+  }
+
+  test("spearman: monotone relation gives rho = 1, ties averaged") {
+    import spark.implicits._
+    val df = Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("x", "y")
+    val r = graft.operators.Stats.spearman(df, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("rho") - 1.0) < 1e-12)
+    // with ties: x = (1,1,2,2), y = (1,2,3,4): avg ranks x = (1.5,1.5,3.5,3.5)
+    // y = (1,2,3,4) -> rho = cov/sd product; hand value via Pearson on ranks
+    val df2 = Seq((1, 1), (1, 2), (2, 3), (2, 4)).toDF("x", "y")
+    val r2 = graft.operators.Stats.spearman(df2, "x", "y")
+      .collect()(0).getAs[Double]("rho")
+    val rx = Seq(1.5, 1.5, 3.5, 3.5); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val mx = rx.sum / 4; val my = ry.sum / 4
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val exp2 = cov / math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+      ry.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(r2 - exp2) < 1e-12)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
