@@ -2964,6 +2964,26 @@ object SparkEntry {
           round(col("p"), 6).as("p_value"), col("p_rank"), col("rejected"))
         .orderBy("c_nationkey")
     }),
+    // --- round 6: heavy-hitter drift — top-20 parts by volume before vs
+    //     after the split date, agreement scored with truncated RBO ---
+    "q_topk_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def top(half: org.apache.spark.sql.Column) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("l_partkey").asc)
+        li.filter(half).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_partkey").asc).limit(20)
+          .withColumn("rank", row_number().over(w))
+          .withColumn("q", lit(1))
+      }
+      val a = top(col("l_shipdate") < lit("1998-07-01"))
+      val b = top(col("l_shipdate") >= lit("1998-07-01"))
+      val shared = a.select(col("l_partkey")).join(b.select(col("l_partkey")), "l_partkey")
+        .agg(count(lit(1)).as("n_shared"))
+      graft.similarity.RetrievalEval.rbo(a, b, "q", "l_partkey", k = 20, p = 0.9)
+        .crossJoin(broadcast(shared))
+        .select(col("n_shared"), round(col("rbo"), 6).as("rbo"))
+    }),
     // --- round 6: Spearman rank correlation (tie-averaged ranks over the
     //     bounded quantity/discount domains; rank maps broadcast back) ---
     "q_spearman" -> ((s, dir) => {
@@ -6647,6 +6667,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1) / 2.0 AS r
         |  FROM gd)
         |SELECT count(*) AS n, round(corr(ra.r, rd.r), 6) AS rho
-        |FROM b JOIN ra ON b.a = ra.a JOIN rd ON b.d = rd.d""".stripMargin
+        |FROM b JOIN ra ON b.a = ra.a JOIN rd ON b.d = rd.d""".stripMargin,
+    "q_topk_drift" ->
+      """WITH ea AS (SELECT l_partkey, count(*) AS n FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1998-07-01' GROUP BY 1
+        |  ORDER BY n DESC, l_partkey LIMIT 20),
+        |lb0 AS (SELECT l_partkey, count(*) AS n FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-07-01' GROUP BY 1
+        |  ORDER BY n DESC, l_partkey LIMIT 20),
+        |ra AS (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY n DESC, l_partkey) AS rank FROM ea),
+        |rb AS (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY n DESC, l_partkey) AS rank FROM lb0),
+        |sh AS (SELECT count(*) AS n_shared FROM ra JOIN rb USING (l_partkey)),
+        |m AS (SELECT greatest(ra.rank, rb.rank) AS mr
+        |  FROM ra JOIN rb ON ra.l_partkey = rb.l_partkey),
+        |d AS (SELECT unnest(range(1, 21)) AS dep),
+        |ov AS (SELECT dep, count(*) AS ov FROM m CROSS JOIN d
+        |  WHERE mr <= dep GROUP BY 1),
+        |r AS (SELECT (1.0 - 0.9) * sum(power(0.9, dep - 1) * ov::DOUBLE / dep) AS rbo
+        |  FROM ov)
+        |SELECT sh.n_shared::BIGINT AS n_shared,
+        |  round(coalesce(r.rbo, 0.0), 6) AS rbo
+        |FROM sh CROSS JOIN r""".stripMargin
   )
 }
