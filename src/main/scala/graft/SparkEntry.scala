@@ -2984,6 +2984,34 @@ object SparkEntry {
         .crossJoin(broadcast(shared))
         .select(col("n_shared"), round(col("rbo"), 6).as("rbo"))
     }),
+    // --- round 6: effect sizes between purchase and click values (Cohen's
+    //     d, Hedges' g, Cliff's delta from the shared MW rank sweep) ---
+    "q_effect_size" -> ((s, dir) => {
+      graft.operators.Profiler.effectSizes(
+        t(s, dir, "events"), "value", "event_type", "purchase", "click")
+    }),
+    // --- round 6: missingness dependence — phi coefficient of the 2x2
+    //     null-indicator contingency (MCAR violation readout) ---
+    "q_missing_phi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = col("value").isNull
+      val b = col("user_id").isNull
+      val cells = ev.agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+      cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(
+          when((col("n11") + col("n10")) * (col("n01") + col("n00"))
+              * (col("n11") + col("n01")) * (col("n10") + col("n00")) === 0, lit(0.0))
+            .otherwise(
+              (col("n11") * col("n00") - col("n10") * col("n01")).cast("double")
+                / sqrt(((col("n11") + col("n10")) * (col("n01") + col("n00")))
+                  .cast("double")
+                  * ((col("n11") + col("n01")) * (col("n10") + col("n00")))
+                    .cast("double"))), 6).as("phi"))
+    }),
     // --- round 6: Spearman rank correlation (tie-averaged ranks over the
     //     bounded quantity/discount domains; rank maps broadcast back) ---
     "q_spearman" -> ((s, dir) => {
@@ -6689,6 +6717,45 @@ object SparkEntry {
         |  FROM ov)
         |SELECT sh.n_shared::BIGINT AS n_shared,
         |  round(coalesce(r.rbo, 0.0), 6) AS rbo
-        |FROM sh CROSS JOIN r""".stripMargin
+        |FROM sh CROSS JOIN r""".stripMargin,
+    "q_effect_size" ->
+      """WITH pv AS (SELECT value AS v,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+        |GROUP BY 1),
+        |r AS (SELECT ca, cb,
+        |  coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) + (ca + cb + 1) / 2.0 AS avg_rank FROM pv),
+        |ag AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |  sum(ca * avg_rank) AS ra FROM r),
+        |uu AS (SELECT n_a, n_b, round(ra - n_a * (n_a + 1) / 2.0, 4) AS u_a FROM ag),
+        |mo AS (SELECT
+        |  avg(CASE WHEN event_type = 'purchase' THEN value END) AS m_a,
+        |  avg(CASE WHEN event_type = 'click' THEN value END) AS m_b,
+        |  var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS s2_a,
+        |  var_samp(CASE WHEN event_type = 'click' THEN value END) AS s2_b
+        |  FROM events WHERE value IS NOT NULL AND event_type IN ('purchase', 'click'))
+        |SELECT uu.n_a, uu.n_b,
+        |  round((m_a - m_b) / sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b)
+        |    / (n_a + n_b - 2)), 6) AS cohen_d,
+        |  round((m_a - m_b) / sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b)
+        |    / (n_a + n_b - 2)) * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) AS hedges_g,
+        |  round(2.0 * u_a / (n_a * n_b) - 1, 6) AS cliff_delta
+        |FROM uu CROSS JOIN mo""".stripMargin,
+    "q_missing_phi" ->
+      """WITH c AS (SELECT
+        |  sum(CASE WHEN value IS NULL AND user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |  sum(CASE WHEN value IS NULL AND user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |  sum(CASE WHEN value IS NOT NULL AND user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |  sum(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n00
+        |  FROM events)
+        |SELECT n11, n10, n01, n00,
+        |  CASE WHEN (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00) = 0
+        |    THEN 0.0
+        |    ELSE round((n11 * n00 - n10 * n01)::DOUBLE
+        |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
+        |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
+        |FROM c""".stripMargin
   )
 }

@@ -547,6 +547,38 @@ object Profiler {
           6).as("z"))
   }
 
+  /** Standardized effect sizes between two groups' value distributions —
+    * the "is the difference MEANINGFUL" companion to q_ttest/q_mann_whitney
+    * significance: Cohen's d (pooled-SD standardized mean difference),
+    * Hedges' g (d with the small-sample bias factor `1 − 3/(4N − 9)`), and
+    * Cliff's delta (`2U/(n_a·n_b) − 1` — the rank-based, outlier-immune
+    * one), computed from ONE conditional-aggregate pass for the moments
+    * plus the shared distributed [[mannWhitneyU]] rank sweep for U. */
+  def effectSizes(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(groupCol).isNotNull && v.isNotNull &&
+      (col(groupCol) === groupA || col(groupCol) === groupB))
+    val isA = col(groupCol) === groupA
+    val moments = base.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      avg(when(isA, v)).as("m_a"), avg(when(!isA, v)).as("m_b"),
+      var_samp(when(isA, v)).as("s2_a"), var_samp(when(!isA, v)).as("s2_b"))
+    val u = mannWhitneyU(df, valueCol, groupCol, groupA, groupB)
+      .select(col("u_a"))
+    val pooled = sqrt(((col("n_a") - 1) * col("s2_a") + (col("n_b") - 1) * col("s2_b"))
+      / (col("n_a") + col("n_b") - 2))
+    val d = (col("m_a") - col("m_b")) / pooled
+    moments.crossJoin(broadcast(u))
+      .select(col("n_a"), col("n_b"),
+        round(d, 6).as("cohen_d"),
+        round(d * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b")) - 9)), 6)
+          .as("hedges_g"),
+        round(lit(2.0) * col("u_a") / (col("n_a") * col("n_b")) - 1, 6)
+          .as("cliff_delta"))
+  }
+
   /** One all-null row with the given schema — the empty-input result the
     * windowed formulations produced via aggregates over zero rows. */
   private def nullRow(spark: org.apache.spark.sql.SparkSession,

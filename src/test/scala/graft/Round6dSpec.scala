@@ -485,6 +485,21 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(r2 - exp2) < 1e-12)
   }
 
+  test("effectSizes: hand-computed Cohen's d and Cliff's delta") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {4,5,6}: m_a=2, m_b=5, s2 both 1 -> pooled sd 1,
+    // d = -3; every A < every B -> U_a = 0 -> cliff = -1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = graft.operators.Profiler.effectSizes(df, "v", "g", "a", "b")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(math.abs(r.getAs[Double]("cohen_d") - (-3.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cliff_delta") - (-1.0)) < 1e-9)
+    // hedges = d * (1 - 3/(4*6-9)) = -3 * (1 - 0.2) = -2.4
+    assert(math.abs(r.getAs[Double]("hedges_g") - (-2.4)) < 1e-9)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
