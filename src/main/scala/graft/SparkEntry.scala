@@ -2990,6 +2990,28 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: cohort LTV curves — cumulative revenue per signup-week
+    //     cohort by week offset (decimal sums; windows on cohort-bounded
+    //     rows, the corpus only sees two keyed aggregations) ---
+    "q_cohort_ltv" -> ((s, dir) => {
+      val wkUs = 604800000000L
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("wk", expr(s"(ts div 1000) div $wkUs"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val sz = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val off = ev.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("off"))
+        .agg(sum(col("value").cast("decimal(20,6)")).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cw").orderBy("off")
+      off.withColumn("cumrev", sum(col("rev")).over(w))
+        .join(sz, "cw")
+        .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+          col("n_users"),
+          round(col("cumrev").cast("double") / col("n_users"), 6).as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // --- round 6: missingness dependence — phi coefficient of the 2x2
     //     null-indicator contingency (MCAR violation readout) ---
     "q_missing_phi" -> ((s, dir) => {
@@ -6756,6 +6778,20 @@ object SparkEntry {
         |    ELSE round((n11 * n00 - n10 * n01)::DOUBLE
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH w AS (SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS wk, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS n_users FROM c GROUP BY 1),
+        |o AS (SELECT c.cw, w.wk - c.cw AS off,
+        |    sum(CAST(value AS DECIMAL(20,6))) AS rev
+        |  FROM w JOIN c ON w.user_id = c.user_id GROUP BY 1, 2),
+        |cum AS (SELECT cw, off,
+        |    sum(rev) OVER (PARTITION BY cw ORDER BY off) AS cumrev FROM o)
+        |SELECT cum.cw AS cohort_week, cum.off AS week_offset, sz.n_users,
+        |  round(CAST(cum.cumrev AS DOUBLE) / sz.n_users, 6) AS ltv_per_user
+        |FROM cum JOIN sz ON cum.cw = sz.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }
