@@ -2990,6 +2990,29 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: Lorenz deciles of customer spend (value-threshold
+    //     buckets from distributed exact percentiles — no global ntile,
+    //     so no single-reducer rank at scale) ---
+    "q_lorenz" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      val cuts = graft.operators.Profiler.exactPercentiles(
+        spend, "s", (1 to 9).map(_ / 10.0))
+      val decile = cuts.foldLeft(lit(1)) { (acc, c) =>
+        acc + when(col("s") > lit(c), 1).otherwise(0) }
+      val g = spend.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("s").cast("decimal(20,6)")).as("tot"))
+      val gt = g.agg(sum(col("tot")).as("gt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      g.crossJoin(broadcast(gt))
+        .withColumn("cum", sum(col("tot")).over(w))
+        .select(col("decile"), col("n"),
+          round(col("tot").cast("double") / col("gt").cast("double"), 6).as("share"),
+          round(col("cum").cast("double") / col("gt").cast("double"), 6).as("cum_share"))
+        .orderBy("decile")
+    }),
     // --- round 6: cohort LTV curves — cumulative revenue per signup-week
     //     cohort by week offset (decimal sums; windows on cohort-bounded
     //     rows, the corpus only sees two keyed aggregations) ---
@@ -6779,6 +6802,23 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_lorenz" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT quantile_cont(s,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM sp),
+        |b AS (SELECT sp.s,
+        |    1 + len(list_filter(c.cuts, x -> sp.s > x)) AS decile
+        |  FROM sp CROSS JOIN c),
+        |g AS (SELECT decile, count(*) AS n,
+        |    sum(CAST(s AS DECIMAL(20,6))) AS tot FROM b GROUP BY 1),
+        |t AS (SELECT sum(tot) AS gt FROM g)
+        |SELECT g.decile::INT AS decile, g.n,
+        |  round(CAST(g.tot AS DOUBLE) / CAST(t.gt AS DOUBLE), 6) AS share,
+        |  round(CAST(sum(g.tot) OVER (ORDER BY g.decile) AS DOUBLE)
+        |    / CAST(t.gt AS DOUBLE), 6) AS cum_share
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
     "q_cohort_ltv" ->
       """WITH w AS (SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS wk, value
         |  FROM events WHERE user_id IS NOT NULL),
