@@ -2990,6 +2990,29 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: Heaps'-law vocabulary growth — new-token rate per
+    //     arrival batch + the log-log growth exponent (corpus health:
+    //     a collapsing exponent means the crawl stopped finding novelty) ---
+    "q_heaps" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      val d = t(s, dir, "documents")
+        .select(expr("doc_id div 100").as("b"), explode(tokens(col("text"))).as("tok"))
+      val firstB = d.groupBy("tok").agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_tokens"))
+      val tot = d.groupBy("b").agg(count(lit(1)).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      val curve = tot.join(firstB, Seq("b"), "left")
+        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_distinct", sum(col("new_tokens")).over(w))
+      val slope = curve.agg(
+        round(expr("regr_slope(ln(cast(cum_distinct as double)), ln(cast(cum_tokens as double)))"), 6)
+          .as("heaps_beta"))
+      curve.crossJoin(broadcast(slope))
+        .select(col("b"), col("n_tokens"), col("new_tokens"),
+          col("cum_tokens"), col("cum_distinct"), col("heaps_beta"))
+        .orderBy("b")
+    }),
     // --- round 6: Lorenz deciles of customer spend (value-threshold
     //     buckets from distributed exact percentiles — no global ntile,
     //     so no single-reducer rank at scale) ---
@@ -6802,6 +6825,22 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_heaps" ->
+      """WITH d AS (SELECT doc_id // 100 AS b,
+        |    unnest(regexp_extract_all(trim(text), '\S+')) AS tok FROM documents),
+        |fb AS (SELECT fb AS b, count(*) AS new_tokens FROM (
+        |    SELECT tok, min(b) AS fb FROM d GROUP BY 1) GROUP BY 1),
+        |tot AS (SELECT b, count(*) AS n_tokens FROM d GROUP BY 1),
+        |c AS (SELECT tot.b, tot.n_tokens, coalesce(fb.new_tokens, 0) AS new_tokens,
+        |    sum(tot.n_tokens) OVER (ORDER BY tot.b) AS cum_tokens,
+        |    sum(coalesce(fb.new_tokens, 0)) OVER (ORDER BY tot.b) AS cum_distinct
+        |  FROM tot LEFT JOIN fb ON tot.b = fb.b),
+        |sl AS (SELECT round(regr_slope(ln(cum_distinct::DOUBLE),
+        |    ln(cum_tokens::DOUBLE)), 6) AS heaps_beta FROM c)
+        |SELECT c.b, c.n_tokens::BIGINT AS n_tokens,
+        |  c.new_tokens::BIGINT AS new_tokens, c.cum_tokens::BIGINT AS cum_tokens,
+        |  c.cum_distinct::BIGINT AS cum_distinct, sl.heaps_beta
+        |FROM c CROSS JOIN sl ORDER BY c.b""".stripMargin,
     "q_lorenz" ->
       """WITH sp AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
