@@ -2990,6 +2990,27 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: burstiness — Goh-Barabási B = (σ−μ)/(σ+μ) of per-user
+    //     inter-arrival gaps (keyed lag window; one row per user survives) ---
+    "q_burstiness" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = ev
+        .withColumn("gap", (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double"))
+        .filter(col("gap").isNotNull)
+      val perUser = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), avg(col("gap")).as("mu"),
+          stddev_samp(col("gap")).as("sigma"))
+        .filter(col("n_gaps") >= 2)
+        .withColumn("b",
+          when(col("sigma") + col("mu") === 0.0, lit(0.0))
+            .otherwise((col("sigma") - col("mu")) / (col("sigma") + col("mu"))))
+      perUser.agg(count(lit(1)).as("n_users"),
+        round(avg(col("b")), 6).as("avg_burstiness"),
+        sum(when(col("b") > 0, 1L).otherwise(0L)).as("n_bursty"))
+    }),
     // --- round 6: Heaps'-law vocabulary growth — new-token rate per
     //     arrival batch + the log-log growth exponent (corpus health:
     //     a collapsing exponent means the crawl stopped finding novelty) ---
@@ -6825,6 +6846,21 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))::DOUBLE AS gap
+        |  FROM e),
+        |pu AS (SELECT user_id, count(gap) AS n_gaps, avg(gap) AS mu,
+        |    stddev_samp(gap) AS sigma
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |b AS (SELECT CASE WHEN sigma + mu = 0 THEN 0.0
+        |    ELSE (sigma - mu) / (sigma + mu) END AS b
+        |  FROM pu WHERE n_gaps >= 2)
+        |SELECT count(*) AS n_users, round(avg(b), 6) AS avg_burstiness,
+        |  sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bursty
+        |FROM b""".stripMargin,
     "q_heaps" ->
       """WITH d AS (SELECT doc_id // 100 AS b,
         |    unnest(regexp_extract_all(trim(text), '\S+')) AS tok FROM documents),
