@@ -2990,6 +2990,39 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: 8-step Markov evolution of the event-type transition
+    //     chain from uniform (row-stochastic P keeps v a distribution;
+    //     states the chain never leaves leak mass identically in both
+    //     engines, so no special-casing). P is |types|²-bounded: the
+    //     corpus-sized work is ONE keyed lead window + a pair count. ---
+    "q_markov_stationary" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val idx = states.zipWithIndex.toMap
+      val nOut = pairs.groupBy(_._1).map { case (s0, ps) => s0 -> ps.map(_._3).sum }
+      val p = Array.ofDim[Double](states.size, states.size)
+      pairs.foreach { case (a, b, n) => p(idx(a))(idx(b)) = n.toDouble / nOut(a) }
+      var v = Array.fill(states.size)(1.0 / states.size)
+      for (_ <- 1 to 8)
+        v = Array.tabulate(states.size) { j =>
+          var acc = 0.0; var i = 0
+          while (i < states.size) { acc += v(i) * p(i)(j); i += 1 }
+          acc
+        }
+      states.zip(v).map { case (st, pv) => (st, pv) }.toSeq
+        .toDF("event_type", "pv")
+        .select(col("event_type"), round(col("pv"), 6).as("stationary_p"))
+        .orderBy("event_type")
+    }),
     // --- round 6: burstiness — Goh-Barabási B = (σ−μ)/(σ+μ) of per-user
     //     inter-arrival gaps (keyed lag window; one row per user survives) ---
     "q_burstiness" -> ((s, dir) => {
@@ -6846,6 +6879,32 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_markov_stationary" ->
+      // the 8 mat-vec steps unrolled; states the chain never enters keep
+      // probability 0 via the final left join
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events WHERE user_id IS NOT NULL),
+        |pr AS (SELECT event_type AS src, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e),
+        |pc AS (SELECT src, dst, count(*) AS n FROM pr
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT DISTINCT s FROM (SELECT src AS s FROM pc
+        |  UNION SELECT dst FROM pc)),
+        |ns AS (SELECT count(*) AS k FROM st),
+        |no AS (SELECT src, sum(n) AS tot FROM pc GROUP BY 1),
+        |p AS (SELECT pc.src AS i, pc.dst AS j, pc.n::DOUBLE / no.tot AS pij
+        |  FROM pc JOIN no ON pc.src = no.src),
+        |v0 AS (SELECT st.s AS j, 1.0 / ns.k AS v FROM st CROSS JOIN ns),
+        |v1 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v0 q ON p.i = q.j GROUP BY 1),
+        |v2 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v1 q ON p.i = q.j GROUP BY 1),
+        |v3 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v2 q ON p.i = q.j GROUP BY 1),
+        |v4 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v3 q ON p.i = q.j GROUP BY 1),
+        |v5 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v4 q ON p.i = q.j GROUP BY 1),
+        |v6 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v5 q ON p.i = q.j GROUP BY 1),
+        |v7 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v6 q ON p.i = q.j GROUP BY 1),
+        |v8 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v7 q ON p.i = q.j GROUP BY 1)
+        |SELECT st.s AS event_type, round(coalesce(v8.v, 0.0), 6) AS stationary_p
+        |FROM st LEFT JOIN v8 ON st.s = v8.j ORDER BY event_type""".stripMargin,
     "q_burstiness" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
         |  FROM events WHERE user_id IS NOT NULL),
