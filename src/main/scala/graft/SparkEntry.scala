@@ -2990,6 +2990,19 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: language-ID confusion matrix + per-language recall
+    //     (the eval readout for the heuristic classifier) ---
+    "q_lang_confusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), graft.text.TextAnalysis.langId(col("text")).as("pred"))
+      val m = d.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val rec = d.groupBy("lang").agg(
+        (sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("r"))
+      m.join(rec, "lang")
+        .select(col("lang"), col("pred"), col("n"), round(col("r"), 6).as("lang_recall"))
+        .orderBy("lang", "pred")
+    }),
     // --- round 6: 8-step Markov evolution of the event-type transition
     //     chain from uniform (row-stochastic P keeps v a distribution;
     //     states the chain never leaves leak mass identically in both
@@ -6879,6 +6892,28 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, text,
+        |  len(list_intersect(toks, ['the','of','and','to','in','is','that','it','a'])) AS s_en,
+        |  len(list_intersect(toks, ['el','la','de','que','y','en','los','se','un'])) AS s_es,
+        |  len(list_intersect(toks, ['der','die','und','das','ist','nicht','mit','ein'])) AS s_de,
+        |  len(list_intersect(toks, ['le','les','des','et','une','dans','est','pour'])) AS s_fr
+        |FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS pred
+        |FROM s),
+        |m AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |r AS (SELECT lang,
+        |    sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE / count(*) AS rr
+        |  FROM p GROUP BY 1)
+        |SELECT m.lang, m.pred, m.n, round(r.rr, 6) AS lang_recall
+        |FROM m JOIN r ON m.lang = r.lang ORDER BY m.lang, m.pred""".stripMargin,
     "q_markov_stationary" ->
       // the 8 mat-vec steps unrolled; states the chain never enters keep
       // probability 0 via the final left join
