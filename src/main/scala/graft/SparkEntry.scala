@@ -2990,6 +2990,39 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: Markov entropy rate — Σ_i π_i H(next|i) with π from the
+    //     same 8-step evolution (how predictable user journeys are) ---
+    "q_entropy_rate" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val idx = states.zipWithIndex.toMap
+      val nOut = pairs.groupBy(_._1).map { case (s0, ps) => s0 -> ps.map(_._3).sum }
+      val p = Array.ofDim[Double](states.size, states.size)
+      pairs.foreach { case (a, b, n) => p(idx(a))(idx(b)) = n.toDouble / nOut(a) }
+      var v = Array.fill(states.size)(1.0 / states.size)
+      for (_ <- 1 to 8)
+        v = Array.tabulate(states.size) { j =>
+          var acc = 0.0; var i = 0
+          while (i < states.size) { acc += v(i) * p(i)(j); i += 1 }
+          acc
+        }
+      val rate = states.indices.map { i =>
+        val hi = states.indices.map { j =>
+          if (p(i)(j) > 0) -p(i)(j) * math.log(p(i)(j)) else 0.0 }.sum
+        v(i) * hi
+      }.sum
+      Seq((states.size, rate)).toDF("n_states", "r")
+        .select(col("n_states"), round(col("r"), 6).as("entropy_rate"))
+    }),
     // --- round 6: language-ID confusion matrix + per-language recall
     //     (the eval readout for the heuristic classifier) ---
     "q_lang_confusion" -> ((s, dir) => {
@@ -6892,6 +6925,32 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events WHERE user_id IS NOT NULL),
+        |pr AS (SELECT event_type AS src, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS dst FROM e),
+        |pc AS (SELECT src, dst, count(*) AS n FROM pr
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT DISTINCT s FROM (SELECT src AS s FROM pc
+        |  UNION SELECT dst FROM pc)),
+        |ns AS (SELECT count(*) AS k FROM st),
+        |no AS (SELECT src, sum(n) AS tot FROM pc GROUP BY 1),
+        |p AS (SELECT pc.src AS i, pc.dst AS j, pc.n::DOUBLE / no.tot AS pij
+        |  FROM pc JOIN no ON pc.src = no.src),
+        |v0 AS (SELECT st.s AS j, 1.0 / ns.k AS v FROM st CROSS JOIN ns),
+        |v1 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v0 q ON p.i = q.j GROUP BY 1),
+        |v2 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v1 q ON p.i = q.j GROUP BY 1),
+        |v3 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v2 q ON p.i = q.j GROUP BY 1),
+        |v4 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v3 q ON p.i = q.j GROUP BY 1),
+        |v5 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v4 q ON p.i = q.j GROUP BY 1),
+        |v6 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v5 q ON p.i = q.j GROUP BY 1),
+        |v7 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v6 q ON p.i = q.j GROUP BY 1),
+        |v8 AS (SELECT p.j, sum(q.v * p.pij) AS v FROM p JOIN v7 q ON p.i = q.j GROUP BY 1),
+        |h AS (SELECT i, sum(-pij * ln(pij)) AS hi FROM p GROUP BY 1)
+        |SELECT (SELECT k FROM ns)::INT AS n_states,
+        |  round(sum(v8.v * h.hi), 6) AS entropy_rate
+        |FROM h JOIN v8 ON h.i = v8.j""".stripMargin,
     "q_lang_confusion" ->
       """WITH t AS (SELECT doc_id, lang, text,
         |  list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks FROM documents),
