@@ -2990,6 +2990,48 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: Wald-Wolfowitz runs test on the sign of day-over-day
+    //     revenue change (is the series random or trending/mean-reverting) ---
+    "q_runs_test" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("day")
+        .agg(sum(col("value").cast("decimal(20,6)")).cast("double").as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val signs = daily
+        .withColumn("d", col("rev") - lag(col("rev"), 1).over(w))
+        .filter(col("d").isNotNull && col("d") =!= 0.0)
+        .withColumn("sg", when(col("d") > 0, 1).otherwise(-1))
+        .withColumn("chg",
+          when(lag(col("sg"), 1).over(w).isNull, 0)
+            .when(col("sg") =!= lag(col("sg"), 1).over(w), 1).otherwise(0))
+      val agg = signs.agg(
+        sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n_minus"),
+        (sum(col("chg")) + 1).as("runs"))
+      val mu = (lit(2.0) * col("n_plus") * col("n_minus") /
+        (col("n_plus") + col("n_minus"))) + 1
+      agg.select(col("n_plus"), col("n_minus"), col("runs"),
+        round((col("runs") - mu) /
+          sqrt((mu - 1) * (mu - 2) / (col("n_plus") + col("n_minus") - 1)), 6)
+          .as("z"))
+    }),
+    // --- round 6: trend strength of daily revenue — 1 − var(detrended) /
+    //     var(series) against a centered 7-day moving average ---
+    "q_trend_strength" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("day")
+        .agg(sum(col("value").cast("decimal(20,6)")).cast("double").as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(-3, 3)
+      val d = daily.withColumn("trend", avg(col("rev")).over(w))
+        .withColumn("resid", col("rev") - col("trend"))
+      d.agg(count(lit(1)).as("n_days"),
+        round(greatest(lit(0.0),
+          lit(1.0) - var_pop(col("resid")) / var_pop(col("rev"))), 6)
+          .as("trend_strength"))
+    }),
     // --- round 6: Markov entropy rate — Σ_i π_i H(next|i) with π from the
     //     same 8-step evolution (how predictable user journeys are) ---
     "q_entropy_rate" -> ((s, dir) => {
@@ -6925,6 +6967,33 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1),
+        |df AS (SELECT day, rev - lag(rev) OVER (ORDER BY day) AS d FROM daily),
+        |sg AS (SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sg
+        |  FROM df WHERE d IS NOT NULL AND d != 0),
+        |ch AS (SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY day) IS NULL THEN 0
+        |    WHEN sg != lag(sg) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg FROM sg),
+        |a AS (SELECT sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_plus,
+        |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT AS n_minus,
+        |    (sum(chg) + 1)::BIGINT AS runs FROM ch),
+        |m AS (SELECT n_plus, n_minus, runs,
+        |    2.0 * n_plus * n_minus / (n_plus + n_minus) + 1 AS mu FROM a)
+        |SELECT n_plus, n_minus, runs,
+        |  round((runs - mu) / sqrt((mu - 1) * (mu - 2) / (n_plus + n_minus - 1)), 6) AS z
+        |FROM m""".stripMargin,
+    "q_trend_strength" ->
+      """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT rev, rev - avg(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS resid FROM daily)
+        |SELECT count(*) AS n_days,
+        |  round(greatest(0.0, 1.0 - var_pop(resid) / var_pop(rev)), 6)
+        |    AS trend_strength
+        |FROM d""".stripMargin,
     "q_entropy_rate" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events WHERE user_id IS NOT NULL),
