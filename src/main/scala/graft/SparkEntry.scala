@@ -2990,6 +2990,20 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: per-brand demand elasticity — grouped log-log regression
+    //     of quantity on list price (one join + one hash aggregation;
+    //     regr_slope is an algebraic aggregate, map-side combinable) ---
+    "q_elasticity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(expr("regr_slope(ln(cast(l_quantity as double)), ln(cast(p_retailprice as double)))"), 6)
+            .as("elasticity"))
+        .orderBy("p_brand")
+    }),
     // --- round 6: Wald-Wolfowitz runs test on the sign of day-over-day
     //     revenue change (is the series random or trending/mean-reverting) ---
     "q_runs_test" -> ((s, dir) => {
@@ -6967,6 +6981,12 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_elasticity" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(regr_slope(ln(l_quantity::DOUBLE), ln(p_retailprice::DOUBLE)), 6)
+        |    AS elasticity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q_runs_test" ->
       """WITH daily AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
         |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS rev
