@@ -2990,6 +2990,43 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: ABC (Pareto) classification of parts by revenue — the
+    //     cumulative window runs on the dimension-bounded part frame ---
+    "q_abc_analysis" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+      val tot = rev.agg(sum(col("r")).as("tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("r").desc, col("l_partkey").asc)
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("r")).over(w).cast("double") / col("tot").cast("double"))
+        .withColumn("cls",
+          when(col("cum") <= 0.80, "A").when(col("cum") <= 0.95, "B").otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("r")).cast("double") / max(col("tot")).cast("double"), 6)
+            .as("revenue_share"))
+        .orderBy("cls")
+    }),
+    // --- round 6: DAU/MAU stickiness per 30-day window (exact distinct
+    //     users; ratio of exact integers, engine-identical) ---
+    "q_stickiness" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .withColumn("month", expr("((ts div 1000) div 86400000000) div 30"))
+      val dau = ev.groupBy("month", "day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = ev.groupBy("month")
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.groupBy("month")
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sdau"))
+        .join(mau, "month")
+        .select(col("month"), col("n_days"), col("mau"),
+          round(col("sdau").cast("double") / col("n_days") / col("mau"), 6)
+            .as("stickiness"))
+        .orderBy("month")
+    }),
     // --- round 6: per-brand demand elasticity — grouped log-log regression
     //     of quantity on list price (one join + one hash aggregation;
     //     regr_slope is an algebraic aggregate, map-side combinable) ---
@@ -6981,6 +7018,32 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(r) AS tot FROM rev),
+        |c AS (SELECT r, CAST(sum(r) OVER (ORDER BY r DESC, l_partkey) AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE) AS cum, t.tot FROM rev CROSS JOIN t),
+        |k AS (SELECT CASE WHEN cum <= 0.80 THEN 'A'
+        |    WHEN cum <= 0.95 THEN 'B' ELSE 'C' END AS cls, r, tot FROM c)
+        |SELECT cls, count(*) AS n_parts,
+        |  round(CAST(sum(r) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+        |    AS revenue_share
+        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin,
+    "q_stickiness" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |    ((epoch_ns(ts) // 1000) // 86400000000) // 30 AS month
+        |  FROM events WHERE user_id IS NOT NULL),
+        |dau AS (SELECT month, day, count(DISTINCT user_id) AS dau
+        |  FROM e GROUP BY 1, 2),
+        |mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM e GROUP BY 1),
+        |a AS (SELECT month, count(*) AS n_days, sum(dau) AS sdau
+        |  FROM dau GROUP BY 1)
+        |SELECT a.month, a.n_days, mau.mau::BIGINT AS mau,
+        |  round(a.sdau::DOUBLE / a.n_days / mau.mau, 6) AS stickiness
+        |FROM a JOIN mau ON a.month = mau.month ORDER BY a.month""".stripMargin,
     "q_elasticity" ->
       """SELECT p_brand, count(*) AS n,
         |  round(regr_slope(ln(l_quantity::DOUBLE), ln(p_retailprice::DOUBLE)), 6)
