@@ -2990,6 +2990,31 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: repeat-purchase conversion + time-to-second-purchase
+    //     percentiles (keyed rank window; quantiles over user-bounded rows) ---
+    "q_second_purchase" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pur = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("rn", row_number().over(w))
+      val firsts = pur.filter(col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("np"),
+          min(when(col("rn") === 1, col("ts_us"))).as("t1"),
+          min(when(col("rn") === 2, col("ts_us"))).as("t2"))
+      val gaps = firsts.filter(col("np") >= 2)
+        .select((expr("(t2 - t1) div 86400000000")).cast("double").as("gap_days"))
+      val Seq(p50, p90) = graft.operators.Profiler.exactPercentiles(
+        gaps, "gap_days", Seq(0.5, 0.9))
+      val agg = firsts.agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("np") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      agg.select(col("n_buyers"), col("n_repeat"),
+        round(col("n_repeat").cast("double") / col("n_buyers"), 6).as("repeat_rate"),
+        round(lit(p50), 6).as("gap_p50_days"), round(lit(p90), 6).as("gap_p90_days"))
+    }),
     // --- round 6: ABC (Pareto) classification of parts by revenue — the
     //     cumulative window runs on the dimension-bounded part frame ---
     "q_abc_analysis" -> ((s, dir) => {
@@ -7018,6 +7043,26 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_second_purchase" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |r AS (SELECT user_id, us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM p),
+        |f AS (SELECT user_id, count(*) AS np,
+        |    min(CASE WHEN rn = 1 THEN us END) AS t1,
+        |    min(CASE WHEN rn = 2 THEN us END) AS t2
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |g AS (SELECT ((t2 - t1) // 86400000000)::DOUBLE AS gap_days
+        |  FROM f WHERE np >= 2),
+        |q AS (SELECT quantile_cont(gap_days, 0.5) AS p50,
+        |    quantile_cont(gap_days, 0.9) AS p90 FROM g),
+        |a AS (SELECT count(*) AS n_buyers,
+        |    sum(CASE WHEN np >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat FROM f)
+        |SELECT a.n_buyers, a.n_repeat,
+        |  round(a.n_repeat::DOUBLE / a.n_buyers, 6) AS repeat_rate,
+        |  round(q.p50, 6) AS gap_p50_days, round(q.p90, 6) AS gap_p90_days
+        |FROM a CROSS JOIN q""".stripMargin,
     "q_abc_analysis" ->
       """WITH rev AS (SELECT l_partkey,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
