@@ -2990,6 +2990,63 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: RFM segmentation — quintile buckets from distributed
+    //     exact percentiles applied as row-local value thresholds ---
+    "q_rfm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val horizon = ev.agg(max(col("ts_us")).as("h"))
+      val per = ev.crossJoin(broadcast(horizon))
+        .groupBy("user_id")
+        .agg(expr("min((h - ts_us) div 86400000000)").as("recency_days"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("monetary"))
+      def bucket(c: String) = {
+        val cuts = graft.operators.Profiler.exactPercentiles(
+          per.select(col(c).cast("double").as("v")), "v", Seq(0.2, 0.4, 0.6, 0.8))
+        cuts.foldLeft(lit(1)) { (acc, cut) =>
+          acc + when(col(c).cast("double") > lit(cut), 1).otherwise(0) }
+      }
+      per.withColumn("r", bucket("recency_days"))
+        .withColumn("f", bucket("freq"))
+        .withColumn("m", bucket("monetary"))
+        .groupBy("r", "f", "m").agg(count(lit(1)).as("n_users"))
+        .orderBy("r", "f", "m")
+    }),
+    // --- round 6: cumulative gains curve over md5-derived scores (exact
+    //     power-of-two score grid -> bucket boundaries are ulp-safe) ---
+    "q_gains_curve" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("score",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("long"))
+        .withColumn("decile", (floor(col("score") * 10) + 1).cast("int"))
+      val tot = o.agg(sum(col("label")).as("tp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile").desc)
+      o.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_capture",
+          round(sum(col("n_pos")).over(w).cast("double") / col("tp"), 6))
+        .select(col("decile"), col("n"), col("n_pos"), col("cum_capture"))
+        .orderBy(col("decile").desc)
+    }),
+    // --- round 6: LZ-compressibility proxy — distinct char-4-gram ratio
+    //     per doc (char-level repetition, the Gopher-style gibberish flag) ---
+    "q_compressibility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("g", expr(
+          "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))"))
+        .select(col("doc_id"), size(col("g")).as("n_grams"),
+          size(array_distinct(col("g"))).as("n_distinct"),
+          when(size(col("g")) > 0,
+            round(size(array_distinct(col("g"))).cast("double") / size(col("g")), 6))
+            .otherwise(0.0).as("distinct_ratio"))
+        .orderBy("doc_id")
+    }),
     // --- round 6: repeat-purchase conversion + time-to-second-purchase
     //     percentiles (keyed rank window; quantiles over user-bounded rows) ---
     "q_second_purchase" -> ((s, dir) => {
@@ -7043,6 +7100,50 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT max(us) AS h FROM e),
+        |per AS (SELECT user_id,
+        |    min((h.h - us) // 86400000000) AS recency_days,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS monetary
+        |  FROM e CROSS JOIN h GROUP BY 1),
+        |cr AS (SELECT quantile_cont(recency_days::DOUBLE,
+        |    [0.2, 0.4, 0.6, 0.8]) AS c FROM per),
+        |cf AS (SELECT quantile_cont(freq::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS c FROM per),
+        |cm AS (SELECT quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS c FROM per),
+        |b AS (SELECT
+        |    1 + len(list_filter(cr.c, x -> per.recency_days::DOUBLE > x)) AS r,
+        |    1 + len(list_filter(cf.c, x -> per.freq::DOUBLE > x)) AS f,
+        |    1 + len(list_filter(cm.c, x -> per.monetary > x)) AS m
+        |  FROM per CROSS JOIN cr CROSS JOIN cf CROSS JOIN cm)
+        |SELECT r::INT AS r, f::INT AS f, m::INT AS m, count(*) AS n_users
+        |FROM b GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+    "q_gains_curve" ->
+      """WITH o AS (SELECT
+        |    ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT
+        |      / 65536.0 AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |d AS (SELECT (floor(score * 10) + 1)::INT AS decile, label FROM o),
+        |t AS (SELECT sum(label)::BIGINT AS tp FROM d),
+        |g AS (SELECT decile, count(*) AS n, sum(label)::BIGINT AS n_pos
+        |  FROM d GROUP BY 1)
+        |SELECT g.decile, g.n, g.n_pos,
+        |  round(CAST(sum(g.n_pos) OVER (ORDER BY g.decile DESC) AS DOUBLE)
+        |    / t.tp, 6) AS cum_capture
+        |FROM g CROSS JOIN t ORDER BY g.decile DESC""".stripMargin,
+    "q_compressibility" ->
+      """WITH g AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 3, 0) + 1),
+        |      i -> substring(text, i, 4)) AS gr FROM documents)
+        |SELECT doc_id, len(gr)::INT AS n_grams,
+        |  len(list_distinct(gr))::INT AS n_distinct,
+        |  CASE WHEN len(gr) > 0
+        |    THEN round(len(list_distinct(gr))::DOUBLE / len(gr), 6)
+        |    ELSE 0.0 END AS distinct_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_second_purchase" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
         |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
