@@ -2990,6 +2990,31 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: within-doc token PMI over the top-100 vocabulary (the
+    //     collocation readout; candidate pairs bounded by vocab cap) ---
+    "q_token_pmi" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      val topv = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(100)
+      val f = dt.join(broadcast(topv), "tok")
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val pairs = f.select(col("doc_id"), col("tok").as("a"), col("df").as("df_a"))
+        .join(f.select(col("doc_id"), col("tok").as("b"), col("df").as("df_b")), "doc_id")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_ab"), max(col("df_a")).as("df_a"),
+          max(col("df_b")).as("df_b"))
+        .filter(col("n_ab") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .withColumn("pmi",
+          round(log(col("n_ab").cast("double") * col("nd")
+            / (col("df_a") * col("df_b"))), 6))
+      pairs.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(20)
+        .select(col("a").as("token_a"), col("b").as("token_b"),
+          col("n_ab"), col("df_a"), col("df_b"), col("pmi"))
+    }),
     // --- round 6: RFM segmentation — quintile buckets from distributed
     //     exact percentiles applied as row-local value thresholds ---
     "q_rfm" -> ((s, dir) => {
@@ -7100,6 +7125,24 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_token_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |    FROM documents)),
+        |topv AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1
+        |  ORDER BY df DESC, tok LIMIT 100),
+        |f AS (SELECT dt.doc_id, dt.tok, topv.df FROM dt JOIN topv ON dt.tok = topv.tok),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |p AS (SELECT x.tok AS a, y.tok AS b, count(*) AS n_ab,
+        |    max(x.df) AS df_a, max(y.df) AS df_b
+        |  FROM f x JOIN f y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |s AS (SELECT a, b, n_ab, df_a, df_b,
+        |    round(ln(n_ab::DOUBLE * nd.nd / (df_a * df_b)), 6) AS pmi
+        |  FROM p CROSS JOIN nd)
+        |SELECT a AS token_a, b AS token_b, n_ab::BIGINT AS n_ab,
+        |  df_a::BIGINT AS df_a, df_b::BIGINT AS df_b, pmi
+        |FROM s ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "q_rfm" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
