@@ -2990,6 +2990,23 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: Herfindahl-Hirschman supplier-revenue concentration per
+    //     nation (anti-trust-style market structure; two keyed aggs) ---
+    "q_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("r"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          (sum(col("r") * col("r")) / (sum(col("r")) * sum(col("r")))).as("h"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_nationkey").as("nationkey"), col("n_name"),
+          col("n_suppliers"), round(col("h"), 6).as("hhi"))
+        .orderBy("nationkey")
+    }),
     // --- round 6: within-doc token PMI over the top-100 vocabulary (the
     //     collocation readout; candidate pairs bounded by vocab cap) ---
     "q_token_pmi" -> ((s, dir) => {
@@ -7125,6 +7142,18 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT s.s_nationkey, rev.r FROM rev
+        |  JOIN supplier s ON rev.l_suppkey = s.s_suppkey),
+        |g AS (SELECT s_nationkey, count(*) AS n_suppliers,
+        |    sum(r * r) / (sum(r) * sum(r)) AS h FROM j GROUP BY 1)
+        |SELECT g.s_nationkey AS nationkey, n.n_name, g.n_suppliers,
+        |  round(g.h, 6) AS hhi
+        |FROM g JOIN nation n ON g.s_nationkey = n.n_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_token_pmi" ->
       """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
         |    SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
