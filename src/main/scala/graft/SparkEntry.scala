@@ -2990,6 +2990,26 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: Jensen-Shannon divergence between the lang mixes of two
+    //     corpus halves (symmetric, bounded distribution distance — the
+    //     categorical drift metric PSI/KS don't give) ---
+    "q_js_divergence" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("nb"))
+      val tot = d.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val terms = d.crossJoin(broadcast(tot))
+        .withColumn("p", col("na").cast("double") / col("ta"))
+        .withColumn("q", col("nb").cast("double") / col("tb"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("tp", when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0))
+        .withColumn("tq", when(col("q") > 0, col("q") * log(col("q") / col("m")))
+          .otherwise(0.0))
+      terms.agg(count(lit(1)).as("n_langs"),
+        round((sum(col("tp")) + sum(col("tq"))) / 2, 6).as("js"))
+    }),
     // --- round 6: Herfindahl-Hirschman supplier-revenue concentration per
     //     nation (anti-trust-style market structure; two keyed aggs) ---
     "q_hhi" -> ((s, dir) => {
@@ -7142,6 +7162,20 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_js_divergence" ->
+      """WITH d AS (SELECT lang,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS nb
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM d),
+        |x AS (SELECT na::DOUBLE / t.ta AS p, nb::DOUBLE / t.tb AS q
+        |  FROM d CROSS JOIN t),
+        |y AS (SELECT p, q, (p + q) / 2 AS m FROM x),
+        |z AS (SELECT
+        |    CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END AS tp,
+        |    CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END AS tq FROM y)
+        |SELECT count(*) AS n_langs,
+        |  round((sum(tp) + sum(tq)) / 2, 6) AS js FROM z""".stripMargin,
     "q_hhi" ->
       """WITH rev AS (SELECT l_suppkey,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS r
