@@ -2990,6 +2990,28 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: weekday seasonality profile (dow from epoch-day integer
+    //     math — no engine-specific dayofweek numbering) ---
+    "q_weekday_profile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .withColumn("dow", expr("(day + 4) % 7")) // 1970-01-01 = Thursday; 0 = Sunday
+      val tot = ev.agg(count(lit(1)).as("n_all"))
+      ev.groupBy("dow").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"),
+          round(col("n").cast("double") / col("n_all"), 6).as("share"))
+        .orderBy("dow")
+    }),
+    // --- round 6: basket-size histogram (distinct parts per order) — the
+    //     pair-bound evidence behind the basket-lift scale argument ---
+    "q_basket_size" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_partkey")).as("n_items"))
+        .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_items")
+    }),
     // --- round 6: Jensen-Shannon divergence between the lang mixes of two
     //     corpus halves (symmetric, bounded distribution distance — the
     //     categorical drift metric PSI/KS don't give) ---
@@ -7162,6 +7184,18 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_weekday_profile" ->
+      """WITH e AS (SELECT (((epoch_ns(ts) // 1000) // 86400000000) + 4) % 7 AS dow
+        |  FROM events),
+        |t AS (SELECT count(*) AS n_all FROM e)
+        |SELECT e.dow, count(*) AS n,
+        |  round(count(*)::DOUBLE / t.n_all, 6) AS share
+        |FROM e CROSS JOIN t GROUP BY e.dow, t.n_all ORDER BY e.dow""".stripMargin,
+    "q_basket_size" ->
+      """WITH b AS (SELECT l_orderkey, count(DISTINCT l_partkey) AS n_items
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_items::BIGINT AS n_items, count(*) AS n_orders
+        |FROM b GROUP BY 1 ORDER BY n_items""".stripMargin,
     "q_js_divergence" ->
       """WITH d AS (SELECT lang,
         |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
