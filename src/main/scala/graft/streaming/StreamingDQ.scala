@@ -293,6 +293,49 @@ object StreamingDQ {
       .start()
   }
 
+  /** Jensen-Shannon drift monitor: per micro-batch, the JS divergence
+    * between the batch's categorical distribution and a static baseline —
+    * the SYMMETRIC, BOUNDED ([0, ln 2]) companion to the χ² gate: novel
+    * and vanished categories need no eps floor because the mixture
+    * `m = (p+q)/2` is positive whenever either side is, so JS never
+    * divides by zero and a wholly-novel batch reads exactly ln 2. The
+    * batch-side twin is `q_js_divergence`. `onResult(batchId, js, n)`. */
+  def jsDriftMonitor(
+      stream: DataFrame,
+      baseline: DataFrame,
+      catCol: String
+  )(onResult: (Long, Double, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val base = baseline.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("nb"))
+    val dist = base.crossJoin(broadcast(base.agg(sum("nb").as("__t"))))
+      .select(col("cat"), (col("nb").cast("double") / col("__t")).as("p_base"))
+    val baseDist = spark.createDataFrame(
+      spark.sparkContext.parallelize(dist.collect().toSeq, 1), dist.schema)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val obs = batch.filter(col(catCol).isNotNull)
+            .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("o"))
+          val n = obs.agg(sum("o").as("__n"))
+          val p = coalesce(col("p_base"), lit(0.0))
+          val q0 = coalesce(col("o"), lit(0L)).cast("double") / col("__n")
+          val m = (p + q0) / 2
+          val row = baseDist.join(obs, Seq("cat"), "full_outer")
+            .crossJoin(broadcast(n))
+            .agg(sum(
+              (when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+                + when(q0 > 0, q0 * log(q0 / m)).otherwise(lit(0.0))) / 2).as("js"),
+              max("__n").as("n"))
+            .head()
+          if (!row.isNullAt(0))
+            onResult(id, row.getDouble(0), row.getLong(1))
+        }
+      }
+      .start()
+  }
+
   /** [[categoricalDriftMonitor]] with an ERROR-CONTROLLED decision gate —
     * the judge's "statistic without a threshold" gap closed: each batch's
     * χ² is converted to a p-value against χ²(dof = #cells − 1)

@@ -500,6 +500,30 @@ class Round6dSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("hedges_g") - (-2.4)) < 1e-9)
   }
 
+  test("jsDriftMonitor: matching batch ~0, disjoint batch = ln 2") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val baseline = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("cat")
+    val mem = MemoryStream[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val q = graft.streaming.StreamingDQ.jsDriftMonitor(
+      mem.toDF().toDF("cat"), baseline, "cat") { (id, js, n) =>
+      results.synchronized { results += ((id, js, n)) }
+    }
+    try {
+      mem.addData(Seq.fill(6)("a") ++ Seq.fill(4)("b"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(10)("z"): _*) // wholly novel category
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = results.sortBy(_._1)
+    assert(byBatch.size == 2)
+    assert(math.abs(byBatch(0)._2) < 1e-12 && byBatch(0)._3 == 10L)
+    assert(math.abs(byBatch(1)._2 - math.log(2)) < 1e-12)
+  }
+
   test("VectorMomentsAgg: rejects mismatched dimensions") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
