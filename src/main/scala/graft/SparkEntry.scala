@@ -2990,6 +2990,15 @@ object SparkEntry {
       graft.operators.Profiler.effectSizes(
         t(s, dir, "events"), "value", "event_type", "purchase", "click")
     }),
+    // --- round 6: near-dup cluster-size histogram (how duplicated IS the
+    //     corpus — the dedup-savings estimate) ---
+    "q_cluster_sizes" -> ((s, dir) => {
+      graft.dedup.Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
+          n = 1, threshold = 0.9, blockCols = Seq("lang"))
+        .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
     // --- round 6: weekday seasonality profile (dow from epoch-day integer
     //     math — no engine-specific dayofweek numbering) ---
     "q_weekday_profile" -> ((s, dir) => {
@@ -7184,6 +7193,25 @@ object SparkEntry {
         |      / sqrt(((n11 + n10) * (n01 + n00))::DOUBLE
         |        * ((n11 + n01) * (n10 + n00))::DOUBLE), 6) END AS phi
         |FROM c""".stripMargin,
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang,
+        |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
+        |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
+        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+        |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ida, idb FROM inter
+        |  JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+        |lbl(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b),
+        |cl AS (SELECT node, min(label) AS rep FROM lbl GROUP BY node),
+        |sz AS (SELECT rep, count(*) AS sz FROM cl GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters FROM sz GROUP BY 1 ORDER BY sz""".stripMargin,
     "q_weekday_profile" ->
       """WITH e AS (SELECT (((epoch_ns(ts) // 1000) // 86400000000) + 4) % 7 AS dow
         |  FROM events),
