@@ -18,6 +18,17 @@ object SparkEntry {
 
   private val SEV = SeverityLevel.High
 
+  /** Engine-deterministic decimal rounding: `floor(x·10ᵖ + 0.5)/10ᵖ` is a
+    * fixed sequence of single IEEE ops, so two engines seeing the identical
+    * double produce the identical result — unlike `round(x, p)`, whose
+    * half-up-on-exact-decimal (Spark) vs scaled-multiply (DuckDB)
+    * implementations can disagree one ulp from a decimal boundary. Oracle
+    * mirror: `floor(x * 1eP + 0.5) / 1eP`. */
+  private def fround(c: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
+    val s = math.pow(10.0, p)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
   /** Deterministic projection of metric rows (drops run/ingest timestamps). */
   private def metricsDf(spark: SparkSession, ms: Seq[MetricResult]): DataFrame =
     MetricResult.toDF(spark, ms)
@@ -2734,15 +2745,15 @@ object SparkEntry {
     //     mergeable moments buffer; O(d^2) state, not O(rows)) ---
     "q_embed_covariance" -> ((s, dir) => {
       graft.ml.Covariance.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64)
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .select(col("i"), col("j"), fround(col("cov"), 6).as("cov"))
         .orderBy("i", "j")
     }),
     // --- round 6: leading principal component (fixed 8-step power
     //     iteration on the one-pass covariance; O(d^2) driver math) ---
     "q_pca_top" -> ((s, dir) => {
       graft.ml.Covariance.principalComponent(t(s, dir, "embeddings"), "embedding", 64)
-        .select(col("dim"), round(col("loading"), 6).as("loading"),
-          round(col("eigval"), 6).as("eigval"))
+        .select(col("dim"), fround(col("loading"), 6).as("loading"),
+          fround(col("eigval"), 6).as("eigval"))
         .orderBy("dim")
     }),
     // --- round 6: diagonal-Mahalanobis embedding outliers (stats folded
@@ -2750,7 +2761,7 @@ object SparkEntry {
     "q_embed_outlier" -> ((s, dir) => {
       graft.ml.Covariance.embeddingOutliers(t(s, dir, "embeddings"),
           "vec_id", "embedding", 64)
-        .select(col("vec_id"), round(col("md2"), 6).as("md2"), col("is_outlier"))
+        .select(col("vec_id"), fround(col("md2"), 6).as("md2"), col("is_outlier"))
         .orderBy("vec_id")
     }),
     // --- round 6: C4 line-level rule audit (Raffel et al. 2020) ---
@@ -2836,7 +2847,7 @@ object SparkEntry {
     "q_pca_project" -> ((s, dir) => {
       graft.ml.Covariance.pcaProject(t(s, dir, "embeddings"),
           "vec_id", "embedding", 64)
-        .select(col("vec_id"), round(col("proj"), 6).as("proj"))
+        .select(col("vec_id"), fround(col("proj"), 6).as("proj"))
         .orderBy("vec_id")
     }),
     // --- round 6: market-basket pair lift on the fact table (row-local
@@ -3495,7 +3506,7 @@ object SparkEntry {
 
   /** Shared CTE prefix: per-vector signature and the 4 per-band buckets. */
   private lazy val lshBandSql: String =
-    s"""sigs AS (SELECT vec_id, $lshSigSql AS sig FROM embeddings),
+    s"""sigs AS MATERIALIZED (SELECT vec_id, $lshSigSql AS sig FROM embeddings),
        |bnd AS (
        |  SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bucket
        |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band) b)""".stripMargin
@@ -6769,46 +6780,89 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM a ORDER BY doc_id""".stripMargin,
     "q_embed_covariance" ->
-      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-        |    generate_subscripts(embedding, 1) AS i FROM embeddings)
-        |SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
-        |  round(covar_pop(a.v, b.v), 6) AS cov
-        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
-    "q_pca_top" ->
-      // the 8 unnormalized power-iteration mat-vec steps unrolled as CTEs
-      // (same determinism contract as the Spark side: v0 = 1/d, Rayleigh
-      // eigenvalue, unit loadings, sign fixed by the largest-|l| entry)
+      // mirrors the engine's nano-quantized exact-long moments: per-row
+      // contributions floor(x*1e9+0.5) summed exactly, cov derived with the
+      // identical left-associated double expression, floor-rounded to 6 dp
       """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
         |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
-        |c AS (SELECT a.i AS i, b.i AS j, covar_pop(a.v, b.v) AS cv
-        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-        |v0 AS (SELECT unnest(range(0, 64)) AS i, 1.0 / 64 AS v),
-        |v1 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v0 p ON c.j = p.i GROUP BY 1),
-        |v2 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v1 p ON c.j = p.i GROUP BY 1),
-        |v3 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v2 p ON c.j = p.i GROUP BY 1),
-        |v4 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v3 p ON c.j = p.i GROUP BY 1),
-        |v5 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v4 p ON c.j = p.i GROUP BY 1),
-        |v6 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v5 p ON c.j = p.i GROUP BY 1),
-        |v7 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v6 p ON c.j = p.i GROUP BY 1),
-        |v8 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v7 p ON c.j = p.i GROUP BY 1),
-        |v9 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v8 p ON c.j = p.i GROUP BY 1),
-        |ray AS (SELECT sum(a.v * b.v) / sum(a.v * a.v) AS eig, sum(a.v * a.v) AS vv
-        |  FROM v8 a JOIN v9 b ON a.i = b.i),
-        |ld AS (SELECT v8.i, v8.v / sqrt(ray.vv) AS l FROM v8 CROSS JOIN ray),
-        |sgn AS (SELECT CASE WHEN l < 0 THEN -1.0 ELSE 1.0 END AS s
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |s1 AS (SELECT i, sum(floor(v * 1e9 + 0.5)::BIGINT) AS s FROM x GROUP BY 1),
+        |s2 AS (SELECT a.i AS i, b.i AS j,
+        |    sum(floor(a.v * b.v * 1e9 + 0.5)::BIGINT) AS s
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |cv AS (SELECT s2.i, s2.j,
+        |    s2.s::DOUBLE / nn.n / 1e9
+        |      - (a.s::DOUBLE / nn.n / 1e9) * (b.s::DOUBLE / nn.n / 1e9) AS cov
+        |  FROM s2 JOIN s1 a ON s2.i = a.i JOIN s1 b ON s2.j = b.i CROSS JOIN nn)
+        |SELECT i::INT AS i, j::INT AS j, floor(cov * 1e6 + 0.5) / 1e6 AS cov
+        |FROM cv ORDER BY i, j""".stripMargin,
+    "q_pca_top" ->
+      // the 8 quantized power-iteration mat-vec steps unrolled as CTEs:
+      // cov from exact-long nano-quantized moments, each step's summands
+      // floor(c*v*1e12+0.5) as exact ints with max-|u| normalization,
+      // quantized Rayleigh eigenvalue — bit-identical to the Spark driver
+      // loop (no order-ambiguous float sums anywhere)
+      """WITH x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |s1 AS MATERIALIZED (SELECT i, sum(floor(v * 1e9 + 0.5)::BIGINT) AS s FROM x GROUP BY 1),
+        |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |    sum(floor(a.v * b.v * 1e9 + 0.5)::BIGINT) AS s
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |cu AS MATERIALIZED (SELECT s2.i, s2.j,
+        |    s2.s::DOUBLE / nn.n / 1e9
+        |      - (a.s::DOUBLE / nn.n / 1e9) * (b.s::DOUBLE / nn.n / 1e9) AS cov
+        |  FROM s2 JOIN s1 a ON s2.i = a.i JOIN s1 b ON s2.j = b.i CROSS JOIN nn),
+        |c AS MATERIALIZED (SELECT i, j, cov FROM cu
+        |  UNION ALL SELECT j AS i, i AS j, cov FROM cu WHERE i < j),
+        |v0 AS MATERIALIZED (SELECT unnest(range(0, 64)) AS i, 1.0 / 64 AS v),
+        |u1 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v0 p ON c.j = p.i GROUP BY 1),
+        |v1 AS MATERIALIZED (SELECT u1.i, u1.u::DOUBLE / m.m::DOUBLE AS v FROM u1 CROSS JOIN (SELECT max(abs(u)) AS m FROM u1) m),
+        |u2 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v1 p ON c.j = p.i GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT u2.i, u2.u::DOUBLE / m.m::DOUBLE AS v FROM u2 CROSS JOIN (SELECT max(abs(u)) AS m FROM u2) m),
+        |u3 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v2 p ON c.j = p.i GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT u3.i, u3.u::DOUBLE / m.m::DOUBLE AS v FROM u3 CROSS JOIN (SELECT max(abs(u)) AS m FROM u3) m),
+        |u4 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v3 p ON c.j = p.i GROUP BY 1),
+        |v4 AS MATERIALIZED (SELECT u4.i, u4.u::DOUBLE / m.m::DOUBLE AS v FROM u4 CROSS JOIN (SELECT max(abs(u)) AS m FROM u4) m),
+        |u5 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v4 p ON c.j = p.i GROUP BY 1),
+        |v5 AS MATERIALIZED (SELECT u5.i, u5.u::DOUBLE / m.m::DOUBLE AS v FROM u5 CROSS JOIN (SELECT max(abs(u)) AS m FROM u5) m),
+        |u6 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v5 p ON c.j = p.i GROUP BY 1),
+        |v6 AS MATERIALIZED (SELECT u6.i, u6.u::DOUBLE / m.m::DOUBLE AS v FROM u6 CROSS JOIN (SELECT max(abs(u)) AS m FROM u6) m),
+        |u7 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v6 p ON c.j = p.i GROUP BY 1),
+        |v7 AS MATERIALIZED (SELECT u7.i, u7.u::DOUBLE / m.m::DOUBLE AS v FROM u7 CROSS JOIN (SELECT max(abs(u)) AS m FROM u7) m),
+        |u8 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v7 p ON c.j = p.i GROUP BY 1),
+        |v8 AS MATERIALIZED (SELECT u8.i, u8.u::DOUBLE / m.m::DOUBLE AS v FROM u8 CROSS JOIN (SELECT max(abs(u)) AS m FROM u8) m),
+        |u9 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v8 p ON c.j = p.i GROUP BY 1),
+        |ab AS MATERIALIZED (SELECT sum(floor(p.v * u9.u::DOUBLE + 0.5)::BIGINT) AS a,
+        |    sum(floor(p.v * p.v * 1e15 + 0.5)::BIGINT) AS b
+        |  FROM v8 p JOIN u9 ON p.i = u9.i),
+        |ray AS MATERIALIZED (SELECT a::DOUBLE / b::DOUBLE * 1000.0 AS eig,
+        |    sqrt(b::DOUBLE / 1e15) AS nrm FROM ab),
+        |ld AS MATERIALIZED (SELECT v8.i, v8.v / ray.nrm AS l FROM v8 CROSS JOIN ray),
+        |sgn AS MATERIALIZED (SELECT CASE WHEN l < 0 THEN -1.0 ELSE 1.0 END AS s
         |  FROM ld ORDER BY abs(l) DESC, i LIMIT 1)
-        |SELECT ld.i::INT AS dim, round(ld.l * sgn.s, 6) AS loading,
-        |  round(ray.eig, 6) AS eigval
+        |SELECT ld.i::INT AS dim, floor(ld.l * sgn.s * 1e6 + 0.5) / 1e6 AS loading,
+        |  floor(ray.eig * 1e6 + 0.5) / 1e6 AS eigval
         |FROM ld CROSS JOIN sgn CROSS JOIN ray ORDER BY dim""".stripMargin,
     "q_embed_outlier" ->
+      // per-dim mean/variance from the nano-quantized exact-long moments;
+      // per-row Mahalanobis terms floor-quantized to exact longs before the
+      // sum — fold-order-free, bit-identical to the Spark scan
       """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-        |    generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |st AS (SELECT i, avg(v) AS mu, var_pop(v) AS s2 FROM x GROUP BY 1),
-        |m AS (SELECT vec_id, sum((x.v - st.mu) * (x.v - st.mu) / st.s2) AS md2
-        |  FROM x JOIN st ON x.i = st.i GROUP BY 1)
-        |SELECT vec_id, round(md2, 6) AS md2, md2 > 128.0 AS is_outlier
-        |FROM m ORDER BY vec_id""".stripMargin,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |s1 AS (SELECT i, sum(floor(v * 1e9 + 0.5)::BIGINT) AS s FROM x GROUP BY 1),
+        |sd AS (SELECT i, sum(floor(v * v * 1e9 + 0.5)::BIGINT) AS s FROM x GROUP BY 1),
+        |st AS (SELECT s1.i, s1.s::DOUBLE / nn.n / 1e9 AS mu,
+        |    sd.s::DOUBLE / nn.n / 1e9
+        |      - (s1.s::DOUBLE / nn.n / 1e9) * (s1.s::DOUBLE / nn.n / 1e9) AS s2v
+        |  FROM s1 JOIN sd ON s1.i = sd.i CROSS JOIN nn),
+        |m AS (SELECT x.vec_id,
+        |    sum(floor((x.v - st.mu) * (x.v - st.mu) / st.s2v * 1e9 + 0.5)::BIGINT) AS q
+        |  FROM x JOIN st ON x.i = st.i GROUP BY 1),
+        |md AS (SELECT vec_id, q::DOUBLE / 1e9 AS md2 FROM m)
+        |SELECT vec_id, floor(md2 * 1e6 + 0.5) / 1e6 AS md2, md2 > 128.0 AS is_outlier
+        |FROM md ORDER BY vec_id""".stripMargin,
     "q_c4_rules" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
         |  FROM documents),
@@ -6919,30 +6973,53 @@ object SparkEntry {
         |  round(ent.h, 6) AS lang_entropy
         |FROM base JOIN ent ON base.source = ent.source ORDER BY base.source""".stripMargin,
     "q_pca_project" ->
-      // the same unrolled power iteration as q_pca_top, then a row-local
-      // dot product of every embedding with the signed unit loadings
-      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+      // the same quantized power iteration as q_pca_top, then a row-local
+      // dot product with each term floor-quantized to an exact long —
+      // fold-order-free, bit-identical to the Spark scan
+      """WITH x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
         |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
-        |c AS (SELECT a.i AS i, b.i AS j, covar_pop(a.v, b.v) AS cv
-        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-        |v0 AS (SELECT unnest(range(0, 64)) AS i, 1.0 / 64 AS v),
-        |v1 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v0 p ON c.j = p.i GROUP BY 1),
-        |v2 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v1 p ON c.j = p.i GROUP BY 1),
-        |v3 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v2 p ON c.j = p.i GROUP BY 1),
-        |v4 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v3 p ON c.j = p.i GROUP BY 1),
-        |v5 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v4 p ON c.j = p.i GROUP BY 1),
-        |v6 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v5 p ON c.j = p.i GROUP BY 1),
-        |v7 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v6 p ON c.j = p.i GROUP BY 1),
-        |v8 AS (SELECT c.i, sum(c.cv * p.v) AS v FROM c JOIN v7 p ON c.j = p.i GROUP BY 1),
-        |ray AS (SELECT sum(a.v * a.v) AS vv FROM v8 a),
-        |ld AS (SELECT v8.i, v8.v / sqrt(ray.vv) AS l FROM v8 CROSS JOIN ray),
-        |sgn AS (SELECT CASE WHEN l < 0 THEN -1.0 ELSE 1.0 END AS s
+        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |s1 AS MATERIALIZED (SELECT i, sum(floor(v * 1e9 + 0.5)::BIGINT) AS s FROM x GROUP BY 1),
+        |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |    sum(floor(a.v * b.v * 1e9 + 0.5)::BIGINT) AS s
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |cu AS MATERIALIZED (SELECT s2.i, s2.j,
+        |    s2.s::DOUBLE / nn.n / 1e9
+        |      - (a.s::DOUBLE / nn.n / 1e9) * (b.s::DOUBLE / nn.n / 1e9) AS cov
+        |  FROM s2 JOIN s1 a ON s2.i = a.i JOIN s1 b ON s2.j = b.i CROSS JOIN nn),
+        |c AS MATERIALIZED (SELECT i, j, cov FROM cu
+        |  UNION ALL SELECT j AS i, i AS j, cov FROM cu WHERE i < j),
+        |v0 AS MATERIALIZED (SELECT unnest(range(0, 64)) AS i, 1.0 / 64 AS v),
+        |u1 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v0 p ON c.j = p.i GROUP BY 1),
+        |v1 AS MATERIALIZED (SELECT u1.i, u1.u::DOUBLE / m.m::DOUBLE AS v FROM u1 CROSS JOIN (SELECT max(abs(u)) AS m FROM u1) m),
+        |u2 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v1 p ON c.j = p.i GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT u2.i, u2.u::DOUBLE / m.m::DOUBLE AS v FROM u2 CROSS JOIN (SELECT max(abs(u)) AS m FROM u2) m),
+        |u3 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v2 p ON c.j = p.i GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT u3.i, u3.u::DOUBLE / m.m::DOUBLE AS v FROM u3 CROSS JOIN (SELECT max(abs(u)) AS m FROM u3) m),
+        |u4 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v3 p ON c.j = p.i GROUP BY 1),
+        |v4 AS MATERIALIZED (SELECT u4.i, u4.u::DOUBLE / m.m::DOUBLE AS v FROM u4 CROSS JOIN (SELECT max(abs(u)) AS m FROM u4) m),
+        |u5 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v4 p ON c.j = p.i GROUP BY 1),
+        |v5 AS MATERIALIZED (SELECT u5.i, u5.u::DOUBLE / m.m::DOUBLE AS v FROM u5 CROSS JOIN (SELECT max(abs(u)) AS m FROM u5) m),
+        |u6 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v5 p ON c.j = p.i GROUP BY 1),
+        |v6 AS MATERIALIZED (SELECT u6.i, u6.u::DOUBLE / m.m::DOUBLE AS v FROM u6 CROSS JOIN (SELECT max(abs(u)) AS m FROM u6) m),
+        |u7 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v6 p ON c.j = p.i GROUP BY 1),
+        |v7 AS MATERIALIZED (SELECT u7.i, u7.u::DOUBLE / m.m::DOUBLE AS v FROM u7 CROSS JOIN (SELECT max(abs(u)) AS m FROM u7) m),
+        |u8 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v7 p ON c.j = p.i GROUP BY 1),
+        |v8 AS MATERIALIZED (SELECT u8.i, u8.u::DOUBLE / m.m::DOUBLE AS v FROM u8 CROSS JOIN (SELECT max(abs(u)) AS m FROM u8) m),
+        |u9 AS MATERIALIZED (SELECT c.i, sum(floor(c.cov * p.v * 1e12 + 0.5)::BIGINT) AS u FROM c JOIN v8 p ON c.j = p.i GROUP BY 1),
+        |ab AS MATERIALIZED (SELECT sum(floor(p.v * u9.u::DOUBLE + 0.5)::BIGINT) AS a,
+        |    sum(floor(p.v * p.v * 1e15 + 0.5)::BIGINT) AS b
+        |  FROM v8 p JOIN u9 ON p.i = u9.i),
+        |ray AS MATERIALIZED (SELECT sqrt(b::DOUBLE / 1e15) AS nrm FROM ab),
+        |ld AS MATERIALIZED (SELECT v8.i, v8.v / ray.nrm AS l FROM v8 CROSS JOIN ray),
+        |sgn AS MATERIALIZED (SELECT CASE WHEN l < 0 THEN -1.0 ELSE 1.0 END AS s
         |  FROM ld ORDER BY abs(l) DESC, i LIMIT 1),
-        |ldl AS (SELECT list(ld.l * sgn.s ORDER BY ld.i) AS ls FROM ld CROSS JOIN sgn)
-        |SELECT e.vec_id,
-        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |    i -> e.embedding[i]::DOUBLE * ldl.ls[i])), 6) AS proj
-        |FROM embeddings e CROSS JOIN ldl ORDER BY e.vec_id""".stripMargin,
+        |ldl AS MATERIALIZED (SELECT ld.i, ld.l * sgn.s AS l FROM ld CROSS JOIN sgn),
+        |pr AS MATERIALIZED (SELECT x.vec_id,
+        |    sum(floor(x.v * ldl.l * 1e9 + 0.5)::BIGINT) AS sq
+        |  FROM x JOIN ldl ON x.i = ldl.i GROUP BY 1)
+        |SELECT vec_id, floor(sq::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS proj
+        |FROM pr ORDER BY vec_id""".stripMargin,
     "q_basket_lift" ->
       """WITH b AS (SELECT l_orderkey AS bk, l_partkey AS item FROM lineitem GROUP BY 1, 2),
         |nb AS (SELECT count(DISTINCT bk) AS n FROM b),

@@ -157,79 +157,105 @@ object Classify {
 /** Single-pass second-moment accumulator for a fixed-dimension vector
   * column: n, per-dim sums, and the upper-triangular pairwise product sums —
   * everything a covariance / correlation / PCA step needs, in one mergeable
-  * buffer of `1 + d + d(d+1)/2` doubles. Merge is elementwise addition
-  * (commutative + associative), so map-side partial aggregation applies and
-  * the reduce moves ONE buffer per partition regardless of corpus size —
-  * the only shape that survives 100 TB of embeddings. Rows of the wrong
-  * dimension fail fast; null rows are ignored (SQL aggregate semantics). */
+  * buffer of `1 + d + d(d+1)/2` LONGS. Each per-row contribution is
+  * nano-quantized BEFORE the order-ambiguous sum —
+  * `floor(x · 1e9 + 0.5).toLong` — so partial sums are exact integers and
+  * merge order cannot change the result by an ulp (the repo's pinned
+  * float-determinism contract; a DuckDB oracle replays the identical
+  * quantization with `floor(x * 1e9 + 0.5)::BIGINT`). Merge is elementwise
+  * long addition (commutative + associative + EXACT), so map-side partial
+  * aggregation applies and the reduce moves ONE buffer per partition
+  * regardless of corpus size — the only shape that survives 100 TB of
+  * embeddings. Overflow bound: unit-norm embeddings have |xᵢ·xⱼ| ≤ 1, so a
+  * cell stays under 2⁶³ up to ~9e9 rows; beyond that, shard by a coarse key
+  * and merge the per-shard buffers as BigInt (the quantization stays exact).
+  * Rows of the wrong dimension fail fast; null rows are ignored (SQL
+  * aggregate semantics). */
 class VectorMomentsAgg(d: Int)
-    extends Aggregator[Array[Float], Array[Double], Array[Double]] {
+    extends Aggregator[Array[Float], Array[Long], Array[Long]] {
   require(d > 0, "dimension must be positive")
   private val len = 1 + d + d * (d + 1) / 2
 
-  override def zero: Array[Double] = new Array[Double](len)
+  @inline private def q9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
 
-  override def reduce(b: Array[Double], a: Array[Float]): Array[Double] = {
+  override def zero: Array[Long] = new Array[Long](len)
+
+  override def reduce(b: Array[Long], a: Array[Float]): Array[Long] = {
     if (a == null) return b
     require(a.length == d, s"expected dimension $d, got ${a.length}")
-    b(0) += 1.0
+    b(0) += 1L
     var i = 0
-    while (i < d) { b(1 + i) += a(i); i += 1 }
+    while (i < d) { b(1 + i) += q9(a(i).toDouble); i += 1 }
     var k = 1 + d
     i = 0
     while (i < d) {
       var j = i
-      while (j < d) { b(k) += a(i).toDouble * a(j); k += 1; j += 1 }
+      while (j < d) { b(k) += q9(a(i).toDouble * a(j)); k += 1; j += 1 }
       i += 1
     }
     b
   }
 
-  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
     var i = 0
     while (i < len) { x(i) += y(i); i += 1 }
     x
   }
 
-  override def finish(b: Array[Double]): Array[Double] = b
+  override def finish(b: Array[Long]): Array[Long] = b
 
-  override def bufferEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-  override def outputEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
 object Covariance {
 
-  /** One [[VectorMomentsAgg]] pass → the raw `1 + d + d(d+1)/2` buffer.
-    * O(d²) driver bytes regardless of corpus size. */
-  private def momentsBuffer(emb: DataFrame, vecCol: String, d: Int): Array[Double] = {
+  /** One [[VectorMomentsAgg]] pass → the raw `1 + d + d(d+1)/2` exact-long
+    * buffer. O(d²) driver bytes regardless of corpus size. */
+  private def momentsBuffer(emb: DataFrame, vecCol: String, d: Int): Array[Long] = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select(col(vecCol).cast("array<float>").as("v"))
       .agg(udaf(new VectorMomentsAgg(d)).apply(col("v")).as("m"))
-      .as[Array[Double]]
+      .as[Array[Long]]
       .head()
   }
 
   private def upperIdx(d: Int, i: Int, j: Int): Int =
     1 + d + (i * (2 * d - i + 1)) / 2 + (j - i)
 
+  /** `Sᵢ/n/1e9` — the pinned mean derivation. The exact integer sums make
+    * the double result identical in any engine that replays the same
+    * left-associated expression. */
+  @inline private def meanOf(buf: Array[Long], d: Int, i: Int): Double =
+    buf(1 + i).toDouble / buf(0).toDouble / 1e9
+
+  /** `Sᵢⱼ/n/1e9 − (Sᵢ/n/1e9)·(Sⱼ/n/1e9)` — the pinned covariance
+    * derivation (oracle mirror: `sij / n / 1e9 - (si / n / 1e9) * (sj / n
+    * / 1e9)` with all terms cast to DOUBLE). */
+  @inline private def covOf(buf: Array[Long], d: Int, i: Int, j: Int): Double = {
+    val n = buf(0).toDouble
+    buf(upperIdx(d, i, j)).toDouble / n / 1e9 -
+      (buf(1 + i).toDouble / n / 1e9) * (buf(1 + j).toDouble / n / 1e9)
+  }
+
   /** Population covariance matrix of a vector column as tidy rows
     * `(i, j, cov)` for `i <= j` — the input a distributed PCA / whitening /
     * Mahalanobis step consumes. One pass over the data (the
     * [[VectorMomentsAgg]] buffer), then an O(d²) driver expansion of the
     * single aggregated buffer into rows — bounded by dimension², never by
-    * corpus size. `cov(i,j) = Σxy/n − (Σx/n)(Σy/n)`. */
+    * corpus size. Bit-reproducible: the buffer is exact longs and the
+    * derivation is the pinned [[covOf]] expression. */
   def covarianceMatrix(emb: DataFrame, vecCol: String, d: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val buf = momentsBuffer(emb, vecCol, d)
-    val n = buf(0)
     val rows = for {
       i <- 0 until d
       j <- i until d
-    } yield (i, j, buf(upperIdx(d, i, j)) / n - (buf(1 + i) / n) * (buf(1 + j) / n))
+    } yield (i, j, covOf(buf, d, i, j))
     rows.toDF("i", "j", "cov")
   }
 
@@ -240,12 +266,17 @@ object Covariance {
     * iteration is O(iters·d²) driver arithmetic on the d×d matrix, which at
     * any corpus scale is noise next to the scan.
     *
-    * Determinism contract: `v₀ = (1/d,…,1/d)`, exactly `iters` unnormalized
-    * mat-vec products (no convergence test, no per-step normalization —
-    * those would make the result run-dependent), Rayleigh-quotient
-    * eigenvalue, final loadings unit-normalized with the sign fixed so the
-    * largest-|loading| entry is positive (ties → smaller dim). Every step
-    * is plain double arithmetic an oracle can replay as unrolled SQL CTEs.
+    * Determinism contract (every step replayable as unrolled SQL CTEs with
+    * bit-identical doubles — no order-ambiguous float sums anywhere):
+    * `v₀ = (1/d,…,1/d)` (1/d exact for d a power of two); each of the
+    * `iters` mat-vec steps quantizes its summands to exact longs
+    * (`uᵢ = Σⱼ floor(c(i,j)·v(j)·1e12 + 0.5)`) and then normalizes by the
+    * exact integer `max |uᵢ|` so magnitudes never grow; one further
+    * quantized mat-vec feeds the Rayleigh quotient
+    * `eig = (A/B)·1000` with `A = Σ floor(vᵢ·uᵢ' + 0.5)`,
+    * `B = Σ floor(vᵢ²·1e15 + 0.5)`; final loadings are
+    * `vᵢ / sqrt(B/1e15)` with the sign fixed so the largest-|loading|
+    * entry is positive (ties → smaller dim).
     *
     * Returns one row per dimension: `(dim, loading, eigval)`. */
   def principalComponent(emb: DataFrame, vecCol: String, d: Int, iters: Int = 8): DataFrame = {
@@ -263,29 +294,34 @@ object Covariance {
   def topComponent(emb: DataFrame, vecCol: String, d: Int,
       iters: Int = 8): (Array[Double], Double) = {
     val buf = momentsBuffer(emb, vecCol, d)
-    val n = buf(0)
-    val c = Array.ofDim[Double](d, d)
-    for (i <- 0 until d; j <- i until d) {
-      val v = buf(upperIdx(d, i, j)) / n - (buf(1 + i) / n) * (buf(1 + j) / n)
-      c(i)(j) = v; c(j)(i) = v
+    val c = Array.tabulate(d, d) { (i, j) =>
+      if (i <= j) covOf(buf, d, i, j) else covOf(buf, d, j, i)
     }
-    var v = Array.fill(d)(1.0 / d)
-    for (_ <- 1 to iters)
-      v = Array.tabulate(d) { i =>
-        var s = 0.0; var j = 0
-        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+    def quantMatVec(v: Array[Double]): Array[Long] =
+      Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += math.floor(c(i)(j) * v(j) * 1e12 + 0.5).toLong; j += 1 }
         s
       }
-    val cv = Array.tabulate(d) { i =>
-      var s = 0.0; var j = 0
-      while (j < d) { s += c(i)(j) * v(j); j += 1 }
-      s
+    var v = Array.fill(d)(1.0 / d)
+    for (_ <- 1 to iters) {
+      val u = quantMatVec(v)
+      val mx = u.map(math.abs).max
+      require(mx > 0L, "power iteration collapsed to the zero vector")
+      v = u.map(_.toDouble / mx.toDouble)
     }
-    val vv = v.map(x => x * x).sum
-    val eig = v.zip(cv).map { case (a, b) => a * b }.sum / vv
-    val norm = math.sqrt(vv)
+    val u9 = quantMatVec(v)
+    var aSum = 0L; var bSum = 0L
+    var i = 0
+    while (i < d) {
+      aSum += math.floor(v(i) * u9(i).toDouble + 0.5).toLong
+      bSum += math.floor(v(i) * v(i) * 1e15 + 0.5).toLong
+      i += 1
+    }
+    val eig = aSum.toDouble / bSum.toDouble * 1000.0
+    val norm = math.sqrt(bSum.toDouble / 1e15)
     val loadings = v.map(_ / norm)
-    val m = loadings.zipWithIndex.maxBy { case (l, i) => (math.abs(l), -i) }._2
+    val m = loadings.zipWithIndex.maxBy { case (l, idx) => (math.abs(l), -idx) }._2
     val sign = if (loadings(m) < 0) -1.0 else 1.0
     (loadings.map(_ * sign), eig)
   }
@@ -295,39 +331,44 @@ object Covariance {
     * an embedding table. The component comes from [[topComponent]] (one
     * bounded stats job); the projection folds the d loadings into the scan
     * as literals, so the corpus pass is row-local with no join — the same
-    * shape as [[embeddingOutliers]]. Returns `(idCol, proj)`. */
+    * shape as [[embeddingOutliers]]. The per-row dot product quantizes each
+    * term to an exact long (`floor(xᵢ·lᵢ·1e9 + 0.5)`) so the fold order
+    * can't move the result (oracle mirrors the identical quantized sum).
+    * Returns `(idCol, proj)`. */
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String, d: Int,
       iters: Int = 8): DataFrame = {
     val (loadings, _) = topComponent(emb, vecCol, d, iters)
     val lCol = array(loadings.map(lit).toIndexedSeq: _*)
-    val proj = aggregate(
-      zip_with(col(vecCol).cast("array<double>"), lCol, (x, l) => x * l),
-      lit(0.0), (acc, x) => acc + x)
-    emb.select(col(idCol), proj.as("proj"))
+    val projQ = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), lCol,
+        (x, l) => floor(x * l * lit(1e9) + lit(0.5))),
+      lit(0L), (acc, x) => acc + x)
+    emb.select(col(idCol), (projQ.cast("double") / lit(1e9)).as("proj"))
   }
 
   /** Per-row diagonal-covariance Mahalanobis distance² over a vector
     * column — the cheap embedding-space outlier score (full-covariance
     * Mahalanobis needs a matrix inverse; with per-dim variances it
     * decomposes to `Σ_i (x_i − μ_i)² / σ²_i`, which is row-local once the
-    * d per-dim stats are known). One bounded stats job (the same moments
-    * buffer), then a single scan with the stats folded in as literals — no
-    * join, no explode, no second shuffle: the 100 TB shape.
+    * d per-dim stats are known). One bounded stats job (the same exact-long
+    * moments buffer), then a single scan with the stats folded in as
+    * literals — no join, no explode, no second shuffle: the 100 TB shape.
+    * The per-row sum quantizes each term to an exact long
+    * (`floor((xᵢ−μᵢ)²/σᵢ²·1e9 + 0.5)`) — fold-order-free, oracle-mirrored.
     *
     * Returns `(idCol, md2, is_outlier)` with `is_outlier = md2 > 2d`
     * (E[md2] = d for in-distribution rows). */
   def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String, d: Int): DataFrame = {
     val buf = momentsBuffer(emb, vecCol, d)
-    val n = buf(0)
-    val mu = Array.tabulate(d)(i => buf(1 + i) / n)
-    val s2 = Array.tabulate(d)(i => buf(upperIdx(d, i, i)) / n - mu(i) * mu(i))
+    val mu = Array.tabulate(d)(i => meanOf(buf, d, i))
+    val s2 = Array.tabulate(d)(i => covOf(buf, d, i, i))
     val muCol = array(mu.map(lit).toIndexedSeq: _*)
     val s2Col = array(s2.map(lit).toIndexedSeq: _*)
     val diffs = zip_with(col(vecCol).cast("array<double>"), muCol, (x, m) => x - m)
-    val md2 = aggregate(
-      zip_with(diffs, s2Col, (dd, s) => dd * dd / s),
-      lit(0.0), (acc, x) => acc + x)
-    emb.select(col(idCol), md2.as("md2"))
+    val md2q = aggregate(
+      zip_with(diffs, s2Col, (dd, s) => floor(dd * dd / s * lit(1e9) + lit(0.5))),
+      lit(0L), (acc, x) => acc + x)
+    emb.select(col(idCol), (md2q.cast("double") / lit(1e9)).as("md2"))
       .select(col(idCol), col("md2"), (col("md2") > 2.0 * d).as("is_outlier"))
   }
 }
