@@ -4218,7 +4218,7 @@ object SparkEntry {
         |LEFT JOIN drp d ON e.vec_id = d.vec_id
         |ORDER BY e.vec_id""".stripMargin,
     "q_dsir_weights" ->
-      """WITH toks AS (SELECT doc_id, is_target, unnest(l) AS term,
+      raw"""WITH toks AS (SELECT doc_id, is_target, unnest(l) AS term,
         |    generate_subscripts(l, 1) AS pos
         |  FROM (SELECT doc_id, lang = 'en' AS is_target,
         |        regexp_extract_all(trim(text), '\S+') AS l FROM documents)),
@@ -4234,12 +4234,19 @@ object SparkEntry {
         |    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cs
         |  FROM bg GROUP BY 1),
         |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cs)::BIGINT AS ns FROM cnt),
-        |lr AS (SELECT b, round(ln(((ct + 1)::DOUBLE / (nt + 256)::DOUBLE) /
-        |        ((cs + 1)::DOUBLE / (ns + 256)::DOUBLE)), 6)::DECIMAL(18,6) AS lr
-        |  FROM cnt, tot)
+        |vals AS (SELECT ct + 1 AS nval FROM cnt UNION SELECT cs + 1 FROM cnt
+        |  UNION SELECT nt + 256 FROM tot UNION SELECT ns + 256 FROM tot),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |lr AS (SELECT cnt.b,
+        |    floor(((la.lnv - lb.lnv) - (lc.lnv - ld.lnv)) * 1e6 + 0.5)::BIGINT AS lrm
+        |  FROM cnt CROSS JOIN tot
+        |  JOIN lnv la ON la.nval = cnt.ct + 1
+        |  JOIN lnv lb ON lb.nval = tot.nt + 256
+        |  JOIN lnv lc ON lc.nval = cnt.cs + 1
+        |  JOIN lnv ld ON ld.nval = tot.ns + 256)
         |SELECT doc_id, count(*)::BIGINT AS n_grams,
-        |  round(sum(lr)::DOUBLE / count(*), 4) AS avg_llr
-        |FROM bg JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  floor(sum(lrm)::DOUBLE / 1e6 / count(*) * 1e4 + 0.5) / 1e4 AS avg_llr
+        |FROM bg JOIN lr ON bg.b = lr.b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_kn_bigram" ->
       // independent KN rebuild: bigram starts c(w1.), continuation counts
       // N1+(.w2), distinct-bigram total; identical double association,

@@ -521,9 +521,12 @@ object TextAnalysis {
     * per-doc aggregation. Bigrams are built row-local with
     * `zip_with(toks, toks[1:], concat)`, no self-join. Determinism: the
     * bucket is an md5 prefix (engine-reproducible; the DuckDB oracle
-    * rebuilds it bit-for-bit) and per-bucket log-ratios are rounded to
-    * 6 dp then summed as exact DECIMAL, so doc scores are
-    * partition-order independent (same contract as [[unigramLogProb]]). */
+    * rebuilds it bit-for-bit); per-bucket log-ratios use
+    * [[graft.functions.DetMath.lnPosInt]] — a fixed IEEE expression tree
+    * over the exact integer counts, bit-identical in Spark and DuckDB,
+    * immune to the libm-ulp 6-dp-boundary flip that broke the round-6
+    * driver gate — and are floor-quantized to exact micro-nat longs before
+    * the order-ambiguous per-doc sum. */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int = 256)
       : org.apache.spark.sql.DataFrame = {
@@ -544,15 +547,16 @@ object TextAnalysis {
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("__cs"))
     val totals = counts.agg(sum("__ct").as("__nt"), sum("__cs").as("__ns"))
+    import graft.functions.DetMath.lnPosInt
+    val lnr = (lnPosInt(col("__ct") + 1) - lnPosInt(col("__nt") + buckets)) -
+      (lnPosInt(col("__cs") + 1) - lnPosInt(col("__ns") + buckets))
     val ratios = counts.crossJoin(broadcast(totals)).select(col("__b"),
-      round(log(
-        ((col("__ct") + 1).cast("double") / (col("__nt") + buckets).cast("double")) /
-        ((col("__cs") + 1).cast("double") / (col("__ns") + buckets).cast("double"))), 6)
-        .cast("decimal(18,6)").as("__lr"))
+      floor(lnr * lit(1e6) + lit(0.5)).as("__lrm"))
     bg.join(broadcast(ratios), Seq("__b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        round(sum("__lr").cast("double") / count(lit(1)), 4).as("avg_llr"))
+        (floor(sum("__lrm").cast("double") / lit(1e6) / count(lit(1)) * lit(1e4)
+          + lit(0.5)) / lit(1e4)).as("avg_llr"))
   }
 
   // --- repetition signals (Gopher-style quality rules) ---
