@@ -33,6 +33,17 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.toRdd.count(); ()
     }
+    // Per-query cache hygiene (the caller-owned-cache convention, ADVICE
+    // r06): a handful of operators persist intermediates they cannot cheaply
+    // release themselves (model count tables whose output is corpus-sized).
+    // Releasing here keeps a 294-query session from accumulating
+    // MEMORY_AND_DISK blocks — and keeps timings honest: CacheManager
+    // matches identical plan fragments, so a leaked warm-up cache would
+    // otherwise be silently REUSED by the timed run of the same query.
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     // optional comma-separated query filter for iterating on one hot query
     // (timing methodology unchanged when unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -46,6 +57,7 @@ object Bench {
       try run(fn(spark, warmDir))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}") }
+      release()
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -54,7 +66,9 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
       // a failed query must be visible in the JSON, not silently timed
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      release()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

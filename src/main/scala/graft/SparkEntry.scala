@@ -3141,14 +3141,10 @@ object SparkEntry {
     // --- round 6: LZ-compressibility proxy — distinct char-4-gram ratio
     //     per doc (char-level repetition, the Gopher-style gibberish flag) ---
     "q_compressibility" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("g", expr(
-          "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))"))
-        .select(col("doc_id"), size(col("g")).as("n_grams"),
-          size(array_distinct(col("g"))).as("n_distinct"),
-          when(size(col("g")) > 0,
-            round(size(array_distinct(col("g"))).cast("double") / size(col("g")), 6))
-            .otherwise(0.0).as("distinct_ratio"))
+      // short-doc degenerate case (Spark sequence(1,0) = [1,0]) is guarded
+      // inside the operator and spec-covered (ADVICE r06)
+      graft.text.TextAnalysis.compressibility(
+          t(s, dir, "documents"), "doc_id", "text", 4)
         .orderBy("doc_id")
     }),
     // --- round 6: repeat-purchase conversion + time-to-second-purchase

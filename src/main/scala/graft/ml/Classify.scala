@@ -62,7 +62,10 @@ object Classify {
     val test = base.filter(!col("__tr"))
 
     // the model: (label, token) -> count. Reused three times (likelihoods,
-    // per-label totals, vocabulary), so persist the one aggregation.
+    // per-label totals, vocabulary), so persist the one aggregation. The
+    // cache is CALLER-OWNED: the returned frame is corpus-sized so it can't
+    // be eagerly materialized here; long-lived sessions release it after
+    // consuming the result (the Verify/Bench runners clearCache per query).
     val cnt = train
       .select(col("__lbl"), explode(col("__tk")).as("__tok"))
       .groupBy("__lbl", "__tok").agg(count(lit(1)).as("__c"))
@@ -137,8 +140,15 @@ object Classify {
       .join(broadcast(q.select(col("query_id"), col("__qv"))), lit(true))
       .select(col("query_id"),
         // pack the neighbor label into the heap id (id * 2^20 + label) so a
-        // single top-k pass carries both; labels are small non-negative ints
-        (col("__nid") * lit(1048576L) + col("__nl")).as("__packed"),
+        // single top-k pass carries both; a label outside [0, 2^20) or a
+        // negative id would silently corrupt the heap ordering, so the
+        // packing fails loudly instead (ADVICE r06)
+        (when(col("__nl") >= 0 && col("__nl") < lit(1048576L) && col("__nid") >= 0,
+          col("__nid") * lit(1048576L) + col("__nl"))
+          .otherwise(raise_error(concat(
+            lit("knnClassify packing out of range: id="), col("__nid").cast("string"),
+            lit(" label="), col("__nl").cast("string"),
+            lit(" (need id >= 0 and 0 <= label < 2^20)"))))).as("__packed"),
         (-graft.functions.l2_distance(col("__qv"), col("__v"))).as("__negd"))
     val topk = graft.similarity.Similarity
       .topKByKey(scored, "query_id", "__negd", "__packed", k)

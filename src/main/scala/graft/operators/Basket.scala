@@ -51,7 +51,7 @@ object Basket {
       .limit(k)
     // joins after the top-k cut: k rows against the (small) item-count and
     // one-row basket-count frames
-    top
+    val out = top
       .join(itemCounts.select(col("__item").as("item_a"), col("__ni").as("n_a")), "item_a")
       .join(itemCounts.select(col("__item").as("item_b"), col("__ni").as("n_b")), "item_b")
       .crossJoin(broadcast(nBaskets))
@@ -60,5 +60,12 @@ object Basket {
         round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
         round(col("n_ab").cast("double") * col("__n") / (col("n_a") * col("n_b")), 6)
           .as("lift"))
+      // k rows: eagerly materialize (severing the lineage onto the cached
+      // baskets) so the MEMORY_AND_DISK block can be released before
+      // returning — a long session running many queries must not
+      // accumulate operator-private caches (ADVICE r06)
+      .localCheckpoint(true)
+    baskets.unpersist()
+    out
   }
 }

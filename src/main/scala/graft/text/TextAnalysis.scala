@@ -799,4 +799,29 @@ object TextAnalysis {
     df.withColumn("tokens", flatten(transform(tokens(col(textCol)), encodedWord)))
       .withColumn("n_tokens", size(col("tokens")))
   }
+
+  /** Character-n-gram compressibility profile — the cheap "how repetitive
+    * is this doc's byte stream" proxy (a low distinct ratio ≈ highly
+    * compressible ≈ boilerplate/degenerate text, one of the standard
+    * pretraining keep/drop signals). Row-local (one transform per doc, no
+    * shuffle). Docs shorter than `n` chars get an EMPTY gram list — Spark's
+    * `sequence(1, 0)` defaults to step −1 and would yield two spurious
+    * grams where DuckDB's `range(1, 1)` is empty, a latent engine
+    * divergence caught by the round-6 advisor; the degenerate case is
+    * guarded explicitly and spec-covered. Returns
+    * `(idCol, n_grams, n_distinct, distinct_ratio)`. */
+  def compressibility(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "gram length must be positive")
+    df.withColumn("__g",
+        when(length(col(textCol)) >= n,
+          expr(s"transform(sequence(1, length($textCol) - ${n - 1}), " +
+            s"i -> substring($textCol, i, $n))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col(idCol), size(col("__g")).as("n_grams"),
+        size(array_distinct(col("__g"))).as("n_distinct"),
+        when(size(col("__g")) > 0,
+          round(size(array_distinct(col("__g"))).cast("double") / size(col("__g")), 6))
+          .otherwise(0.0).as("distinct_ratio"))
+  }
 }
