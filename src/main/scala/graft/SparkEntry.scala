@@ -3269,33 +3269,13 @@ object SparkEntry {
     //     same 8-step evolution (how predictable user journeys are) ---
     "q_entropy_rate" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts_us", "event_id")
-      val pairs = t(s, dir, "events").filter(col("user_id").isNotNull)
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        .filter(col("nxt").isNotNull && col("event_type").isNotNull)
-        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val states = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
-      val idx = states.zipWithIndex.toMap
-      val nOut = pairs.groupBy(_._1).map { case (s0, ps) => s0 -> ps.map(_._3).sum }
-      val p = Array.ofDim[Double](states.size, states.size)
-      pairs.foreach { case (a, b, n) => p(idx(a))(idx(b)) = n.toDouble / nOut(a) }
-      var v = Array.fill(states.size)(1.0 / states.size)
-      for (_ <- 1 to 8)
-        v = Array.tabulate(states.size) { j =>
-          var acc = 0.0; var i = 0
-          while (i < states.size) { acc += v(i) * p(i)(j); i += 1 }
-          acc
-        }
-      val rate = states.indices.map { i =>
-        val hi = states.indices.map { j =>
-          if (p(i)(j) > 0) -p(i)(j) * math.log(p(i)(j)) else 0.0 }.sum
-        v(i) * hi
-      }.sum
-      Seq((states.size, rate)).toDF("n_states", "r")
+      import graft.operators.Markov
+      val counts = Markov.transitionCounts(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_type", Seq(col("ts_us"), col("event_id")))
+      val (states, p) = Markov.collectChain(counts)
+      val rate = Markov.entropyRate(p, Markov.evolveUniform(p, 8))
+      Seq((states.length, rate)).toDF("n_states", "r")
         .select(col("n_states"), round(col("r"), 6).as("entropy_rate"))
     }),
     // --- round 6: language-ID confusion matrix + per-language recall
@@ -3318,28 +3298,13 @@ object SparkEntry {
     //     corpus-sized work is ONE keyed lead window + a pair count. ---
     "q_markov_stationary" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts_us", "event_id")
-      val pairs = t(s, dir, "events").filter(col("user_id").isNotNull)
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        .filter(col("nxt").isNotNull && col("event_type").isNotNull)
-        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val states = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
-      val idx = states.zipWithIndex.toMap
-      val nOut = pairs.groupBy(_._1).map { case (s0, ps) => s0 -> ps.map(_._3).sum }
-      val p = Array.ofDim[Double](states.size, states.size)
-      pairs.foreach { case (a, b, n) => p(idx(a))(idx(b)) = n.toDouble / nOut(a) }
-      var v = Array.fill(states.size)(1.0 / states.size)
-      for (_ <- 1 to 8)
-        v = Array.tabulate(states.size) { j =>
-          var acc = 0.0; var i = 0
-          while (i < states.size) { acc += v(i) * p(i)(j); i += 1 }
-          acc
-        }
-      states.zip(v).map { case (st, pv) => (st, pv) }.toSeq
+      import graft.operators.Markov
+      val counts = Markov.transitionCounts(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_type", Seq(col("ts_us"), col("event_id")))
+      val (states, p) = Markov.collectChain(counts)
+      val v = Markov.evolveUniform(p, 8)
+      states.zip(v).toSeq
         .toDF("event_type", "pv")
         .select(col("event_type"), round(col("pv"), 6).as("stationary_p"))
         .orderBy("event_type")

@@ -58,4 +58,35 @@ class Round7Spec extends SparkSpec {
     assert(b.toSeq === Seq(1L, 1500000000L, -250000000L,
       2250000000L, -375000000L, 62500000L))
   }
+
+  test("Markov: hand-computed 2-state chain") {
+    import spark.implicits._
+    // key 1: a->b->a->b ; key 2: b->b
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "b"), (2L, 2L, "b")).toDF("k", "o", "st")
+    val counts = graft.operators.Markov.transitionCounts(
+      df, "k", "st", Seq(org.apache.spark.sql.functions.col("o")))
+    val (states, pm) = graft.operators.Markov.collectChain(counts)
+    assert(states.toSeq === Seq("a", "b"))
+    // a: 2 transitions, both to b ; b: 2 transitions: 1 to a, 1 to b
+    assert(pm(0).toSeq === Seq(0.0, 1.0))
+    assert(pm(1).toSeq === Seq(0.5, 0.5))
+    val v1 = graft.operators.Markov.evolveUniform(pm, 1)
+    assert(v1.toSeq === Seq(0.25, 0.75))
+    // stationary of this chain is (1/3, 2/3); 8 steps gets close
+    val v8 = graft.operators.Markov.evolveUniform(pm, 8)
+    assert(math.abs(v8(0) - 1.0 / 3) < 0.01 && math.abs(v8(1) - 2.0 / 3) < 0.01)
+    // entropy rate: row a contributes 0 (deterministic), row b ln 2
+    val r = graft.operators.Markov.entropyRate(pm, v8)
+    assert(math.abs(r - v8(1) * math.log(2.0)) < 1e-12)
+  }
+
+  test("Markov: null keys and null states are dropped") {
+    import spark.implicits._
+    val df = Seq((Some(1L), 1L, Some("a")), (Some(1L), 2L, None),
+      (None, 3L, Some("b"))).toDF("k", "o", "st")
+    val counts = graft.operators.Markov.transitionCounts(
+      df, "k", "st", Seq(org.apache.spark.sql.functions.col("o")))
+    assert(counts.count() === 0)
+  }
 }
