@@ -448,10 +448,30 @@ object Graph {
 
   /** Co-occurrence edge list: items sharing a basket become edges (a<b,
     * distinct). The standard projection of a bipartite basket-item table
-    * onto items; one self-join per basket key. */
-  def cooccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    val base = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+    * onto items; one self-join per basket key.
+    *
+    * Skew guard: the self-join's output is quadratic in basket size, so a
+    * single mega-basket (one viral order, one catch-all session key) at
+    * 100× scale becomes one quadratic straggler task. `maxBasketSize > 0`
+    * caps each basket to its `maxBasketSize` smallest items BEFORE the
+    * join — a deterministic truncation (ascending item order) costing one
+    * row_number over the same key partitioning the distinct already
+    * shuffled on, bounding every task at O(cap²). 0 (the default) keeps
+    * the exact projection — TPC-H baskets are ≤ 7 items, so the shipped
+    * graph queries are unchanged. */
+  def cooccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int = 0): DataFrame = {
+    require(maxBasketSize >= 0, "maxBasketSize must be >= 0 (0 = unlimited)")
+    val distinctBase = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__k"), col(itemCol).as("__i")).distinct()
+    val base =
+      if (maxBasketSize == 0) distinctBase
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__k").orderBy("__i")
+        distinctBase.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBasketSize).drop("__rn")
+      }
     base.join(base.withColumnRenamed("__i", "__j"), "__k")
       .filter(col("__i") < col("__j"))
       .select(col("__i").as("a"), col("__j").as("b")).distinct()

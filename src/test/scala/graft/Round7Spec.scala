@@ -89,4 +89,20 @@ class Round7Spec extends SparkSpec {
       df, "k", "st", Seq(org.apache.spark.sql.functions.col("o")))
     assert(counts.count() === 0)
   }
+
+  test("cooccurrenceEdges: basket cap bounds pair generation deterministically") {
+    import spark.implicits._
+    // one mega-basket of 6 items + a small basket
+    val df = ((1L to 6L).map(i => (1L, i)) ++ Seq((2L, 10L), (2L, 11L)))
+      .toDF("bk", "item")
+    val full = graft.operators.Graph.cooccurrenceEdges(df, "bk", "item")
+    assert(full.count() === 15 + 1)
+    val capped = graft.operators.Graph.cooccurrenceEdges(df, "bk", "item", 3)
+    val got = capped.orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cap keeps the 3 SMALLEST items of the mega-basket: {1,2,3}
+    assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    // cap 0 = unlimited (the shipped-query default)
+    assert(graft.operators.Graph.cooccurrenceEdges(df, "bk", "item", 0).count() === 16)
+  }
 }
