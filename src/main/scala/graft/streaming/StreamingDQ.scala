@@ -306,34 +306,53 @@ object StreamingDQ {
       catCol: String
   )(onResult: (Long, Double, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
+    val baseDist = jsBaselineDist(baseline, catCol)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          jsDivergenceAgainst(batch, baseDist, catCol).foreach { case (js, n) =>
+            onResult(id, js, n)
+          }
+      }
+      .start()
+  }
+
+  /** The frozen baseline distribution [[jsDriftMonitor]] compares every
+    * micro-batch against: `(cat, p_base)` pinned to ONE partition so the
+    * per-batch aggregation replays deterministically. Shared by the monitor
+    * and its batch twin so the "streaming == batch replay" invariant is
+    * structural, not coincidental. */
+  def jsBaselineDist(baseline: DataFrame, catCol: String): DataFrame = {
+    val spark = baseline.sparkSession
     val base = baseline.filter(col(catCol).isNotNull)
       .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("nb"))
     val dist = base.crossJoin(broadcast(base.agg(sum("nb").as("__t"))))
       .select(col("cat"), (col("nb").cast("double") / col("__t")).as("p_base"))
-    val baseDist = spark.createDataFrame(
+    spark.createDataFrame(
       spark.sparkContext.parallelize(dist.collect().toSeq, 1), dist.schema)
-    stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val obs = batch.filter(col(catCol).isNotNull)
-            .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("o"))
-          val n = obs.agg(sum("o").as("__n"))
-          val p = coalesce(col("p_base"), lit(0.0))
-          val q0 = coalesce(col("o"), lit(0L)).cast("double") / col("__n")
-          val m = (p + q0) / 2
-          val row = baseDist.join(obs, Seq("cat"), "full_outer")
-            .crossJoin(broadcast(n))
-            .agg(sum(
-              (when(p > 0, p * log(p / m)).otherwise(lit(0.0))
-                + when(q0 > 0, q0 * log(q0 / m)).otherwise(lit(0.0))) / 2).as("js"),
-              max("__n").as("n"))
-            .head()
-          if (!row.isNullAt(0))
-            onResult(id, row.getDouble(0), row.getLong(1))
-        }
-      }
-      .start()
+  }
+
+  /** One batch's JS divergence against a [[jsBaselineDist]] frame — the
+    * exact computation the streaming monitor runs per micro-batch, exposed
+    * so a batch caller (or the replay-equality spec) produces the
+    * bit-identical number. `None` on an all-null batch. */
+  def jsDivergenceAgainst(batch: DataFrame, baseDist: DataFrame,
+      catCol: String): Option[(Double, Long)] = {
+    val obs = batch.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("cat")).agg(count(lit(1)).as("o"))
+    val n = obs.agg(sum("o").as("__n"))
+    val p = coalesce(col("p_base"), lit(0.0))
+    val q0 = coalesce(col("o"), lit(0L)).cast("double") / col("__n")
+    val m = (p + q0) / 2
+    val row = baseDist.join(obs, Seq("cat"), "full_outer")
+      .crossJoin(broadcast(n))
+      .agg(sum(
+        (when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+          + when(q0 > 0, q0 * log(q0 / m)).otherwise(lit(0.0))) / 2).as("js"),
+        max("__n").as("n"))
+      .head()
+    if (row.isNullAt(0)) None else Some((row.getDouble(0), row.getLong(1)))
   }
 
   /** [[categoricalDriftMonitor]] with an ERROR-CONTROLLED decision gate —

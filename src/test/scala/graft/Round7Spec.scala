@@ -105,4 +105,37 @@ class Round7Spec extends SparkSpec {
     // cap 0 = unlimited (the shipped-query default)
     assert(graft.operators.Graph.cooccurrenceEdges(df, "bk", "item", 0).count() === 16)
   }
+
+  test("jsDriftMonitor: replayed stream equals the batch twin bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val baseline = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("cat")
+    val batch1 = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("z")
+    val batch2 = Seq.fill(7)("c") ++ Seq.fill(2)("a")
+    val mem = MemoryStream[String]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val q = graft.streaming.StreamingDQ.jsDriftMonitor(
+      mem.toDF().toDF("cat"), baseline, "cat") { (id, js, n) =>
+      results.synchronized { results += ((id, js, n)) }
+    }
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = results.sortBy(_._1)
+    assert(streamed.size === 2)
+    // batch twin: the same shared computation driven statically
+    val baseDist = graft.streaming.StreamingDQ.jsBaselineDist(baseline, "cat")
+    val twins = Seq(batch1, batch2).map { b =>
+      graft.streaming.StreamingDQ
+        .jsDivergenceAgainst(b.toDF("cat"), baseDist, "cat").get
+    }
+    streamed.zip(twins).foreach { case ((_, js, n), (tjs, tn)) =>
+      assert(java.lang.Double.doubleToLongBits(js) ===
+        java.lang.Double.doubleToLongBits(tjs))
+      assert(n === tn)
+    }
+  }
 }
