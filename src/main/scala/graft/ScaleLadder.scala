@@ -51,7 +51,12 @@ object ScaleLadder {
     // round-6 continuation: cluster-keyed splits (pair gen + CC + join),
     // the NB classifier (vocabulary-keyed model join), and basket pair
     // mining (row-local pair explosion on the 10x fact table)
-    "q_cluster_split", "q_nb_classify", "q_basket_lift")
+    "q_cluster_split", "q_nb_classify", "q_basket_lift",
+    // round-7 additions (VERDICT r06 item 3): the new heaviest query (LPA
+    // frontier sweeps), bitmask multi-seed BFS, degree-correlation join,
+    // split-conformal order statistics, and the cluster-size histogram
+    // (PPJoin pair gen + CC) — all on the 10x replica
+    "q_lpa", "q_harmonic", "q_assortativity", "q_conformal", "q_cluster_sizes")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
@@ -105,8 +110,16 @@ object ScaleLadder {
 
     def d2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
+    // optional comma-separated filter: measure a subset (e.g. newly added
+    // ladder entries) without re-timing already-pinned ratios
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val tail = only match {
+      case Some(names) => HeavyTail.filter(names)
+      case None => HeavyTail
+    }
+
     def benchAt(dir: String): Map[String, Double] = {
-      val qs = HeavyTail.map(n => n -> SparkEntry.queries(n))
+      val qs = tail.map(n => n -> SparkEntry.queries(n))
       // warm-up at the measured dir: steady-state codegen, AQE-final plans
       qs.foreach { case (n, fn) =>
         try run(fn(spark, dir))
@@ -129,7 +142,7 @@ object ScaleLadder {
 
     val at01 = benchAt(srcDir)
     val at1 = benchAt(sf1Dir)
-    val ratios = HeavyTail.map { n =>
+    val ratios = tail.map { n =>
       "\"" + n + "\":" + d2(at1(n) / math.max(at01(n), 1e-9))
     }.mkString("{", ",", "}")
     println(s"""{"metric":"ladder_ratio_sf1_over_sf01","data_ratio":$Copies,"queries":$ratios}""")
