@@ -40,7 +40,7 @@ object Bench {
     // MEMORY_AND_DISK blocks — and keeps timings honest: CacheManager
     // matches identical plan fragments, so a leaked warm-up cache would
     // otherwise be silently REUSED by the timed run of the same query.
-    def release(): Unit = {
+    def release(): Unit = if (!sys.env.contains("SPARK_GRAFT_NO_RELEASE")) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
