@@ -3447,6 +3447,86 @@ object SparkEntry {
           round(col("n_shared").cast("double")
             / (col("nv_a") + col("nv_b") - col("n_shared")), 6).as("jaccard"))
         .orderBy("lang_a", "lang_b")
+    }),
+    // --- round 7: Kendall tau-a between the revenue ranking and the
+    //     quantity ranking of the top-100 parts (bounded pair join; the
+    //     corpus-sized work is the one part-level aggregation) ---
+    "q_kendall_tau" -> ((s, dir) => {
+      val pa = t(s, dir, "lineitem").groupBy("l_partkey").agg(
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      val top = pa.orderBy(col("rev_c").desc, col("l_partkey").asc).limit(100)
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_c").desc, col("l_partkey").asc)
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("qty").desc, col("l_partkey").asc)
+      val ranked = top
+        .withColumn("r_rev", row_number().over(wr))
+        .withColumn("r_qty", row_number().over(wq))
+      graft.operators.RankStats.kendallTau(ranked, "l_partkey", "r_rev", "r_qty")
+        .select(col("n_items"), col("concordant"), col("discordant"),
+          fround(col("tau"), 6).as("tau"))
+    }),
+    // --- round 7: Theil-Sen robust slope of daily revenue (exact lower
+    //     median of pairwise slopes; pair count bounded by the day axis) ---
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long"))
+        .groupBy("day")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      graft.operators.RankStats.theilSen(daily, "day", "rev_c")
+        .select(col("n_points"), col("n_pairs"), fround(col("slope"), 6).as("slope"))
+    }),
+    // --- round 7: permutation entropy of daily revenue (ordinal triple
+    //     patterns; series-ln over exact pattern counts) ---
+    "q_perm_entropy" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long"))
+        .groupBy("day")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      graft.operators.RankStats.permutationEntropy(daily, "day", "rev_c")
+        .select(col("n_windows"), col("n_patterns"),
+          fround(col("perm_entropy"), 6).as("perm_entropy"),
+          fround(col("normalized"), 6).as("normalized"))
+    }),
+    // --- round 7: Hill tail-index of the order-value distribution over
+    //     the top-200 order statistics (heap top-k; series-ln on cents) ---
+    "q_hill_tail" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      graft.operators.RankStats.hillTail(o, "cents", 200)
+        .select(col("k"), col("x_k"), fround(col("gamma"), 6).as("gamma"),
+          fround(col("alpha"), 6).as("alpha"))
+    }),
+    // --- round 7: Adamic-Adar link prediction on the co-purchase graph
+    //     (two-hop wedges through low-degree midpoints; anti-join against
+    //     existing edges; exact-long score ordering) ---
+    "q_link_prediction" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.Graph.adamicAdar(edges, "a", "b", minCommon = 2, k = 20)
+        .select(col("u"), col("v"), col("n_common"),
+          fround(col("aa_score"), 6).as("aa_score"))
+    }),
+    // --- round 7: local clustering coefficient (per-node triangle density)
+    //     on the co-purchase graph, top-20 among degree >= 4 ---
+    "q_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.Graph.clusteringCoefficient(edges, "a", "b", minDegree = 4, k = 20)
+        .select(col("node"), col("degree"), col("n_triangles"),
+          fround(col("clustering_coeff"), 6).as("clustering_coeff"))
+    }),
+    // --- round 7: T5 span-corruption planning over the corpus (pure
+    //     per-row integer arithmetic; sizes the packing/compute budget
+    //     before any corrupted text is materialized) ---
+    "q_span_corruption" -> ((s, dir) => {
+      graft.text.TextAnalysis.spanCorruptionPlan(
+          t(s, dir, "documents"), "doc_id", "text", spanLen = 3, noisePct = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("n_corrupted"),
+          col("input_len"), col("target_len"),
+          fround(col("corrupt_ratio"), 6).as("corrupt_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -7571,6 +7651,131 @@ object SparkEntry {
         |SELECT cum.cw AS cohort_week, cum.off AS week_offset, sz.n_users,
         |  round(CAST(cum.cumrev AS DOUBLE) / sz.n_users, 6) AS ltv_per_user
         |FROM cum JOIN sz ON cum.cw = sz.cw
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH pa AS (SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev_c,
+        |    sum(l_quantity::BIGINT)::BIGINT AS qty FROM lineitem GROUP BY 1),
+        |top AS (SELECT * FROM pa ORDER BY rev_c DESC, l_partkey LIMIT 100),
+        |rk AS (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY rev_c DESC, l_partkey) AS r_rev,
+        |    row_number() OVER (ORDER BY qty DESC, l_partkey) AS r_qty FROM top),
+        |p AS (SELECT
+        |    sum(CASE WHEN (a.r_rev - b.r_rev)::DOUBLE * (a.r_qty - b.r_qty) > 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN (a.r_rev - b.r_rev)::DOUBLE * (a.r_qty - b.r_qty) < 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    count(*)::BIGINT AS m
+        |  FROM rk a JOIN rk b ON a.l_partkey < b.l_partkey)
+        |SELECT floor((1.0 + sqrt(1.0 + 8.0 * m)) / 2)::BIGINT AS n_items,
+        |  c AS concordant, d AS discordant,
+        |  floor((c - d)::DOUBLE / m * 1e6 + 0.5) / 1e6 AS tau FROM p""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1992-01-01', l_shipdate)::BIGINT AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |pr AS MATERIALIZED (SELECT a.day AS xi, b.day AS xj,
+        |    (b.rev_c - a.rev_c)::DOUBLE / (b.day - a.day)::DOUBLE AS s
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |mt AS (SELECT count(*)::BIGINT AS m FROM pr),
+        |np AS (SELECT count(*)::BIGINT AS n FROM daily),
+        |med AS (SELECT s FROM
+        |    (SELECT s, row_number() OVER (ORDER BY s, xi, xj) AS rn FROM pr), mt
+        |  WHERE rn = (m + 1) // 2)
+        |SELECT np.n AS n_points, mt.m AS n_pairs,
+        |  floor(med.s * 1e6 + 0.5) / 1e6 AS slope FROM med, mt, np""".stripMargin,
+    "q_perm_entropy" ->
+      raw"""WITH daily AS (SELECT date_diff('day', DATE '1992-01-01', l_shipdate)::BIGINT AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |tri AS (SELECT rev_c AS a,
+        |    lead(rev_c, 1) OVER (ORDER BY day) AS b,
+        |    lead(rev_c, 2) OVER (ORDER BY day) AS c FROM daily),
+        |pat AS (SELECT
+        |    (CASE WHEN b < a THEN 1 ELSE 0 END + CASE WHEN c < a THEN 1 ELSE 0 END) * 9
+        |    + (CASE WHEN a <= b THEN 1 ELSE 0 END + CASE WHEN c < b THEN 1 ELSE 0 END) * 3
+        |    + (CASE WHEN a <= c THEN 1 ELSE 0 END + CASE WHEN b <= c THEN 1 ELSE 0 END) AS p
+        |  FROM tri WHERE c IS NOT NULL),
+        |cnt AS (SELECT p, count(*)::BIGINT AS c FROM pat GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS m, count(*)::BIGINT AS k FROM cnt),
+        |vals AS (SELECT c AS nval FROM cnt UNION SELECT m FROM tot UNION SELECT 6),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |q AS (SELECT sum(floor(cnt.c::DOUBLE / tot.m * (lm.lnv - lc.lnv) * 1e9 + 0.5)
+        |    ::BIGINT)::BIGINT AS q
+        |  FROM cnt CROSS JOIN tot
+        |  JOIN lnv lc ON lc.nval = cnt.c JOIN lnv lm ON lm.nval = tot.m)
+        |SELECT tot.m AS n_windows, tot.k::INT AS n_patterns,
+        |  floor(q.q::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS perm_entropy,
+        |  floor(q.q::DOUBLE / 1e9 / l6.lnv * 1e6 + 0.5) / 1e6 AS normalized
+        |FROM q, tot, (SELECT lnv FROM lnv WHERE nval = 6) l6""".stripMargin,
+    "q_hill_tail" ->
+      raw"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |top AS MATERIALIZED (SELECT x FROM o ORDER BY x DESC LIMIT 200),
+        |xk AS (SELECT min(x)::BIGINT AS xk FROM top),
+        |vals AS (SELECT DISTINCT x AS nval FROM top UNION SELECT xk FROM xk),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |q AS (SELECT count(*)::BIGINT AS n,
+        |    sum(floor((lx.lnv - lk.lnv) * 1e9 + 0.5)::BIGINT)::BIGINT AS q
+        |  FROM top CROSS JOIN xk
+        |  JOIN lnv lx ON lx.nval = top.x JOIN lnv lk ON lk.nval = xk.xk)
+        |SELECT q.n::INT AS k, xk.xk AS x_k,
+        |  floor(q.q::DOUBLE / 1e9 / (q.n - 1) * 1e6 + 0.5) / 1e6 AS gamma,
+        |  floor(1.0 / (q.q::DOUBLE / 1e9 / (q.n - 1)) * 1e6 + 0.5) / 1e6 AS alpha
+        |FROM q, xk""".stripMargin,
+    "q_link_prediction" ->
+      raw"""WITH e0 AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) y USING (k)
+        |  WHERE x.i < y.i),
+        |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        |  UNION ALL SELECT b AS u, a AS v FROM e0),
+        |deg AS (SELECT u AS z, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+        |vals AS (SELECT DISTINCT d AS nval FROM deg WHERE d >= 2),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |wz AS (SELECT deg.z, floor(1.0 / lnv.lnv * 1e9 + 0.5)::BIGINT AS w
+        |  FROM deg JOIN lnv ON lnv.nval = deg.d WHERE deg.d >= 2),
+        |wed AS (SELECT x.v AS u2, y.v AS v2, x.u AS z
+        |  FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v),
+        |sc AS (SELECT u2, v2, count(*)::BIGINT AS n_common, sum(w)::BIGINT AS q
+        |  FROM wed JOIN wz ON wz.z = wed.z GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nc AS (SELECT sc.* FROM sc LEFT JOIN e0 ON e0.a = sc.u2 AND e0.b = sc.v2
+        |  WHERE e0.a IS NULL)
+        |SELECT u2 AS u, v2 AS v, n_common,
+        |  floor(q::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS aa_score
+        |FROM nc ORDER BY q DESC, u2, v2 LIMIT 20""".stripMargin,
+    "q_clustering_coeff" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) y USING (k)
+        |  WHERE x.i < y.i),
+        |sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS degree FROM sym GROUP BY 1),
+        |wed AS (SELECT x.a, x.b AS b, y.b AS c FROM e0 x JOIN e0 y
+        |  ON x.a = y.a AND x.b < y.b),
+        |tri AS MATERIALIZED (SELECT wed.a, wed.b, wed.c FROM wed
+        |  WHERE EXISTS (SELECT 1 FROM e0 z WHERE z.a = wed.b AND z.b = wed.c)),
+        |pn AS (SELECT node, count(*)::BIGINT AS t FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.degree, coalesce(pn.t, 0)::BIGINT AS n_triangles,
+        |  floor((coalesce(pn.t, 0) * 2)::DOUBLE
+        |    / (deg.degree * (deg.degree - 1))::DOUBLE * 1e6 + 0.5) / 1e6
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node
+        |WHERE deg.degree >= 4
+        |ORDER BY (coalesce(pn.t, 0) * 2)::DOUBLE
+        |  / (deg.degree * (deg.degree - 1))::DOUBLE DESC, deg.node
+        |LIMIT 20""".stripMargin,
+    "q_span_corruption" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(regexp_extract_all(trim(text), '\S+')) AS n FROM documents),
+        |p AS (SELECT doc_id, n::INT AS n_tokens,
+        |    ((n * 15) // 100 // 3)::BIGINT AS n_spans FROM d WHERE n > 0)
+        |SELECT doc_id, n_tokens, n_spans, (n_spans * 3)::BIGINT AS n_corrupted,
+        |  (n_tokens - n_spans * 3 + n_spans)::BIGINT AS input_len,
+        |  (n_spans * 3 + n_spans)::BIGINT AS target_len,
+        |  floor((n_spans * 3)::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6 AS corrupt_ratio
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

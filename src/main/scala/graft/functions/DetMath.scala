@@ -49,6 +49,19 @@ object DetMath {
     k.cast("double") * lit(LN2) + (z * (lit(1.0) + z2 * t)) * lit(2.0)
   }
 
+  /** JVM-scalar twin of [[lnPosInt]] — the IDENTICAL IEEE operation
+    * sequence, for driver-side constants (e.g. ln 6 normalizers) that must
+    * match the Column/SQL values bit-for-bit. */
+  def lnPosIntScalar(n: Long): Double = {
+    require(n >= 1, s"lnPosIntScalar domain: n=$n")
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = n.toDouble / (1L << k).toDouble
+    val z = (m - 1.0) / (m + 1.0)
+    val z2 = z * z
+    val t = coeffs.reverse.tail.foldLeft(coeffs.last)((acc, c) => c + z2 * acc)
+    k.toDouble * LN2 + (z * (1.0 + z2 * t)) * 2.0
+  }
+
   /** The DuckDB mirror of [[lnPosInt]]: a SELECT producing `(nval, lnv)`
     * for every row of a single-column relation `vals(nval)` of positive
     * integers. Layered subselects pin each intermediate to one column so

@@ -476,4 +476,77 @@ object Graph {
       .filter(col("__i") < col("__j"))
       .select(col("__i").as("a"), col("__j").as("b")).distinct()
   }
+
+  /** Adamic-Adar link prediction over an undirected `a < b` edge list:
+    * for every NON-adjacent pair `(u, v)` with at least `minCommon` common
+    * neighbors, `score = Σ_z 1/ln(deg z)` over the common neighbors z —
+    * the classic "low-degree mutual friends predict a future edge" score.
+    *
+    * Shape: two-hop wedge join through the midpoint z (Σ deg(z)² pairs —
+    * bounded by the same degree profile the triangle/k-core family
+    * handles; feed [[cooccurrenceEdges]] with a basket cap if a hub would
+    * dominate), minus existing edges via left-anti. Determinism: `ln` is
+    * [[graft.functions.DetMath.lnPosInt]] over the exact integer degree,
+    * the per-pair sum quantizes `1/ln` to exact nano-longs, and the top-k
+    * cut orders by the EXACT long score (desc, then u, v). Returns
+    * `(u, v, n_common, aa_score)`. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2, k: Int = 20): DataFrame = {
+    import graft.functions.DetMath.lnPosInt
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("__z")).agg(count(lit(1)).as("__d"))
+    // per-midpoint quantized weight: floor(1/ln(deg) * 1e9 + 0.5); deg >= 2
+    // for any node that can be a midpoint, so ln(deg) >= ln 2 > 0
+    val wz = deg.filter(col("__d") >= 2)
+      .select(col("__z"), floor(lit(1.0) / lnPosInt(col("__d")) * lit(1e9) + lit(0.5)).as("__w"))
+    val wedges = sym.select(col("a").as("__z"), col("b").as("__u"))
+      .join(sym.select(col("a").as("__z"), col("b").as("__v")), "__z")
+      .filter(col("__u") < col("__v"))
+    val scored = wedges.join(wz, "__z")
+      .groupBy(col("__u"), col("__v"))
+      .agg(count(lit(1)).as("n_common"), sum("__w").as("__q"))
+      .filter(col("n_common") >= minCommon)
+      .join(e, col("__u") === col("a") && col("__v") === col("b"), "left_anti")
+    scored
+      .orderBy(col("__q").desc, col("__u").asc, col("__v").asc)
+      .limit(k)
+      .select(col("__u").as("u"), col("__v").as("v"), col("n_common"),
+        (col("__q").cast("double") / lit(1e9)).as("aa_score"))
+  }
+
+  /** Local clustering coefficient per node: `2·T(v) / (d(v)·(d(v)−1))`
+    * with T(v) = triangles through v — "how clique-like is this node's
+    * neighborhood". Triangles enumerate once each via the `a<b<c` wedge
+    * join (edges (a,b),(a,c) with b<c, closed by (b,c)), then explode to
+    * the three corners; the quadratic term is Σ deg², the same bound as
+    * [[adamicAdar]]. cc derives from exact integer counts in one pinned
+    * division. Returns the top-`k` rows `(node, degree, n_triangles,
+    * clustering_coeff)` among nodes with `degree >= minDegree`, ordered
+    * by (cc desc, node asc) — cc is one pinned division of exact integers,
+    * so the ordering replays identically in any engine. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
+      minDegree: Int = 2, k: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    val wedge = e.select(col("a"), col("b").as("__b"))
+      .join(e.select(col("a"), col("b").as("__c")), "a")
+      .filter(col("__b") < col("__c"))
+    val closing = e.select(col("a").as("__ca"), col("b").as("__cb"))
+    val tri = wedge.join(closing,
+        col("__b") === col("__ca") && col("__c") === col("__cb"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("__b"), col("__c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("degree") >= minDegree)
+      .join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_coeff",
+        (col("n_triangles") * 2).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"))
+      .orderBy(col("clustering_coeff").desc, col("node").asc)
+      .limit(k)
+      .select(col("node"), col("degree"), col("n_triangles"), col("clustering_coeff"))
+  }
 }

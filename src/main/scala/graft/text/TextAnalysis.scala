@@ -824,4 +824,31 @@ object TextAnalysis {
           round(size(array_distinct(col("__g"))).cast("double") / size(col("__g")), 6))
           .otherwise(0.0).as("distinct_ratio"))
   }
+
+  /** T5-style span-corruption planning (Raffel et al. 2020): for each doc,
+    * how many fixed-length spans a `noisePct`% corruption budget buys, and
+    * the resulting encoder/decoder sequence lengths (each span collapses
+    * to one sentinel on the input side and expands to span + sentinel on
+    * the target side). Pure per-row integer arithmetic — the planning pass
+    * a pretraining pipeline runs over the whole corpus to size its packing
+    * and its compute budget BEFORE materializing any corrupted text.
+    * `n_spans = (n·noisePct) div 100 div spanLen`. Docs with no tokens are
+    * dropped. Returns `(idCol, n_tokens, n_spans, n_corrupted, input_len,
+    * target_len, corrupt_ratio)`. */
+  def spanCorruptionPlan(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 3, noisePct: Int = 15)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanLen >= 1 && noisePct >= 1 && noisePct <= 100,
+      "spanLen >= 1 and noisePct in [1, 100]")
+    val n = size(tokens(col(textCol)))
+    df.select(col(idCol), n.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_spans",
+        expr(s"(n_tokens * $noisePct) div 100 div $spanLen").cast("long"))
+      .withColumn("n_corrupted", col("n_spans") * spanLen)
+      .withColumn("input_len", col("n_tokens") - col("n_corrupted") + col("n_spans"))
+      .withColumn("target_len", col("n_corrupted") + col("n_spans"))
+      .withColumn("corrupt_ratio",
+        col("n_corrupted").cast("double") / col("n_tokens"))
+  }
 }

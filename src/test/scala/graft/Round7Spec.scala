@@ -138,4 +138,85 @@ class Round7Spec extends SparkSpec {
       assert(n === tn)
     }
   }
+
+  test("kendallTau: perfect, reversed, and mixed rankings") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1, 1), (2L, 2, 2), (3L, 3, 3)).toDF("id", "x", "y")
+    val r1 = graft.operators.RankStats.kendallTau(perfect, "id", "x", "y").collect().head
+    assert(r1.getLong(0) === 3L && r1.getDouble(3) === 1.0)
+    val rev = Seq((1L, 1, 3), (2L, 2, 2), (3L, 3, 1)).toDF("id", "x", "y")
+    val r2 = graft.operators.RankStats.kendallTau(rev, "id", "x", "y").collect().head
+    assert(r2.getDouble(3) === -1.0)
+    // one discordant pair of three: tau = (2 - 1) / 3
+    val mix = Seq((1L, 1, 2), (2L, 2, 1), (3L, 3, 3)).toDF("id", "x", "y")
+    val r3 = graft.operators.RankStats.kendallTau(mix, "id", "x", "y").collect().head
+    assert(math.abs(r3.getDouble(3) - 1.0 / 3) < 1e-12)
+  }
+
+  test("theilSen: robust to a single outlier") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 100L)).toDF("x", "y")
+    val r = graft.operators.RankStats.theilSen(df, "x", "y").collect().head
+    // slopes sorted: 2, 2, 2, 33.33, 49, 96 -> lower median (k=3) = 2
+    assert(r.getLong(0) === 4L && r.getLong(1) === 6L && r.getDouble(2) === 2.0)
+  }
+
+  test("permutationEntropy: monotone series is zero, alternating is ln 2") {
+    import spark.implicits._
+    val mono = (1L to 5L).map(i => (i, i * 10)).toDF("t", "v")
+    val r1 = graft.operators.RankStats.permutationEntropy(mono, "t", "v").collect().head
+    assert(r1.getLong(0) === 3L && r1.getInt(1) === 1)
+    assert(r1.getDouble(2) === 0.0 && r1.getDouble(3) === 0.0)
+    val alt = Seq((1L, 1L), (2L, 5L), (3L, 2L), (4L, 6L), (5L, 3L), (6L, 7L)).toDF("t", "v")
+    val r2 = graft.operators.RankStats.permutationEntropy(alt, "t", "v").collect().head
+    assert(r2.getLong(0) === 4L && r2.getInt(1) === 2)
+    assert(math.abs(r2.getDouble(2) - math.log(2.0)) < 1e-9)
+  }
+
+  test("hillTail: hand-computed powers of two") {
+    import spark.implicits._
+    val df = Seq(8000L, 4000L, 2000L, 1000L).toDF("v")
+    val r = graft.operators.RankStats.hillTail(df, "v", 3).collect().head
+    // top-3 = {8000, 4000, 2000}, x_k = 2000: gamma = (ln 4 + ln 2 + 0) / 2
+    assert(r.getInt(0) === 3 && r.getLong(1) === 2000L)
+    assert(math.abs(r.getDouble(2) - 3 * math.log(2.0) / 2) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0 / (3 * math.log(2.0) / 2)) < 1e-9)
+  }
+
+  test("adamicAdar: C4 cycle predicts both diagonals") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = graft.operators.Graph.adamicAdar(e, "a", "b", minCommon = 2, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 2)
+    // both diagonals share 2 degree-2 midpoints: score = 2 / ln 2
+    assert(out(0)._1 === 1L && out(0)._2 === 4L && out(0)._3 === 2L)
+    assert(out(1)._1 === 2L && out(1)._2 === 3L)
+    out.foreach(t => assert(math.abs(t._4 - 2.0 / math.log(2.0)) < 1e-6))
+  }
+
+  test("clusteringCoefficient: triangle plus a tail") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = graft.operators.Graph
+      .clusteringCoefficient(e, "a", "b", minDegree = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // cc: node1 = 1.0, node2 = 1.0, node3 = 2*1/(3*2) = 1/3; node4 filtered
+    assert(out.toSeq === Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3)))
+  }
+
+  test("spanCorruptionPlan: integer budget arithmetic") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.fill(20)("w").mkString(" ")),
+      (2L, "a b c d e f"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.spanCorruptionPlan(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // 20 tokens: 20*15 div 100 = 3 -> 1 span of 3; 6 tokens: budget 0 -> 0 spans
+    assert(out.toSeq === Seq(
+      (1L, 20, 1L, 3L, 18L, 4L, 0.15),
+      (2L, 6, 0L, 0L, 6L, 0L, 0.0)))
+  }
 }
