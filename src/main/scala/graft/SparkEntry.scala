@@ -3517,6 +3517,47 @@ object SparkEntry {
         .select(col("node"), col("degree"), col("n_triangles"),
           fround(col("clustering_coeff"), 6).as("clustering_coeff"))
     }),
+    // --- round 7: 4-truss of the co-purchase graph (iterative edge
+    //     peeling by triangle support to a fixpoint; stricter community
+    //     core than k-core) ---
+    "q_ktruss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.Graph.kTruss(edges, "a", "b", k = 4)
+        .orderBy("a", "b")
+    }),
+    // --- round 7: Mann-Kendall monotone-trend test on daily revenue
+    //     (tie-corrected variance from exact integer counts; the pair
+    //     join is bounded by the day axis like q_theil_sen) ---
+    "q_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .withColumn("day", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long"))
+        .groupBy("day")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      graft.operators.RankStats.mannKendall(daily, "day", "rev_c")
+        .select(col("n"), col("s"), fround(col("var_s"), 4).as("var_s"),
+          fround(col("z"), 6).as("z"))
+    }),
+    // --- round 7: contrastive triplet mining — best near-dup positive +
+    //     hardest non-positive negative per anchor, with the triplet-loss
+    //     margin (the embedding-fine-tune data pass) ---
+    "q_contrastive_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pos = graft.dedup.Dedup.embeddingNearDupBrute(e, "vec_id", "embedding", 0.45)
+      graft.similarity.Similarity.contrastiveTriplets(e, "vec_id", "embedding", pos)
+        .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+          fround(col("pos_cos"), 6).as("pos_cos"),
+          fround(col("neg_cos"), 6).as("neg_cos"),
+          fround(col("margin"), 6).as("margin"))
+        .orderBy("anchor_id")
+    }),
+    // --- round 7: LSH bucket-skew audit (per-band occupancy, hottest
+    //     bucket, candidate-pair budget — the number that decides whether
+    //     a banding config survives 100 TB) ---
+    "q_lsh_bucket_skew" -> ((s, dir) => {
+      graft.dedup.Dedup.lshBucketProfile(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
+    }),
     // --- round 7: T5 span-corruption planning over the corpus (pure
     //     per-row integer arithmetic; sizes the packing/compute budget
     //     before any corrupted text is materialized) ---
@@ -3642,7 +3683,93 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Unrolled k-truss oracle (k = 4): the co-purchase edge list peeled by
+    * triangle support for `rounds` sweeps. The fixpoint is idempotent, so
+    * unrolling MORE rounds than the fixture needs is harmless — 10 covers
+    * the measured depth (3 at sf0.01, 8 at sf0.1) with margin. */
+  private lazy val ktrussSql: String = {
+    val rounds = 10
+    def roundSql(r: Int): String =
+      s"""t$r AS MATERIALIZED (SELECT wed.a, wed.b, wed.c FROM
+         |    (SELECT x.a, x.b AS b, y.b AS c FROM e$r x JOIN e$r y
+         |     ON x.a = y.a AND x.b < y.b) wed
+         |  WHERE EXISTS (SELECT 1 FROM e$r z WHERE z.a = wed.b AND z.b = wed.c)),
+         |s$r AS (SELECT a, b, count(*)::BIGINT AS sup FROM (
+         |    SELECT a, b FROM t$r UNION ALL SELECT a, c AS b FROM t$r
+         |    UNION ALL SELECT b AS a, c AS b FROM t$r) GROUP BY 1, 2),
+         |e${r + 1} AS MATERIALIZED (SELECT e$r.a, e$r.b FROM e$r
+         |  JOIN s$r USING (a, b) WHERE s$r.sup >= 2)""".stripMargin
+    val head =
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem) y USING (k)
+        |  WHERE x.i < y.i)""".stripMargin
+    val tail =
+      s"""tf AS (SELECT wed.a, wed.b, wed.c FROM
+         |    (SELECT x.a, x.b AS b, y.b AS c FROM e$rounds x JOIN e$rounds y
+         |     ON x.a = y.a AND x.b < y.b) wed
+         |  WHERE EXISTS (SELECT 1 FROM e$rounds z WHERE z.a = wed.b AND z.b = wed.c))
+         |SELECT a, b, count(*)::BIGINT AS support FROM (
+         |  SELECT a, b FROM tf UNION ALL SELECT a, c AS b FROM tf
+         |  UNION ALL SELECT b AS a, c AS b FROM tf) GROUP BY 1, 2
+         |ORDER BY a, b""".stripMargin
+    (head +: (0 until rounds).map(roundSql) :+ tail).mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ktruss" -> ktrussSql,
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1992-01-01', l_shipdate)::BIGINT AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT sum(CASE WHEN b.rev_c > a.rev_c THEN 1
+        |    WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END)::BIGINT AS s
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+        |ties AS (SELECT coalesce(sum(CASE WHEN t > 1
+        |      THEN t * (t - 1) * (t * 2 + 5) ELSE 0 END), 0)::BIGINT AS ties
+        |  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY rev_c)),
+        |v AS (SELECT (nn.n * (nn.n - 1) * (nn.n * 2 + 5) - ties.ties)::DOUBLE / 18.0
+        |    AS var_s FROM nn, ties)
+        |SELECT nn.n AS n, s.s AS s, floor(v.var_s * 1e4 + 0.5) / 1e4 AS var_s,
+        |  floor((CASE WHEN s.s > 0 THEN (s.s - 1)::DOUBLE / sqrt(v.var_s)
+        |      WHEN s.s < 0 THEN (s.s + 1)::DOUBLE / sqrt(v.var_s)
+        |      ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z
+        |FROM s, nn, v""".stripMargin,
+    "q_contrastive_pairs" ->
+      """WITH pp AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        |sym AS MATERIALIZED (SELECT ida AS anchor, idb AS pos, c FROM pp
+        |  UNION ALL SELECT idb AS anchor, ida AS pos, c FROM pp),
+        |bp AS (SELECT anchor, pos AS positive_id, c AS pos_cos FROM (
+        |    SELECT anchor, pos, c,
+        |      row_number() OVER (PARTITION BY anchor ORDER BY c DESC, pos) AS rn
+        |    FROM sym) WHERE rn = 1),
+        |sc AS (SELECT bp.anchor, e.vec_id AS negative_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS nc
+        |  FROM bp JOIN embeddings q ON q.vec_id = bp.anchor
+        |  CROSS JOIN embeddings e WHERE e.vec_id != bp.anchor),
+        |scx AS (SELECT sc.* FROM sc LEFT JOIN sym
+        |    ON sym.anchor = sc.anchor AND sym.pos = sc.negative_id
+        |  WHERE sym.anchor IS NULL),
+        |ng AS (SELECT anchor, negative_id, nc FROM (
+        |    SELECT anchor, negative_id, nc,
+        |      row_number() OVER (PARTITION BY anchor ORDER BY nc DESC, negative_id) AS rn
+        |    FROM scx) WHERE rn = 1)
+        |SELECT bp.anchor AS anchor_id, bp.positive_id, ng.negative_id,
+        |  floor(bp.pos_cos * 1e6 + 0.5) / 1e6 AS pos_cos,
+        |  floor(ng.nc * 1e6 + 0.5) / 1e6 AS neg_cos,
+        |  floor((bp.pos_cos - ng.nc) * 1e6 + 0.5) / 1e6 AS margin
+        |FROM bp JOIN ng ON ng.anchor = bp.anchor ORDER BY anchor_id""".stripMargin,
+    "q_lsh_bucket_skew" ->
+      s"""WITH $lshBandSql,
+         |sz AS (SELECT band, bucket, count(*)::BIGINT AS s FROM bnd GROUP BY 1, 2)
+         |SELECT band::INT AS band, sum(s)::BIGINT AS n_vectors,
+         |  count(*)::BIGINT AS n_buckets, max(s)::BIGINT AS max_bucket,
+         |  sum(s * (s - 1) // 2)::BIGINT AS candidate_pairs
+         |FROM sz GROUP BY 1 ORDER BY band""".stripMargin,
     "q_ann_topk_ivf" -> ivfTopkSql,
     // sign-LSH near-dup pairs: banded buckets from the mirrored signature;
     // hamming-1 multi-probe on one side == XOR of buckets in {0,1,2,4,8}

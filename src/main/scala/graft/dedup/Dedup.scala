@@ -781,6 +781,35 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** LSH bucket-skew profile — the scale-safety audit for the sign-LSH
+    * banding: per band, how many buckets are occupied, how big the hottest
+    * bucket is, and how many candidate pairs (`Σ s(s−1)/2`) the band
+    * generates. At 100 TB this is the number that decides whether a
+    * banding config is runnable (one degenerate bucket = one quadratic
+    * straggler — the `maxBucketSize` cap exists exactly for what this
+    * profile surfaces). Same signature/banding as
+    * [[embeddingNearDupPairs]]; pure integer outputs. Returns one row per
+    * band: `(band, n_vectors, n_buckets, max_bucket, candidate_pairs)`. */
+  def lshBucketProfile(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): DataFrame = {
+    require(nPlanes % bands == 0)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val banded = df
+      .select(col(idCol).as("id"), signBits(col(vecCol), planes).as("sig"))
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("__s"))
+      .groupBy("band")
+      .agg(sum(col("__s")).as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max(col("__s")).as("max_bucket"),
+        sum(expr("__s * (__s - 1) div 2")).as("candidate_pairs"))
+      .orderBy("band")
+  }
+
   /** Exact duplicated-SUBSTRING span detection — the Spark-shaped analogue
     * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): any k-token gram that

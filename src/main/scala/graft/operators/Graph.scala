@@ -549,4 +549,68 @@ object Graph {
       .limit(k)
       .select(col("node"), col("degree"), col("n_triangles"), col("clustering_coeff"))
   }
+
+  /** k-truss decomposition: iteratively drop edges supported by fewer than
+    * `k − 2` triangles until a fixpoint — the standard "community core
+    * stricter than k-core" (every surviving edge closes ≥ k−2 triangles
+    * with surviving edges). Each round is one oriented wedge enumeration
+    * (`a<b<c`, closed by a semi-join — the same Σ deg² shape as
+    * [[clusteringCoefficient]]) plus a support count; rounds needed is the
+    * peeling depth (small on co-occurrence graphs — near-clique overlap
+    * collapses in 1–3 sweeps). Lineage truncates per round; monotone edge
+    * count gives the convergence test (edges only ever leave). Returns the
+    * surviving `(a, b, support)` edges. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 20): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .distinct()
+      .transform(graft.core.Checkpoints.truncate)
+    var nEdges = e.count()
+    var iter = 0
+    var converged = nEdges == 0L
+    while (iter < maxIter && !converged) {
+      val wedge = e.select(col("a"), col("b").as("__b"))
+        .join(e.select(col("a"), col("b").as("__c")), "a")
+        .filter(col("__b") < col("__c"))
+      val closing = e.select(col("a").as("__ca"), col("b").as("__cb"))
+      val tri = wedge.join(closing,
+        col("__b") === col("__ca") && col("__c") === col("__cb"), "left_semi")
+      val support = tri.select(explode(array(
+          struct(col("a").as("a"), col("__b").as("b")),
+          struct(col("a").as("a"), col("__c").as("b")),
+          struct(col("__b").as("a"), col("__c").as("b")))).as("__e"))
+        .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+      val next = e.join(support, Seq("a", "b"))
+        .filter(col("support") >= k - 2)
+        .transform(graft.core.Checkpoints.truncate)
+      val nNext = next.count()
+      converged = nNext == nEdges
+      e = next.select(col("a"), col("b"))
+      nEdges = nNext
+      iter += 1
+    }
+    if (nEdges == 0L)
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "support")
+    else {
+      // one final support pass on the converged edge set (the loop's last
+      // `next` already carried it, but re-deriving keeps `e` minimal)
+      val wedge = e.select(col("a"), col("b").as("__b"))
+        .join(e.select(col("a"), col("b").as("__c")), "a")
+        .filter(col("__b") < col("__c"))
+      val closing = e.select(col("a").as("__ca"), col("b").as("__cb"))
+      val tri = wedge.join(closing,
+        col("__b") === col("__ca") && col("__c") === col("__cb"), "left_semi")
+      tri.select(explode(array(
+          struct(col("a").as("a"), col("__b").as("b")),
+          struct(col("a").as("a"), col("__c").as("b")),
+          struct(col("__b").as("a"), col("__c").as("b")))).as("__e"))
+        .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+  }
 }

@@ -115,6 +115,33 @@ object RankStats {
           lit(graft.functions.DetMath.lnPosIntScalar(6L))).as("normalized"))
   }
 
+  /** Mann-Kendall trend test over an integer-valued series: `S = Σ sgn(y_j
+    * − y_i)` over `x_i < x_j`, tie-corrected variance
+    * `(n(n−1)(2n+5) − Σ t(t−1)(2t+5)) / 18`, and the continuity-corrected
+    * normal statistic `z` — the nonparametric "is there a monotone trend"
+    * companion to [[theilSen]] (same bounded pair join; the two are the
+    * standard pair). All inputs are exact integers; `z` is one pinned
+    * division + IEEE sqrt. Returns `(n, s, var_s, z)`. */
+  def mannKendall(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val l = base.select(col("__x").as("__xi"), col("__y").as("__yi"))
+    val r = base.select(col("__x").as("__xj"), col("__y").as("__yj"))
+    val sAgg = l.join(r, col("__xi") < col("__xj"))
+      .agg(sum(when(col("__yj") > col("__yi"), 1L)
+        .when(col("__yj") < col("__yi"), -1L).otherwise(0L)).as("s"))
+    val nAgg = base.agg(count(lit(1)).as("n"))
+    val tieAgg = base.groupBy("__y").agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(when(col("__t") > 1,
+        col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))), lit(0L)).as("__ties"))
+    val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("__ties"))
+      .cast("double") / lit(18.0)
+    sAgg.crossJoin(broadcast(nAgg)).crossJoin(broadcast(tieAgg))
+      .select(col("n"), col("s"), varS.as("var_s"),
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Hill tail-index estimator over the top-`k` order statistics of an
     * integer-valued (cents) column: `gamma = mean of ln(x_i) − ln(x_k)`
     * over the k largest values (ties at the boundary contribute zero, so

@@ -280,4 +280,45 @@ object Similarity {
       .join(relabeled.groupBy(col("assigned").as("cluster"))
         .agg(count(lit(1)).as("n_vecs")), Seq("cluster"))
   }
+
+  /** Contrastive triplet mining: for every anchor that has a semantic
+    * near-duplicate, emit `(anchor, positive, negative)` where the
+    * positive is its best near-dup (highest cosine, ties → smaller id) and
+    * the negative is the HARDEST non-positive — the highest-cosine corpus
+    * vector that is not the anchor itself and not one of its positives.
+    * The margin `pos_cos − neg_cos` is the triplet-loss headroom; mining
+    * these is the standard embedding-model fine-tuning data pass.
+    *
+    * `posPairs` is an `(ida, idb, cosine)` near-dup pair frame (e.g.
+    * [[graft.dedup.Dedup.embeddingNearDupPairs]] at scale, or the brute
+    * variant for the oracle-exact path). Scale shape: anchors broadcast
+    * against one corpus scan, per-partition heap top-1 before the shuffle
+    * (the proven ANN shape) — the positive-exclusion anti-join is
+    * |anchors|·|their positives|-sized, never corpus². Returns
+    * `(anchor_id, positive_id, negative_id, pos_cos, neg_cos, margin)`. */
+  def contrastiveTriplets(emb: DataFrame, idCol: String, vecCol: String,
+      posPairs: DataFrame): DataFrame = {
+    val sym = posPairs
+      .select(col("ida").as("anchor"), col("idb").as("pos"), col("cosine"))
+      .unionByName(posPairs
+        .select(col("idb").as("anchor"), col("ida").as("pos"), col("cosine")))
+    val wp = Window.partitionBy("anchor").orderBy(col("cosine").desc, col("pos").asc)
+    val bestPos = sym.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") === 1)
+      .select(col("anchor"), col("pos").as("positive_id"), col("cosine").as("pos_cos"))
+    val anchors = bestPos.select(col("anchor"))
+      .join(emb.select(col(idCol).as("anchor"), col(vecCol).as("__qv")), "anchor")
+    val scored = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(anchors), col("__id") =!= col("anchor"))
+      .select(col("anchor"), col("__id").as("negative_id"),
+        cosine_sim(col("__qv"), col("__v")).as("neg_cos"))
+    val excl = sym.select(col("anchor"), col("pos").as("negative_id"))
+    val negs = topKByKey(
+      scored.join(excl, Seq("anchor", "negative_id"), "left_anti"),
+      "anchor", "neg_cos", "negative_id", 1)
+    bestPos.join(negs, "anchor")
+      .select(col("anchor").as("anchor_id"), col("positive_id"), col("negative_id"),
+        col("pos_cos"), col("neg_cos"), (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
 }

@@ -219,4 +219,72 @@ class Round7Spec extends SparkSpec {
       (1L, 20, 1L, 3L, 18L, 4L, 0.15),
       (2L, 6, 0L, 0L, 6L, 0L, 0.0)))
   }
+
+  test("kTruss: triangle-pair graph peels the tail, keeps the 4-clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + pendant triangle {4,5,6}: the 4-truss (support
+    // >= 2) keeps exactly the clique's 6 edges (each closing 2 triangles);
+    // the pendant triangle's edges close only 1 and peel off
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val e = (clique ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("a", "b")
+    val out = graft.operators.Graph.kTruss(e, "a", "b", k = 4)
+      .orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("kTruss: triangle-free graph empties out") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(graft.operators.Graph.kTruss(e, "a", "b", k = 3).count() === 0)
+  }
+
+  test("mannKendall: monotone series, with and without ties") {
+    import spark.implicits._
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val r = graft.operators.RankStats.mannKendall(up, "x", "y").collect().head
+    // S = 6, var = 4*3*13/18 = 26/3, z = 5 / sqrt(26/3)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 6L)
+    assert(math.abs(r.getDouble(2) - 26.0 / 3) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 5.0 / math.sqrt(26.0 / 3)) < 1e-12)
+    val tied = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("x", "y")
+    val r2 = graft.operators.RankStats.mannKendall(tied, "x", "y").collect().head
+    // S = 2; ties: one group of 2 -> 2*1*9 = 18; var = (3*2*11 - 18)/18
+    assert(r2.getLong(1) === 2L)
+    assert(math.abs(r2.getDouble(2) - (66.0 - 18.0) / 18) < 1e-12)
+  }
+
+  test("contrastiveTriplets: hand-built positives and hardest negative") {
+    import spark.implicits._
+    // anchors 1-2 are near-dups; 3 is close to 1 (hard negative), 4 is far
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0.6f, 0.8f, 0f)),
+      (4L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val pos = graft.dedup.Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.95)
+    val out = graft.similarity.Similarity
+      .contrastiveTriplets(emb, "vec_id", "embedding", pos)
+      .orderBy("anchor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both anchors pick each other as positive and 3 as the hardest negative
+    assert(out.toSeq === Seq((1L, 2L, 3L), (2L, 1L, 3L)))
+  }
+
+  test("lshBucketProfile: bucket sizes sum to the corpus per band") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prof = graft.dedup.Dedup.lshBucketProfile(emb, "vec_id", "embedding", 64)
+      .collect()
+    val n = emb.count()
+    assert(prof.length === 4)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") === n)
+      assert(r.getAs[Long]("max_bucket") <= n)
+      assert(r.getAs[Long]("n_buckets") <= 16L)
+    }
+  }
 }
