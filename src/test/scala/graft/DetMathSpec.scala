@@ -1,26 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 
 /** Contract tests for the engine-deterministic series ln. The cross-engine
   * bit-identity claim (Spark vs DuckDB over n = 1..200 000, zero mismatching
   * bit patterns) was established with the generated-SQL mirror at build time
   * and is re-checked continuously by the q_dsir_weights oracle gate; these
   * specs pin the Spark-side semantics. */
-class DetMathSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .appName("detmath").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+class DetMathSpec extends SparkSpec {
 
   test("lnPosInt tracks Math.log within 2e-11 over 1..100000") {
     val rows = spark.range(1, 100001).toDF("n")
