@@ -495,15 +495,23 @@ object Graph {
     import graft.functions.DetMath.lnPosInt
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("__z")).agg(count(lit(1)).as("__d"))
-    // per-midpoint quantized weight: floor(1/ln(deg) * 1e9 + 0.5); deg >= 2
-    // for any node that can be a midpoint, so ln(deg) >= ln 2 > 0
-    val wz = deg.filter(col("__d") >= 2)
-      .select(col("__z"), floor(lit(1.0) / lnPosInt(col("__d")) * lit(1e9) + lit(0.5)).as("__w"))
-    val wedges = sym.select(col("a").as("__z"), col("b").as("__u"))
+    // Midpoint weight floor(1/ln(deg)·1e9 + 0.5) attaches BEFORE the wedge
+    // join (the weighted side is Σdeg rows, so the weight never joins
+    // against the Σdeg² wedge set), and the wedge join itself distributes
+    // by midpoint key — a row-local per-midpoint pair explosion was tried
+    // and REGRESSED (22.5 s → 33 s): it concentrates each hub's deg² pair
+    // generation in one task, where the join spreads it. deg >= 2 for any
+    // midpoint, so ln(deg) >= ln 2 > 0.
+    val withW = sym.groupBy(col("a").as("__z")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= 2)
+      .select(col("__z"),
+        floor(lit(1.0) / lnPosInt(col("__d")) * lit(1e9) + lit(0.5)).as("__w"))
+    val symW = sym.select(col("a").as("__z"), col("b").as("__u"))
+      .join(withW, "__z")
+    val wedges = symW
       .join(sym.select(col("a").as("__z"), col("b").as("__v")), "__z")
       .filter(col("__u") < col("__v"))
-    val scored = wedges.join(wz, "__z")
+    val scored = wedges
       .groupBy(col("__u"), col("__v"))
       .agg(count(lit(1)).as("n_common"), sum("__w").as("__q"))
       .filter(col("n_common") >= minCommon)
@@ -514,6 +522,54 @@ object Graph {
       .select(col("__u").as("u"), col("__v").as("v"), col("n_common"),
         (col("__q").cast("double") / lit(1e9)).as("aa_score"))
   }
+
+  /** Triangle corner enumeration via degree-ordered orientation: every
+    * triangle appears EXACTLY once as `(u, v, w)` where `(u, v)` is the
+    * edge between its two lowest-rank corners and `w` their common
+    * out-neighbor (found by a row-local `array_intersect` against the
+    * broadcast oriented adjacency — the same O(Σ outdeg·log) shape that
+    * took [[triangleStats]] from 12.8 s to sub-second; no wedge join is
+    * ever materialized). Input must be canonical `a < b` distinct edges
+    * with long ids. */
+  private def triangleCorners(canon: DataFrame,
+      broadcastAdjacency: Boolean = true,
+      rankedOpt: Option[DataFrame] = None): DataFrame = {
+    // any total order keeps the orientation acyclic, so iterative callers
+    // (k-truss) pass the INITIAL degree ranking once instead of re-ranking
+    // every shrinking round
+    val ranked = rankedOpt.getOrElse {
+      val deg = degrees(canon)
+      deg.select(col("node"), struct(col("degree"), col("node")).as("rank"))
+    }
+    val oriented = canon
+      .join(ranked.withColumnRenamed("node", "a").withColumnRenamed("rank", "ra"), "a")
+      .join(ranked.withColumnRenamed("node", "b").withColumnRenamed("rank", "rb"), "b")
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"))
+    val adjBase = oriented.groupBy(col("u").as("node"))
+      .agg(collect_list(col("v").cast("long")).as("nbrs"))
+    val adj = if (broadcastAdjacency) broadcast(adjBase) else adjBase
+    val empty = array().cast("array<long>")
+    oriented
+      .join(adj.select(col("node").as("u"), col("nbrs").as("nu")), Seq("u"), "left")
+      .join(adj.select(col("node").as("v"), col("nbrs").as("nv")), Seq("v"), "left")
+      .select(col("u"), col("v"),
+        explode(array_intersect(coalesce(col("nu"), empty), coalesce(col("nv"), empty)))
+          .as("w"))
+  }
+
+  /** The three canonical undirected edges of each triangle from
+    * [[triangleCorners]], as `(a, b)` rows with `a < b`. */
+  private def triangleEdgeIncidence(canon: DataFrame,
+      rankedOpt: Option[DataFrame] = None): DataFrame =
+    triangleCorners(canon, rankedOpt = rankedOpt)
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
 
   /** Local clustering coefficient per node: `2·T(v) / (d(v)·(d(v)−1))`
     * with T(v) = triangles through v — "how clique-like is this node's
@@ -530,14 +586,8 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
-    val wedge = e.select(col("a"), col("b").as("__b"))
-      .join(e.select(col("a"), col("b").as("__c")), "a")
-      .filter(col("__b") < col("__c"))
-    val closing = e.select(col("a").as("__ca"), col("b").as("__cb"))
-    val tri = wedge.join(closing,
-        col("__b") === col("__ca") && col("__c") === col("__cb"), "left_semi")
-    val perNode = tri
-      .select(explode(array(col("a"), col("__b"), col("__c"))).as("node"))
+    val perNode = triangleCorners(e)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     deg.filter(col("degree") >= minDegree)
       .join(perNode, Seq("node"), "left")
@@ -570,21 +620,16 @@ object Graph {
       .distinct()
       .transform(graft.core.Checkpoints.truncate)
     var nEdges = e.count()
+    // rank once on the initial graph (a total order stays acyclic on every
+    // peeled subgraph) and keep it cached across rounds
+    val ranked = degrees(e)
+      .select(col("node"), struct(col("degree"), col("node")).as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = nEdges == 0L
     while (iter < maxIter && !converged) {
-      val wedge = e.select(col("a"), col("b").as("__b"))
-        .join(e.select(col("a"), col("b").as("__c")), "a")
-        .filter(col("__b") < col("__c"))
-      val closing = e.select(col("a").as("__ca"), col("b").as("__cb"))
-      val tri = wedge.join(closing,
-        col("__b") === col("__ca") && col("__c") === col("__cb"), "left_semi")
-      val support = tri.select(explode(array(
-          struct(col("a").as("a"), col("__b").as("b")),
-          struct(col("a").as("a"), col("__c").as("b")),
-          struct(col("__b").as("a"), col("__c").as("b")))).as("__e"))
-        .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
-        .agg(count(lit(1)).as("support"))
+      val support = triangleEdgeIncidence(e, Some(ranked))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
       val next = e.join(support, Seq("a", "b"))
         .filter(col("support") >= k - 2)
         .transform(graft.core.Checkpoints.truncate)
@@ -594,23 +639,16 @@ object Graph {
       nEdges = nNext
       iter += 1
     }
-    if (nEdges == 0L)
-      Seq.empty[(Long, Long, Long)].toDF("a", "b", "support")
-    else {
-      // one final support pass on the converged edge set (the loop's last
-      // `next` already carried it, but re-deriving keeps `e` minimal)
-      val wedge = e.select(col("a"), col("b").as("__b"))
-        .join(e.select(col("a"), col("b").as("__c")), "a")
-        .filter(col("__b") < col("__c"))
-      val closing = e.select(col("a").as("__ca"), col("b").as("__cb"))
-      val tri = wedge.join(closing,
-        col("__b") === col("__ca") && col("__c") === col("__cb"), "left_semi")
-      tri.select(explode(array(
-          struct(col("a").as("a"), col("__b").as("b")),
-          struct(col("a").as("a"), col("__c").as("b")),
-          struct(col("__b").as("a"), col("__c").as("b")))).as("__e"))
-        .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
-        .agg(count(lit(1)).as("support"))
-    }
+    val out =
+      if (nEdges == 0L)
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "support")
+      else
+        // one final support pass on the converged edge set, materialized
+        // so the rank cache can be released before returning
+        triangleEdgeIncidence(e, Some(ranked))
+          .groupBy("a", "b").agg(count(lit(1)).as("support"))
+          .transform(graft.core.Checkpoints.truncate)
+    ranked.unpersist()
+    out
   }
 }
