@@ -3570,6 +3570,53 @@ object SparkEntry {
       graft.dedup.Dedup.lshBucketProfile(
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
     }),
+    // --- round 7: difference-in-differences on purchase revenue (cohort
+    //     parity x data-derived period midpoint; one conditional agg) ---
+    "q_diff_in_diff" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val b = p.agg(min("day").as("__mn"), max("day").as("__mx"))
+      val d = p.crossJoin(broadcast(b))
+        .withColumn("treat", col("user_id") % 2 === 0)
+        .withColumn("post", col("day") >= expr("(__mn + __mx + 1) div 2"))
+      graft.operators.Stats.diffInDiff(d, col("treat"), col("post"), col("cents"))
+        .select(col("n_treat_pre"), col("n_treat_post"),
+          col("n_ctrl_pre"), col("n_ctrl_post"),
+          fround(col("mean_treat_pre"), 6).as("mean_treat_pre"),
+          fround(col("mean_treat_post"), 6).as("mean_treat_post"),
+          fround(col("mean_ctrl_pre"), 6).as("mean_ctrl_pre"),
+          fround(col("mean_ctrl_post"), 6).as("mean_ctrl_post"),
+          fround(col("did"), 6).as("did"))
+    }),
+    // --- round 7: CUPED variance reduction (pre-period revenue covariate
+    //     per user; six exact integer sums -> theta + reduction ratio) ---
+    "q_cuped" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val b = p.agg(min("day").as("__mn"), max("day").as("__mx"))
+      val d = p.crossJoin(broadcast(b))
+        .withColumn("post", col("day") >= expr("(__mn + __mx + 1) div 2"))
+      val perUser = d.groupBy("user_id").agg(
+        sum(when(!col("post"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("post"), col("cents")).otherwise(0L)).as("y"))
+      graft.operators.Stats.cuped(perUser, "x", "y")
+        .select(col("n"), fround(col("theta"), 6).as("theta"),
+          fround(col("mean_y"), 6).as("mean_y"),
+          fround(col("var_y"), 4).as("var_y"),
+          fround(col("var_adj"), 4).as("var_adj"),
+          fround(col("var_reduction"), 6).as("var_reduction"))
+    }),
+    // --- round 7: top 3-itemsets (A-Priori triple pass; row-local triple
+    //     generation from per-basket arrays, no 3-way self-join) ---
+    "q_basket_triples" -> ((s, dir) => {
+      graft.operators.Basket.tripleCounts(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", 20)
+        .orderBy(col("n_abc").desc, col("item_a"), col("item_b"), col("item_c"))
+    }),
     // --- round 7: T5 span-corruption planning over the corpus (pure
     //     per-row integer arithmetic; sizes the packing/compute budget
     //     before any corrupted text is materialized) ---
@@ -7910,6 +7957,69 @@ object SparkEntry {
         |ORDER BY (coalesce(pn.t, 0) * 2)::DOUBLE
         |  / (deg.degree * (deg.degree - 1))::DOUBLE DESC, deg.node
         |LIMIT 20""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM p),
+        |d AS (SELECT user_id % 2 = 0 AS treat,
+        |    day >= (b.mn + b.mx + 1) // 2 AS post, cents FROM p, b),
+        |a AS (SELECT
+        |    sum(CASE WHEN treat AND post THEN cents ELSE 0 END)::BIGINT AS stp,
+        |    sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)::BIGINT AS ntp,
+        |    sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END)::BIGINT AS str,
+        |    sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)::BIGINT AS ntr,
+        |    sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END)::BIGINT AS scp,
+        |    sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)::BIGINT AS ncp,
+        |    sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END)::BIGINT AS scr,
+        |    sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)::BIGINT AS ncr
+        |  FROM d)
+        |SELECT ntr AS n_treat_pre, ntp AS n_treat_post,
+        |  ncr AS n_ctrl_pre, ncp AS n_ctrl_post,
+        |  floor(str::DOUBLE / ntr * 1e6 + 0.5) / 1e6 AS mean_treat_pre,
+        |  floor(stp::DOUBLE / ntp * 1e6 + 0.5) / 1e6 AS mean_treat_post,
+        |  floor(scr::DOUBLE / ncr * 1e6 + 0.5) / 1e6 AS mean_ctrl_pre,
+        |  floor(scp::DOUBLE / ncp * 1e6 + 0.5) / 1e6 AS mean_ctrl_post,
+        |  floor(((stp::DOUBLE / ntp - str::DOUBLE / ntr)
+        |    - (scp::DOUBLE / ncp - scr::DOUBLE / ncr)) * 1e6 + 0.5) / 1e6 AS did
+        |FROM a""".stripMargin,
+    "q_cuped" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM p),
+        |d AS (SELECT user_id, day >= (b.mn + b.mx + 1) // 2 AS post, cents FROM p, b),
+        |u AS (SELECT user_id,
+        |    sum(CASE WHEN NOT post THEN cents ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN post THEN cents ELSE 0 END)::BIGINT AS y
+        |  FROM d GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+        |    sum(y * y)::BIGINT AS syy FROM u),
+        |der AS (SELECT n,
+        |    sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n) AS cxy,
+        |    sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS vx,
+        |    syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n) AS vy,
+        |    sy::DOUBLE / n AS my FROM a)
+        |SELECT n, floor(cxy / vx * 1e6 + 0.5) / 1e6 AS theta,
+        |  floor(my * 1e6 + 0.5) / 1e6 AS mean_y,
+        |  floor(vy * 1e4 + 0.5) / 1e4 AS var_y,
+        |  floor((vy - cxy * cxy / vx) * 1e4 + 0.5) / 1e4 AS var_adj,
+        |  floor((vy - cxy * cxy / vx) / vy * 1e6 + 0.5) / 1e6 AS var_reduction
+        |FROM der""".stripMargin,
+    "q_basket_triples" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+        |tc AS (SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+        |    count(*) AS n_abc
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+        |  JOIN b z ON y.bk = z.bk AND y.item < z.item
+        |  GROUP BY 1, 2, 3),
+        |top AS (SELECT * FROM tc ORDER BY n_abc DESC, item_a, item_b, item_c LIMIT 20)
+        |SELECT item_a, item_b, item_c, n_abc::BIGINT AS n_abc,
+        |  round(n_abc::DOUBLE / nb.n, 6) AS support
+        |FROM top CROSS JOIN nb
+        |ORDER BY n_abc DESC, item_a, item_b, item_c""".stripMargin,
     "q_span_corruption" ->
       """WITH d AS (SELECT doc_id,
         |    len(regexp_extract_all(trim(text), '\S+')) AS n FROM documents),

@@ -68,4 +68,42 @@ object Basket {
     baskets.unpersist()
     out
   }
+
+  /** All ordered `a < b < c` triples of a sorted-distinct array,
+    * row-locally — the 3-itemset analogue of [[pairs]]. Output per basket
+    * is C(|basket|, 3); baskets are small and bounded in practice (cap
+    * upstream if a degenerate mega-basket is possible — the same skew
+    * argument as [[graft.operators.Graph.cooccurrenceEdges]]). */
+  private def triples(arr: Column): Column =
+    flatten(flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), greatest(size(arr) - i - 1, lit(0))), (y, j) =>
+        transform(slice(arr, i + j + lit(3), greatest(size(arr) - i - j - 2, lit(0))),
+          z => struct(x.as("a"), y.as("b"), z.as("c")))))))
+
+  /** Top-`k` item triples by co-occurrence count — the A-Priori 3-itemset
+    * pass, same scale shape as [[pairLift]]: one basket rollup, row-local
+    * triple generation, one keyed count, TakeOrderedAndProject cut.
+    * Deterministic ranking `(n_abc desc, item_a, item_b, item_c)`.
+    * Returns `(item_a, item_b, item_c, n_abc, support)`. */
+  def tripleCounts(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
+    val baskets = df
+      .groupBy(col(basketCol).as("__bk"))
+      .agg(array_sort(collect_set(col(itemCol))).as("__items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = baskets.agg(count(lit(1)).as("__n"))
+    val counts = baskets
+      .select(explode(triples(col("__items"))).as("__t"))
+      .groupBy(col("__t.a").as("item_a"), col("__t.b").as("item_b"),
+        col("__t.c").as("item_c"))
+      .agg(count(lit(1)).as("n_abc"))
+    val out = counts
+      .orderBy(col("n_abc").desc, col("item_a").asc, col("item_b").asc, col("item_c").asc)
+      .limit(k)
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("n_abc"),
+        round(col("n_abc").cast("double") / col("__n"), 6).as("support"))
+      .localCheckpoint(true)
+    baskets.unpersist()
+    out
+  }
 }

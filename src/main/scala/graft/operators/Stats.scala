@@ -169,4 +169,69 @@ object Stats {
     val se = math.sqrt(pool * (1 - pool) * (1.0 / nA + 1.0 / nB))
     if (se == 0.0) 0.0 else (pa - pb) / se
   }
+
+  /** Difference-in-differences on an integer-valued (cents) metric: the
+    * classic two-group, two-period causal contrast
+    * `DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)`.
+    * ONE conditional aggregation over the fact stream (four cells = four
+    * map-side-combined sums/counts — no pivot, no second pass); every mean
+    * is one pinned division of exact integers, so the result replays
+    * bit-identically in any engine. Returns one row with the four cell
+    * means, counts, and `did`. */
+  def diffInDiff(df: org.apache.spark.sql.DataFrame,
+      treatCol: org.apache.spark.sql.Column,
+      postCol: org.apache.spark.sql.Column,
+      centsCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def cell(t: Boolean, p: Boolean) = {
+      val cond = (if (t) treatCol else !treatCol) && (if (p) postCol else !postCol)
+      (sum(when(cond, centsCol).otherwise(lit(0L))),
+        sum(when(cond, 1L).otherwise(0L)))
+    }
+    val (stp, ntp) = cell(t = true, p = true)
+    val (str_, ntr) = cell(t = true, p = false)
+    val (scp, ncp) = cell(t = false, p = true)
+    val (scr, ncr) = cell(t = false, p = false)
+    val agg = df.agg(stp.as("__stp"), ntp.as("n_treat_post"),
+      str_.as("__str"), ntr.as("n_treat_pre"),
+      scp.as("__scp"), ncp.as("n_ctrl_post"),
+      scr.as("__scr"), ncr.as("n_ctrl_pre"))
+    def mean(s: String, n: String) = col(s).cast("double") / col(n)
+    agg.select(
+      col("n_treat_pre"), col("n_treat_post"), col("n_ctrl_pre"), col("n_ctrl_post"),
+      mean("__str", "n_treat_pre").as("mean_treat_pre"),
+      mean("__stp", "n_treat_post").as("mean_treat_post"),
+      mean("__scr", "n_ctrl_pre").as("mean_ctrl_pre"),
+      mean("__scp", "n_ctrl_post").as("mean_ctrl_post"),
+      ((mean("__stp", "n_treat_post") - mean("__str", "n_treat_pre"))
+        - (mean("__scp", "n_ctrl_post") - mean("__scr", "n_ctrl_pre"))).as("did"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013, public method): with a
+    * pre-period covariate X and the experiment metric Y per unit (both
+    * integer cents), `θ = cov(X,Y)/var(X)` and the adjusted metric
+    * `Y − θ(X − X̄)` has variance `var(Y) − cov²/var(X)`. One aggregation
+    * of six exact integer sums (n, Σx, Σy, Σxx, Σxy, Σyy — map-side
+    * combined, any merge order); every derived double is a pinned
+    * left-associated expression over them, so θ and the variance-reduction
+    * ratio replay bit-identically. Overflow bound: Σxy stays under 2⁶³ for
+    * |cents| ≤ 1e7 up to ~9e4 units per shard at worst-case correlation —
+    * shard-and-BigInt-merge past that. Returns one row
+    * `(n, theta, mean_y, var_y, var_adj, var_reduction)`. */
+  def cuped(df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val agg = df.agg(count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(x * y).as("__sxy"), sum(y * y).as("__syy"))
+    val n = col("n").cast("double")
+    def m(c: String) = col(c).cast("double") / n
+    val covXY = m("__sxy") - (m("__sx")) * (m("__sy"))
+    val varX = m("__sxx") - (m("__sx")) * (m("__sx"))
+    val varY = m("__syy") - (m("__sy")) * (m("__sy"))
+    val varAdj = varY - covXY * covXY / varX
+    agg.select(col("n"), (covXY / varX).as("theta"), m("__sy").as("mean_y"),
+      varY.as("var_y"), varAdj.as("var_adj"), (varAdj / varY).as("var_reduction"))
+  }
 }

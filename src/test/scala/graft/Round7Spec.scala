@@ -290,4 +290,46 @@ class Round7Spec extends SparkSpec {
       assert(r.getAs[Long]("n_buckets") <= 16L)
     }
   }
+
+  test("diffInDiff: hand-computed 2x2 cells") {
+    import spark.implicits._
+    // treat pre mean 10, post 30 (lift 20); ctrl pre 10, post 15 (lift 5)
+    val df = Seq(
+      (true, false, 10L), (true, false, 10L), (true, true, 30L),
+      (false, false, 10L), (false, true, 15L), (false, true, 15L)
+    ).toDF("t", "p", "cents")
+    val r = graft.operators.Stats.diffInDiff(df, col("t"), col("p"), col("cents"))
+      .collect().head
+    assert(r.getAs[Long]("n_treat_pre") === 2L && r.getAs[Long]("n_ctrl_post") === 2L)
+    assert(r.getAs[Double]("did") === (30.0 - 10.0) - (15.0 - 10.0))
+  }
+
+  test("cuped: perfectly correlated covariate removes all variance") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)).toDF("x", "y")
+    val r = graft.operators.Stats.cuped(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("theta") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_adj")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_reduction")) < 1e-12)
+  }
+
+  test("cuped: independent covariate reduces nothing") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 5L), (1L, 9L), (2L, 9L)).toDF("x", "y")
+    val r = graft.operators.Stats.cuped(df, "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("theta")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_reduction") - 1.0) < 1e-12)
+  }
+
+  test("tripleCounts: hand-computed baskets") {
+    import spark.implicits._
+    // basket 1 = {1,2,3,4}, basket 2 = {1,2,3}: triple (1,2,3) appears twice
+    val df = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)) ++
+      Seq((2L, 1L), (2L, 2L), (2L, 3L))).toDF("bk", "item")
+    val out = graft.operators.Basket.tripleCounts(df, "bk", "item", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head === ((1L, 2L, 3L, 2L)))
+    assert(out.length === 4) // C(4,3) from basket 1; (1,2,3) merges with basket 2's
+  }
 }
