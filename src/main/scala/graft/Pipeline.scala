@@ -140,4 +140,31 @@ object Pipeline {
     // 4. deterministic split labels
     CuratedCorpus(Splits.assignSplit(clean, idCol), q)
   }
+
+  /** One-pass filter-funnel readout: for a sequence of named predicates,
+    * how many rows survive each CUMULATIVE conjunction — the pipeline
+    * observability report a curation run publishes before anyone trusts
+    * its output ("the repetition rule is what ate 40% of the corpus").
+    * A single aggregation computes every stage (map-side combined
+    * conditional sums — no per-stage passes, no joins); the row explosion
+    * at the end is over the one aggregate row. Returns
+    * `(stage, stage_name, n_docs, survival)` with stage 0 = "all". */
+  def filterFunnel(df: DataFrame,
+      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cums = stages.scanLeft(lit(true))((acc, st) => acc && st._2).tail
+    val aggs = count(lit(1)).as("__n0") +: cums.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__n${i + 1}")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val names = "all" +: stages.map(_._1)
+    val arr = array(names.indices.map(i => struct(
+      lit(i).as("stage"), lit(names(i)).as("stage_name"),
+      col(s"__n$i").as("n_docs"),
+      (col(s"__n$i").cast("double") / col("__n0")).as("survival"))): _*)
+    row.select(explode(arr).as("__s"))
+      .select(col("__s.stage"), col("__s.stage_name"), col("__s.n_docs"),
+        col("__s.survival"))
+  }
 }

@@ -3570,6 +3570,72 @@ object SparkEntry {
       graft.dedup.Dedup.lshBucketProfile(
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
     }),
+    // --- round 7: curation filter funnel — cumulative survival through
+    //     min-tokens -> C4 rules -> repetition -> exact-dedup, ONE pass ---
+    "q_filter_funnel" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val d = t(s, dir, "documents")
+      val f = TextAnalysis.c4LineAudit(col("text")).toMap
+      val topc = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("__tok"))
+        .groupBy("doc_id", "__tok").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id").agg(max("__c").as("top_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val base = d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"),
+          f("n_sentences").as("nsent"), f("has_brace").as("hb"),
+          f("has_lorem").as("hl"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(topc, Seq("doc_id"), "left")
+        .withColumn("rn", row_number().over(w))
+      graft.Pipeline.filterFunnel(base, Seq(
+        "min_tokens" -> (col("ntok") >= 50),
+        "c4_rules" -> (col("nsent") >= 3 && !col("hb") && !col("hl")),
+        // integer form of top_token_frac <= 0.2 — no division, no rounding
+        "repetition" -> (col("top_c") * 5 <= col("ntok")),
+        "exact_dedup" -> (col("rn") === 1)))
+        .select(col("stage"), col("stage_name"), col("n_docs"),
+          fround(col("survival"), 6).as("survival"))
+        .orderBy("stage")
+    }),
+    // --- round 7: temperature-mix epoch plan — token-budget allocation
+    //     per language under alpha = 0.5 weights (quantized sqrt weights,
+    //     exact integer allocation; the PLAN behind q_temperature_mix) ---
+    "q_epoch_plan" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val avail = d.groupBy("lang").agg(
+        sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("avail_tokens"))
+      // quantize sqrt weights to exact micro-longs BEFORE the
+      // order-ambiguous normalizer sum
+      val wq = floor(sqrt(col("avail_tokens").cast("double")) * lit(1e6) + lit(0.5))
+      val weighted = avail.withColumn("__wq", wq)
+      val z = weighted.agg(sum("__wq").as("__z"))
+      weighted.crossJoin(broadcast(z))
+        .select(col("lang"), col("avail_tokens"),
+          fround(col("__wq").cast("double") / col("__z"), 6).as("weight"),
+          expr("1000000 * __wq div __z").as("alloc_tokens"))
+        .withColumn("epochs",
+          fround(col("alloc_tokens").cast("double") / col("avail_tokens"), 6))
+        .orderBy("lang")
+    }),
+    // --- round 7: tokenizer fertility per language (chars/bytes per
+    //     whitespace token — the multilingual cost profile) ---
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(octet_length(col("text")).cast("long")).as("total_bytes"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("total_bytes"),
+          fround(col("total_chars").cast("double") / col("total_tokens"), 6)
+            .as("chars_per_token"),
+          fround(col("total_bytes").cast("double") / col("total_tokens"), 6)
+            .as("bytes_per_token"))
+        .orderBy("lang")
+    }),
     // --- round 7: difference-in-differences on purchase revenue (cohort
     //     parity x data-derived period midpoint; one conditional agg) ---
     "q_diff_in_diff" -> ((s, dir) => {
@@ -7957,6 +8023,62 @@ object SparkEntry {
         |ORDER BY (coalesce(pn.t, 0) * 2)::DOUBLE
         |  / (deg.degree * (deg.degree - 1))::DOUBLE DESC, deg.node
         |LIMIT 20""".stripMargin,
+    "q_filter_funnel" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(regexp_extract_all(trim(text), '\S+')) AS ntok,
+        |    len(regexp_extract_all(text, '[.!?]')) AS nsent,
+        |    contains(text, '{') AS hb, contains(lower(text), 'lorem ipsum') AS hl,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |tf AS (SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+        |      FROM documents) GROUP BY 1, 2) GROUP BY 1),
+        |k AS (SELECT d.doc_id, ntok, nsent, hb, hl, tf.top_c,
+        |    row_number() OVER (PARTITION BY fp ORDER BY d.doc_id) AS rn
+        |  FROM d LEFT JOIN tf ON d.doc_id = tf.doc_id),
+        |c AS (SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN ntok >= 50 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN ntok >= 50 AND nsent >= 3 AND NOT hb AND NOT hl
+        |      THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN ntok >= 50 AND nsent >= 3 AND NOT hb AND NOT hl
+        |      AND top_c * 5 <= ntok THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |    sum(CASE WHEN ntok >= 50 AND nsent >= 3 AND NOT hb AND NOT hl
+        |      AND top_c * 5 <= ntok AND rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n4
+        |  FROM k)
+        |SELECT s.stage, s.stage_name, s.n_docs,
+        |  floor(s.n_docs::DOUBLE / c.n0 * 1e6 + 0.5) / 1e6 AS survival
+        |FROM c, (SELECT unnest([
+        |    {'stage': 0, 'stage_name': 'all', 'n_docs': (SELECT n0 FROM c)},
+        |    {'stage': 1, 'stage_name': 'min_tokens', 'n_docs': (SELECT n1 FROM c)},
+        |    {'stage': 2, 'stage_name': 'c4_rules', 'n_docs': (SELECT n2 FROM c)},
+        |    {'stage': 3, 'stage_name': 'repetition', 'n_docs': (SELECT n3 FROM c)},
+        |    {'stage': 4, 'stage_name': 'exact_dedup', 'n_docs': (SELECT n4 FROM c)}],
+        |    recursive := true)) s
+        |ORDER BY s.stage""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH a AS (SELECT lang,
+        |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, avail_tokens,
+        |    floor(sqrt(avail_tokens::DOUBLE) * 1e6 + 0.5)::BIGINT AS wq FROM a),
+        |z AS (SELECT sum(wq)::BIGINT AS z FROM w)
+        |SELECT w.lang, w.avail_tokens,
+        |  floor(w.wq::DOUBLE / z.z * 1e6 + 0.5) / 1e6 AS weight,
+        |  (1000000 * w.wq) // z.z AS alloc_tokens,
+        |  floor(((1000000 * w.wq) // z.z)::DOUBLE / w.avail_tokens * 1e6 + 0.5) / 1e6
+        |    AS epochs
+        |FROM w, z ORDER BY w.lang""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """WITH a AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS total_tokens,
+        |    sum(length(text))::BIGINT AS total_chars,
+        |    sum(octet_length(text::BLOB))::BIGINT AS total_bytes
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_docs, total_tokens, total_chars, total_bytes,
+        |  floor(total_chars::DOUBLE / total_tokens * 1e6 + 0.5) / 1e6 AS chars_per_token,
+        |  floor(total_bytes::DOUBLE / total_tokens * 1e6 + 0.5) / 1e6 AS bytes_per_token
+        |FROM a ORDER BY lang""".stripMargin,
     "q_diff_in_diff" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents

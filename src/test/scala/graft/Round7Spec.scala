@@ -332,4 +332,16 @@ class Round7Spec extends SparkSpec {
     assert(out.head === ((1L, 2L, 3L, 2L)))
     assert(out.length === 4) // C(4,3) from basket 1; (1,2,3) merges with basket 2's
   }
+
+  test("filterFunnel: cumulative conjunction in one pass") {
+    import spark.implicits._
+    val df = Seq((1, true, true), (2, true, false), (3, false, true), (4, true, true))
+      .toDF("id", "a", "b")
+    val out = graft.Pipeline.filterFunnel(df,
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0, "all", 4L, 1.0), (1, "a", 3L, 0.75),
+      (2, "b", 2L, 0.5)))
+  }
 }
