@@ -56,7 +56,11 @@ object ScaleLadder {
     // frontier sweeps), bitmask multi-seed BFS, degree-correlation join,
     // split-conformal order statistics, and the cluster-size histogram
     // (PPJoin pair gen + CC) — all on the 10x replica
-    "q_lpa", "q_harmonic", "q_assortativity", "q_conformal", "q_cluster_sizes")
+    "q_lpa", "q_harmonic", "q_assortativity", "q_conformal", "q_cluster_sizes",
+    // round-7 slate: Theil-Sen (pairs bounded by the DAY axis, so 10x rows
+    // should be ~flat past the upstream agg), the peeled 4-truss, and the
+    // year-scoped Adamic-Adar
+    "q_theil_sen", "q_ktruss", "q_link_prediction")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
