@@ -456,4 +456,31 @@ object StreamingDQ {
     df.withColumn("window_start", col(nanosCol) - pmod(col(nanosCol), lit(windowNanos)))
       .groupBy(col("window_start") +: groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming twin of [[graft.Pipeline.filterFunnel]]: per micro-batch,
+    * the cumulative survival counts through the same named predicate
+    * sequence — the live curation dashboard ("which rule is eating this
+    * hour's crawl"). The per-batch computation IS the batch operator (one
+    * conditional aggregation), so streaming == batch replay holds
+    * structurally; counts are exact integers, so the equality is exact.
+    * `onResult(batchId, rows)` with rows `(stage, stage_name, n_docs,
+    * survival)`. */
+  def filterFunnelMonitor(
+      stream: DataFrame,
+      stages: Seq[(String, org.apache.spark.sql.Column)]
+  )(onResult: (Long, Seq[(Int, String, Long, Double)]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val rows = graft.Pipeline.filterFunnel(batch, stages)
+            .orderBy("stage")
+            .collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+            .toSeq
+          onResult(id, rows)
+        }
+      }
+      .start()
 }

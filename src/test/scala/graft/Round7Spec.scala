@@ -344,4 +344,55 @@ class Round7Spec extends SparkSpec {
     assert(out.toSeq === Seq((0, "all", 4L, 1.0), (1, "a", 3L, 0.75),
       (2, "b", 2L, 0.5)))
   }
+
+  test("plan: clusteringCoefficient broadcasts the oriented adjacency (no wedge join)") {
+    import spark.implicits._
+    val e = (1L to 40L).flatMap(i => Seq((i, i + 1), (i, i + 2))).toDF("a", "b")
+    val out = graft.operators.Graph.clusteringCoefficient(e, "a", "b", 2, 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("plan: hillTail's top-k is a heap cut, not a global sort") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("v")
+    val out = graft.operators.RankStats.hillTail(df, "v", 50)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("filterFunnelMonitor: streamed funnel equals the batch twin exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stages = Seq(
+      "pos" -> (col("v") > 0),
+      "even" -> (col("v") % 2 === 0))
+    val batch1 = Seq(-1L, 2L, 3L, 4L)
+    val batch2 = Seq(5L, 6L)
+    val mem = MemoryStream[Long]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Int, String, Long, Double)])]
+    val q = graft.streaming.StreamingDQ.filterFunnelMonitor(
+      mem.toDF().toDF("v"), stages) { (id, rows) =>
+      results.synchronized { results += ((id, rows)) }
+    }
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = results.sortBy(_._1).map(_._2)
+    val twins = Seq(batch1, batch2).map { b =>
+      graft.Pipeline.filterFunnel(b.toDF("v"), stages).orderBy("stage")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    }
+    assert(streamed == twins)
+    // hand check of batch 1: 4 rows, 3 positive, 2 positive-and-even
+    assert(twins.head === Seq((0, "all", 4L, 1.0), (1, "pos", 3L, 0.75),
+      (2, "even", 2L, 0.5)))
+  }
 }
