@@ -3570,6 +3570,39 @@ object SparkEntry {
       graft.dedup.Dedup.lshBucketProfile(
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
     }),
+    // --- round 7: Matryoshka truncation audit — top-10 overlap between
+    //     full-dim and 16-dim-truncated cosine rankings per query ---
+    "q_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      graft.similarity.Similarity
+        .truncationRecall(e, q, "vec_id", "embedding", dims = 16, k = 10)
+        .select(col("query_id"), col("n_overlap"),
+          fround(col("overlap_frac"), 6).as("overlap_frac"))
+        .orderBy("query_id")
+    }),
+    // --- round 7: ANSI NOT IN three-valued-logic audit — a NULL in the
+    //     subquery empties the anti-set; filtering the NULL restores it.
+    //     Both engines must agree on BOTH branches (deterministically
+    //     injected nulls via nullif) ---
+    "q_null_anti" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("uid", expr("nullif(user_id % 9973, 0)"))
+        .createOrReplaceTempView("__ev_nullanti")
+      // the anti-set: error-event uids ending in 1 mod 5, PLUS one explicit
+      // NULL — NOT IN over it must return zero rows (three-valued logic),
+      // while the null-filtered twin keeps every uid outside the set
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM __ev_nullanti
+           WHERE uid NOT IN (SELECT uid FROM __ev_nullanti
+                             WHERE event_type = 'error' AND uid % 5 = 1
+                             UNION ALL SELECT NULL)) AS n_with_nulls,
+          (SELECT count(*) FROM __ev_nullanti
+           WHERE uid NOT IN (SELECT uid FROM __ev_nullanti
+                             WHERE event_type = 'error' AND uid % 5 = 1))
+            AS n_null_filtered""")
+    }),
     // --- round 7: curation filter funnel — cumulative survival through
     //     min-tokens -> C4 rules -> repetition -> exact-dedup, ONE pass ---
     "q_filter_funnel" -> ((s, dir) => {
@@ -8023,6 +8056,42 @@ object SparkEntry {
         |ORDER BY (coalesce(pn.t, 0) * 2)::DOUBLE
         |  / (deg.degree * (deg.degree - 1))::DOUBLE DESC, deg.node
         |LIMIT 20""".stripMargin,
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |f AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |        e.vec_id) AS rn
+        |    FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        |  WHERE rn <= 10),
+        |t AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_cosine_similarity(q.qv[1:16]::DOUBLE[],
+        |          e.embedding[1:16]::DOUBLE[]) DESC, e.vec_id) AS rn
+        |    FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+        |  WHERE rn <= 10),
+        |o AS (SELECT f.query_id, count(*)::BIGINT AS n_overlap
+        |  FROM f JOIN t ON f.query_id = t.query_id
+        |    AND f.neighbor_id = t.neighbor_id GROUP BY 1)
+        |SELECT q.query_id, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+        |  floor(coalesce(o.n_overlap, 0)::DOUBLE / 10 * 1e6 + 0.5) / 1e6
+        |    AS overlap_frac
+        |FROM q LEFT JOIN o ON q.query_id = o.query_id
+        |ORDER BY q.query_id""".stripMargin,
+    "q_null_anti" ->
+      """WITH ev AS (SELECT nullif(user_id % 9973, 0) AS uid, event_type FROM events)
+        |SELECT
+        |  (SELECT count(*) FROM ev
+        |   WHERE uid NOT IN (SELECT uid FROM ev
+        |                     WHERE event_type = 'error' AND uid % 5 = 1
+        |                     UNION ALL SELECT NULL))::BIGINT AS n_with_nulls,
+        |  (SELECT count(*) FROM ev
+        |   WHERE uid NOT IN (SELECT uid FROM ev
+        |                     WHERE event_type = 'error' AND uid % 5 = 1))
+        |    ::BIGINT AS n_null_filtered""".stripMargin,
     "q_filter_funnel" ->
       """WITH d AS (SELECT doc_id,
         |    len(regexp_extract_all(trim(text), '\S+')) AS ntok,

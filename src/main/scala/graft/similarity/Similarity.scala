@@ -296,6 +296,29 @@ object Similarity {
     * (the proven ANN shape) — the positive-exclusion anti-join is
     * |anchors|·|their positives|-sized, never corpus². Returns
     * `(anchor_id, positive_id, negative_id, pos_cos, neg_cos, margin)`. */
+  /** Matryoshka truncation audit: how much of the exact top-k neighborhood
+    * survives when cosine ranking uses only the FIRST `dims` components —
+    * the decision metric for shipping truncated (MRL-style) embeddings to
+    * a cheaper vector index. Two brute-force rankings (full vs truncated,
+    * both the broadcast-queries/heap-top-k shape) joined on
+    * (query, neighbor). Returns `(query_id, n_overlap, overlap_frac)` per
+    * query. */
+  def truncationRecall(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Int, k: Int): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    def trunc(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val full = bruteForceTopK(emb, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cut = bruteForceTopK(trunc(emb), trunc(queries), idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    full.join(cut, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      .join(queries.select(col(idCol).as("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / k).as("overlap_frac"))
+  }
+
   def contrastiveTriplets(emb: DataFrame, idCol: String, vecCol: String,
       posPairs: DataFrame): DataFrame = {
     val sym = posPairs
