@@ -3570,6 +3570,26 @@ object SparkEntry {
       graft.dedup.Dedup.lshBucketProfile(
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)
     }),
+    // --- round 7: one-way ANOVA of quantity across return flags (exact
+    //     per-group integer sums; cross-group sums micro-quantized) ---
+    "q_anova" -> ((s, dir) => {
+      graft.operators.Stats.anovaF(
+          t(s, dir, "lineitem").withColumn("q", col("l_quantity").cast("long")),
+          "l_returnflag", "q")
+        .select(col("k"), col("n"), fround(col("ssb"), 4).as("ssb"),
+          fround(col("ssw"), 4).as("ssw"), fround(col("f"), 6).as("f"))
+    }),
+    // --- round 7: 2x2 odds ratio (user parity x purchase) with a
+    //     log-space Wald CI — series-ln, no libm anywhere ---
+    "q_odds_ratio" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      graft.operators.Stats.oddsRatio(ev,
+          col("user_id") % 2 === 0, col("event_type") === "purchase")
+        .select(col("a"), col("b"), col("c"), col("d"),
+          fround(col("odds_ratio"), 6).as("odds_ratio"),
+          fround(col("ln_or"), 6).as("ln_or"), fround(col("se"), 6).as("se"),
+          fround(col("ci_lo"), 6).as("ci_lo"), fround(col("ci_hi"), 6).as("ci_hi"))
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -8056,6 +8076,48 @@ object SparkEntry {
         |ORDER BY (coalesce(pn.t, 0) * 2)::DOUBLE
         |  / (deg.degree * (deg.degree - 1))::DOUBLE DESC, deg.node
         |LIMIT 20""".stripMargin,
+    "q_anova" ->
+      """WITH g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(l_quantity::BIGINT)::BIGINT AS s,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS ss
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+        |    count(*)::BIGINT AS k FROM g),
+        |q AS (SELECT t.k, t.nt AS n,
+        |    sum(floor(g.n * (g.s::DOUBLE / g.n - t.st::DOUBLE / t.nt)
+        |      * (g.s::DOUBLE / g.n - t.st::DOUBLE / t.nt) * 1e6 + 0.5)::BIGINT)
+        |      ::BIGINT AS ssbq,
+        |    sum(floor((g.ss::DOUBLE - g.s::DOUBLE * g.s / g.n) * 1e6 + 0.5)::BIGINT)
+        |      ::BIGINT AS sswq
+        |  FROM g, t GROUP BY 1, 2)
+        |SELECT k, n, floor(ssbq::DOUBLE / 1e6 * 1e4 + 0.5) / 1e4 AS ssb,
+        |  floor(sswq::DOUBLE / 1e6 * 1e4 + 0.5) / 1e4 AS ssw,
+        |  floor((ssbq::DOUBLE / 1e6 / (k - 1))
+        |    / (sswq::DOUBLE / 1e6 / (n - k)) * 1e6 + 0.5) / 1e6 AS f
+        |FROM q""".stripMargin,
+    "q_odds_ratio" ->
+      raw"""WITH e AS (SELECT user_id % 2 = 0 AS ex, event_type = 'purchase' AS oc
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c2 AS (SELECT
+        |    sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM e),
+        |vals AS (SELECT a * d AS nval FROM c2 UNION SELECT b * c FROM c2),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |x AS (SELECT c2.a, c2.b, c2.c, c2.d, la.lnv - lb.lnv AS lnor,
+        |    sqrt(1.0::DOUBLE / c2.a + 1.0::DOUBLE / c2.b
+        |      + 1.0::DOUBLE / c2.c + 1.0::DOUBLE / c2.d) AS se
+        |  FROM c2 JOIN lnv la ON la.nval = c2.a * c2.d
+        |  JOIN lnv lb ON lb.nval = c2.b * c2.c)
+        |SELECT a, b, c, d,
+        |  floor((a * d)::DOUBLE / (b * c) * 1e6 + 0.5) / 1e6 AS odds_ratio,
+        |  floor(lnor * 1e6 + 0.5) / 1e6 AS ln_or,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS se,
+        |  floor((lnor - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor((lnor + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM x""".stripMargin,
     "q_matryoshka" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < 10),

@@ -234,4 +234,61 @@ object Stats {
     agg.select(col("n"), (covXY / varX).as("theta"), m("__sy").as("mean_y"),
       varY.as("var_y"), varAdj.as("var_adj"), (varAdj / varY).as("var_reduction"))
   }
+
+  /** One-way ANOVA F over an integer-valued metric: between/within sums of
+    * squares from exact per-group integer sums (`Σx`, `Σx²`, n — map-side
+    * combined), with the order-ambiguous cross-GROUP sums quantized to
+    * exact micro-longs (groups are a bounded dimension; the corpus-sized
+    * work is the one keyed aggregation). `F = (SSB/(k−1)) / (SSW/(N−k))`.
+    * Returns one row `(k, n, ssb, ssw, f)`. */
+  def anovaF(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val x = col(valCol).cast("long")
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"), sum(x).as("__s"), sum(x * x).as("__ss"))
+    val tot = g.agg(sum("__n").as("__nt"), sum("__s").as("__st"),
+      count(lit(1)).as("k"))
+    val m = col("__s").cast("double") / col("__n")
+    val mAll = col("__st").cast("double") / col("__nt")
+    val ssbQ = floor(col("__n") * (m - mAll) * (m - mAll) * lit(1e6) + lit(0.5))
+    val sswQ = floor((col("__ss").cast("double")
+      - col("__s").cast("double") * col("__s") / col("__n")) * lit(1e6) + lit(0.5))
+    val agg = g.crossJoin(broadcast(tot))
+      .agg(max("k").as("k"), max("__nt").as("n"),
+        sum(ssbQ).as("__ssbq"), sum(sswQ).as("__sswq"))
+    agg.select(col("k"), col("n"),
+      (col("__ssbq").cast("double") / lit(1e6)).as("ssb"),
+      (col("__sswq").cast("double") / lit(1e6)).as("ssw"),
+      ((col("__ssbq").cast("double") / lit(1e6) / (col("k") - 1))
+        / (col("__sswq").cast("double") / lit(1e6) / (col("n") - col("k")))).as("f"))
+  }
+
+  /** 2×2 odds ratio with a log-space Wald interval, fully deterministic:
+    * `OR = ad/bc` (exact integer products), `ln OR` via the engine-pinned
+    * [[graft.functions.DetMath.lnPosInt]] series (`ln(ad) − ln(bc)` — no
+    * libm), `SE = sqrt(1/a + 1/b + 1/c + 1/d)` in a pinned association,
+    * and the 95% bounds reported in LOG space (exponentiating would
+    * reintroduce libm). `exposedCol`/`outcomeCol` are boolean columns; one
+    * conditional aggregation. Returns
+    * `(a, b, c, d, odds_ratio, ln_or, se, ci_lo, ci_hi)`. */
+  def oddsRatio(df: org.apache.spark.sql.DataFrame,
+      exposedCol: org.apache.spark.sql.Column,
+      outcomeCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.DetMath.lnPosInt
+    val agg = df.agg(
+      sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("a"),
+      sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("d"))
+    val lnor = lnPosInt(col("a") * col("d")) - lnPosInt(col("b") * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+      + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      ((col("a") * col("d")).cast("double") / (col("b") * col("c")))
+        .as("odds_ratio"),
+      lnor.as("ln_or"), se.as("se"),
+      (lnor - lit(1.96) * se).as("ci_lo"), (lnor + lit(1.96) * se).as("ci_hi"))
+  }
 }

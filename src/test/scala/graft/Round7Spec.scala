@@ -395,4 +395,47 @@ class Round7Spec extends SparkSpec {
     assert(twins.head === Seq((0, "all", 4L, 1.0), (1, "pos", 3L, 0.75),
       (2, "even", 2L, 0.5)))
   }
+
+  test("anovaF: hand-computed two-group contrast") {
+    import spark.implicits._
+    // group A = {1, 3} (mean 2), group B = {5, 7} (mean 6); grand mean 4
+    // SSB = 2*(2-4)^2 + 2*(6-4)^2 = 16 ; SSW = 2 + 2 = 4
+    // F = (16/1) / (4/2) = 8
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 5L), ("B", 7L)).toDF("g", "v")
+    val r = graft.operators.Stats.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("ssb") - 16.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ssw") - 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f") - 8.0) < 1e-9)
+  }
+
+  test("oddsRatio: hand-computed 2x2 table") {
+    import spark.implicits._
+    // a=20 b=10 c=5 d=10: OR = 200/50 = 4, lnOR = ln 4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(10)((false, false))
+    val df = rows.toDF("ex", "oc")
+    val r = graft.operators.Stats.oddsRatio(df, col("ex"), col("oc")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((20L, 10L, 5L, 10L)))
+    assert(r.getAs[Double]("odds_ratio") === 4.0)
+    assert(math.abs(r.getAs[Double]("ln_or") - math.log(4.0)) < 1e-9)
+    val se = math.sqrt(1.0 / 20 + 1.0 / 10 + 1.0 / 5 + 1.0 / 10)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-12)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ln_or"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("ln_or"))
+  }
+
+  test("truncationRecall: identical vectors in the kept prefix give full overlap") {
+    import spark.implicits._
+    // 4-dim vectors whose FIRST 2 dims fully determine the ranking
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.5f, 0.5f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+    val r = graft.similarity.Similarity
+      .truncationRecall(emb, q, "vec_id", "embedding", dims = 2, k = 2)
+      .collect().head
+    assert(r.getLong(1) === 2L && r.getDouble(2) === 1.0)
+  }
 }
