@@ -3746,6 +3746,54 @@ object SparkEntry {
           col("input_len"), col("target_len"),
           fround(col("corrupt_ratio"), 6).as("corrupt_ratio"))
         .orderBy("doc_id")
+    }),
+    // --- round 7: HITS hubs & authorities on the customer -> part
+    //     purchase bipartite graph (integer-exact 3-iteration L1 HITS;
+    //     top 15 per role) ---
+    "q_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val scored = graft.operators.Graph.hits(e, "cust", "part", iters = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("role").orderBy(col("score").desc, col("node").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 15)
+        .select(col("role"), col("node"), col("score"))
+        .orderBy("role", "rn")
+    }),
+    // --- round 7: adjusted Rand index — pair-counting agreement between
+    //     the k-means geometric assignment and the source labels
+    //     (exact doubled pair counts in DECIMAL(38,0); one division) ---
+    "q_rand_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val assign = graft.similarity.Similarity
+        .kmeansAssign(e, "vec_id", "embedding", "label")
+      val joined = e.select(col("vec_id"), col("label"))
+        .join(assign.select(col("vec_id"), col("assigned")), Seq("vec_id"))
+      graft.operators.Stats.adjustedRandIndex(joined, "label", "assigned")
+        .select(col("n"), col("index_pairs"), col("pairs_a"), col("pairs_b"),
+          fround(col("ari"), 6).as("ari"))
+    }),
+    // --- round 7: McNemar paired-classifier test — two rule classifiers
+    //     of the return flag; only the discordant cells carry signal ---
+    "q_mcnemar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val truth = col("l_returnflag") === "R"
+      graft.operators.Stats.mcnemar(li,
+          (col("l_quantity") > 25) === truth,
+          (col("l_extendedprice") > 30000) === truth)
+        .select(col("n_both"), col("only_a"), col("only_b"), col("n_neither"),
+          fround(col("chi2"), 6).as("chi2"))
+    }),
+    // --- round 7: Cochran-Armitage trend — does the return rate trend
+    //     across line numbers? (five exact integer sums -> one Z) ---
+    "q_cochran_armitage" -> ((s, dir) => {
+      graft.operators.Stats.cochranArmitage(t(s, dir, "lineitem"),
+          "l_linenumber", col("l_returnflag") === "R")
+        .select(col("n"), col("r"), col("t"),
+          fround(col("expected"), 4).as("expected"),
+          fround(col("var_t"), 4).as("var_t"),
+          fround(col("z"), 6).as("z"))
     })
   )
 
@@ -8282,6 +8330,111 @@ object SparkEntry {
         |  (n_tokens - n_spans * 3 + n_spans)::BIGINT AS input_len,
         |  (n_spans * 3 + n_spans)::BIGINT AS target_len,
         |  floor((n_spans * 3)::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6 AS corrupt_ratio
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_hits" ->
+      // integer-exact L1 HITS (see Graph.hits): exact HUGEINT sums and
+      // floor integral division only, 3 unrolled iterations — both
+      // engines reproduce the scores bit-for-bit
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+        |h0 AS (SELECT u AS node,
+        |    1000000000000 // (SELECT count(*) FROM (SELECT DISTINCT u FROM e)) AS s
+        |  FROM (SELECT DISTINCT u FROM e)),
+        |a1r AS (SELECT e.v AS node, sum(h.s)::HUGEINT AS s
+        |  FROM e JOIN h0 h ON e.u = h.node GROUP BY 1),
+        |a1 AS (SELECT node,
+        |    (s * 1000000000000 // (SELECT sum(s) FROM a1r))::BIGINT AS s FROM a1r),
+        |h1r AS (SELECT e.u AS node, sum(a.s)::HUGEINT AS s
+        |  FROM e JOIN a1 a ON e.v = a.node GROUP BY 1),
+        |h1 AS (SELECT node,
+        |    (s * 1000000000000 // (SELECT sum(s) FROM h1r))::BIGINT AS s FROM h1r),
+        |a2r AS (SELECT e.v AS node, sum(h.s)::HUGEINT AS s
+        |  FROM e JOIN h1 h ON e.u = h.node GROUP BY 1),
+        |a2 AS (SELECT node,
+        |    (s * 1000000000000 // (SELECT sum(s) FROM a2r))::BIGINT AS s FROM a2r),
+        |h2r AS (SELECT e.u AS node, sum(a.s)::HUGEINT AS s
+        |  FROM e JOIN a2 a ON e.v = a.node GROUP BY 1),
+        |h2 AS (SELECT node,
+        |    (s * 1000000000000 // (SELECT sum(s) FROM h2r))::BIGINT AS s FROM h2r),
+        |a3r AS (SELECT e.v AS node, sum(h.s)::HUGEINT AS s
+        |  FROM e JOIN h2 h ON e.u = h.node GROUP BY 1),
+        |a3 AS (SELECT node,
+        |    (s * 1000000000000 // (SELECT sum(s) FROM a3r))::BIGINT AS s FROM a3r),
+        |h3r AS (SELECT e.u AS node, sum(a.s)::HUGEINT AS s
+        |  FROM e JOIN a3 a ON e.v = a.node GROUP BY 1),
+        |h3 AS (SELECT node,
+        |    (s * 1000000000000 // (SELECT sum(s) FROM h3r))::BIGINT AS s FROM h3r),
+        |u AS (SELECT 'hub' AS role, node, s AS score FROM h3
+        |  UNION ALL SELECT 'authority', node, s FROM a3),
+        |r AS (SELECT role, node, score,
+        |    row_number() OVER (PARTITION BY role ORDER BY score DESC, node) AS rn
+        |  FROM u)
+        |SELECT role, node, score FROM r WHERE rn <= 15
+        |ORDER BY role, rn""".stripMargin,
+    "q_rand_index" ->
+      // contingency over (label, kmeans-assigned); doubled pair counts in
+      // HUGEINT mirror the engine's DECIMAL(38,0) — one final division
+      """WITH x AS (SELECT label, r['pos'] AS pos, r['x'] AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': embedding[i]})) AS r FROM embeddings)),
+        |comps AS (SELECT label, pos,
+        |    CAST(sum(CAST(x::DOUBLE AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cent FROM comps GROUP BY 1),
+        |dist AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(floor((e.embedding[i]::DOUBLE - c.cent[i])
+        |        * (e.embedding[i]::DOUBLE - c.cent[i]) * 1e9) AS BIGINT)))::BIGINT AS dq
+        |  FROM embeddings e CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, label, clabel AS assigned FROM (
+        |    SELECT vec_id, label, clabel, dq,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dq, clabel) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cell AS (SELECT label, assigned, count(*)::HUGEINT AS nij
+        |  FROM asg GROUP BY 1, 2),
+        |i2t AS (SELECT sum(nij * (nij - 1))::HUGEINT AS i2,
+        |    sum(nij)::HUGEINT AS n FROM cell),
+        |a2t AS (SELECT sum(na * (na - 1))::HUGEINT AS a2 FROM (
+        |    SELECT sum(nij)::HUGEINT AS na FROM cell GROUP BY label)),
+        |b2t AS (SELECT sum(nb * (nb - 1))::HUGEINT AS b2 FROM (
+        |    SELECT sum(nij)::HUGEINT AS nb FROM cell GROUP BY assigned))
+        |SELECT n::BIGINT AS n, (i2 // 2)::BIGINT AS index_pairs,
+        |  (a2 // 2)::BIGINT AS pairs_a, (b2 // 2)::BIGINT AS pairs_b,
+        |  floor((2 * (n * (n - 1)) * i2 - 2 * a2 * b2)::DOUBLE
+        |    / ((n * (n - 1)) * (a2 + b2) - 2 * a2 * b2)::DOUBLE
+        |    * 1e6 + 0.5) / 1e6 AS ari
+        |FROM i2t, a2t, b2t""".stripMargin,
+    "q_mcnemar" ->
+      """WITH x AS (SELECT
+        |    (l_quantity > 25) = (l_returnflag = 'R') AS ca,
+        |    (l_extendedprice > 30000) = (l_returnflag = 'R') AS cb
+        |  FROM lineitem),
+        |a AS (SELECT
+        |    sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |    sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT AS only_a,
+        |    sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)::BIGINT AS only_b,
+        |    sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT AS n_neither
+        |  FROM x)
+        |SELECT n_both, only_a, only_b, n_neither,
+        |  floor(((abs(only_a - only_b) - 1) * (abs(only_a - only_b) - 1))::DOUBLE
+        |    / (only_a + only_b) * 1e6 + 0.5) / 1e6 AS chi2
+        |FROM a""".stripMargin,
+    "q_cochran_armitage" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS r,
+        |    sum(l_linenumber::BIGINT
+        |      * CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS t,
+        |    sum(l_linenumber::BIGINT)::BIGINT AS sn,
+        |    sum(l_linenumber::BIGINT * l_linenumber::BIGINT)::BIGINT AS ssn
+        |  FROM lineitem WHERE l_linenumber IS NOT NULL)
+        |SELECT n, r, t,
+        |  floor(r::DOUBLE * sn / n * 1e4 + 0.5) / 1e4 AS expected,
+        |  floor((r::DOUBLE * (n - r) / (n - 1))
+        |    * ((n::DOUBLE * ssn - sn::DOUBLE * sn) / n / n) * 1e4 + 0.5) / 1e4 AS var_t,
+        |  floor((t - r::DOUBLE * sn / n)
+        |    / sqrt((r::DOUBLE * (n - r) / (n - 1))
+        |      * ((n::DOUBLE * ssn - sn::DOUBLE * sn) / n / n)) * 1e6 + 0.5) / 1e6 AS z
+        |FROM a""".stripMargin
   )
 }

@@ -651,4 +651,64 @@ object Graph {
     ranked.unpersist()
     out
   }
+
+  /** HITS (Kleinberg hubs & authorities) on a directed/bipartite edge list,
+    * integer-exact so the fixed-iteration scores reproduce bit-for-bit in
+    * any engine (the same contract as [[pageRank]]).
+    *
+    * Per iteration: `auth'(v) = Σ_{u→v} hub(u)` then L1-normalize to total
+    * `scale`, then `hub'(u) = Σ_{u→v} auth(v)` normalized likewise. Sums
+    * are exact BIGINT; each normalization is one `DECIMAL(38,0)` multiply
+    * followed by integral `div` (floor for the non-negative operands here),
+    * so no float enters the loop and addition order cannot matter. L1
+    * (not the textbook L2) keeps the arithmetic closed over integers; the
+    * ranking it induces is identical because normalization is a positive
+    * per-side constant.
+    *
+    * Scale shape: the O(E) edge frame is cached once, pre-partitioned on
+    * the side each aggregation groups by; per iteration the O(N) score
+    * frame broadcasts into it (scores are ≤ |nodes| rows — the same
+    * broadcast-threshold reasoning as [[pageRank]]'s scaladoc), the
+    * normalizer is a one-row aggregate, and lineage truncates per round.
+    * Nodes with no in-edges (resp. out-edges) hold authority (resp. hub)
+    * score 0, matching the algebra. */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1)
+    val e = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull)
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hubs = e.select(col("u")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHubs = hubs.count()
+    require(nHubs > 0, "empty graph")
+    // L1-normalize a (node, s) frame to total `scale`: exact decimal
+    // product, integral div (both engines floor non-negatives identically)
+    def normalized(scores: DataFrame): DataFrame = {
+      val total = scores.agg(sum(col("s")).cast("decimal(38,0)").as("t"))
+      scores.crossJoin(broadcast(total))
+        .select(col("node"),
+          expr(s"cast(cast(s as decimal(38,0)) * $scale as decimal(38,0)) div t")
+            .as("s"))
+        .transform(graft.core.Checkpoints.truncate)
+    }
+    var hub = hubs.select(col("u").as("node"), lit(scale / nHubs).as("s"))
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      auth = normalized(
+        e.join(broadcast(hub), e("u") === hub("node"))
+          .groupBy(col("v").as("node")).agg(sum(col("s")).as("s")))
+      hub = normalized(
+        e.join(broadcast(auth), e("v") === auth("node"))
+          .groupBy(col("u").as("node")).agg(sum(col("s")).as("s")))
+    }
+    val out = hub.select(lit("hub").as("role"), col("node"), col("s").as("score"))
+      .unionByName(auth.select(lit("authority").as("role"), col("node"),
+        col("s").as("score")))
+      .transform(graft.core.Checkpoints.truncate) // eager: safe to unpersist
+    e.unpersist(); hubs.unpersist()
+    out
+  }
 }

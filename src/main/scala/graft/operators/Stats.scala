@@ -291,4 +291,99 @@ object Stats {
       lnor.as("ln_or"), se.as("se"),
       (lnor - lit(1.96) * se).as("ci_lo"), (lnor + lit(1.96) * se).as("ci_hi"))
   }
+
+  /** Adjusted Rand index between two labelings of the same rows — the
+    * standard pair-counting agreement score for comparing a clustering
+    * against a reference partition (Hubert & Arabie 1985).
+    *
+    * Everything up to the final ratio is EXACT integer arithmetic on
+    * doubled pair counts (`Σ n(n−1)` has no ½ to round): with
+    * `I2 = Σ_ij n_ij(n_ij−1)`, `A2 = Σ_i a_i(a_i−1)`, `B2 = Σ_j b_j(b_j−1)`,
+    * `P2 = n(n−1)`,
+    * `ARI = (2·P2·I2 − 2·A2·B2) / (P2·(A2+B2) − 2·A2·B2)` — the ½ and
+    * expected-value divisions cancel. Products run in DECIMAL(38,0)
+    * (envelope: n ≲ 10⁹ keeps `A2·B2 < 10³⁸`), so both engines form the
+    * identical integers and the single final double division cannot
+    * disagree. Scale shape: one O(rows) contingency aggregation (cells ≤
+    * |A|·|B|), then three one-row frames crossed broadcast-style. */
+  def adjustedRandIndex(df: org.apache.spark.sql.DataFrame,
+      colA: String, colB: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairs2(c: org.apache.spark.sql.Column) =
+      sum((c.cast("decimal(38,0)") * (c - lit(1))).cast("decimal(38,0)"))
+    val base = cells.agg(pairs2(col("nij")).as("i2"), sum("nij").as("n"))
+    val aSide = cells.groupBy("__a").agg(sum("nij").as("na"))
+      .agg(pairs2(col("na")).as("a2"))
+    val bSide = cells.groupBy("__b").agg(sum("nij").as("nb"))
+      .agg(pairs2(col("nb")).as("b2"))
+    val out = base.crossJoin(broadcast(aSide)).crossJoin(broadcast(bSide))
+      .withColumn("p2", (col("n").cast("decimal(38,0)") * (col("n") - lit(1)))
+        .cast("decimal(38,0)"))
+      .select(col("n"),
+        (col("i2") / 2).cast("long").as("index_pairs"),
+        (col("a2") / 2).cast("long").as("pairs_a"),
+        (col("b2") / 2).cast("long").as("pairs_b"),
+        ((lit(2) * col("p2") * col("i2") - lit(2) * col("a2") * col("b2"))
+          .cast("double")
+          / (col("p2") * (col("a2") + col("b2")) - lit(2) * col("a2") * col("b2"))
+            .cast("double")).as("ari"))
+      .transform(graft.core.Checkpoints.truncate)
+    cells.unpersist()
+    out
+  }
+
+  /** McNemar's test for paired binary classifiers on the same rows: the
+    * only information is the discordant counts `b` (first right, second
+    * wrong) and `c` (first wrong, second right); the continuity-corrected
+    * statistic is `(|b−c|−1)² / (b+c)` — one integer-exact numerator and
+    * a single quantized division. One conditional aggregation, no
+    * shuffle beyond the one-row agg. */
+  def mcnemar(df: org.apache.spark.sql.DataFrame,
+      correctA: org.apache.spark.sql.Column,
+      correctB: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = df.agg(
+      sum(when(correctA && correctB, 1L).otherwise(0L)).as("n_both"),
+      sum(when(correctA && !correctB, 1L).otherwise(0L)).as("only_a"),
+      sum(when(!correctA && correctB, 1L).otherwise(0L)).as("only_b"),
+      sum(when(!correctA && !correctB, 1L).otherwise(0L)).as("n_neither"))
+    val num = (abs(col("only_a") - col("only_b")) - lit(1))
+    agg.select(col("n_both"), col("only_a"), col("only_b"), col("n_neither"),
+      ((num * num).cast("double") / (col("only_a") + col("only_b")))
+        .as("chi2"))
+  }
+
+  /** Cochran–Armitage trend test: does a binary outcome rate trend
+    * monotonically across ordered integer scores? With per-level counts
+    * `(n_i, r_i)` at score `s_i`, totals `N, R`:
+    * `T = Σ s_i·r_i`, `E[T] = R·Σ s_i n_i / N`,
+    * `Var = R(N−R)/(N−1) · (N·Σ s_i² n_i − (Σ s_i n_i)²) / N²` — the
+    * statistic `Z = (T − E)/√Var`. All five sums are exact integer
+    * aggregates; E, Var and Z are formed in ONE pinned association each
+    * and quantized, so engines agree. One keyed aggregation over the
+    * score levels (bounded frame), then driver-free scalar math. */
+  def cochranArmitage(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String,
+      outcomeCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = col(scoreCol).cast("long")
+    val r = when(outcomeCol, 1L).otherwise(0L)
+    val agg = df.filter(s.isNotNull).agg(
+      count(lit(1)).as("n"), sum(r).as("rr"),
+      sum(s * r).as("t"), sum(s).as("sn"), sum(s * s).as("ssn"))
+    // E and Var in pinned associations (each written once, no rebalance):
+    // Var(T) = R(N−R)/(N−1) · (N·Σs²n − (Σsn)²) / N²  (hypergeometric H0)
+    val e = col("rr").cast("double") * col("sn") / col("n")
+    val varT = (col("rr").cast("double") * (col("n") - col("rr"))
+      / (col("n") - lit(1)))
+      .*((col("n").cast("double") * col("ssn") - col("sn").cast("double") * col("sn"))
+        / col("n") / col("n"))
+    agg.select(col("n"), col("rr").as("r"), col("t"),
+      e.as("expected"), varT.as("var_t"),
+      ((col("t") - e) / sqrt(varT)).as("z"))
+  }
 }

@@ -425,6 +425,77 @@ class Round7Spec extends SparkSpec {
     assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("ln_or"))
   }
 
+  test("hits: hand-computed integer-exact one-iteration scores") {
+    import spark.implicits._
+    // hubs {1,2}, authorities {10,11}: 1->10, 1->11, 2->10
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "v")
+    val r = graft.operators.Graph.hits(e, "u", "v", iters = 1)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // h0 = 5e11 each; a'(10)=1e12, a'(11)=5e11, total 1.5e12 ->
+    // a = (2/3, 1/3)·1e12 floored; h'(1)=a10+a11, h'(2)=a10 ->
+    // h = (0.6, 0.4)·1e12 exactly (the divisions land on exact multiples)
+    assert(r(("authority", 10L)) === 666666666666L)
+    assert(r(("authority", 11L)) === 333333333333L)
+    assert(r(("hub", 1L)) === 600000000000L)
+    assert(r(("hub", 2L)) === 400000000000L)
+  }
+
+  test("hits: multi-iteration scores stay L1-normalized and rank-stable") {
+    import spark.implicits._
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L)).toDF("u", "v")
+    val rows = graft.operators.Graph.hits(e, "u", "v", iters = 3).collect()
+    val byRole = rows.groupBy(_.getString(0))
+    // floor-division drops at most 1 unit per node from the 1e12 L1 total
+    byRole.foreach { case (_, rs) =>
+      val tot = rs.map(_.getLong(2)).sum
+      assert(tot <= 1000000000000L && tot > 1000000000000L - rs.length)
+    }
+    val a = rows.filter(_.getString(0) == "authority")
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    // node 10 has two in-edges from the strongest hubs: top authority
+    assert(a(10L) > a(11L) && a(10L) > a(12L))
+  }
+
+  test("adjustedRandIndex: hand-computed contingency and perfect agreement") {
+    import spark.implicits._
+    // A = [1,1,1,2,2,2], B = [1,1,2,2,2,2]: nij = {2,1,3} ->
+    // index=4, pairs_a=6, pairs_b=7, ARI = 144/444
+    val df = Seq((1, 1), (1, 1), (1, 2), (2, 2), (2, 2), (2, 2)).toDF("a", "b")
+    val r = graft.operators.Stats.adjustedRandIndex(df, "a", "b").collect().head
+    assert(r.getLong(0) === 6L)
+    assert(r.getAs[Long]("index_pairs") === 4L)
+    assert(r.getAs[Long]("pairs_a") === 6L)
+    assert(r.getAs[Long]("pairs_b") === 7L)
+    assert(math.abs(r.getAs[Double]("ari") - 144.0 / 444.0) < 1e-12)
+    val same = Seq((1, 1), (1, 1), (2, 2), (3, 3)).toDF("a", "b")
+    val p = graft.operators.Stats.adjustedRandIndex(same, "a", "b").collect().head
+    assert(p.getAs[Double]("ari") === 1.0)
+  }
+
+  test("mcnemar: continuity-corrected statistic from the discordant cells") {
+    import spark.implicits._
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("ca", "cb")
+    val r = graft.operators.Stats.mcnemar(df, col("ca"), col("cb")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((5L, 6L, 2L, 3L)))
+    assert(r.getAs[Double]("chi2") === 9.0 / 8.0) // (|6-2|-1)^2 / 8
+  }
+
+  test("cochranArmitage: 2-level trend matches the hand formula") {
+    import spark.implicits._
+    // s=0: 10 rows, 2 positive; s=1: 10 rows, 8 positive
+    val rows = Seq.fill(2)((0, true)) ++ Seq.fill(8)((0, false)) ++
+      Seq.fill(8)((1, true)) ++ Seq.fill(2)((1, false))
+    val df = rows.toDF("s", "y")
+    val r = graft.operators.Stats.cochranArmitage(df, "s", col("y")).collect().head
+    assert(r.getLong(0) === 20L && r.getLong(1) === 10L && r.getLong(2) === 8L)
+    assert(r.getAs[Double]("expected") === 5.0)
+    // Var = (10·10/19) · (20·10 − 100)/400 = 25/19
+    assert(math.abs(r.getAs[Double]("var_t") - 25.0 / 19.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 3.0 / math.sqrt(25.0 / 19.0)) < 1e-12)
+  }
+
   test("truncationRecall: identical vectors in the kept prefix give full overlap") {
     import spark.implicits._
     // 4-dim vectors whose FIRST 2 dims fully determine the ranking
