@@ -3794,6 +3794,32 @@ object SparkEntry {
           fround(col("expected"), 4).as("expected"),
           fround(col("var_t"), 4).as("var_t"),
           fround(col("z"), 6).as("z"))
+    }),
+    // --- round 7: rendezvous-hash shard routing audit — HRW assignment
+    //     of every doc to 8 shards (row-local md5 argmax, no shuffle)
+    //     and the balance report a shard-map change is judged by ---
+    "q_shard_route" -> ((s, dir) => {
+      graft.operators.Routing.shardBalanceReport(
+          t(s, dir, "documents"), "doc_id", length(col("text")), nShards = 8)
+        .select(col("shard"), col("n_docs"), col("total_bytes"),
+          fround(col("load_ratio"), 6).as("load_ratio"))
+        .orderBy("shard")
+    }),
+    // --- round 7: encoding-artifact (mojibake) audit — deterministic
+    //     double-encoding injection on doc_id % 37, detector must flag
+    //     exactly the corrupted docs, reported per source ---
+    "q_mojibake" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("t2", when(col("doc_id") % 37 === 0,
+          expr("replace(text, 'a', 'Ã¡')")).otherwise(col("text")))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(graft.text.TextAnalysis.mojibakeFlag(col("t2")), 1L)
+            .otherwise(0L)).as("n_flagged"))
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          fround(col("n_flagged").cast("double") / col("n_docs"), 6)
+            .as("flag_ratio"))
+        .orderBy("source")
     })
   )
 
@@ -8435,6 +8461,33 @@ object SparkEntry {
         |  floor((t - r::DOUBLE * sn / n)
         |    / sqrt((r::DOUBLE * (n - r) / (n - 1))
         |      * ((n::DOUBLE * ssn - sn::DOUBLE * sn) / n / n)) * 1e6 + 0.5) / 1e6 AS z
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "q_shard_route" ->
+      // independent HRW rebuild: same md5-15-hex weights, argmax via
+      // row_number (weight DESC, shard ASC — the pinned tie-break)
+      """WITH c AS (SELECT d.doc_id, length(d.text)::BIGINT AS b, k.k,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || k.k::VARCHAR),
+        |      1, 15))::BIGINT AS w
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k),
+        |r AS (SELECT doc_id, b, k,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, k) AS rn
+        |  FROM c),
+        |a AS (SELECT k AS shard, count(*)::BIGINT AS n_docs,
+        |    sum(b)::BIGINT AS total_bytes FROM r WHERE rn = 1 GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS tot FROM a)
+        |SELECT shard, n_docs, total_bytes,
+        |  floor(n_docs::DOUBLE * 8 / tot * 1e6 + 0.5) / 1e6 AS load_ratio
+        |FROM a, t ORDER BY shard""".stripMargin,
+    "q_mojibake" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN doc_id % 37 = 0 THEN replace(text, 'a', 'Ã¡')
+        |         ELSE text END AS t2
+        |  FROM documents),
+        |f AS (SELECT source, CASE WHEN regexp_matches(t2,
+        |    'Ã[©¡¨³±]|â€|ï¿½|\x{FFFD}|[\x00-\x08\x0B\x0C\x0E-\x1F]')
+        |    THEN 1 ELSE 0 END AS fl FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(fl)::BIGINT AS n_flagged,
+        |  floor(sum(fl)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS flag_ratio
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -251,6 +251,16 @@ object TextAnalysis {
     least(greatest(raw, lit(0.0)), lit(1.0))
   }
 
+  /** Encoding-artifact (mojibake) flag: true when the text carries the
+    * classic double-encoded UTF-8 signatures (`Ã` followed by a Latin-1
+    * accent tail, `â€` from re-decoded smart punctuation, `ï¿½` — U+FFFD's
+    * own bytes re-decoded), a literal replacement character, or raw C0
+    * control bytes other than tab/newline/CR. One row-local RE2-safe
+    * regex — the cheap first gate a crawl corpus runs before any model
+    * sees the bytes. */
+  def mojibakeFlag(text: Column): Column =
+    text.rlike("\u00c3[\u00a9\u00a1\u00a8\u00b3\u00b1]|\u00e2\u20ac|\u00ef\u00bf\u00bd|\uFFFD|[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+
   /** Heuristic syllable count: per word, the number of vowel-letter runs
     * (`[aeiouy]+` on the lowercased word), floored at 1 so vowel-less
     * tokens (digits, CJK, punctuation runs) still count one — the standard

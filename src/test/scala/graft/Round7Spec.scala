@@ -496,6 +496,38 @@ class Round7Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - 3.0 / math.sqrt(25.0 / 19.0)) < 1e-12)
   }
 
+  test("rendezvousAssign: adding a shard only moves keys TO the new shard") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    val s8 = graft.operators.Routing.rendezvousAssign(ids, "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s9 = graft.operators.Routing.rendezvousAssign(ids, "id", 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // HRW: existing shards' weights are unchanged, so a key either keeps
+    // its shard or moves to the NEW shard 8 — never between old shards
+    s8.foreach { case (id, old) =>
+      assert(s9(id) == old || s9(id) == 8L, s"key $id moved $old -> ${s9(id)}")
+    }
+    val moved = s8.count { case (id, old) => s9(id) != old }
+    // expected moves = 500/9 ≈ 56; allow wide but meaningful bounds
+    assert(moved > 20 && moved < 120, s"moved=$moved")
+  }
+
+  test("mojibakeFlag: flags each artifact family, passes clean text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "totally clean ascii text"),
+      (2L, "double encoded cafÃ©"),          // Ã©
+      (3L, "smart quote gone â€œwrong"), // â€
+      (4L, "replacement � char"),
+      (5L, "control\u0001byte"),
+      (6L, "tabs\tand\nnewlines are fine")
+    ).toDF("id", "text")
+    val flagged = df.filter(graft.text.TextAnalysis.mojibakeFlag(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(2L, 3L, 4L, 5L))
+  }
+
   test("truncationRecall: identical vectors in the kept prefix give full overlap") {
     import spark.implicits._
     // 4-dim vectors whose FIRST 2 dims fully determine the ranking
