@@ -3330,29 +3330,16 @@ object SparkEntry {
         round(avg(col("b")), 6).as("avg_burstiness"),
         sum(when(col("b") > 0, 1L).otherwise(0L)).as("n_bursty"))
     }),
-    // --- round 6: Heaps'-law vocabulary growth — new-token rate per
-    //     arrival batch + the log-log growth exponent (corpus health:
-    //     a collapsing exponent means the crawl stopped finding novelty) ---
-    "q_heaps" -> ((s, dir) => {
-      import graft.text.TextAnalysis._
-      val d = t(s, dir, "documents")
-        .select(expr("doc_id div 100").as("b"), explode(tokens(col("text"))).as("tok"))
-      val firstB = d.groupBy("tok").agg(min(col("b")).as("fb"))
-        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_tokens"))
-      val tot = d.groupBy("b").agg(count(lit(1)).as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("b")
-      val curve = tot.join(firstB, Seq("b"), "left")
-        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .withColumn("cum_distinct", sum(col("new_tokens")).over(w))
-      val slope = curve.agg(
-        round(expr("regr_slope(ln(cast(cum_distinct as double)), ln(cast(cum_tokens as double)))"), 6)
-          .as("heaps_beta"))
-      curve.crossJoin(broadcast(slope))
-        .select(col("b"), col("n_tokens"), col("new_tokens"),
-          col("cum_tokens"), col("cum_distinct"), col("heaps_beta"))
-        .orderBy("b")
-    }),
+    // --- round 6 (re-contracted round 8): Heaps'-law vocabulary growth —
+    //     new-token rate per arrival batch + the log-log growth exponent.
+    //     The r06→r07 green→red flip proved regr_slope(ln(double)) is
+    //     merge-order-unstable; heapsLaw is deterministic by construction
+    //     (DetMath.lnPosInt + exact decimal regression moments + a
+    //     distributed prefix scan instead of a single-partition window) ---
+    "q_heaps" -> ((s, dir) =>
+      graft.text.TextAnalysis.heapsLaw(
+          t(s, dir, "documents"), "doc_id", "text", batchSize = 100)
+        .orderBy("b")),
     // --- round 6: Lorenz deciles of customer spend (value-threshold
     //     buckets from distributed exact percentiles — no global ntile,
     //     so no single-reducer rank at scale) ---
@@ -7987,20 +7974,35 @@ object SparkEntry {
         |  sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bursty
         |FROM b""".stripMargin,
     "q_heaps" ->
-      """WITH d AS (SELECT doc_id // 100 AS b,
-        |    unnest(regexp_extract_all(trim(text), '\S+')) AS tok FROM documents),
+      // mirrors heapsLaw's deterministic algebra exactly: DetMath ln over
+      // the exact cumulative BIGINTs, micro-nat floor-quantization, exact
+      // HUGEINT regression moments, ONE double division, floor-round
+      s"""WITH d AS (SELECT doc_id // 100 AS b,
+        |    unnest(regexp_extract_all(trim(text), '\\S+')) AS tok FROM documents),
         |fb AS (SELECT fb AS b, count(*) AS new_tokens FROM (
         |    SELECT tok, min(b) AS fb FROM d GROUP BY 1) GROUP BY 1),
         |tot AS (SELECT b, count(*) AS n_tokens FROM d GROUP BY 1),
-        |c AS (SELECT tot.b, tot.n_tokens, coalesce(fb.new_tokens, 0) AS new_tokens,
-        |    sum(tot.n_tokens) OVER (ORDER BY tot.b) AS cum_tokens,
-        |    sum(coalesce(fb.new_tokens, 0)) OVER (ORDER BY tot.b) AS cum_distinct
+        |c AS MATERIALIZED (SELECT tot.b, tot.n_tokens,
+        |    coalesce(fb.new_tokens, 0) AS new_tokens,
+        |    sum(tot.n_tokens) OVER (ORDER BY tot.b)::BIGINT AS cum_tokens,
+        |    sum(coalesce(fb.new_tokens, 0)) OVER (ORDER BY tot.b)::BIGINT AS cum_distinct
         |  FROM tot LEFT JOIN fb ON tot.b = fb.b),
-        |sl AS (SELECT round(regr_slope(ln(cum_distinct::DOUBLE),
-        |    ln(cum_tokens::DOUBLE)), 6) AS heaps_beta FROM c)
+        |vals AS (SELECT cum_tokens AS nval FROM c UNION SELECT cum_distinct FROM c),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |q AS (SELECT floor(lx.lnv * 1e6 + 0.5)::BIGINT AS lx,
+        |    floor(ly.lnv * 1e6 + 0.5)::BIGINT AS ly
+        |  FROM c JOIN lnv lx ON lx.nval = c.cum_tokens
+        |  JOIN lnv ly ON ly.nval = c.cum_distinct),
+        |m AS (SELECT count(*)::HUGEINT AS n, sum(lx)::HUGEINT AS sx,
+        |    sum(ly)::HUGEINT AS sy, sum(lx::HUGEINT * lx::HUGEINT) AS sxx,
+        |    sum(lx::HUGEINT * ly::HUGEINT) AS sxy FROM q),
+        |sl AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE floor((n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE * 1e6 + 0.5) / 1e6 END AS heaps_beta
+        |  FROM m)
         |SELECT c.b, c.n_tokens::BIGINT AS n_tokens,
-        |  c.new_tokens::BIGINT AS new_tokens, c.cum_tokens::BIGINT AS cum_tokens,
-        |  c.cum_distinct::BIGINT AS cum_distinct, sl.heaps_beta
+        |  c.new_tokens::BIGINT AS new_tokens, c.cum_tokens AS cum_tokens,
+        |  c.cum_distinct AS cum_distinct, sl.heaps_beta
         |FROM c CROSS JOIN sl ORDER BY c.b""".stripMargin,
     "q_lorenz" ->
       """WITH sp AS (SELECT o_custkey,

@@ -530,7 +530,14 @@ object Graph {
     * broadcast oriented adjacency — the same O(Σ outdeg·log) shape that
     * took [[triangleStats]] from 12.8 s to sub-second; no wedge join is
     * ever materialized). Input must be canonical `a < b` distinct edges
-    * with long ids. */
+    * with long ids.
+    *
+    * `broadcastAdjacency = false` drops the broadcast HINT (it does not
+    * forbid broadcasting): the adjacency side becomes an ordinary keyed
+    * join input, so Spark shuffle-joins it when its post-shuffle stats
+    * exceed the auto-broadcast threshold — two keyed exchanges instead of
+    * an executor OOM on a graph whose O(E) adjacency outgrows memory —
+    * while AQE still upgrades to broadcast when it genuinely fits. */
   private def triangleCorners(canon: DataFrame,
       broadcastAdjacency: Boolean = true,
       rankedOpt: Option[DataFrame] = None): DataFrame = {
@@ -562,8 +569,9 @@ object Graph {
   /** The three canonical undirected edges of each triangle from
     * [[triangleCorners]], as `(a, b)` rows with `a < b`. */
   private def triangleEdgeIncidence(canon: DataFrame,
-      rankedOpt: Option[DataFrame] = None): DataFrame =
-    triangleCorners(canon, rankedOpt = rankedOpt)
+      rankedOpt: Option[DataFrame] = None,
+      broadcastAdjacency: Boolean = true): DataFrame =
+    triangleCorners(canon, broadcastAdjacency, rankedOpt)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
         struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
@@ -580,13 +588,16 @@ object Graph {
     * division. Returns the top-`k` rows `(node, degree, n_triangles,
     * clustering_coeff)` among nodes with `degree >= minDegree`, ordered
     * by (cc desc, node asc) — cc is one pinned division of exact integers,
-    * so the ordering replays identically in any engine. */
+    * so the ordering replays identically in any engine.
+    * `broadcastAdjacency = false` takes the shuffle-join adjacency path of
+    * [[triangleCorners]] for graphs whose adjacency outgrows memory. */
   def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
-      minDegree: Int = 2, k: Int = 20): DataFrame = {
+      minDegree: Int = 2, k: Int = 20,
+      broadcastAdjacency: Boolean = true): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
-    val perNode = triangleCorners(e)
+    val perNode = triangleCorners(e, broadcastAdjacency)
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     deg.filter(col("degree") >= minDegree)
@@ -609,9 +620,11 @@ object Graph {
     * peeling depth (small on co-occurrence graphs — near-clique overlap
     * collapses in 1–3 sweeps). Lineage truncates per round; monotone edge
     * count gives the convergence test (edges only ever leave). Returns the
-    * surviving `(a, b, support)` edges. */
+    * surviving `(a, b, support)` edges.
+    * `broadcastAdjacency = false` takes the shuffle-join adjacency path of
+    * [[triangleCorners]] in every peeling round. */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, broadcastAdjacency: Boolean = true): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -628,7 +641,7 @@ object Graph {
     var iter = 0
     var converged = nEdges == 0L
     while (iter < maxIter && !converged) {
-      val support = triangleEdgeIncidence(e, Some(ranked))
+      val support = triangleEdgeIncidence(e, Some(ranked), broadcastAdjacency)
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
       val next = e.join(support, Seq("a", "b"))
         .filter(col("support") >= k - 2)
@@ -645,7 +658,7 @@ object Graph {
       else
         // one final support pass on the converged edge set, materialized
         // so the rank cache can be released before returning
-        triangleEdgeIncidence(e, Some(ranked))
+        triangleEdgeIncidence(e, Some(ranked), broadcastAdjacency)
           .groupBy("a", "b").agg(count(lit(1)).as("support"))
           .transform(graft.core.Checkpoints.truncate)
     ranked.unpersist()
@@ -671,9 +684,17 @@ object Graph {
     * broadcast-threshold reasoning as [[pageRank]]'s scaladoc), the
     * normalizer is a one-row aggregate, and lineage truncates per round.
     * Nodes with no in-edges (resp. out-edges) hold authority (resp. hub)
-    * score 0, matching the algebra. */
+    * score 0, matching the algebra.
+    *
+    * `broadcastScores = false` is the beyond-the-threshold fallback (the
+    * [[pageRank]] Pregel-twin discipline): the per-iteration score joins
+    * drop the broadcast hint and become ordinary keyed joins — the O(N)
+    * score frame shuffles on its node key instead of materializing on
+    * every executor, so a graph whose score frame outgrows the broadcast
+    * limit degrades to two exchanges per iteration instead of dying. */
   def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastScores: Boolean = true): DataFrame = {
     require(iters >= 1)
     val e = edges
       .filter(col(src).isNotNull && col(dst).isNotNull)
@@ -694,14 +715,15 @@ object Graph {
             .as("s"))
         .transform(graft.core.Checkpoints.truncate)
     }
+    val maybeBc = (d: DataFrame) => if (broadcastScores) broadcast(d) else d
     var hub = hubs.select(col("u").as("node"), lit(scale / nHubs).as("s"))
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
       auth = normalized(
-        e.join(broadcast(hub), e("u") === hub("node"))
+        e.join(maybeBc(hub), e("u") === hub("node"))
           .groupBy(col("v").as("node")).agg(sum(col("s")).as("s")))
       hub = normalized(
-        e.join(broadcast(auth), e("v") === auth("node"))
+        e.join(maybeBc(auth), e("v") === auth("node"))
           .groupBy(col("u").as("node")).agg(sum(col("s")).as("s")))
     }
     val out = hub.select(lit("hub").as("role"), col("node"), col("s").as("score"))

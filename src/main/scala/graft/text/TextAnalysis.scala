@@ -861,4 +861,59 @@ object TextAnalysis {
       .withColumn("corrupt_ratio",
         col("n_corrupted").cast("double") / col("n_tokens"))
   }
+
+  /** Heaps'-law vocabulary-growth curve + log-log growth exponent
+    * (corpus health: a collapsing exponent means the crawl stopped
+    * finding novelty). Docs are grouped into arrival batches of
+    * `batchSize` ids; per batch the curve reports new-token count,
+    * total tokens, and the cumulative totals; every row also carries
+    * the fitted OLS slope `heaps_beta` of
+    * `ln(cum_distinct) ~ ln(cum_tokens)`.
+    *
+    * DETERMINISTIC BY CONSTRUCTION (the recipe that fixed the r07
+    * covariance family — no order-ambiguous float sums anywhere):
+    * the cumulative counts are exact longs from a two-sweep
+    * distributed prefix scan ([[graft.operators.Prefix.cumSumLongs]] —
+    * no single-partition window on the batch axis), their logs come
+    * from [[graft.functions.DetMath.lnPosInt]] (bit-identical across
+    * engines) floor-quantized to micro-nat longs, and the regression
+    * moments `n·Σxy − Σx·Σy / n·Σx² − (Σx)²` are EXACT decimal(38,0)
+    * sums of those longs — the only doubles are the final two exactly-
+    * derived operands of one IEEE division, then a deterministic
+    * floor-round. Merge order cannot change a single output bit.
+    * Scale shape: one token shuffle for first-batch attribution, one
+    * for batch totals; everything after runs on the batch axis.
+    * Contract: `heaps_beta` is null when fewer than two distinct
+    * quantized points exist (zero denominator). */
+  def heapsLaw(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, batchSize: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import graft.functions.DetMath
+    val d = df.select(expr(s"$idCol div $batchSize").as("b"),
+      explode(tokens(col(textCol))).as("tok"))
+    val firstB = d.groupBy("tok").agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_tokens"))
+    val tot = d.groupBy("b").agg(count(lit(1)).as("n_tokens"))
+    val base = tot.join(firstB, Seq("b"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+    val curve = graft.operators.Prefix.cumSumLongs(base, "b",
+      Seq("n_tokens", "new_tokens"), Seq("cum_tokens", "cum_distinct"))
+    val micro = (c: Column) => // micro-nat quantization of the det ln
+      floor(DetMath.lnPosInt(c) * lit(1e6) + lit(0.5)).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = curve.select(micro(col("cum_tokens")).as("lx"),
+      micro(col("cum_distinct")).as("ly"))
+    val sums = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("lx"))).as("sx"), sum(dec(col("ly"))).as("sy"),
+      sum(dec(col("lx")) * dec(col("lx"))).as("sxx"),
+      sum(dec(col("lx")) * dec(col("ly"))).as("sxy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val slope = sums.select(when(den === 0.0, lit(null).cast("double"))
+      .otherwise(floor(num / den * lit(1e6) + lit(0.5)) / lit(1e6))
+      .as("heaps_beta"))
+    curve.crossJoin(broadcast(slope))
+      .select(col("b"), col("n_tokens"), col("new_tokens"),
+        col("cum_tokens"), col("cum_distinct"), col("heaps_beta"))
+  }
 }
