@@ -60,7 +60,13 @@ object ScaleLadder {
     // round-7 slate: Theil-Sen (pairs bounded by the DAY axis, so 10x rows
     // should be ~flat past the upstream agg), the peeled 4-truss, and the
     // year-scoped Adamic-Adar
-    "q_theil_sen", "q_ktruss", "q_link_prediction")
+    "q_theil_sen", "q_ktruss", "q_link_prediction",
+    // round-8 additions (VERDICT r07 item 4 + new slate): HITS (the #2
+    // bench query) and the local clustering coefficient, previously
+    // unmeasured at sf1; modularity / Kruskal-Wallis / chi2 terms /
+    // sharded LSH dedup from the round-8 operator slate
+    "q_hits", "q_clustering_coeff", "q_modularity", "q_kruskal_wallis",
+    "q_chi2_terms", "q_dedup_sharded")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory

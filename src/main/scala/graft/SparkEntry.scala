@@ -271,6 +271,14 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("ida", "idb")
     }),
+    "q_dedup_sharded" -> ((s, dir) => {
+      // Shard-routed LSH dedup (rendezvous on the band key): set-equal to
+      // q_dedup_minhash by construction — same params, same oracle.
+      graft.dedup.Dedup.minHashLshPairsSharded(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 64, threshold = 0.5, nShards = 16)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("ida", "idb")
+    }),
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       graft.dedup.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 1, threshold = 0.9, blockCols = Seq("lang"))
@@ -3577,6 +3585,30 @@ object SparkEntry {
           fround(col("ln_or"), 6).as("ln_or"), fround(col("se"), 6).as("se"),
           fround(col("ci_lo"), 6).as("ci_lo"), fround(col("ci_hi"), 6).as("ci_hi"))
     }),
+    // --- round 8: modularity of the brand partition on the co-purchase
+    //     graph — integer-exact numerator, one final division ---
+    "q_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val und = graft.operators.Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val labels = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      graft.operators.Graph.modularity(und, "a", "b", labels, "p_partkey", "p_brand")
+        .select(col("n_edges"), col("n_communities"),
+          fround(col("modularity"), 6).as("modularity"))
+    }),
+    // --- round 8: Kruskal-Wallis rank ANOVA of event value across event
+    //     types — the k-group heavy-tail-safe complement of q_anova ---
+    "q_kruskal_wallis" -> ((s, dir) => {
+      graft.operators.Profiler.kruskalWallis(t(s, dir, "events"), "value", "event_type")
+        .select(col("k"), col("n"), fround(col("h"), 6).as("h"),
+          fround(col("h_tie"), 6).as("h_tie"))
+    }),
+    // --- round 8: χ² term-class feature selection over documents (term vs
+    //     lang, document frequencies, top-5 per lang) ---
+    "q_chi2_terms" -> ((s, dir) => {
+      graft.text.TextAnalysis.chiSquareTerms(t(s, dir, "documents"),
+          "doc_id", "text", "lang", topK = 5)
+        .orderBy("class", "term")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -3922,12 +3954,31 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Exact-Jaccard pair oracle shared by `q_dedup_minhash` and
+    * `q_dedup_sharded`: at 128 hashes / 64 bands the LSH recall on the
+    * fixture is 1.0 and the verify step removes every false positive, so
+    * both engine paths emit exactly the ≥0.5-Jaccard pair set. */
+  private lazy val minhashPairsSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cnt AS (SELECT doc_id, len(s) AS c FROM sh),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida, idb, round(CAST(m AS DOUBLE) / (ca.c + cb.c - m), 6) AS jaccard
+      |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+      |WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.5 ORDER BY ida, idb""".stripMargin
+
   /** Unrolled k-truss oracle (k = 4): the co-purchase edge list peeled by
-    * triangle support for `rounds` sweeps. The fixpoint is idempotent, so
-    * unrolling MORE rounds than the fixture needs is harmless — 10 covers
-    * the measured depth (3 at sf0.01, 8 at sf0.1) with margin. */
+    * triangle support for `rounds` sweeps. `rounds` = the engine's
+    * `maxIter` (20), making the oracle structurally identical to the Spark
+    * loop EVEN IF a fixture ever exceeds the convergence depth (measured:
+    * 3 at sf0.01, 8 at sf0.1): both sides then report the support of the
+    * same 20-times-peeled edge set. Idempotent extra rounds are cheap —
+    * each re-peels an already-converged (small) edge set. */
   private lazy val ktrussSql: String = {
-    val rounds = 10
+    val rounds = 20 // keep equal to kTruss maxIter in q_ktruss
     def roundSql(r: Int): String =
       s"""t$r AS MATERIALIZED (SELECT wed.a, wed.b, wed.c FROM
          |    (SELECT x.a, x.b AS b, y.b AS c FROM e$r x JOIN e$r y
@@ -4405,17 +4456,11 @@ object SparkEntry {
         |  FROM bits GROUP BY x, y)
         |SELECT (z >> 12) AS zbucket, count(*) AS n_pairs, min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
-    "q_dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS c FROM sh),
-        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT ida, idb, round(CAST(m AS DOUBLE) / (ca.c + cb.c - m), 6) AS jaccard
-        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-        |WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.5 ORDER BY ida, idb""".stripMargin,
+    "q_dedup_minhash" -> minhashPairsSql,
+    // identical contract: the sharded path is set-equal to the global one
+    // (equal band keys co-shard under rendezvous routing), so the exact-
+    // Jaccard oracle is shared verbatim
+    "q_dedup_sharded" -> minhashPairsSql,
     "q_dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
@@ -8171,6 +8216,78 @@ object SparkEntry {
         |  floor((ssbq::DOUBLE / 1e6 / (k - 1))
         |    / (sswq::DOUBLE / 1e6 / (n - k)) * 1e6 + 0.5) / 1e6 AS f
         |FROM q""".stripMargin,
+    "q_modularity" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS (SELECT DISTINCT a.i AS a, b.i AS b
+        |  FROM base a JOIN base b ON a.k = b.k AND a.i < b.i),
+        |lab AS (SELECT p_partkey AS n, p_brand AS c FROM part),
+        |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS m FROM e),
+        |intra AS (SELECT la.c, count(*)::BIGINT AS mc
+        |  FROM e JOIN lab la ON e.a = la.n JOIN lab lb ON e.b = lb.n
+        |  WHERE la.c = lb.c GROUP BY 1),
+        |degc AS (SELECT lab.c, sum(deg.d)::BIGINT AS dc
+        |  FROM deg JOIN lab ON deg.node = lab.n GROUP BY 1),
+        |per AS (SELECT degc.c, coalesce(intra.mc, 0)::BIGINT AS mc, degc.dc
+        |  FROM degc LEFT JOIN intra ON degc.c = intra.c),
+        |agg AS (SELECT count(*)::BIGINT AS k, sum(mc)::BIGINT AS sm,
+        |    sum(dc * dc)::BIGINT AS sd2 FROM per)
+        |SELECT m.m AS n_edges, agg.k AS n_communities,
+        |  floor((4 * m.m * agg.sm - agg.sd2)::DOUBLE
+        |    / (4.0 * m.m::DOUBLE * m.m::DOUBLE) * 1e6 + 0.5) / 1e6 AS modularity
+        |FROM m CROSS JOIN agg""".stripMargin,
+    "q_kruskal_wallis" ->
+      // replays the engine algebra: doubled tie-average ranks (exact
+      // integers), per-group doubled rank sums, micro-quantized R²/n terms
+      """WITH pv AS (SELECT value AS v, event_type AS g, count(*)::BIGINT AS c
+        |    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    GROUP BY 1, 2),
+        |pt AS (SELECT v, sum(c)::BIGINT AS t FROM pv GROUP BY 1),
+        |rk AS (SELECT v, t,
+        |    (2 * (sum(t) OVER (ORDER BY v) - t) + t + 1)::BIGINT AS s2 FROM pt),
+        |pg AS (SELECT g, sum(c)::BIGINT AS n_i,
+        |    sum(c * rk.s2)::BIGINT AS s2_i
+        |  FROM pv JOIN rk ON pv.v = rk.v GROUP BY 1),
+        |nn AS (SELECT sum(t)::BIGINT AS nn FROM pt),
+        |q AS (SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n,
+        |    sum(floor((s2_i::DOUBLE / 2.0) * (s2_i::DOUBLE / 2.0) / n_i / nn.nn
+        |      * 1e6 + 0.5)::BIGINT)::BIGINT AS qq FROM pg CROSS JOIN nn),
+        |tt AS (SELECT sum(t * t * t - t)::BIGINT AS tt FROM pt),
+        |h AS (SELECT k, n,
+        |    12.0 / (n::DOUBLE + 1) * (qq::DOUBLE / 1e6)
+        |      - 3.0 * (n::DOUBLE + 1) AS h0, tt.tt
+        |  FROM q CROSS JOIN tt)
+        |SELECT k, n, floor(h0 * 1e6 + 0.5) / 1e6 AS h,
+        |  floor(h0 / (1.0 - tt::DOUBLE / (n::DOUBLE * n * n - n)) * 1e6 + 0.5)
+        |    / 1e6 AS h_tie
+        |FROM h""".stripMargin,
+    "q_chi2_terms" ->
+      raw"""WITH d AS (SELECT doc_id, lang AS class,
+        |    list_distinct(regexp_extract_all(trim(text), '\S+')) AS s
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |ex AS (SELECT doc_id, class, unnest(s) AS term FROM d),
+        |tc AS (SELECT term, class, count(*)::BIGINT AS a FROM ex GROUP BY 1, 2),
+        |pt AS (SELECT term, sum(a)::BIGINT AS dft FROM tc GROUP BY 1),
+        |pc AS (SELECT class, count(*)::BIGINT AS nc FROM d GROUP BY 1),
+        |n AS (SELECT sum(nc)::BIGINT AS n FROM pc),
+        |cells AS (SELECT tc.class, tc.term, tc.a,
+        |    (pc.nc - tc.a)::BIGINT AS b, (pt.dft - tc.a)::BIGINT AS c,
+        |    (n.n - pc.nc - (pt.dft - tc.a))::BIGINT AS d, n.n
+        |  FROM tc JOIN pt ON tc.term = pt.term JOIN pc ON tc.class = pc.class
+        |  CROSS JOIN n),
+        |scored AS (SELECT class, term, a,
+        |    floor(n::DOUBLE * ((a::DOUBLE * d::DOUBLE) - (b::DOUBLE * c::DOUBLE))
+        |        * ((a::DOUBLE * d::DOUBLE) - (b::DOUBLE * c::DOUBLE))
+        |      / ((a + b)::DOUBLE * (c + d)::DOUBLE)
+        |      / ((a + c)::DOUBLE * (b + d)::DOUBLE) * 1e6 + 0.5)::BIGINT AS chiq
+        |  FROM cells),
+        |rk AS (SELECT class, term, a, chiq,
+        |    row_number() OVER (PARTITION BY class ORDER BY chiq DESC, term ASC)
+        |      AS r FROM scored)
+        |SELECT class, term, a AS df_in_class, chiq::DOUBLE / 1e6 AS chi2
+        |FROM rk WHERE r <= 5 ORDER BY class, term""".stripMargin,
     "q_odds_ratio" ->
       raw"""WITH e AS (SELECT user_id % 2 = 0 AS ex, event_type = 'purchase' AS oc
         |  FROM events WHERE user_id IS NOT NULL),

@@ -353,6 +353,73 @@ object Dedup {
     finishPairs(verifyJaccard(candidates, base, threshold), base, cacheIntermediate)
   }
 
+  /** Shard-routed twin of [[minHashLshPairs]]: the band buckets are routed
+    * to `nShards` shards via rendezvous hashing on the BAND KEY
+    * (`band:bucket` — [[graft.operators.Routing.rendezvousAssign]]), so
+    * every bucket lands on exactly one shard and candidate pairs for equal
+    * band keys are PROVABLY shard-local: a 100 TB corpus can run each
+    * shard's banding→pairing→verify as an independent job (different
+    * cluster, different day) and the union of shard outputs equals the
+    * global [[minHashLshPairs]] output set exactly — equal band keys
+    * co-shard by construction, so no cross-shard candidate is ever lost,
+    * and the final pair-keyed distinct merges the (rare) same-pair-via-
+    * different-band duplicates across shards. Rendezvous (not `mod`)
+    * keeps re-sharding cheap: changing `nShards` by one moves ~1/n of the
+    * buckets. In this single-job composition the shard id participates in
+    * the bucket aggregation key (functionally dependent on it — same
+    * groups, same cost) and is the routing key an external pipeline
+    * splits the job on. Set-equality vs the unsharded path is spec-pinned
+    * (`Round8Spec`) and oracle-gated (`q_dedup_sharded`). */
+  def minHashLshPairsSharded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      nShards: Int = 16,
+      cacheIntermediate: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base0 = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleN, seed).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val base = if (cacheIntermediate)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+
+    val banded = base
+      .select(col("id"), minhash_from_hashes(col("sh"), numHashes).as("sig"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+      .withColumn("__bk",
+        concat(col("band").cast("string"), lit(":"), col("bucket").cast("string")))
+    val sharded = graft.operators.Routing.rendezvousAssign(banded, "__bk", nShards)
+
+    // bucket aggregation keyed under the shard route (shard is functionally
+    // determined by the band key: identical groups to the global path)
+    val capped = sharded
+      .groupBy("shard", "band", "bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+
+    val candidates = capped
+      .select(col("shard"), explode(col("ids")).as("ida"), col("ids"))
+      .select(col("shard"), col("ida"), explode(col("ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      // shard-local dedup first (what each independent shard job emits),
+      // then the pair-keyed cross-shard merge
+      .dropDuplicates("shard", "ida", "idb")
+      .select("ida", "idb").distinct()
+
+    finishPairs(verifyJaccard(candidates, base, threshold), base, cacheIntermediate)
+  }
+
   /** Incremental NEAR-dup: which docs in a new `batch` near-duplicate a
     * doc already in `corpus` (MinHash-LSH bucket join + exact Jaccard
     * verify) — the daily-crawl-vs-existing-corpus shape, the near-dup twin

@@ -489,10 +489,20 @@ object Graph {
     * [[graft.functions.DetMath.lnPosInt]] over the exact integer degree,
     * the per-pair sum quantizes `1/ln` to exact nano-longs, and the top-k
     * cut orders by the EXACT long score (desc, then u, v). Returns
-    * `(u, v, n_common, aa_score)`. */
+    * `(u, v, n_common, aa_score)`.
+    *
+    * `maxDegree` (0 = unlimited) is the 100 TB dial on the deg² blow-up:
+    * midpoints with more than `maxDegree` neighbors are EXCLUDED from
+    * wedge generation entirely (the [[cooccurrenceEdges]] basket-cap
+    * discipline). The bias is documented and one-sided: capped output is
+    * a subset of the uncapped pair set with scores ≤ the uncapped scores
+    * — and it is the principled subset, because a hub contributes only
+    * `1/ln(deg)` → 0 per pair while costing deg² wedges. Deterministic:
+    * the cap is a pure degree threshold, not a sample. */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
-      minCommon: Int = 2, k: Int = 20): DataFrame = {
+      minCommon: Int = 2, k: Int = 20, maxDegree: Int = 0): DataFrame = {
     import graft.functions.DetMath.lnPosInt
+    require(maxDegree >= 0, "maxDegree must be >= 0 (0 = unlimited)")
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // Midpoint weight floor(1/ln(deg)·1e9 + 0.5) attaches BEFORE the wedge
@@ -504,6 +514,7 @@ object Graph {
     // midpoint, so ln(deg) >= ln 2 > 0.
     val withW = sym.groupBy(col("a").as("__z")).agg(count(lit(1)).as("__d"))
       .filter(col("__d") >= 2)
+      .filter(if (maxDegree == 0) lit(true) else col("__d") <= maxDegree)
       .select(col("__z"),
         floor(lit(1.0) / lnPosInt(col("__d")) * lit(1e9) + lit(0.5)).as("__w"))
     val symW = sym.select(col("a").as("__z"), col("b").as("__u"))
@@ -521,6 +532,59 @@ object Graph {
       .limit(k)
       .select(col("__u").as("u"), col("__v").as("v"), col("n_common"),
         (col("__q").cast("double") / lit(1e9)).as("aa_score"))
+  }
+
+  /** Newman modularity of a GIVEN node partition over an undirected graph
+    * (Newman & Girvan 2004): `Q = Σ_c [ m_c/m − (D_c/2m)² ]` with `m` the
+    * edge count, `m_c` the intra-community edge count and `D_c` the total
+    * degree of community `c`. Rewritten over exact integers as
+    * `Q = (4m·Σm_c − ΣD_c²) / 4m²` — every sum is an integer aggregated
+    * in `decimal(38,0)` (merge-order-proof), and only the final single
+    * division is floating point, so the value is bit-stable across
+    * engines and partitionings.
+    *
+    * `labels(nodeCol, labelCol)` assigns communities; edges keep counting
+    * toward `m` even if an endpoint is unlabeled (the classic definition
+    * over the full graph — an unlabeled node just belongs to no
+    * community). Shape: canonicalize, two keyed joins of the edge list
+    * against the label frame (both shuffle joins at scale; AQE broadcasts
+    * when the label frame fits), one degree aggregation, two label-keyed
+    * aggregations — no step exceeds O(E) rows. Returns one row
+    * `(n_edges, n_communities, modularity)`. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__c"))
+      .filter(col("__n").isNotNull && col("__c").isNotNull).distinct()
+    val dec = "decimal(38,0)"
+    // intra-community edges per label: both endpoints in the same community
+    val intra = canon
+      .join(lab.select(col("__n").as("a"), col("__c").as("__ca")), "a")
+      .join(lab.select(col("__n").as("b"), col("__c").as("__cb")), "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__mc"))
+    // community degree totals from the degree frame (never the edge list)
+    val degC = degrees(canon)
+      .join(lab.withColumnRenamed("__n", "node"), "node")
+      .groupBy("__c").agg(sum("degree").as("__dc"))
+    val per = degC.join(intra, Seq("__c"), "left")
+      .select(col("__c"), coalesce(col("__mc"), lit(0L)).as("__mc"), col("__dc"))
+    val m = canon.agg(count(lit(1)).as("n_edges"))
+    val agg = per.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("__mc").cast(dec)).as("__sm"),
+      sum((col("__dc").cast(dec) * col("__dc").cast(dec))).as("__sd2"))
+    val out = m.crossJoin(agg).select(
+      col("n_edges"), col("n_communities"),
+      ((lit(4).cast(dec) * col("n_edges").cast(dec) * col("__sm") - col("__sd2"))
+        .cast("double")
+        / (lit(4.0) * col("n_edges").cast("double") * col("n_edges").cast("double")))
+        .as("modularity"))
+    // eager one-row truncation so canon can be released immediately
+    val res = out.transform(graft.core.Checkpoints.truncate)
+    canon.unpersist()
+    res
   }
 
   /** Triangle corner enumeration via degree-ordered orientation: every

@@ -547,6 +547,67 @@ object Profiler {
           6).as("z"))
   }
 
+  /** Kruskal–Wallis rank ANOVA — the k-group generalization of
+    * [[mannWhitneyU]] (does at least one group's value distribution
+    * stochastically dominate?), heavy-tail-safe where [[anovaF]]'s moment
+    * sums are not. `H = 12/(N(N+1)) · Σ R_i²/n_i − 3(N+1)` over
+    * average-of-ties ranks, with the standard tie correction
+    * `H / (1 − Σ(t³−t)/(N³−N))`.
+    *
+    * Determinism discipline: ranks come from [[Prefix.cumSumLongs]] over
+    * the per-distinct-value count frame (a DOUBLED tie-average rank
+    * `2·prev + t + 1` is an exact long, and the two-sweep scan is
+    * bit-identical for any partitioning — no single-partition window on
+    * the value axis), the per-group doubled rank sums `S_i = Σ c·s2` and
+    * the tie term are exact longs, and the one inexact per-group scalar
+    * `(R_i²/n_i)/N` is micro-quantized to a long BEFORE the cross-group
+    * sum (the [[graft.operators.Stats.anovaF]] recipe; the 1/N scaling
+    * keeps the quantized term ≤ (2N+1)²/4 µ-units — long-safe to
+    * N ≈ 3·10⁶, past which the operator raises rather than wraps), so
+    * merge order can never move a bit. Returns one row
+    * `(k, n, h, h_tie)`. */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perVG = df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(v.as("v"), col(groupCol).as("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perV = perVG.groupBy("v").agg(sum("c").as("t"))
+    // doubled average rank of value v: 2·(#values below) + t + 1
+    val ranked = graft.operators.Prefix
+      .cumSumLongs(perV, "v", Seq("t"), Seq("ct"))
+      .select(col("v"), col("t"),
+        (lit(2L) * (col("ct") - col("t")) + col("t") + lit(1L)).as("s2"))
+    val perG = perVG.join(ranked.select("v", "s2"), "v")
+      .groupBy("g").agg(sum("c").as("n_i"), sum(col("c") * col("s2")).as("s2_i"))
+    val nTot = perV.agg(sum("t").as("__nn"))
+    // per-group quantized term, scaled by 1/N to stay in long range:
+    // (R_i²/n_i)/N ≤ (2N+1)²/4, so ×1e6 is long-safe up to N ≈ 3e6 —
+    // fail loudly past the exact-quantization domain instead of wrapping
+    val rawTerm = (col("s2_i").cast("double") / lit(2.0))
+      .multiply(col("s2_i").cast("double") / lit(2.0))
+      .divide(col("n_i")).divide(col("__nn")) * lit(1e6) + lit(0.5)
+    val term = when(col("__nn") <= 3000000L, floor(rawTerm))
+      .otherwise(raise_error(lit(
+        "kruskalWallis: N > 3e6 exceeds the exact long-quantization domain")))
+    val gAgg = perG.crossJoin(broadcast(nTot))
+      .agg(count(lit(1)).as("k"), sum("n_i").as("n"), sum(term).as("__q"))
+    val ties = perV.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("__tt"))
+    // H = 12·(Q/N)/(N+1) − 3(N+1)  with Q/N = Σ quantized terms / 1e6
+    val h0 = lit(12.0) / (col("n").cast("double") + 1) *
+      (col("__q").cast("double") / lit(1e6)) -
+      lit(3.0) * (col("n").cast("double") + 1)
+    val out = gAgg.crossJoin(broadcast(ties)).select(
+      col("k"), col("n"), h0.as("h"),
+      (h0 / (lit(1.0) - col("__tt").cast("double")
+        / (col("n").cast("double") * col("n") * col("n") - col("n"))))
+        .as("h_tie"))
+    val res = out.transform(graft.core.Checkpoints.truncate)
+    perVG.unpersist()
+    res
+  }
+
   /** Standardized effect sizes between two groups' value distributions —
     * the "is the difference MEANINGFUL" companion to q_ttest/q_mann_whitney
     * significance: Cohen's d (pooled-SD standardized mean difference),

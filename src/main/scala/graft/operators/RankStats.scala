@@ -68,6 +68,11 @@ object RankStats {
     val m = pairs.count()
     require(m > 0, "theilSen needs at least 2 distinct x values")
     val k = (m + 1) / 2
+    // limit() takes an Int: past ~65k distinct x values k.toInt would
+    // silently wrap negative — fail loudly at the documented boundary
+    require(k <= Int.MaxValue,
+      s"theilSen median rank k=$k exceeds Int.MaxValue (m=$m pairs); " +
+        "thin the time axis before fitting")
     val med = pairs.orderBy(col("__s"), col("__xi"), col("__xj"))
       .limit(k.toInt)
       .agg(max(struct(col("__s"), col("__xi"), col("__xj"))).as("__t"))

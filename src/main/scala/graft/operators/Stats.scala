@@ -282,11 +282,23 @@ object Stats {
       sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("b"),
       sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("c"),
       sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("d"))
-    val lnor = lnPosInt(col("a") * col("d")) - lnPosInt(col("b") * col("c"))
-    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
-      + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    // lnPosInt's domain is n >= 1: an empty cell would silently feed it 0
+    // (garbage ~-3.4, with se = Infinity) — fail loudly instead, matching
+    // the knnClassify convention (continuity-correct upstream if needed)
+    val cells = Seq("a", "b", "c", "d").map(col)
+    val allPos = cells.map(_ > 0).reduce(_ && _)
+    // every downstream expression divides or lns a cell, so each one is
+    // guarded (ANSI mode would otherwise raise DIVIDE_BY_ZERO first)
+    def guarded(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(allPos, c)
+      .otherwise(raise_error(concat(lit("oddsRatio: empty 2x2 cell (a,b,c,d)=("),
+        concat_ws(",", cells: _*), lit(")"))))
+    val lnor = guarded(
+      lnPosInt(col("a") * col("d")) - lnPosInt(col("b") * col("c")))
+    val se = guarded(sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+      + lit(1.0) / col("c") + lit(1.0) / col("d")))
     agg.select(col("a"), col("b"), col("c"), col("d"),
-      ((col("a") * col("d")).cast("double") / (col("b") * col("c")))
+      guarded((col("a") * col("d")).cast("double") / (col("b") * col("c")))
         .as("odds_ratio"),
       lnor.as("ln_or"), se.as("se"),
       (lnor - lit(1.96) * se).as("ci_lo"), (lnor + lit(1.96) * se).as("ci_hi"))

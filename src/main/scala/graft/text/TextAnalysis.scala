@@ -916,4 +916,62 @@ object TextAnalysis {
       .select(col("b"), col("n_tokens"), col("new_tokens"),
         col("cum_tokens"), col("cum_distinct"), col("heaps_beta"))
   }
+
+  /** χ² term–class association (the classic supervised feature-selection
+    * score — Yang & Pedersen, ICML'97): for each (term, class) 2×2 table
+    * over DOCUMENT frequencies —
+    * `a` = class docs containing the term, `b` = class docs without it,
+    * `c` = other-class docs with it, `d` = the rest —
+    * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`, keeping the `topK`
+    * highest-scoring terms per class.
+    *
+    * Shape for scale: one distinct-exploded (doc, term) frame, one
+    * (term, class)-keyed count, one term-keyed total, class totals
+    * broadcast (rows = #classes). The only window is the per-class top-k,
+    * partitioned BY class — never a single-partition sort. All table
+    * cells are exact longs; the score is one fixed-order double
+    * expression mirrored verbatim by the oracle, compared on the
+    * micro-quantized value the rank also sorts on (ties by term asc, so
+    * the cut is total-ordered and deterministic). Returns
+    * `(class, term, df_in_class, chi2)`. */
+  def chiSquareTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, classCol: String, topK: Int = 10):
+      org.apache.spark.sql.DataFrame = {
+    val base = df.filter(col(classCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(classCol).as("class"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val tc = base.groupBy("term", "class").agg(count(lit(1)).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perTerm = tc.groupBy("term").agg(sum("a").as("__dft"))
+    val perClass = df.filter(col(classCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(classCol).as("class")).agg(count(lit(1)).as("__nc"))
+    val total = perClass.agg(sum("__nc").as("__n"))
+    val cells = tc
+      .join(perTerm, "term")
+      .join(broadcast(perClass), "class")
+      .crossJoin(broadcast(total))
+      .select(col("class"), col("term"), col("a"),
+        (col("__nc") - col("a")).as("b"),
+        (col("__dft") - col("a")).as("c"),
+        (col("__n") - col("__nc") - (col("__dft") - col("a"))).as("d"),
+        col("__n"))
+    // fixed-order double algebra, micro-quantized: the SAME long both
+    // ranks and ships, so the top-k cut and the value are order-proof
+    val dd = (col("a").cast("double") * col("d").cast("double")) -
+      (col("b").cast("double") * col("c").cast("double"))
+    val chiQ = floor(col("__n").cast("double") * dd * dd
+      / ((col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double"))
+      / ((col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double"))
+      * lit(1e6) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("class")
+      .orderBy(col("__chiq").desc, col("term").asc)
+    val out = cells.withColumn("__chiq", chiQ)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("class"), col("term"), col("a").as("df_in_class"),
+        (col("__chiq").cast("double") / lit(1e6)).as("chi2"))
+    val res = out.transform(graft.core.Checkpoints.truncate)
+    tc.unpersist()
+    res
+  }
 }

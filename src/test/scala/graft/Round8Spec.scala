@@ -150,6 +150,139 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("minHashLshPairsSharded is set-equal to the global minHashLshPairs") {
+    import spark.implicits._
+    // planted near-dup families + background noise; enough shingles that
+    // banding actually spreads buckets across shards
+    val docs = (0L until 60L).map { i =>
+      val fam = i % 5
+      val tail = if (i < 40) s"noise${i} x${i * 7 % 11} y${i * 13 % 17}"
+      else s"t${i % 3}"
+      (i, s"alpha$fam beta$fam gamma$fam delta$fam epsilon$fam zeta$fam $tail")
+    }.toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb", "jaccard").orderBy("ida", "idb")
+        .collect().map(_.toSeq).toSeq
+    val global = norm(graft.dedup.Dedup.minHashLshPairs(
+      docs, "doc_id", "text", shingleN = 2, numHashes = 32, bands = 16,
+      threshold = 0.5))
+    for (nShards <- Seq(1, 4, 16)) {
+      val sharded = norm(graft.dedup.Dedup.minHashLshPairsSharded(
+        docs, "doc_id", "text", shingleN = 2, numHashes = 32, bands = 16,
+        threshold = 0.5, nShards = nShards))
+      assert(sharded === global, s"nShards=$nShards diverged")
+    }
+    assert(global.nonEmpty) // the equality must not be vacuous
+  }
+
+  test("adamicAdar maxDegree cap: capped output is a subset with equal scores") {
+    import spark.implicits._
+    // star hub 100 (degree 8, non-edge leaf pairs score only via the hub)
+    // + two degree-2 midpoints 0/1 both linking the non-edge pair (10, 11)
+    val hub = (0L until 8L).map(i => (100L, 200L + i))
+    val low = Seq((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L))
+    val e = (hub ++ low).toDF("s", "d")
+    def pairs(maxDeg: Int) =
+      graft.operators.Graph.adamicAdar(e, "s", "d", minCommon = 1, k = 100,
+          maxDegree = maxDeg)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+    val full = pairs(0)
+    val capped = pairs(4) // hub (deg 8) excluded as a midpoint
+    assert(capped.keySet.subsetOf(full.keySet))
+    assert(capped.size < full.size) // the hub's 28 leaf pairs are gone
+    assert(capped.contains((10L, 11L)) && capped.contains((0L, 1L)))
+    // pairs whose midpoints all survive the cap keep their exact scores;
+    // a capped score can never exceed the uncapped one
+    capped.foreach { case (k, (n, s)) =>
+      assert(n <= full(k)._1 && s <= full(k)._2)
+    }
+    assert(capped((10L, 11L)) === full((10L, 11L)))
+    // determinism: a pure threshold, not a sample
+    assert(pairs(4) === capped)
+  }
+
+  test("oddsRatio fails loudly on an empty 2x2 cell") {
+    import spark.implicits._
+    // no (exposed=false, outcome=true) rows -> cell c = 0
+    val df = Seq((true, true), (true, false), (false, false))
+      .toDF("e", "o")
+    val ex = intercept[Exception] {
+      graft.operators.Stats.oddsRatio(df, col("e"), col("o")).collect()
+    }
+    assert(ex.getMessage.contains("empty 2x2 cell") ||
+      Option(ex.getCause).exists(_.getMessage.contains("empty 2x2 cell")))
+  }
+
+  test("modularity matches the hand-computed two-community value") {
+    import spark.implicits._
+    // two triangles bridged by one edge; labels = triangle membership:
+    // m=7, m_A=m_B=3, D_A=D_B=7 -> Q = (4·7·6 − 98)/196 = 70/196
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L)).toDF("s", "d")
+    val lab = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"),
+      (5L, "B")).toDF("node", "c")
+    val r = graft.operators.Graph.modularity(e, "s", "d", lab, "node", "c")
+      .collect().head
+    assert(r.getLong(0) === 7L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 70.0 / 196.0) < 1e-12)
+  }
+
+  test("modularity: unlabeled nodes count toward m but no community") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 9L)).toDF("s", "d") // 9 unlabeled
+    val lab = Seq((0L, "A"), (1L, "A"), (2L, "A")).toDF("node", "c")
+    val r = graft.operators.Graph.modularity(e, "s", "d", lab, "node", "c")
+      .collect().head
+    // m=3, m_A=2 (edge 2-9 not intra), D_A=5 -> Q = (4·3·2 − 25)/36
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(2) - (24.0 - 25.0) / 36.0) < 1e-12)
+  }
+
+  test("kruskalWallis matches hand-computed H with and without ties") {
+    import spark.implicits._
+    // no ties: ranks 1..6, H = 12/42·(36/3 + 225/3) − 21 = 27/7
+    val a = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r1 = graft.operators.Profiler.kruskalWallis(a, "v", "g").collect().head
+    assert(r1.getLong(0) === 2L && r1.getLong(1) === 6L)
+    assert(math.abs(r1.getDouble(2) - 27.0 / 7.0) < 1e-5)
+    assert(math.abs(r1.getDouble(3) - 27.0 / 7.0) < 1e-5) // no ties: h_tie = h
+    // ties: a=[1,1,2], b=[2,3,3] -> H = 64/21, tie-corrected = 10/3
+    val b = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 2.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val r2 = graft.operators.Profiler.kruskalWallis(b, "v", "g").collect().head
+    assert(math.abs(r2.getDouble(2) - 64.0 / 21.0) < 1e-5)
+    assert(math.abs(r2.getDouble(3) - 10.0 / 3.0) < 1e-5)
+  }
+
+  test("kruskalWallis is invariant to input partitioning") {
+    import spark.implicits._
+    val df = (1L to 500L)
+      .map(i => (s"g${i % 4}", (i * 31 % 97).toDouble)).toDF("g", "v")
+    val x = graft.operators.Profiler.kruskalWallis(df.repartition(1), "v", "g")
+      .collect().head
+    val y = graft.operators.Profiler.kruskalWallis(df.repartition(13), "v", "g")
+      .collect().head
+    assert(x.getDouble(2) === y.getDouble(2) && x.getDouble(3) === y.getDouble(3))
+  }
+
+  test("chiSquareTerms matches a hand-computed 2x2 table") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x", "apple apple banana"), (1L, "x", "apple"),
+      (2L, "y", "banana"), (3L, "y", "cherry banana")).toDF("doc_id", "lang", "text")
+    val out = graft.text.TextAnalysis
+      .chiSquareTerms(docs, "doc_id", "text", "lang", topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // apple: a=2 b=0 c=0 d=2 -> chi2 = 4·(4−0)²/(2·2·2·2) = 4
+    assert(out(("x", "apple")) === ((2L, 4.0)))
+    // banana in x: a=1 b=1 c=2 d=0 -> chi2 = 4·(0−2)²/(2·2·3·1) = 4/3
+    assert(out(("x", "banana")) === ((1L, 1.333333)))
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
