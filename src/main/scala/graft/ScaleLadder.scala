@@ -88,6 +88,39 @@ object ScaleLadder {
       }.reduce(_ unionByName _)
       docCopies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
+    if (missing("orders")) {
+      // key shifts mirror lineitem's: o_orderkey stride matches exactly so
+      // the join keys line up; o_custkey overlaps across copies (like
+      // l_partkey) so the bipartite cust-part graph stays CONNECTED at 10×
+      // instead of splitting into 10 islands
+      val o = spark.read.parquet(s"$srcDir/orders.parquet")
+      val oCopies = (0 until Copies).map { c =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(c * 200000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(c * 5600L))
+      }.reduce(_ unionByName _)
+      oCopies.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
+    if (missing("part")) {
+      // cover every shifted l_partkey (stride 7400 overlaps the 20k key
+      // space on purpose — see lineitem above); colliding keys keep one
+      // arbitrary row (timing replica only; correctness is oracle-gated
+      // at sf0.01/sf0.1 on the real fixtures)
+      val p = spark.read.parquet(s"$srcDir/part.parquet")
+      val pCopies = (0 until Copies).map { c =>
+        p.withColumn("p_partkey", col("p_partkey") + lit(c * 7400L))
+      }.reduce(_ unionByName _).dropDuplicates("p_partkey")
+      pCopies.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    }
+    if (missing("events")) {
+      // same time axis, 10× event density (weak scaling in time), disjoint
+      // user ranges per copy
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      val evCopies = (0 until Copies).map { c =>
+        ev.withColumn("event_id", col("event_id") + lit(c * 100000L))
+          .withColumn("user_id", col("user_id") + lit(c * 1500L))
+      }.reduce(_ unionByName _)
+      evCopies.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
     if (missing("embeddings")) {
       val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
       val embCopies = (0 until Copies).map { c =>

@@ -3609,6 +3609,39 @@ object SparkEntry {
           "doc_id", "text", "lang", topK = 5)
         .orderBy("class", "term")
     }),
+    // --- round 8: exact heavy-hitter tokens (Misra-Gries candidate
+    //     prepass + exact verify; output = brute-force answer) ---
+    "q_heavy_hitters" -> ((s, dir) => {
+      graft.operators.HeavyHitters.heavyHitterTokens(
+          t(s, dir, "documents"), "text", k = 100)
+        .orderBy("key")
+    }),
+    // --- round 8: per-flag skewness/kurtosis from exact integer power
+    //     sums (mergeable decimal(38,0) partials) ---
+    "q_higher_moments" -> ((s, dir) => {
+      graft.operators.Profiler.higherMoments(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("grp"), col("n"), fround(col("mean"), 6).as("mean"),
+          fround(col("m2"), 6).as("m2"),
+          fround(col("skewness"), 6).as("skewness"),
+          fround(col("kurtosis_excess"), 6).as("kurtosis_excess"))
+        .orderBy("grp")
+    }),
+    // --- round 8: JL sign projection 64 -> 16 dims (md5-parity sign
+    //     matrix, exact integer coordinates, row-local) ---
+    "q_random_projection" -> ((s, dir) => {
+      graft.similarity.Similarity.signProjection(
+          t(s, dir, "embeddings").filter(col("vec_id") < 500),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .orderBy("id", "dim")
+    }),
+    // --- round 8: product quantization — per-subspace integer Lloyd
+    //     codebooks (the IVF recipe with L2), row-local code assignment ---
+    "q_pq_codes" -> ((s, dir) => {
+      graft.similarity.Pq.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, m = 8, k = 16, iters = 4, sampleSize = 512)
+        .orderBy("id", "sub")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -3932,6 +3965,76 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** One PQ Lloyd iteration per subspace (the [[ivfIterSql]] shape with a
+    * `sub` key everywhere and L2 instead of dot): assign each sample
+    * subvector to its nearest code (ties to the smaller cid), then
+    * floor-mean update each non-empty code. */
+  private def pqIterSql(n: Int, prev: String): String =
+    s"""pd$n AS (
+       |  SELECT s.sub, s.rnk, c.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> ((s.sv[i] - c.cv[i])::DOUBLE) * ((s.sv[i] - c.cv[i])::DOUBLE))) AS d
+       |  FROM ssub s JOIN $prev c ON c.sub = s.sub),
+       |pa$n AS (
+       |  SELECT sub, rnk, cid FROM (
+       |    SELECT sub, rnk, cid,
+       |      row_number() OVER (PARTITION BY sub, rnk ORDER BY d ASC, cid ASC) AS rn
+       |    FROM pd$n) WHERE rn = 1),
+       |pm$n AS (
+       |  SELECT a.sub, a.cid, p.i AS pos,
+       |    CAST(floor(CAST(sum(s.sv[p.i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+       |  FROM pa$n a JOIN ssub s ON s.sub = a.sub AND s.rnk = a.rnk
+       |  CROSS JOIN range(1, 9) p(i)
+       |  GROUP BY a.sub, a.cid, p.i),
+       |pc$n AS (
+       |  SELECT cp.sub, cp.cid, coalesce(m.cv, cp.cv) AS cv
+       |  FROM $prev cp LEFT JOIN (SELECT sub, cid, list(val ORDER BY pos) AS cv
+       |                           FROM pm$n GROUP BY sub, cid) m
+       |  USING (sub, cid))""".stripMargin
+
+  /** Full PQ twin: quantize → per-subspace slices → deterministic init
+    * (evenly spaced sample ranks) → four exact L2 Lloyd iterations per
+    * subspace → per-subspace nearest-code assignment over the whole
+    * corpus, err = exact integer L2² (integers ≤ 3·10¹³ are exact in
+    * double, so `d::BIGINT` equals the engine's long). */
+  private lazy val pqCodesSql: String =
+    s"""WITH smp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL AND len(embedding) = 64
+       |        ORDER BY vec_id LIMIT 512)),
+       |psn AS (SELECT count(*) AS s FROM smp),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |ssub AS (
+       |  SELECT smp.rnk, subs.sub,
+       |    list_transform(range(1, 9), d -> qv[subs.sub * 8 + d]) AS sv
+       |  FROM smp CROSS JOIN subs),
+       |pc0 AS (
+       |  SELECT s.sub, r.c AS cid, s.sv AS cv
+       |  FROM range(0, 16) r(c) JOIN ssub s
+       |    ON s.rnk = (r.c * (SELECT s FROM psn)) // 16),
+       |${(1 to 4).map(n => pqIterSql(n, s"pc${n - 1}")).mkString(",\n")},
+       |av AS (
+       |  SELECT e.vec_id, subs.sub,
+       |    list_transform(range(1, 9), d -> e.qv[subs.sub * 8 + d]) AS sv
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding,
+       |            x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |        FROM embeddings
+       |        WHERE embedding IS NOT NULL AND len(embedding) = 64) e
+       |  CROSS JOIN subs),
+       |fd AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> ((v.sv[i] - c.cv[i])::DOUBLE) * ((v.sv[i] - c.cv[i])::DOUBLE))) AS d
+       |  FROM av v JOIN pc4 c ON c.sub = v.sub)
+       |SELECT vec_id AS id, sub::INT AS sub, cid::INT AS code, d::BIGINT AS err_q
+       |FROM (SELECT vec_id, sub, cid, d,
+       |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+       |      FROM fd) WHERE rn = 1
+       |ORDER BY id, sub""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   /** DuckDB mirror of [[graft.sources.Tables.partsupp]] — the derived
@@ -4063,6 +4166,7 @@ object SparkEntry {
          |  sum(s * (s - 1) // 2)::BIGINT AS candidate_pairs
          |FROM sz GROUP BY 1 ORDER BY band""".stripMargin,
     "q_ann_topk_ivf" -> ivfTopkSql,
+    "q_pq_codes" -> pqCodesSql,
     // sign-LSH near-dup pairs: banded buckets from the mirrored signature;
     // hamming-1 multi-probe on one side == XOR of buckets in {0,1,2,4,8}
     "q_dedup_embedding_lsh" ->
@@ -8216,6 +8320,54 @@ object SparkEntry {
         |  floor((ssbq::DOUBLE / 1e6 / (k - 1))
         |    / (sswq::DOUBLE / 1e6 / (n - k)) * 1e6 + 0.5) / 1e6 AS f
         |FROM q""".stripMargin,
+    "q_heavy_hitters" ->
+      // brute-force ground truth: the MG prepass only bounds the shuffle,
+      // the contract is the exact phi = 1/k frequent-token set
+      raw"""WITH tok AS (SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS k
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM tok)
+        |SELECT k AS key, count(*)::BIGINT AS cnt FROM tok CROSS JOIN n
+        |GROUP BY k, n.n HAVING count(*) >= (n.n + 99) // 100
+        |ORDER BY key""".stripMargin,
+    "q_higher_moments" ->
+      // replays the engine algebra: exact integer power sums, then the
+      // identical pinned double sequence per group row
+      """WITH g AS (SELECT l_returnflag AS grp, count(*)::BIGINT AS n,
+        |    sum(l_quantity::BIGINT)::BIGINT AS s1,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS s2,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT)
+        |      ::BIGINT AS s3,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT
+        |      * l_quantity::BIGINT)::BIGINT AS s4
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT grp, n, s1::DOUBLE / n AS mu,
+        |    s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m2,
+        |    s3::DOUBLE / n - 3.0 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+        |      + 2.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m3,
+        |    s4::DOUBLE / n - 4.0 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+        |      + 6.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+        |      - 3.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+        |        * (s1::DOUBLE / n) AS m4
+        |  FROM g)
+        |SELECT grp, n, floor(mu * 1e6 + 0.5) / 1e6 AS mean,
+        |  floor(m2 * 1e6 + 0.5) / 1e6 AS m2,
+        |  floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6 AS skewness,
+        |  floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6 AS kurtosis_excess
+        |FROM m ORDER BY grp""".stripMargin,
+    "q_random_projection" ->
+      """WITH e AS (SELECT vec_id, i.i AS i,
+        |    floor(embedding[(i.i + 1)::INT]::DOUBLE * 1e6)::BIGINT AS q
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        |  WHERE vec_id < 500 AND embedding IS NOT NULL AND len(embedding) = 64),
+        |s AS (SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN ('0x' || substr(md5('42:' || j.j::VARCHAR || ':'
+        |        || i.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(0, 16)) AS j) j
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i)
+        |SELECT e.vec_id AS id, s.j AS dim, sum(e.q * s.sgn)::BIGINT AS proj_q
+        |FROM e JOIN s ON e.i = s.i GROUP BY 1, 2 ORDER BY id, dim""".stripMargin,
     "q_modularity" ->
       """WITH base AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
         |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
@@ -8252,11 +8404,12 @@ object SparkEntry {
         |  FROM pv JOIN rk ON pv.v = rk.v GROUP BY 1),
         |nn AS (SELECT sum(t)::BIGINT AS nn FROM pt),
         |q AS (SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n,
-        |    sum(floor((s2_i::DOUBLE / 2.0) * (s2_i::DOUBLE / 2.0) / n_i / nn.nn
-        |      * 1e6 + 0.5)::BIGINT)::BIGINT AS qq FROM pg CROSS JOIN nn),
+        |    sum(floor((s2_i::DOUBLE / 2.0) * (s2_i::DOUBLE / 2.0) / n_i
+        |      / nn.nn / nn.nn * 1e6 + 0.5)::BIGINT)::BIGINT AS qq
+        |  FROM pg CROSS JOIN nn),
         |tt AS (SELECT sum(t * t * t - t)::BIGINT AS tt FROM pt),
         |h AS (SELECT k, n,
-        |    12.0 / (n::DOUBLE + 1) * (qq::DOUBLE / 1e6)
+        |    12.0 * n::DOUBLE / (n::DOUBLE + 1) * (qq::DOUBLE / 1e6)
         |      - 3.0 * (n::DOUBLE + 1) AS h0, tt.tt
         |  FROM q CROSS JOIN tt)
         |SELECT k, n, floor(h0 * 1e6 + 0.5) / 1e6 AS h,

@@ -547,6 +547,36 @@ object Profiler {
           6).as("z"))
   }
 
+  /** Per-group skewness and excess kurtosis from EXACT integer power sums
+    * — the one-pass mergeable shape (`n, Σx, Σx², Σx³, Σx⁴` in
+    * `decimal(38,0)`, so partial-aggregate merge order cannot move a
+    * bit), with the central-moment algebra applied per GROUP ROW in a
+    * pinned double-op sequence both engines replay identically:
+    * `m2 = s2/n − μ²`, `m3 = s3/n − 3μ·s2/n + 2μ³`,
+    * `m4 = s4/n − 4μ·s3/n + 6μ²·s2/n − 3μ⁴`,
+    * `g1 = m3/(m2·√m2)`, `g2 = m4/m2² − 3` (√ is IEEE
+    * correctly-rounded, so it is engine-stable). `valCol` must be
+    * integer-valued (cast to long; quantize cents upstream). Returns
+    * `(group, n, mean, m2, skewness, kurtosis_excess)` per group. */
+  def higherMoments(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val x = col(valCol).cast("long").cast("decimal(38,0)")
+    val g = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("grp")).agg(
+        count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mu = d("s1") / n
+    val m2 = d("s2") / n - mu * mu
+    val m3 = d("s3") / n - lit(3.0) * mu * (d("s2") / n) + lit(2.0) * mu * mu * mu
+    val m4 = d("s4") / n - lit(4.0) * mu * (d("s3") / n) +
+      lit(6.0) * mu * mu * (d("s2") / n) - lit(3.0) * mu * mu * mu * mu
+    g.select(col("grp"), col("n"), mu.as("mean"), m2.as("m2"),
+      (m3 / (m2 * sqrt(m2))).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+  }
+
   /** Kruskal–Wallis rank ANOVA — the k-group generalization of
     * [[mannWhitneyU]] (does at least one group's value distribution
     * stochastically dominate?), heavy-tail-safe where [[anovaF]]'s moment
@@ -560,12 +590,11 @@ object Profiler {
     * bit-identical for any partitioning — no single-partition window on
     * the value axis), the per-group doubled rank sums `S_i = Σ c·s2` and
     * the tie term are exact longs, and the one inexact per-group scalar
-    * `(R_i²/n_i)/N` is micro-quantized to a long BEFORE the cross-group
-    * sum (the [[graft.operators.Stats.anovaF]] recipe; the 1/N scaling
-    * keeps the quantized term ≤ (2N+1)²/4 µ-units — long-safe to
-    * N ≈ 3·10⁶, past which the operator raises rather than wraps), so
-    * merge order can never move a bit. Returns one row
-    * `(k, n, h, h_tie)`. */
+    * `(R_i²/n_i)/N²` is micro-quantized to a long BEFORE the cross-group
+    * sum (the [[graft.operators.Stats.anovaF]] recipe; the 1/N² scaling
+    * keeps the quantized term ≤ n_i µ-units — long-safe to N ≈ 9·10¹²,
+    * past which the operator raises rather than wraps), so merge order
+    * can never move a bit. Returns one row `(k, n, h, h_tie)`. */
   def kruskalWallis(df: DataFrame, valueCol: String,
       groupCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
@@ -581,21 +610,22 @@ object Profiler {
     val perG = perVG.join(ranked.select("v", "s2"), "v")
       .groupBy("g").agg(sum("c").as("n_i"), sum(col("c") * col("s2")).as("s2_i"))
     val nTot = perV.agg(sum("t").as("__nn"))
-    // per-group quantized term, scaled by 1/N to stay in long range:
-    // (R_i²/n_i)/N ≤ (2N+1)²/4, so ×1e6 is long-safe up to N ≈ 3e6 —
-    // fail loudly past the exact-quantization domain instead of wrapping
+    // per-group quantized term, scaled by 1/N² to stay in long range:
+    // (R_i²/n_i)/N² ≤ n_i·(2N+1)²/(4N²) ≈ n_i, so the ×1e6 micro-long is
+    // safe to N ≈ 9·10¹² — fail loudly past it rather than wrap
     val rawTerm = (col("s2_i").cast("double") / lit(2.0))
       .multiply(col("s2_i").cast("double") / lit(2.0))
-      .divide(col("n_i")).divide(col("__nn")) * lit(1e6) + lit(0.5)
-    val term = when(col("__nn") <= 3000000L, floor(rawTerm))
+      .divide(col("n_i")).divide(col("__nn")).divide(col("__nn"))
+      .multiply(lit(1e6)) + lit(0.5)
+    val term = when(col("__nn") <= 9000000000000L, floor(rawTerm))
       .otherwise(raise_error(lit(
-        "kruskalWallis: N > 3e6 exceeds the exact long-quantization domain")))
+        "kruskalWallis: N > 9e12 exceeds the exact long-quantization domain")))
     val gAgg = perG.crossJoin(broadcast(nTot))
       .agg(count(lit(1)).as("k"), sum("n_i").as("n"), sum(term).as("__q"))
     val ties = perV.agg(
       sum(col("t") * col("t") * col("t") - col("t")).as("__tt"))
-    // H = 12·(Q/N)/(N+1) − 3(N+1)  with Q/N = Σ quantized terms / 1e6
-    val h0 = lit(12.0) / (col("n").cast("double") + 1) *
+    // H = 12·N·(Q/N²)/(N+1) − 3(N+1)  with Q/N² = Σ quantized terms / 1e6
+    val h0 = lit(12.0) * col("n").cast("double") / (col("n").cast("double") + 1) *
       (col("__q").cast("double") / lit(1e6)) -
       lit(3.0) * (col("n").cast("double") + 1)
     val out = gAgg.crossJoin(broadcast(ties)).select(

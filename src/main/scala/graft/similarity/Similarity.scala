@@ -344,4 +344,38 @@ object Similarity {
       .select(col("anchor").as("anchor_id"), col("positive_id"), col("negative_id"),
         col("pos_cos"), col("neg_cos"), (col("pos_cos") - col("neg_cos")).as("margin"))
   }
+
+  /** Johnson–Lindenstrauss sign projection (Achlioptas 2003: ±1 entries
+    * preserve pairwise distances like Gaussian ones, database-friendly):
+    * project `vecCol` (dim `inDim`) down to `outDim` coordinates
+    * `p_j = Σ_i sign(j,i) · q6(v_i)` with the sign matrix derived from
+    * md5 parity of `"seed:j:i"` — engine-reproducible (any SQL engine with
+    * md5 rebuilds the identical matrix) and EXACT: `q6` is the repo's
+    * `floor(x·1e6)` long quantization, so every projected coordinate is an
+    * exact integer sum. Scaling by `1/√outDim` is left to the caller (it
+    * would reintroduce floats).
+    *
+    * Shape: the sign matrix is built ONCE at plan time (outDim×inDim
+    * literals) and the projection is one row-local codegen'd expression —
+    * no shuffle, no join, no per-row hashing; embarrassingly parallel at
+    * any scale. Returns `(id, dim, proj_q)` exploded per output
+    * coordinate. */
+  def signProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= 256, s"dims $inDim->$outDim")
+    val mdSigns: Array[Array[Long]] = Array.tabulate(outDim, inDim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val w = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if (w % 2 == 0) 1L else -1L
+    }
+    val qv = transform(col(vecCol), x => floor(x.cast("double") * lit(1000000.0)))
+    val projs = mdSigns.toIndexedSeq.map { row =>
+      aggregate(zip_with(qv, typedLit(row.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
+      .select(col(idCol).as("id"), posexplode(array(projs: _*)).as(Seq("dim", "proj_q")))
+  }
 }

@@ -283,6 +283,109 @@ class Round8Spec extends SparkSpec {
     assert(out(("x", "banana")) === ((1L, 1.333333)))
   }
 
+  test("exactHeavyHitters equals brute force and is partition-invariant") {
+    import spark.implicits._
+    // zipf-ish key skew: key j appears ~N/j times
+    val rows = (1 to 40).flatMap(j => Seq.fill(400 / j)(s"k$j"))
+    val df = rows.toDF("key")
+    def brute(k: Int) = {
+      val n = rows.length.toLong
+      val th = (n + k - 1) / k
+      rows.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter(_._2 >= th).toMap
+    }
+    for (parts <- Seq(1, 7); k <- Seq(10, 50)) {
+      val got = graft.operators.HeavyHitters
+        .exactHeavyHitters(df.repartition(parts), "key", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === brute(k), s"parts=$parts k=$k")
+    }
+  }
+
+  test("higherMoments matches hand-computed skewness and kurtosis") {
+    import spark.implicits._
+    val df = (Seq.fill(1)(("a", 1L)) ++ Seq(("a", 2L), ("a", 3L), ("a", 4L)) ++
+      Seq(("b", 1L), ("b", 1L), ("b", 4L))).toDF("g", "v")
+    val out = graft.operators.Profiler.higherMoments(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (na, mua, m2a, ga, ka) = out("a")
+    assert(na === 4L && mua === 2.5 && m2a === 1.25)
+    assert(math.abs(ga) < 1e-12) // symmetric: zero skew
+    assert(math.abs(ka - (2.5625 / (1.25 * 1.25) - 3.0)) < 1e-12)
+    val (nb, mub, m2b, gb, kb) = out("b")
+    assert(nb === 3L && mub === 2.0 && m2b === 2.0)
+    assert(math.abs(gb - 2.0 / (2.0 * math.sqrt(2.0))) < 1e-12)
+    assert(math.abs(kb - (6.0 / 4.0 - 3.0)) < 1e-12)
+  }
+
+  test("signProjection reproduces the md5-parity sign matrix on unit vectors") {
+    import spark.implicits._
+    // e_i unit vectors: proj(j) = sign(j, i) * 1e6 exactly
+    val vecs = Seq((0L, Array.tabulate(8)(d => if (d == 3) 1.0f else 0.0f)),
+      (1L, Array.tabulate(8)(d => if (d == 5) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity
+      .signProjection(vecs, "vec_id", "embedding", inDim = 8, outDim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def sign(j: Int, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"42:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+    }
+    for (j <- 0 until 4) {
+      assert(out((0L, j)) === sign(j, 3) * 1000000L)
+      assert(out((1L, j)) === sign(j, 5) * 1000000L)
+    }
+    // both signs actually occur (the matrix is not degenerate)
+    assert(out.values.toSet === Set(1000000L, -1000000L))
+  }
+
+  test("pqCodes recovers planted prototypes with zero quantization error") {
+    import spark.implicits._
+    // vectors alternate between two exact prototypes per subspace: with
+    // k=2 the integer Lloyd recovers them exactly, so err_q must be 0
+    val protoA = Array.fill(8)(0.25f)
+    val protoB = Array.fill(8)(-0.5f)
+    val vecs = (0L until 32L)
+      .map(i => (i, if (i % 2 == 0) protoA else protoB)).toDF("vec_id", "embedding")
+    val out = graft.similarity.Pq.pqCodes(vecs, "vec_id", "embedding",
+        dim = 8, m = 2, k = 2, iters = 4, sampleSize = 32)
+      .collect()
+    assert(out.length === 64) // 32 vecs x 2 subspaces
+    assert(out.forall(_.getLong(3) === 0L)) // exact prototype recovery
+    // same-parity vectors share codes; opposite parity differ
+    val byId = out.groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getInt(2)).toSeq).toMap
+    assert(byId(0L) === byId(2L) && byId(1L) === byId(3L))
+    assert(byId(0L) !== byId(1L))
+  }
+
+  test("pqCodes assignment is truly the argmin over the trained codebook") {
+    import spark.implicits._
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    val books = graft.similarity.Pq.trainCodebooks(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 3, sampleSize = 64)
+    val out = graft.similarity.Pq.pqCodes(vecs, "vec_id", "embedding",
+        dim = 8, m = 2, k = 4, iters = 3, sampleSize = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray.map(x =>
+        math.floor(x.toDouble * 1e6).toLong)).toMap
+    for ((id, v) <- raw; sub <- 0 until 2) {
+      val sv = v.slice(sub * 4, sub * 4 + 4)
+      val dists = books(sub).map(cv =>
+        sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = dists.zipWithIndex.minBy { case (d, c) => (d, c) }
+      assert(out((id, sub)) === ((best._2, best._1)), s"id=$id sub=$sub")
+    }
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
