@@ -3642,6 +3642,29 @@ object SparkEntry {
           dim = 64, m = 8, k = 16, iters = 4, sampleSize = 512)
         .orderBy("id", "sub")
     }),
+    // --- round 8: PQ-ADC top-k — search over 8-byte codes only, the raw
+    //     corpus vectors never read after encoding ---
+    "q_pq_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Pq.pqAdcTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, m = 8, kCodes = 16, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // --- round 8: systematic PPS sample of orders by value (zero-offset
+    //     Madow grid over the distributed prefix scan) ---
+    "q_pps_sample" -> ((s, dir) => {
+      graft.operators.Splits.ppsSystematicSample(
+          t(s, dir, "orders"), "o_orderkey",
+          floor(col("o_totalprice") * 100 + lit(0.5)), s = 100)
+        .orderBy("id")
+    }),
+    // --- round 8: compaction plan — rendezvous shards, id-ordered byte
+    //     stream cut into ~20 KB files, one row per planned file ---
+    "q_file_bins" -> ((s, dir) => {
+      graft.operators.Routing.compactionPlan(t(s, dir, "documents"),
+          "doc_id", length(col("text")), nShards = 8, targetBytes = 20000L)
+        .orderBy("shard", "file_idx")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -3992,13 +4015,14 @@ object SparkEntry {
        |                           FROM pm$n GROUP BY sub, cid) m
        |  USING (sub, cid))""".stripMargin
 
-  /** Full PQ twin: quantize → per-subspace slices → deterministic init
-    * (evenly spaced sample ranks) → four exact L2 Lloyd iterations per
-    * subspace → per-subspace nearest-code assignment over the whole
-    * corpus, err = exact integer L2² (integers ≤ 3·10¹³ are exact in
-    * double, so `d::BIGINT` equals the engine's long). */
-  private lazy val pqCodesSql: String =
-    s"""WITH smp AS (
+  /** Shared PQ training/assignment CTEs: quantize → per-subspace slices →
+    * deterministic init (evenly spaced sample ranks) → four exact L2
+    * Lloyd iterations per subspace (`pc4` = final codebooks) →
+    * per-subspace nearest-code assignment `pasg(vec_id, sub, cid, d)`
+    * over the whole corpus. L2² over q6 longs is ≤ 3·10¹³ — exact in
+    * double, so `d::BIGINT` equals the engine's long. */
+  private lazy val pqTrainCtes: String =
+    s"""smp AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
        |  FROM (SELECT vec_id, embedding FROM embeddings
@@ -4028,12 +4052,39 @@ object SparkEntry {
        |  SELECT v.vec_id, v.sub, c.cid,
        |    list_sum(list_transform(range(1, 9),
        |      i -> ((v.sv[i] - c.cv[i])::DOUBLE) * ((v.sv[i] - c.cv[i])::DOUBLE))) AS d
-       |  FROM av v JOIN pc4 c ON c.sub = v.sub)
+       |  FROM av v JOIN pc4 c ON c.sub = v.sub),
+       |pasg AS (
+       |  SELECT vec_id, sub, cid, d FROM (
+       |    SELECT vec_id, sub, cid, d,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+       |    FROM fd) WHERE rn = 1)""".stripMargin
+
+  private lazy val pqCodesSql: String =
+    s"""WITH $pqTrainCtes
        |SELECT vec_id AS id, sub::INT AS sub, cid::INT AS code, d::BIGINT AS err_q
-       |FROM (SELECT vec_id, sub, cid, d,
-       |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
-       |      FROM fd) WHERE rn = 1
-       |ORDER BY id, sub""".stripMargin
+       |FROM pasg ORDER BY id, sub""".stripMargin
+
+  /** ADC twin: each query's m×k LUT of exact subspace distances against
+    * the final codebooks, summed over the corpus CODES (never the raw
+    * vectors) — mirrors [[graft.similarity.Pq.pqAdcTopK]]. */
+  private lazy val pqAdcSql: String =
+    s"""WITH $pqTrainCtes,
+       |qlut AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> ((q.sv[i] - c.cv[i])::DOUBLE) * ((q.sv[i] - c.cv[i])::DOUBLE))) AS lut
+       |  FROM (SELECT * FROM av WHERE vec_id < 10) q
+       |  JOIN pc4 c ON c.sub = q.sub),
+       |ad AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.lut)::BIGINT AS adc
+       |  FROM pasg a JOIN qlut l ON l.sub = a.sub AND l.code = a.cid
+       |  WHERE a.vec_id != l.query_id GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+       |  FROM ad)
+       |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
+       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -4167,6 +4218,38 @@ object SparkEntry {
          |FROM sz GROUP BY 1 ORDER BY band""".stripMargin,
     "q_ann_topk_ivf" -> ivfTopkSql,
     "q_pq_codes" -> pqCodesSql,
+    "q_pq_adc_topk" -> pqAdcSql,
+    "q_file_bins" ->
+      // HRW rebuild (the q_shard_route recipe) + per-shard cumsum + `//`
+      """WITH c AS (SELECT d.doc_id, length(d.text)::BIGINT AS b, k.k,
+        |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || k.k::VARCHAR),
+        |      1, 15))::BIGINT AS w
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k),
+        |r AS (SELECT doc_id, b, k,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, k) AS rn
+        |  FROM c),
+        |a AS (SELECT k AS shard, doc_id, b FROM r WHERE rn = 1 AND b > 0),
+        |cum AS (SELECT shard, doc_id, b,
+        |    sum(b) OVER (PARTITION BY shard ORDER BY doc_id)::BIGINT AS cum
+        |  FROM a)
+        |SELECT shard, ((cum - b) // 20000)::BIGINT AS file_idx,
+        |  count(*)::BIGINT AS n_rows, sum(b)::BIGINT AS file_bytes
+        |FROM cum GROUP BY 1, 2 ORDER BY shard, file_idx""".stripMargin,
+    "q_pps_sample" ->
+      // window cumsum stands in for the engine's distributed prefix scan
+      // (bit-identical: exact long sums); `//` = Spark's `div`
+      """WITH b AS (SELECT o_orderkey AS id,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS weight
+        |  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0),
+        |c AS (SELECT id, weight,
+        |    sum(weight) OVER (ORDER BY id)::BIGINT AS cum FROM b),
+        |w AS (SELECT max(cum)::BIGINT AS w FROM c)
+        |SELECT id, weight,
+        |  ((cum * 100) // w.w - ((cum - weight) * 100) // w.w)::BIGINT
+        |    AS n_inclusions
+        |FROM c CROSS JOIN w
+        |WHERE (cum * 100) // w.w - ((cum - weight) * 100) // w.w >= 1
+        |ORDER BY id""".stripMargin,
     // sign-LSH near-dup pairs: banded buckets from the mirrored signature;
     // hamming-1 multi-probe on one side == XOR of buckets in {0,1,2,4,8}
     "q_dedup_embedding_lsh" ->

@@ -42,6 +42,38 @@ object Routing {
       (-array_max(cands).getField("negk")).cast("long"))
   }
 
+  /** Size-targeted output-file planning (small-file compaction): route
+    * rows to shards by rendezvous hash, then cut each shard's id-ordered
+    * byte stream into files of ~`targetBytes`:
+    * `file_idx = floor((cum_bytes − bytes) / targetBytes)` — the
+    * cursor-at-file-start rule, so every file except a shard's last holds
+    * ≥ targetBytes − max_row and < targetBytes + max_row bytes. This is
+    * the planner a 100 TB writer runs BEFORE the shuffle: the plan frame
+    * (one row per output file) sizes `repartitionByRange` and names the
+    * files, and is a pure function of the data — no sampling, no
+    * clock.
+    *
+    * Per-shard running totals use a partitioned window (shards bound the
+    * partition width by construction — `nShards` keys, each ~1/n of the
+    * corpus; the window sorts WITHIN a shard, which is exactly the
+    * id-ordered layout the writer wants anyway). Returns one row per
+    * planned file: `(shard, file_idx, n_rows, file_bytes)`. */
+  def compactionPlan(df: DataFrame, idCol: String, bytesCol: Column,
+      nShards: Int, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes=$targetBytes")
+    val assigned = rendezvousAssign(df, idCol, nShards)
+      .select(col("shard"), col(idCol).as("__id"), bytesCol.cast("long").as("__b"))
+      .filter(col("__b") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("__id")
+    assigned
+      .withColumn("__cum", sum("__b").over(w))
+      // integer `div`, not `/` (double division loses exactness past 2^53)
+      .withColumn("file_idx", expr(s"(__cum - __b) div ${targetBytes}L"))
+      .groupBy("shard", "file_idx")
+      .agg(count(lit(1)).as("n_rows"), sum("__b").as("file_bytes"))
+  }
+
   /** Shard-balance audit for a rendezvous assignment: per-shard row and
     * byte totals plus `load_ratio` = share of rows relative to perfect
     * balance (1.0 = exactly even). One keyed aggregation + a one-row

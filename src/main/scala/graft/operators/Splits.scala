@@ -277,4 +277,44 @@ object Splits {
       .filter(md5(col(idCol).cast("string")) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Systematic probability-proportional-to-size sampling (Madow 1949,
+    * the classic πps design): lay every item's integer weight end-to-end
+    * along a line (ordered by `idCol` — a pinned, documented frame),
+    * drop `s` equally-spaced marks, and select each item once per mark
+    * inside its segment: `n_inclusions = floor(cum·s/W) −
+    * floor((cum−w)·s/W)`. Inclusion probability is exactly `min(1,
+    * s·w/W)` per mark position, a whale (w > W/s) is included multiple
+    * times (its `n_inclusions` is the replication factor a downstream
+    * estimator divides by), and there is NO randomness — the zero-offset
+    * grid makes the draw a pure function of the data, like every other
+    * sampler in this repo (md5 splits, A-ES weights).
+    *
+    * Scale shape: the running total comes from
+    * [[Prefix.cumSumLongs]] (two-sweep distributed scan — no
+    * single-partition window), and everything else is row-local integer
+    * math. Domain: `W·s` must fit a long — the operator fails loudly at
+    * `W > 2⁶³/s` rather than wrapping. Returns the selected rows as
+    * `(id, weight, n_inclusions)`. */
+  def ppsSystematicSample(df: DataFrame, idCol: String, weightCol: Column,
+      s: Int): DataFrame = {
+    require(s >= 1, s"sample size s=$s")
+    val base = df.select(col(idCol).as("id"), weightCol.cast("long").as("weight"))
+      .filter(col("weight") > 0)
+    val withCum = Prefix.cumSumLongs(base, "id", Seq("weight"), Seq("__cum"))
+    // W = the LAST cumulative value; one tiny agg, broadcast back
+    val tot = withCum.agg(max("__cum").as("__w"))
+    val guarded = withCum.crossJoin(broadcast(tot))
+      .withColumn("__w", when(col("__w") <= Long.MaxValue / s, col("__w"))
+        .otherwise(raise_error(lit(
+          s"ppsSystematicSample: total weight exceeds Long.MaxValue/$s"))))
+    // integer `div` (not `/`, which is double division and loses exactness
+    // past 2^53): all quantities are nonnegative, so div == floor division
+    guarded
+      .withColumn("n_inclusions",
+        expr(s"(__cum * $s) div __w") -
+          expr(s"((__cum - weight) * $s) div __w"))
+      .filter(col("n_inclusions") >= 1)
+      .select(col("id"), col("weight"), col("n_inclusions"))
+  }
 }

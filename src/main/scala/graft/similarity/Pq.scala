@@ -88,6 +88,37 @@ object Pq {
     aggregate(zip_with(subVec, typedLit(cv.toSeq),
       (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
 
+  /** Row-local nearest-code assignment against trained codebooks. One
+    * row per (vector, subspace): the codebook rides as a single literal
+    * nested array and the k-candidate argmin is ONE generated loop
+    * (`transform` with index + lexicographic struct-min, ties to the
+    * smaller code) — not k·m unrolled expressions, which was measured to
+    * blow whole-stage codegen up to 9 s at sf0.1 before this shape. */
+  private def assignCodes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      codebooks: Array[Array[Array[Long]]]
+  ): DataFrame = {
+    val subDim = dim / m
+    val qv = q6(col(vecCol))
+    val subArrays = array((0 until m).map(sub =>
+      slice(qv, sub * subDim + 1, subDim)): _*)
+    val books3d = typedLit(codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    val cands = transform(element_at(books3d, col("sub") + 1),
+      (cb, c) => struct(
+        aggregate(zip_with(col("sv"), cb, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        c.as("c")))
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), posexplode(subArrays).as(Seq("sub", "sv")))
+      .withColumn("best", array_min(cands))
+      .select(col("id"), col("sub"), col("best.c").as("code"),
+        col("best.d").as("err_q"))
+  }
+
   /** Assign PQ codes: for each input vector, one row per subspace with
     * the nearest code and its exact squared quantization error.
     * Returns `(id, sub, code, err_q)`. */
@@ -102,21 +133,65 @@ object Pq {
       sampleSize: Int = 512
   ): DataFrame = {
     val codebooks = trainCodebooks(df, idCol, vecCol, dim, m, k, iters, sampleSize)
+    assignCodes(df, idCol, vecCol, dim, m, codebooks)
+  }
+
+  /** PQ top-k search with asymmetric distance computation (ADC — Jégou
+    * et al. §IV): the corpus is represented ONLY by its `m`-byte codes;
+    * each query precomputes an `m×k` lookup table of exact subspace
+    * distances to every codebook entry, and a candidate's approximate
+    * L2² is the sum of `m` table lookups — the corpus' raw vectors are
+    * never read again after encoding. That is the 100 TB contract: at
+    * scale you store 8 bytes per vector instead of 256, and search joins
+    * the (tiny) LUT frame to the code frame on `(sub, code)` — a
+    * broadcast join against O(queries·m·k) rows, followed by one keyed
+    * sum per (query, vector). All distances are exact longs (quantized
+    * inputs, integer codebooks), so ranking is total-ordered
+    * (dist asc, neighbor asc) and fully oracle-replayable.
+    *
+    * Returns `(query_id, rank, neighbor_id, adc_dist)` with `rank ≤ k`
+    * per query. */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kCodes: Int,
+      topK: Int,
+      iters: Int = 4,
+      sampleSize: Int = 512
+  ): DataFrame = {
+    val codebooks = trainCodebooks(corpus, idCol, vecCol, dim, m, kCodes,
+      iters, sampleSize)
     val subDim = dim / m
+    // corpus side: m-byte codes only (the compressed representation);
+    // trained ONCE, shared with the query LUT below
+    val codes = assignCodes(corpus, idCol, vecCol, dim, m, codebooks)
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"))
+    // query side: LUT rows (query_id, sub, code, lut_dist) — m·k per query
     val qv = q6(col(vecCol))
-    // per subspace: lexicographic struct-min over (dist, code) — the
-    // tie-break to the smaller code is part of the total order
-    val perSub = codebooks.toIndexedSeq.zipWithIndex.map { case (book, sub) =>
+    val lutEntries = (0 until m).flatMap { sub =>
       val sv = slice(qv, sub * subDim + 1, subDim)
-      val cands = array(book.toIndexedSeq.zipWithIndex.map { case (cv, c) =>
-        struct(subDist(sv, cv).as("d"), lit(c).as("c"))
-      }: _*)
-      val best = array_min(cands)
-      struct(best.getField("c").as("code"), best.getField("d").as("err_q"))
+      codebooks(sub).toIndexedSeq.zipWithIndex.map { case (cv, c) =>
+        struct(lit(sub).as("sub"), lit(c).as("code"),
+          subDist(sv, cv).as("lut_dist"))
+      }
     }
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("id"), posexplode(array(perSub: _*)).as(Seq("sub", "best")))
-      .select(col("id"), col("sub"), col("best.code").as("code"),
-        col("best.err_q").as("err_q"))
+    val lut = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.lut_dist").as("lut_dist"))
+    // ADC: join codes to the broadcast LUT, sum the m lookups per pair
+    val dists = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("lut_dist").as("adc_dist"), count(lit(1)).as("__m"))
+      .filter(col("__m") === m) // all m subspaces present (self rows dropped)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    dists.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
   }
 }

@@ -386,6 +386,94 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK distances equal the code-reconstruction sum") {
+    import spark.implicits._
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    val books = graft.similarity.Pq.trainCodebooks(vecs, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 3, sampleSize = 64)
+    val codes = graft.similarity.Pq.pqCodes(vecs, "vec_id", "embedding",
+        dim = 8, m = 2, k = 4, iters = 3, sampleSize = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val out = graft.similarity.Pq.pqAdcTopK(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", dim = 8, m = 2, kCodes = 4, topK = 64,
+        iters = 3, sampleSize = 64)
+      .collect()
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray.map(x =>
+        math.floor(x.toDouble * 1e6).toLong)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(2))
+      val expect = (0 until 2).map { sub =>
+        val qs = raw(q).slice(sub * 4, sub * 4 + 4)
+        val cv = books(sub)(codes((v, sub)))
+        qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(r.getLong(3) === expect, s"q=$q v=$v")
+    }
+    // ranks are a permutation 1..n per query, total-ordered
+    val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted)
+    perQ.foreach { case (_, rs) => assert(rs.toSeq === (1 to rs.length)) }
+  }
+
+  test("ppsSystematicSample: hand case, inclusion-count invariant, partition-proof") {
+    import spark.implicits._
+    // weights 1,1,1,1,6 with s=2: only the whale is selected, twice
+    val small = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 6L))
+      .toDF("id", "w")
+    val got = graft.operators.Splits
+      .ppsSystematicSample(small, "id", col("w"), s = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === Seq((5L, 2L)))
+    // sum of inclusions == s exactly, for any s and any partitioning
+    val big = (1L to 500L).map(i => (i, (i * 37 % 91) + 1)).toDF("id", "w")
+    for (s <- Seq(7, 50, 211); parts <- Seq(1, 13)) {
+      val r = graft.operators.Splits
+        .ppsSystematicSample(big.repartition(parts), "id", col("w"), s)
+        .collect()
+      assert(r.map(_.getLong(2)).sum === s.toLong, s"s=$s parts=$parts")
+    }
+    // partition invariance of the exact row set
+    val a = graft.operators.Splits
+      .ppsSystematicSample(big.repartition(1), "id", col("w"), 37)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = graft.operators.Splits
+      .ppsSystematicSample(big.repartition(13), "id", col("w"), 37)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("compactionPlan: hand case, byte conservation, contiguous file indexes") {
+    import spark.implicits._
+    // one shard, sizes 10/10/10, target 15: cursor-at-start rule packs
+    // the first two rows into file 0 and the third into file 1
+    val small = Seq((1L, 10), (2L, 10), (3L, 10)).toDF("id", "b")
+    val hand = graft.operators.Routing
+      .compactionPlan(small, "id", col("b"), nShards = 1, targetBytes = 15L)
+      .orderBy("file_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hand.toSeq === Seq((0L, 2L, 20L), (1L, 1L, 10L)))
+    // many shards: bytes conserve, per-shard file indexes are 0..max with
+    // no gaps, and the plan is partition-invariant
+    val docs = (1L to 400L).map(i => (i, (i * 53 % 997 + 1).toInt)).toDF("id", "b")
+    val plan = graft.operators.Routing
+      .compactionPlan(docs.repartition(7), "id", col("b"), nShards = 4,
+        targetBytes = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.map(_._4).sum === (1L to 400L).map(i => i * 53 % 997 + 1).sum)
+    plan.groupBy(_._1).foreach { case (_, files) =>
+      val idxs = files.map(_._2).sorted
+      assert(idxs.toSeq === (0L until idxs.length).toSeq) // contiguous
+    }
+    val again = graft.operators.Routing
+      .compactionPlan(docs.repartition(1), "id", col("b"), nShards = 4,
+        targetBytes = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.sortBy(t => (t._1, t._2)).toSeq === again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
