@@ -3650,6 +3650,15 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, m = 8, kCodes = 16, topK = 5)
         .orderBy("query_id", "rank")
     }),
+    // --- round 8: IVF-PQ (IVFADC) — coarse routing + ADC over codes
+    //     within the probed lists; the full billion-scale ANN stack ---
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, nLists = 16, nProbe = 6,
+          m = 8, kCodes = 16, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
     // --- round 8: systematic PPS sample of orders by value (zero-offset
     //     Madow grid over the distributed prefix scan) ---
     "q_pps_sample" -> ((s, dir) => {
@@ -3925,25 +3934,29 @@ object SparkEntry {
     * argmax of integer dot products (computed in DOUBLE, exact below 2^53),
     * the mean is `floor(sum/count)` — bit-equal to the engine's
     * `Math.floorDiv` long algebra. `prev` is the previous centroid CTE. */
-  private def ivfIterSql(n: Int, prev: String): String =
-    s"""d$n AS (
+  /** One IVF Lloyd iteration. `smp` names the sample CTE and `p`
+    * prefixes every CTE this iteration defines (so the chain can be
+    * embedded twice in one statement — see [[ivfPqSql]]). */
+  private def ivfIterSql(n: Int, prev: String, smp: String = "smp",
+      p: String = ""): String =
+    s"""${p}d$n AS (
        |  SELECT s.rnk, c.cid,
        |    list_dot_product(list_transform(s.qv, x -> x::DOUBLE),
        |                     list_transform(c.cv, x -> x::DOUBLE)) AS d
-       |  FROM smp s CROSS JOIN $prev c),
-       |a$n AS (
+       |  FROM $smp s CROSS JOIN $prev c),
+       |${p}a$n AS (
        |  SELECT rnk, cid FROM (
        |    SELECT rnk, cid, row_number() OVER (PARTITION BY rnk ORDER BY d DESC, cid ASC) AS rn
-       |    FROM d$n) WHERE rn = 1),
-       |m$n AS (
+       |    FROM ${p}d$n) WHERE rn = 1),
+       |${p}m$n AS (
        |  SELECT a.cid, p.i AS pos,
        |    CAST(floor(CAST(sum(s.qv[p.i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
-       |  FROM a$n a JOIN smp s ON s.rnk = a.rnk CROSS JOIN range(1, 65) p(i)
+       |  FROM ${p}a$n a JOIN $smp s ON s.rnk = a.rnk CROSS JOIN range(1, 65) p(i)
        |  GROUP BY a.cid, p.i),
-       |c$n AS (
+       |${p}c$n AS (
        |  SELECT $prev.cid, coalesce(m.cv, $prev.cv) AS cv
        |  FROM $prev LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS cv
-       |                        FROM m$n GROUP BY cid) m USING (cid))""".stripMargin
+       |                        FROM ${p}m$n GROUP BY cid) m USING (cid))""".stripMargin
 
   /** Full IVF twin: quantize → deterministic init (evenly spaced sample
     * ranks) → eight exact E/M iterations → corpus assignment + query probes
@@ -4086,6 +4099,59 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-PQ twin ([[graft.similarity.Pq.ivfPqTopK]]): the `i`-prefixed
+    * IVF chain (2048-sample dot-Lloyd, corpus list assignment ties to the
+    * SMALLER cid, probe ties to the HIGHER) routes; the shared PQ chain
+    * ([[pqTrainCtes]]) compresses; ADC ranks within the probed lists. */
+  private lazy val ivfPqSql: String =
+    s"""WITH ismp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048)),
+       |isn AS (SELECT count(*) AS s FROM ismp),
+       |ic0 AS (
+       |  SELECT r.i AS cid, s.qv AS cv
+       |  FROM range(0, 16) r(i) JOIN ismp s ON s.rnk = (r.i * (SELECT s FROM isn)) // 16),
+       |${(1 to 8).map(n => ivfIterSql(n, s"ic${n - 1}", "ismp", "i")).mkString(",\n")},
+       |iallq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |iad AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_dot_product(list_transform(e.qv, x -> x::DOUBLE),
+       |                     list_transform(c.cv, x -> x::DOUBLE)) AS d
+       |  FROM iallq e CROSS JOIN ic8 c),
+       |iasg AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM iad) WHERE rn = 1),
+       |iprb AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS pn
+       |    FROM iad WHERE vec_id < 10) WHERE pn <= 6),
+       |$pqTrainCtes,
+       |qlut AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> ((q.sv[i] - c.cv[i])::DOUBLE) * ((q.sv[i] - c.cv[i])::DOUBLE))) AS lut
+       |  FROM (SELECT * FROM av WHERE vec_id < 10) q
+       |  JOIN pc4 c ON c.sub = q.sub),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM iprb p JOIN iasg a ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.lut)::BIGINT AS adc
+       |  FROM cand c JOIN pasg pa ON pa.vec_id = c.vec_id
+       |  JOIN qlut l ON l.query_id = c.query_id AND l.sub = pa.sub AND l.code = pa.cid
+       |  GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
+       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   /** DuckDB mirror of [[graft.sources.Tables.partsupp]] — the derived
@@ -4219,6 +4285,7 @@ object SparkEntry {
     "q_ann_topk_ivf" -> ivfTopkSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcSql,
+    "q_ivfpq_topk" -> ivfPqSql,
     "q_file_bins" ->
       // HRW rebuild (the q_shard_route recipe) + per-shard cumsum + `//`
       """WITH c AS (SELECT d.doc_id, length(d.text)::BIGINT AS b, k.k,

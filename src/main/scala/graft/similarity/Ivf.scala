@@ -308,12 +308,12 @@ object Ivf {
 
   /** Column: `q6`-quantized long components of a float vector — the same
     * rounding an oracle applies (`floor(x::DOUBLE * 1e6)`). */
-  private def q6(vec: Column): Column =
+  private[similarity] def q6(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000000.0)))
 
   /** Column: array of LONG dot products of the quantized `vec` against each
     * quantized centroid (all codegen'd built-ins, row-local). */
-  private def centroidScoresLong(qvec: Column, centroids: Array[Array[Long]]): Column =
+  private[similarity] def centroidScoresLong(qvec: Column, centroids: Array[Array[Long]]): Column =
     array(centroids.toIndexedSeq.map(c =>
       aggregate(zip_with(qvec, typedLit(c.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)): _*)

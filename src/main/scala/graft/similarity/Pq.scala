@@ -194,4 +194,85 @@ object Pq {
     dists.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
   }
+
+  /** IVF-PQ: the full billion-scale ANN stack in one operator (Jégou et
+    * al. §V — "IVFADC"). The IVF coarse quantizer ([[Ivf
+    * .trainCentroidsQuantized]], integer-exact dot assignment) routes
+    * every corpus vector to one of `nLists` inverted lists; queries probe
+    * their `nProbe` best lists; and within the probed candidates the
+    * ranking is PQ-ADC — m LUT lookups per candidate over the 8-byte
+    * codes, never the raw vectors. Cost per query: `nProbe/nLists` of the
+    * corpus × m integer adds, plus one m×k LUT build. Both trainers are
+    * bounded-sample driver loops and both assignments are row-local, so
+    * the whole operator carries a full SQL oracle.
+    *
+    * Returns `(query_id, rank, neighbor_id, adc_dist)`, `rank ≤ topK`. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nLists: Int = 16,
+      nProbe: Int = 6,
+      ivfIters: Int = 8,
+      m: Int = 8,
+      kCodes: Int = 16,
+      pqIters: Int = 4,
+      topK: Int = 5,
+      ivfSample: Int = 2048,
+      pqSample: Int = 512
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists)
+    val coarse = Ivf.trainCentroidsQuantized(corpus, idCol, vecCol, nLists,
+      ivfIters, ivfSample)
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, kCodes,
+      pqIters, pqSample)
+    val subDim = dim / m
+    val scores = Ivf.centroidScoresLong(col("qv6"), coarse)
+    // corpus: one list id per vector (integer-exact dot argmax, first max)
+    val lists = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("qv6", Ivf.q6(col("v")))
+      .withColumn("list_id", (array_position(scores, array_max(scores)) - 1).cast("int"))
+      .select("neighbor_id", "list_id")
+    val codes = assignCodes(corpus, idCol, vecCol, dim, m, books)
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"))
+      .join(lists, "neighbor_id")
+    // queries: nProbe best lists (ties to the HIGHER centroid index, the
+    // ivfTopKExact convention) + the ADC LUT
+    val probeIdx = slice(
+      reverse(array_sort(zip_with(scores,
+        sequence(lit(0), lit(nLists - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))))),
+      1, nProbe)
+    val qBase = queries.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val probes = qBase
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qv6", Ivf.q6(col("qv")))
+      .withColumn("__p", explode(probeIdx))
+      .select(col("query_id"), col("__p.i").cast("int").as("list_id"))
+    val qv = q6(col(vecCol))
+    val lutEntries = (0 until m).flatMap { sub =>
+      val sv = slice(qv, sub * subDim + 1, subDim)
+      books(sub).toIndexedSeq.zipWithIndex.map { case (cv, c) =>
+        struct(lit(sub).as("sub"), lit(c).as("code"), subDist(sv, cv).as("lut_dist"))
+      }
+    }
+    val lut = qBase
+      .select(col(idCol).as("query_id"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.lut_dist").as("lut_dist"))
+    val dists = codes.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("lut_dist").as("adc_dist"), count(lit(1)).as("__m"))
+      .filter(col("__m") === m)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    dists.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
 }

@@ -474,6 +474,35 @@ class Round8Spec extends SparkSpec {
     assert(plan.sortBy(t => (t._1, t._2)).toSeq === again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("ivfPqTopK with all lists probed equals full PQ-ADC ranking") {
+    import spark.implicits._
+    val vecs = (0L until 96L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 17 + d * 11) % 23).toFloat / 23f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // topK=200 > corpus: nothing truncates, so "full" is the complete
+    // ADC ranking and subset claims are non-vacuous
+    val full = norm(graft.similarity.Pq.pqAdcTopK(vecs, q, "vec_id", "embedding",
+      dim = 8, m = 2, kCodes = 4, topK = 200, iters = 3, sampleSize = 96))
+    val ivfpqAll = norm(graft.similarity.Pq.ivfPqTopK(vecs, q, "vec_id", "embedding",
+      dim = 8, nLists = 4, nProbe = 4, ivfIters = 3, m = 2, kCodes = 4,
+      pqIters = 3, topK = 200, ivfSample = 96, pqSample = 96))
+    assert(ivfpqAll === full) // probing every list = no candidate pruning
+    // partial probing returns a SUBSET of pairs with identical distances
+    val ivfpq1 = graft.similarity.Pq.ivfPqTopK(vecs, q, "vec_id", "embedding",
+        dim = 8, nLists = 4, nProbe = 2, ivfIters = 3, m = 2, kCodes = 4,
+        pqIters = 3, topK = 200, ivfSample = 96, pqSample = 96)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val fullMap = full.map(t => (t._1, t._3) -> t._4).toMap
+    assert(ivfpq1.nonEmpty && ivfpq1.size < fullMap.size)
+    ivfpq1.foreach { case (k, d) =>
+      assert(fullMap.contains(k) && fullMap(k) === d)
+    }
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
