@@ -3674,6 +3674,22 @@ object SparkEntry {
           "doc_id", length(col("text")), nShards = 8, targetBytes = 20000L)
         .orderBy("shard", "file_idx")
     }),
+    // --- round 8: seasonal-naive forecast scorecard (MAE/sMAPE/MASE over
+    //     exact daily revenue cents, lag on the bounded day axis) ---
+    "q_forecast_eval" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("rev"))
+      graft.operators.TimeSeries.seasonalNaiveEval(daily, "day", "rev", season = 7)
+        .select(col("n_scored"), fround(col("mae"), 4).as("mae"),
+          fround(col("smape"), 6).as("smape"), fround(col("mase"), 6).as("mase"))
+    }),
+    // --- round 8: distribution-free median CI from order statistics (no
+    //     bootstrap; one sort, four rows to the driver) ---
+    "q_median_ci" -> ((s, dir) => {
+      graft.operators.Profiler.medianCI(t(s, dir, "orders"), "o_totalprice")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4286,6 +4302,37 @@ object SparkEntry {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcSql,
     "q_ivfpq_topk" -> ivfPqSql,
+    "q_forecast_eval" ->
+      """WITH d AS (SELECT o_orderdate::DATE AS day,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |l AS (SELECT day, rev, lag(rev, 7) OVER (ORDER BY day) AS f,
+        |    lag(rev, 1) OVER (ORDER BY day) AS n1 FROM d),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(abs(rev - f))::BIGINT AS sae,
+        |    sum(CASE WHEN abs(f) + abs(rev) > 0
+        |      THEN floor(2.0 * abs(rev - f)::DOUBLE
+        |        / (abs(f)::DOUBLE + abs(rev)::DOUBLE) * 1e6 + 0.5)::BIGINT
+        |      ELSE 0 END)::BIGINT AS ssm,
+        |    sum(abs(rev - n1))::BIGINT AS sn1
+        |  FROM l WHERE f IS NOT NULL AND n1 IS NOT NULL)
+        |SELECT n AS n_scored, floor(sae::DOUBLE / n * 1e4 + 0.5) / 1e4 AS mae,
+        |  floor(ssm::DOUBLE / 1e6 / n * 1e6 + 0.5) / 1e6 AS smape,
+        |  floor((sae::DOUBLE / n) / (sn1::DOUBLE / n) * 1e6 + 0.5) / 1e6 AS mase
+        |FROM s""".stripMargin,
+    "q_median_ci" ->
+      """WITH v AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |rk AS (SELECT n,
+        |    greatest(1, floor((n - 1.959964 * sqrt(n::DOUBLE)) / 2.0))::BIGINT
+        |      AS rank_lo FROM nn),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM v),
+        |m AS (SELECT quantile_cont(v, 0.5) AS med FROM v)
+        |SELECT rk.n, m.med AS median,
+        |  (SELECT v FROM o WHERE r = rk.rank_lo) AS ci_lo,
+        |  (SELECT v FROM o WHERE r = rk.n + 1 - rk.rank_lo) AS ci_hi,
+        |  rk.rank_lo, rk.n + 1 - rk.rank_lo AS rank_hi
+        |FROM rk CROSS JOIN m""".stripMargin,
     "q_file_bins" ->
       // HRW rebuild (the q_shard_route recipe) + per-shard cumsum + `//`
       """WITH c AS (SELECT d.doc_id, length(d.text)::BIGINT AS b, k.k,

@@ -459,6 +459,40 @@ object Profiler {
     }
   }
 
+  /** Distribution-free confidence interval for the MEDIAN from order
+    * statistics (the binomial/sign-test interval, large-sample rank form:
+    * `rank_lo = ⌊(n − z·√n)/2⌋`, `rank_hi = n + 1 − rank_lo` — Conover,
+    * Practical Nonparametric Statistics §3.2). No bootstrap, no
+    * resampling: one count, one distributed sort, and only the ≤4 needed
+    * order-statistic rows ever reach the driver (the
+    * [[exactPercentiles]] machinery). The ranks are a pinned closed form
+    * both engines replay (√ is IEEE-exact), and values at ranks are
+    * well-defined under ties for any sort order. Returns one row
+    * `(n, median, ci_lo, ci_hi, rank_lo, rank_hi)`; the median is the
+    * `quantile_cont`-style interpolated 0.5 quantile. */
+  def medianCI(df: DataFrame, column: String, z: Double = 1.959964): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
+    val n = vals.count()
+    require(n >= 3, s"medianCI needs n >= 3, got $n")
+    val rankLo = math.max(1L, math.floor((n - z * math.sqrt(n.toDouble)) / 2.0).toLong)
+    val rankHi = n + 1 - rankLo
+    val pos = (n - 1) * 0.5
+    val lo0 = math.floor(pos).toLong
+    val hi0 = math.ceil(pos).toLong
+    val needed = Set(rankLo - 1, rankHi - 1, lo0, hi0)
+    val byIdx = vals.orderBy("v").queryExecution.toRdd
+      .map(_.getDouble(0)).zipWithIndex()
+      .filter { case (_, i) => needed.contains(i) }
+      .map(_.swap).collectAsMap()
+    val median =
+      if (lo0 == hi0) byIdx(lo0)
+      else byIdx(lo0) + (byIdx(hi0) - byIdx(lo0)) * (pos - lo0)
+    Seq((n, median, byIdx(rankLo - 1), byIdx(rankHi - 1), rankLo, rankHi))
+      .toDF("n", "median", "ci_lo", "ci_hi", "rank_lo", "rank_hi")
+  }
+
   /** Schema drift between two dataset versions — the contract check run
     * before a pipeline ingests a new snapshot: one row per column that is
     * `added` (only in `next`), `removed` (only in `prev`), `retyped`

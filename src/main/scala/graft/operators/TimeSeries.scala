@@ -313,4 +313,47 @@ object TimeSeries {
         col("__gain").as("gain"), col("__ml").as("mean_left"),
         col("__mr").as("mean_right"))
   }
+
+  /** Forecast-accuracy scorecard for the SEASONAL-NAIVE baseline
+    * (Hyndman & Koehler 2006): forecast(t) = actual(t − season), scored
+    * over every period with a lag available.
+    *
+    *  - `mae`   = mean |e_t|  (exact integer error sums ÷ n),
+    *  - `smape` = mean 2|e_t| / (|f_t| + |a_t|)  (the symmetric
+    *    percentage error; per-row double, micro-quantized to a long
+    *    before the sum — merge-order-proof),
+    *  - `mase`  = MAE / MAE_naive1 — scaled by the one-step naive
+    *    baseline, the scale-free score that survives unit changes.
+    *
+    * Input is an already-aggregated per-period frame (`periodCol`
+    * totally ordered, `valCol` exact long counts/cents), so the lag
+    * window runs on the PERIOD axis — bounded by the calendar, not the
+    * data; at 100 TB the upstream aggregation is the only corpus-sized
+    * step. Returns one row `(n_scored, mae, smape, mase)`. */
+  def seasonalNaiveEval(daily: DataFrame, periodCol: String, valCol: String,
+      season: Int): DataFrame = {
+    require(season >= 1, s"season=$season")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("__p")
+    val base = daily.select(col(periodCol).as("__p"), col(valCol).cast("long").as("__a"))
+    val lagged = base
+      .withColumn("__f", lag(col("__a"), season).over(w))
+      .withColumn("__n1", lag(col("__a"), 1).over(w))
+      .filter(col("__f").isNotNull && col("__n1").isNotNull)
+    val err = abs(col("__a") - col("__f"))
+    val smapeQ = floor(lit(2.0) * err.cast("double")
+      / (abs(col("__f")).cast("double") + abs(col("__a")).cast("double"))
+      * lit(1e6) + lit(0.5))
+    val agg = lagged.agg(
+      count(lit(1)).as("n_scored"),
+      sum(err).as("__sae"),
+      sum(when(abs(col("__f")) + abs(col("__a")) > 0, smapeQ).otherwise(lit(0L)))
+        .as("__ssm"),
+      sum(abs(col("__a") - col("__n1"))).as("__sn1"))
+    agg.select(col("n_scored"),
+      (col("__sae").cast("double") / col("n_scored")).as("mae"),
+      (col("__ssm").cast("double") / lit(1e6) / col("n_scored")).as("smape"),
+      ((col("__sae").cast("double") / col("n_scored"))
+        / (col("__sn1").cast("double") / col("n_scored"))).as("mase"))
+  }
 }

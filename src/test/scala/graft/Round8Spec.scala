@@ -503,6 +503,33 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("seasonalNaiveEval matches hand-computed MAE/sMAPE/MASE") {
+    import spark.implicits._
+    val daily = (1 to 10).map(t => (t, t.toLong * 10)).toDF("day", "v")
+    val r = graft.operators.TimeSeries.seasonalNaiveEval(daily, "day", "v", 2)
+      .collect().head
+    // scored t=3..10: |e|=20 each -> mae=20; naive1 |e|=10 -> mase=2
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === 20.0)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)
+    // sMAPE replay with the same quantization
+    val sm = (3 to 10).map { t =>
+      math.floor(2.0 * 20 / (10.0 * (t - 2) + 10.0 * t) * 1e6 + 0.5) / 1e6
+    }.sum / 8
+    assert(math.abs(r.getDouble(2) - sm) < 1e-9)
+  }
+
+  test("medianCI matches the hand-computed order-statistic interval") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = graft.operators.Profiler.medianCI(df.repartition(7), "v").collect().head
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(1) === 50.5) // interpolated median
+    // rank_lo = floor((100 - 1.959964·10)/2) = 40, rank_hi = 61
+    assert(r.getLong(4) === 40L && r.getLong(5) === 61L)
+    assert(r.getDouble(2) === 40.0 && r.getDouble(3) === 61.0)
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
