@@ -3690,6 +3690,23 @@ object SparkEntry {
     "q_median_ci" -> ((s, dir) => {
       graft.operators.Profiler.medianCI(t(s, dir, "orders"), "o_totalprice")
     }),
+    // --- round 8: unbiased pass@k over 50 synthetic tasks (Chen et al.
+    //     estimator, exact-capped trials, left-fold survival product) ---
+    "q_pass_at_k" -> ((s, dir) => {
+      graft.operators.EvalMetrics.passAtK(
+          t(s, dir, "documents").withColumn("task", col("doc_id") % 50),
+          "task", "doc_id", col("n_chars") >= 300, ks = Seq(1, 5, 10))
+        .select(col("k"), col("n_tasks"),
+          fround(col("mean_pass_at_k"), 6).as("mean_pass_at_k"))
+        .orderBy("k")
+    }),
+    // --- round 8: padding-waste audit for length-bucketed batching ---
+    "q_padding_waste" -> ((s, dir) => {
+      graft.operators.EvalMetrics.paddingWaste(t(s, dir, "documents"), "text", 64)
+        .select(col("bucket_len"), col("n_docs"), col("real_tokens"),
+          col("pad_tokens"), fround(col("pad_ratio"), 6).as("pad_ratio"))
+        .orderBy("bucket_len")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4168,6 +4185,32 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** pass@k twin: the survival products are written out per literal k as
+    * left-associated chains — bit-identical to the engine's left fold
+    * from 1.0 ([[graft.operators.EvalMetrics.passAtK]]). */
+  private lazy val passAtKSql: String = {
+    def productFor(k: Int) = (0 until k).map(i =>
+      s"((n - c - $i)::DOUBLE / (n - $i)::DOUBLE)").mkString(" * ")
+    val perK = Seq(1, 5, 10).map { k =>
+      s"""SELECT $k AS k, count(*)::BIGINT AS n_tasks,
+         |  floor(sum(pq)::DOUBLE / 1e6 / count(*) * 1e6 + 0.5) / 1e6
+         |    AS mean_pass_at_k
+         |FROM (SELECT CASE WHEN n < $k THEN NULL
+         |        WHEN n - c < $k THEN 1000000::BIGINT
+         |        ELSE (1000000 - floor((${productFor(k)}) * 1e6 + 0.5))::BIGINT
+         |      END AS pq
+         |      FROM pt) WHERE pq IS NOT NULL GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tr AS (SELECT doc_id % 50 AS task, (n_chars >= 300) AS ok,
+       |    row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rk
+       |  FROM documents),
+       |pt AS (SELECT task, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM tr WHERE rk <= 20 GROUP BY 1)
+       |$perK
+       |ORDER BY k""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   /** DuckDB mirror of [[graft.sources.Tables.partsupp]] — the derived
@@ -4302,6 +4345,16 @@ object SparkEntry {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcSql,
     "q_ivfpq_topk" -> ivfPqSql,
+    "q_pass_at_k" -> passAtKSql,
+    "q_padding_waste" ->
+      raw"""WITH d AS (SELECT len(regexp_extract_all(trim(text), '\S+'))::BIGINT AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT ((n + 63) // 64) * 64 AS bucket_len, n FROM d WHERE n > 0)
+        |SELECT bucket_len, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS real_tokens,
+        |  sum(bucket_len - n)::BIGINT AS pad_tokens,
+        |  floor(sum(bucket_len - n)::DOUBLE / (sum(n) + sum(bucket_len - n))
+        |    * 1e6 + 0.5) / 1e6 AS pad_ratio
+        |FROM b GROUP BY 1 ORDER BY bucket_len""".stripMargin,
     "q_forecast_eval" ->
       """WITH d AS (SELECT o_orderdate::DATE AS day,
         |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampled-evaluation estimators for generate-and-check benchmarks. */
+object EvalMetrics {
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language Models
+    * Trained on Code", eq. 1): for a task with `n` sampled attempts of
+    * which `c` are correct,
+    * `pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)` —
+    * the unbiased estimator of the probability that at least one of k
+    * fresh samples passes (NOT the biased empirical `1 − (1−c/n)^k`).
+    *
+    * Determinism discipline: trials per task are capped at `maxN` (the
+    * first `maxN` by `trialCol` order — a pinned frame), the survival
+    * product folds LEFT over i = 0..k−1 in double (each factor one IEEE
+    * division; a left fold starting at 1.0 is bit-identical to the
+    * oracle's written-out left-associated product), the per-task value
+    * is micro-quantized to a long, and the cross-task mean sums longs.
+    * Tasks with `n < k` are undefined and excluded. One row per k:
+    * `(k, n_tasks, mean_pass_at_k)`.
+    *
+    * Scale shape: one window rank per task (bounded by task group size),
+    * one count aggregation, then task-frame-sized row-local math —
+    * nothing beyond the grouped rank touches the corpus twice. */
+  def passAtK(df: DataFrame, taskCol: String, trialCol: String,
+      correctCol: org.apache.spark.sql.Column, ks: Seq[Int],
+      maxN: Int = 20): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= maxN), s"ks=$ks")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(taskCol).orderBy(trialCol)
+    val perTask = df
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxN)
+      .groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correctCol, 1L).otherwise(0L)).as("c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kFrame = ks.toDF("k")
+    // survival product Π (n−c−i)/(n−i), left fold; n−c < k short-circuits
+    val prod = aggregate(sequence(lit(0), col("k") - 1), lit(1.0),
+      (acc, i) => acc * ((col("n") - col("c") - i).cast("double")
+        / (col("n") - i).cast("double")))
+    val passQ = when(col("n") < col("k"), lit(null).cast("long")) // undefined
+      .when(col("n") - col("c") < col("k"), lit(1000000L))
+      .otherwise(lit(1000000L) - floor(prod * lit(1e6) + lit(0.5)).cast("long"))
+    perTask.crossJoin(broadcast(kFrame))
+      .withColumn("__pq", passQ)
+      .filter(col("__pq").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_tasks"), sum("__pq").as("__s"))
+      .select(col("k"), col("n_tasks"),
+        (col("__s").cast("double") / lit(1e6) / col("n_tasks"))
+          .as("mean_pass_at_k"))
+  }
+
+  /** Padding-waste audit for length-bucketed batching: bucket each
+    * document's token count up to the next multiple of `bucketSize` and
+    * report, per bucket, how many pad tokens that batch shape wastes —
+    * the number a packing strategy (`q_pack`) is judged against.
+    * Returns `(bucket_len, n_docs, real_tokens, pad_tokens, pad_ratio)`. */
+  def paddingWaste(df: DataFrame, textCol: String, bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1)
+    val n = graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long")
+    df.filter(col(textCol).isNotNull)
+      .select(n.as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("bucket_len",
+        expr(s"((__n + ${bucketSize - 1}L) div ${bucketSize}L) * ${bucketSize}L"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("real_tokens"),
+        sum(col("bucket_len") - col("__n")).as("pad_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("real_tokens"),
+        col("pad_tokens"),
+        (col("pad_tokens").cast("double")
+          / (col("real_tokens") + col("pad_tokens"))).as("pad_ratio"))
+  }
+}

@@ -530,6 +530,32 @@ class Round8Spec extends SparkSpec {
     assert(r.getDouble(2) === 40.0 && r.getDouble(3) === 61.0)
   }
 
+  test("passAtK matches the hand-computed unbiased estimator") {
+    import spark.implicits._
+    // task A: n=4, c=2; task B: n=4, c=0
+    val trials = (Seq.tabulate(4)(i => ("A", i.toLong, i < 2)) ++
+      Seq.tabulate(4)(i => ("B", i.toLong, false))).toDF("task", "trial", "ok")
+    val out = graft.operators.EvalMetrics
+      .passAtK(trials, "task", "trial", col("ok"), ks = Seq(1, 3, 5))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // k=1: A: 1 − 2/4 = .5, B: 0 → mean .25
+    assert(out(1)._1 === 2L && math.abs(out(1)._2 - 0.25) < 1e-9)
+    // k=3: A: n−c=2 < 3 → 1, B: 0 → mean .5
+    assert(out(3)._1 === 2L && math.abs(out(3)._2 - 0.5) < 1e-9)
+    // k=5 > n=4: undefined for every task → no row
+    assert(!out.contains(5))
+  }
+
+  test("paddingWaste buckets and pads by the hand rule") {
+    import spark.implicits._
+    val docs = Seq(Tuple1(Seq.fill(3)("w").mkString(" ")),
+      Tuple1(Seq.fill(70)("w").mkString(" "))).toDF("text")
+    val out = graft.operators.EvalMetrics.paddingWaste(docs, "text", 64)
+      .orderBy("bucket_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((64L, 1L, 3L, 61L), (128L, 1L, 70L, 58L)))
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
