@@ -3707,6 +3707,22 @@ object SparkEntry {
           col("pad_tokens"), fround(col("pad_ratio"), 6).as("pad_ratio"))
         .orderBy("bucket_len")
     }),
+    // --- round 8: Bradley-Terry arena leaderboard over deterministic
+    //     source-vs-source matches (exact integer MM iterations) ---
+    "q_bradley_terry" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val m = d.filter(col("doc_id") % 2 === 0).alias("x")
+        .join(d.alias("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .filter(col("x.source") =!= col("y.source")
+          && col("x.n_chars") =!= col("y.n_chars"))
+        .select(
+          when(col("x.n_chars") > col("y.n_chars"), col("x.source"))
+            .otherwise(col("y.source")).as("winner"),
+          when(col("x.n_chars") > col("y.n_chars"), col("y.source"))
+            .otherwise(col("x.source")).as("loser"))
+      graft.operators.EvalMetrics.bradleyTerry(m, "winner", "loser", iters = 5)
+        .orderBy("player")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4185,6 +4201,49 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Bradley–Terry twin: HUGEINT MM iterations over the tiny player
+    * frame, every rounding the same `(2a + b) // 2b` half-up identity as
+    * [[graft.operators.EvalMetrics.bradleyTerry]]'s BigInt loop. */
+  private lazy val bradleyTerrySql: String = {
+    def iter(n: Int): String =
+      s"""t$n AS MATERIALIZED (SELECT pr.a AS i, pr.b AS j, pr.n, sa.s AS si, sb.s AS sj
+         |  FROM pairs pr JOIN s${n - 1} sa ON sa.p = pr.a
+         |  JOIN s${n - 1} sb ON sb.p = pr.b),
+         |d$n AS MATERIALIZED (SELECT i, sum((2 * n * 1000000000000 + gr) // (2 * gr)) AS d
+         |  FROM (SELECT i, n, greatest(si + sj, 1) AS gr FROM t$n
+         |        UNION ALL SELECT j, n, greatest(si + sj, 1) FROM t$n)
+         |  GROUP BY 1),
+         |u$n AS MATERIALIZED (SELECT w.p, CASE WHEN d.d = 0 THEN 0
+         |    ELSE (2 * w.wn * 1000000000000 + d.d) // (2 * d.d) END AS s1
+         |  FROM wins w JOIN d$n d ON d.i = w.p),
+         |z$n AS MATERIALIZED (SELECT greatest(sum(s1), 1) AS z FROM u$n),
+         |s$n AS MATERIALIZED (SELECT u.p, (u.s1 * pn.np * 1000000) // z.z AS s
+         |  FROM u$n u, z$n z, pn)""".stripMargin
+    s"""WITH mt AS MATERIALIZED (
+       |  SELECT CASE WHEN x.n_chars > y.n_chars THEN x.source ELSE y.source END AS w,
+       |         CASE WHEN x.n_chars > y.n_chars THEN y.source ELSE x.source END AS l
+       |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+       |  WHERE x.doc_id % 2 = 0 AND x.source != y.source
+       |    AND x.n_chars != y.n_chars),
+       |pairs AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |    count(*)::BIGINT AS n FROM mt GROUP BY 1, 2),
+       |pl AS MATERIALIZED (SELECT DISTINCT p FROM
+       |  (SELECT a AS p FROM pairs UNION SELECT b FROM pairs)),
+       |wn0 AS (SELECT w AS p, count(*)::BIGINT AS wn FROM mt GROUP BY 1),
+       |wins AS MATERIALIZED (SELECT pl.p, coalesce(wn0.wn, 0)::BIGINT AS wn
+       |  FROM pl LEFT JOIN wn0 ON wn0.p = pl.p),
+       |gm AS MATERIALIZED (SELECT p, sum(n)::BIGINT AS games FROM
+       |  (SELECT a AS p, n FROM pairs UNION ALL SELECT b, n FROM pairs)
+       |  GROUP BY 1),
+       |pn AS MATERIALIZED (SELECT count(*)::BIGINT AS np FROM pl),
+       |s0 AS MATERIALIZED (SELECT p, 1000000::HUGEINT AS s FROM pl),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT s5.p AS player, gm.games, wins.wn AS wins,
+       |  (s5.s::DOUBLE / 1e6) AS bt_score
+       |FROM s5 JOIN gm ON gm.p = s5.p JOIN wins ON wins.p = s5.p
+       |ORDER BY player""".stripMargin
+  }
+
   /** pass@k twin: the survival products are written out per literal k as
     * left-associated chains — bit-identical to the engine's left fold
     * from 1.0 ([[graft.operators.EvalMetrics.passAtK]]). */
@@ -4345,6 +4404,7 @@ object SparkEntry {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcSql,
     "q_ivfpq_topk" -> ivfPqSql,
+    "q_bradley_terry" -> bradleyTerrySql,
     "q_pass_at_k" -> passAtKSql,
     "q_padding_waste" ->
       raw"""WITH d AS (SELECT len(regexp_extract_all(trim(text), '\S+'))::BIGINT AS n

@@ -57,6 +57,68 @@ object EvalMetrics {
           .as("mean_pass_at_k"))
   }
 
+  /** Bradley–Terry strength ranking from pairwise outcomes (the
+    * arena-leaderboard model: `P(i beats j) = σ_i/(σ_i + σ_j)`), fitted
+    * with Hunter's MM iteration (Hunter 2004, eq. 2):
+    * `σ_i ← W_i / Σ_j n_ij/(σ_i + σ_j)`, renormalized to mean 1 each
+    * round.
+    *
+    * `matches(winnerCol, loserCol)` is corpus-sized; everything after the
+    * two aggregations (per-player wins, per-unordered-pair game counts)
+    * lives on the PLAYER frame — bounded at ≤ `maxPlayers`, so the MM
+    * loop runs on the driver in EXACT integer arithmetic: scores are
+    * micro-quantized longs, every `floor(x + ½)` is the BigInt identity
+    * `(2a + b) div 2b`, zero-score pair denominators clamp to 1, and the
+    * oracle replays the identical algebra with HUGEINT CTEs. Ties in the
+    * data are the caller's to resolve (a match has exactly one winner).
+    * Returns `(player, games, wins, bt_score)` with `bt_score` =
+    * micro-score / 1e6. */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 5, maxPlayers: Int = 10000): DataFrame = {
+    val m = matches.select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winRows = m.groupBy("w").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairRows = m
+      .select(least(col("w"), col("l")).as("a"), greatest(col("w"), col("l")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    m.unpersist()
+    val players = pairRows.flatMap(p => Seq(p._1._1, p._1._2)).distinct.sorted
+    require(players.length >= 2 && players.length <= maxPlayers,
+      s"bradleyTerry: ${players.length} players (bound $maxPlayers)")
+    val wins = players.map(p => winRows.getOrElse(p, 0L)).toArray
+    val games = players.map(p => pairRows.collect {
+      case ((a, b), n) if a == p || b == p => n
+    }.sum).toArray
+    val idx = players.zipWithIndex.toMap
+    val T = BigInt(1000000000000L) // 1e12
+    var s: Array[BigInt] = Array.fill(players.length)(BigInt(1000000L))
+    def halfUp(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+    (1 to iters).foreach { _ =>
+      val denom = Array.fill(players.length)(BigInt(0))
+      pairRows.foreach { case ((a, b), n) =>
+        val (i, j) = (idx(a), idx(b))
+        val sij = (s(i) + s(j)).max(BigInt(1))
+        val t = halfUp(BigInt(n) * T, sij)
+        denom(i) += t; denom(j) += t
+      }
+      val s1 = Array.tabulate(players.length) { i =>
+        if (denom(i) == 0) BigInt(0) else halfUp(BigInt(wins(i)) * T, denom(i))
+      }
+      val z = s1.foldLeft(BigInt(0))(_ + _).max(BigInt(1))
+      val scale = BigInt(players.length) * 1000000L
+      s = s1.map(v => v * scale / z)
+    }
+    val spark = matches.sparkSession
+    import spark.implicits._
+    players.indices.map { i =>
+      (players(i), games(i), wins(i), s(i).toLong.toDouble / 1e6)
+    }.toDF("player", "games", "wins", "bt_score")
+  }
+
   /** Padding-waste audit for length-bucketed batching: bucket each
     * document's token count up to the next multiple of `bucketSize` and
     * report, per bucket, how many pad tokens that batch shape wastes —

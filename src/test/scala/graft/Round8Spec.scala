@@ -556,6 +556,24 @@ class Round8Spec extends SparkSpec {
     assert(out.toSeq === Seq((64L, 1L, 3L, 61L), (128L, 1L, 70L, 58L)))
   }
 
+  test("bradleyTerry converges to the analytic two-player strengths") {
+    import spark.implicits._
+    // A beats B 3:1 -> P(A wins) = 3/4 -> sigma_A/sigma_B = 3; with the
+    // mean-1 normalization (sum = 2): sigma_A = 1.5, sigma_B = 0.5 — an
+    // exact MM fixed point reached in one iteration
+    val m = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A"))).toDF("w", "l")
+    val out = graft.operators.EvalMetrics.bradleyTerry(m, "w", "l", iters = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") === ((4L, 3L, 1.5)))
+    assert(out("B") === ((4L, 1L, 0.5)))
+    // result is a pure function of the match multiset, not partitioning
+    val out2 = graft.operators.EvalMetrics
+      .bradleyTerry(m.repartition(5), "w", "l", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2("A") === 1.5 && out2("B") === 0.5)
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
