@@ -3723,6 +3723,37 @@ object SparkEntry {
       graft.operators.EvalMetrics.bradleyTerry(m, "winner", "loser", iters = 5)
         .orderBy("player")
     }),
+    // --- round 8: Wald SPRT conversion monitor over the day axis ---
+    "q_sprt" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+        .groupBy("day").agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+      graft.operators.Stats.sprt(daily, "day", "n", "k", p0 = 0.18, p1 = 0.22)
+        .select(col("period"), col("n_cum"), col("k_cum"),
+          fround(col("llr"), 6).as("llr"), col("decision"))
+        .orderBy("period")
+    }),
+    // --- round 8: empirical-Bayes beta-binomial shrinkage of per-part
+    //     return rates (prior fitted over ALL parts, 25 shown) ---
+    "q_eb_shrinkage" -> ((s, dir) => {
+      graft.operators.Stats.ebShrinkage(
+          t(s, dir, "lineitem"), "l_partkey", col("l_returnflag") === "R")
+        .filter(col("group") < 25)
+        .select(col("group"), col("n"), col("k"),
+          fround(col("rate"), 6).as("rate"), fround(col("shrunk"), 6).as("shrunk"))
+        .orderBy("group")
+    }),
+    // --- round 8: IPS off-policy evaluation on a logging/eval split ---
+    "q_ips_offpolicy" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      graft.operators.EvalMetrics.ipsOffPolicy(ev,
+          col("user_id") % 4, col("event_type"), col("value") >= 50,
+          col("event_id") % 2 === 0)
+        .select(col("n_eval"), fround(col("ips"), 6).as("ips"),
+          fround(col("dm"), 6).as("dm"),
+          fround(col("match_rate"), 6).as("match_rate"))
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4244,6 +4275,30 @@ object SparkEntry {
        |ORDER BY player""".stripMargin
   }
 
+  /** SPRT twin: the same four plan-time log constants, printed with 17
+    * significant digits (exact decimal→double round trip), so both
+    * engines multiply exact cumulative longs by bit-identical doubles. */
+  private lazy val sprtSql: String = {
+    def lit17(x: Double) = "%.17g".formatLocal(java.util.Locale.ROOT, x)
+    val l1 = lit17(math.log(0.22 / 0.18))
+    val l0 = lit17(math.log((1 - 0.22) / (1 - 0.18)))
+    val up = lit17(math.log((1 - 0.05) / 0.05))
+    val lo = lit17(math.log(0.05 / (1 - 0.05)))
+    s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    count(*)::BIGINT AS n,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS k
+       |  FROM events GROUP BY 1),
+       |c AS (SELECT day, sum(n) OVER (ORDER BY day)::BIGINT AS n_cum,
+       |    sum(k) OVER (ORDER BY day)::BIGINT AS k_cum FROM d),
+       |l AS (SELECT day, n_cum, k_cum,
+       |    k_cum::DOUBLE * ($l1) + (n_cum - k_cum)::DOUBLE * ($l0) AS llr
+       |  FROM c)
+       |SELECT day AS period, n_cum, k_cum, floor(llr * 1e6 + 0.5) / 1e6 AS llr,
+       |  CASE WHEN llr >= ($up) THEN 'accept_h1'
+       |       WHEN llr <= ($lo) THEN 'accept_h0' ELSE 'continue' END AS decision
+       |FROM l ORDER BY period""".stripMargin
+  }
+
   /** pass@k twin: the survival products are written out per literal k as
     * left-associated chains — bit-identical to the engine's left fold
     * from 1.0 ([[graft.operators.EvalMetrics.passAtK]]). */
@@ -4405,6 +4460,55 @@ object SparkEntry {
     "q_pq_adc_topk" -> pqAdcSql,
     "q_ivfpq_topk" -> ivfPqSql,
     "q_bradley_terry" -> bradleyTerrySql,
+    "q_sprt" -> sprtSql,
+    "q_eb_shrinkage" ->
+      """WITH g AS (SELECT l_partkey AS grp, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |q AS (SELECT grp, n, k, floor(k::DOUBLE / n * 1e6 + 0.5)::BIGINT AS pq
+        |  FROM g),
+        |mom AS (SELECT count(*)::BIGINT AS gg, sum(pq)::BIGINT AS sp,
+        |    sum(pq * pq)::BIGINT AS spp FROM q),
+        |pr AS (SELECT sp::DOUBLE / 1e6 / gg AS m,
+        |    spp::DOUBLE / 1e12 / gg
+        |      - (sp::DOUBLE / 1e6 / gg) * (sp::DOUBLE / 1e6 / gg) AS v FROM mom),
+        |ab AS (SELECT m, m * (1.0 - m) / v - 1 AS ab FROM pr)
+        |SELECT grp AS "group", n, k,
+        |  floor(k::DOUBLE / n * 1e6 + 0.5) / 1e6 AS rate,
+        |  floor((k::DOUBLE + m * ab) / (n::DOUBLE + ab) * 1e6 + 0.5) / 1e6 AS shrunk
+        |FROM g CROSS JOIN ab WHERE grp < 25 ORDER BY grp""".stripMargin,
+    "q_ips_offpolicy" ->
+      """WITH b AS (SELECT user_id % 4 AS c, event_type AS a,
+        |    (CASE WHEN value >= 50 THEN 1 ELSE 0 END)::BIGINT AS r,
+        |    event_id % 2 = 0 AS in_log
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |ag AS (SELECT c, a, count(*)::BIGINT AS n_a, sum(r)::BIGINT AS r_a
+        |  FROM b WHERE in_log GROUP BY 1, 2),
+        |tgt AS (SELECT c, a, n_a, r_a, r_a::DOUBLE / n_a AS q_a FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c
+        |      ORDER BY r_a::DOUBLE / n_a DESC, a ASC) AS rk FROM ag)
+        |  WHERE rk = 1),
+        |nc AS (SELECT c, sum(n_a)::BIGINT AS n_c_log FROM ag GROUP BY 1),
+        |pol AS (SELECT tgt.c, tgt.a, tgt.n_a, tgt.q_a, nc.n_c_log
+        |  FROM tgt JOIN nc ON nc.c = tgt.c),
+        |eg AS (SELECT c, a, count(*)::BIGINT AS n_b, sum(r)::BIGINT AS r_b
+        |  FROM b WHERE NOT in_log GROUP BY 1, 2),
+        |nb AS (SELECT sum(n_b)::BIGINT AS n_eval FROM eg),
+        |mt AS (SELECT eg.c, eg.n_b, eg.r_b, pol.n_a, pol.n_c_log
+        |  FROM eg JOIN pol ON pol.c = eg.c AND pol.a = eg.a),
+        |ia AS (SELECT
+        |    sum(floor(r_b::DOUBLE * n_c_log::DOUBLE / n_a * 1e6 + 0.5)::BIGINT)
+        |      ::BIGINT AS ipsq,
+        |    sum(n_b)::BIGINT AS n_match FROM mt),
+        |pcb AS (SELECT c, sum(n_b)::BIGINT AS n_c_eval FROM eg GROUP BY 1),
+        |da AS (SELECT
+        |    sum(floor(n_c_eval::DOUBLE * q_a * 1e6 + 0.5)::BIGINT)::BIGINT AS dmq
+        |  FROM pcb JOIN pol ON pol.c = pcb.c)
+        |SELECT nb.n_eval,
+        |  floor(ipsq::DOUBLE / 1e6 / n_eval * 1e6 + 0.5) / 1e6 AS ips,
+        |  floor(dmq::DOUBLE / 1e6 / n_eval * 1e6 + 0.5) / 1e6 AS dm,
+        |  floor(n_match::DOUBLE / n_eval * 1e6 + 0.5) / 1e6 AS match_rate
+        |FROM nb CROSS JOIN ia CROSS JOIN da""".stripMargin,
     "q_pass_at_k" -> passAtKSql,
     "q_padding_waste" ->
       raw"""WITH d AS (SELECT len(regexp_extract_all(trim(text), '\S+'))::BIGINT AS n

@@ -119,6 +119,65 @@ object EvalMetrics {
     }.toDF("player", "games", "wins", "bt_score")
   }
 
+  /** Inverse-propensity off-policy evaluation (Horvitz–Thompson applied
+    * to logged bandit feedback — Li et al., WSDM'11): estimate the value
+    * of a DETERMINISTIC target policy from logs collected under another
+    * policy, without deploying it.
+    *
+    * Split discipline: propensities `p̂(a|c)` AND the greedy target
+    * policy `π(c) = argmax_a avgReward_A(c, a)` (ties to the smaller
+    * action) are fitted on the LOGGING split (`splitCol = true`); the
+    * estimate is computed on the EVAL split only — so IPS and the direct
+    * method genuinely disagree (with propensities fitted on the eval
+    * data itself they collapse to the same number).
+    *
+    *  - `ips = (1/N_B) Σ_{t∈B} r_t·1[a_t = π(c_t)] / p̂_A(a_t|c_t)`
+    *  - `dm  = Σ_c (n^B_c/N_B) · avgReward_A(c, π(c))`
+    *  - `match_rate` = share of eval rows whose logged action is π.
+    *
+    * All counts are exact longs; the per-(context, action) ratios are
+    * pinned double ops micro-quantized BEFORE the cross-group sums.
+    * Returns one row `(n_eval, ips, dm, match_rate)`. */
+  def ipsOffPolicy(df: DataFrame, contextCol: org.apache.spark.sql.Column,
+      actionCol: org.apache.spark.sql.Column,
+      rewardCol: org.apache.spark.sql.Column,
+      splitCol: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(contextCol.cast("long").as("c"),
+        actionCol.cast("string").as("a"),
+        when(rewardCol, 1L).otherwise(0L).as("r"), splitCol.as("in_log"))
+      .filter(col("c").isNotNull && col("a").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aGrp = base.filter(col("in_log"))
+      .groupBy("c", "a").agg(count(lit(1)).as("n_a"), sum("r").as("r_a"))
+    val wPi = org.apache.spark.sql.expressions.Window.partitionBy("c")
+      .orderBy((col("r_a").cast("double") / col("n_a")).desc, col("a").asc)
+    val target = aGrp.withColumn("__rk", row_number().over(wPi))
+      .filter(col("__rk") === 1)
+      .select(col("c"), col("a"), col("n_a"), col("r_a"),
+        (col("r_a").cast("double") / col("n_a")).as("q_a"))
+    val nCa = aGrp.groupBy("c").agg(sum("n_a").as("n_c_log"))
+    val pol = target.join(nCa, "c") // (c, a=π(c), n_a, q_a, n_c_log)
+    val evalGrp = base.filter(!col("in_log"))
+      .groupBy("c", "a").agg(count(lit(1)).as("n_b"), sum("r").as("r_b"))
+    val nB = evalGrp.agg(sum("n_b").as("n_eval"))
+    // matched eval groups: logged action equals the target action
+    val matched = evalGrp.join(pol, Seq("c", "a"))
+    val ipsQ = floor(col("r_b").cast("double")
+      * col("n_c_log").cast("double") / col("n_a") * lit(1e6) + lit(0.5))
+    val perCtxB = evalGrp.groupBy("c").agg(sum("n_b").as("n_c_eval"))
+    val dmQ = floor(col("n_c_eval").cast("double") * col("q_a") * lit(1e6) + lit(0.5))
+    val ipsAgg = matched.agg(sum(ipsQ).as("__ips_q"), sum("n_b").as("__n_match"))
+    val dmAgg = perCtxB.join(pol.select("c", "q_a"), "c").agg(sum(dmQ).as("__dm_q"))
+    val out = nB.crossJoin(ipsAgg).crossJoin(dmAgg).select(
+      col("n_eval"),
+      (col("__ips_q").cast("double") / lit(1e6) / col("n_eval")).as("ips"),
+      (col("__dm_q").cast("double") / lit(1e6) / col("n_eval")).as("dm"),
+      (col("__n_match").cast("double") / col("n_eval")).as("match_rate"))
+    val res = out.transform(graft.core.Checkpoints.truncate)
+    base.unpersist()
+    res
+  }
+
   /** Padding-waste audit for length-bucketed batching: bucket each
     * document's token count up to the next multiple of `bucketSize` and
     * report, per bucket, how many pad tokens that batch shape wastes —

@@ -398,4 +398,82 @@ object Stats {
       e.as("expected"), varT.as("var_t"),
       ((col("t") - e) / sqrt(varT)).as("z"))
   }
+
+  /** Wald's sequential probability ratio test (SPRT, 1945) over a
+    * period-aggregated Bernoulli stream — the always-valid monitor an
+    * experiment platform runs daily instead of a fixed-horizon test:
+    * after each period, `LLR_t = k_t·ln(p1/p0) + (n_t−k_t)·ln((1−p1)/
+    * (1−p0))` on the cumulative counts; cross `ln((1−β)/α)` → accept H1,
+    * cross `ln(β/(1−α))` → accept H0, else keep sampling.
+    *
+    * The four log constants are evaluated ONCE at plan time and embedded
+    * as double literals (the oracle embeds the same 17-significant-digit
+    * literals — decimal round-trip is exact, so both engines multiply
+    * exact cumulative longs by bit-identical constants). Input is an
+    * already-aggregated `(period, n, k)` frame: the cumulative window
+    * runs on the calendar axis, bounded regardless of corpus size.
+    * Returns `(period, n_cum, k_cum, llr, decision)` per period. */
+  def sprt(daily: org.apache.spark.sql.DataFrame, periodCol: String,
+      nCol: String, kCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0, s"p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__p")
+    val base = daily.select(col(periodCol).as("__p"),
+      col(nCol).cast("long").as("__n"), col(kCol).cast("long").as("__k"))
+    val cum = base
+      .withColumn("n_cum", sum("__n").over(w))
+      .withColumn("k_cum", sum("__k").over(w))
+    val llr = col("k_cum").cast("double") * lit(l1) +
+      (col("n_cum") - col("k_cum")).cast("double") * lit(l0)
+    cum.select(col("__p").as("period"), col("n_cum"), col("k_cum"),
+      llr.as("llr"),
+      when(llr >= lit(upper), lit("accept_h1"))
+        .when(llr <= lit(lower), lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-group success
+    * rates — the method-of-moments prior (Morris 1983 lineage; the
+    * standard "add the right pseudo-counts" smoother): fit
+    * `α+β = m(1−m)/v − 1` from the mean `m` and variance `v` of the
+    * per-group rates, then shrink each group to
+    * `(k_i + α)/(n_i + α + β)`. Small-n groups pull hard toward the
+    * global mean; large-n groups barely move.
+    *
+    * Determinism: per-group rates are micro-quantized longs, so the
+    * moment sums are exact; `m`, `v`, `α`, `β` are pinned scalar double
+    * ops on those exact sums (broadcast back as a one-row frame); the
+    * shrunk rate is one pinned expression per group row. Degenerate
+    * inputs (zero rate variance, or v ≥ m(1−m) making the implied prior
+    * mass non-positive) raise rather than emit garbage. Returns
+    * `(group, n, k, rate, shrunk)`. */
+  def ebShrinkage(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      successCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group")).agg(
+        count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("k"))
+    val pQ = floor(col("k").cast("double") / col("n") * lit(1e6) + lit(0.5))
+    val mom = g.agg(count(lit(1)).as("__g"), sum(pQ).as("__sp"),
+      sum(pQ * pQ).as("__spp"))
+    val m = col("__sp").cast("double") / lit(1e6) / col("__g")
+    val v = col("__spp").cast("double") / lit(1e12) / col("__g") - m * m
+    val ab = when(v > 0 && m * (lit(1.0) - m) / v - 1 > 0,
+      m * (lit(1.0) - m) / v - 1)
+      .otherwise(raise_error(lit(
+        "ebShrinkage: degenerate rate distribution (v = 0 or implied prior mass <= 0)")))
+    val prior = mom.select(m.as("__m"), ab.as("__ab"))
+    g.crossJoin(broadcast(prior))
+      .select(col("group"), col("n"), col("k"),
+        (col("k").cast("double") / col("n")).as("rate"),
+        ((col("k").cast("double") + col("__m") * col("__ab"))
+          / (col("n").cast("double") + col("__ab"))).as("shrunk"))
+  }
 }

@@ -574,6 +574,61 @@ class Round8Spec extends SparkSpec {
     assert(out2("A") === 1.5 && out2("B") === 0.5)
   }
 
+  test("sprt crosses the Wald boundary at the hand-computed step") {
+    import spark.implicits._
+    // p0=0.2 vs p1=0.8: llr = (2k−n)·ln4; all-success days cross
+    // ln19 ≈ 2.944 after the 4th success (4·ln4 ≈ 5.545)
+    val daily = Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 2L, 0L))
+      .toDF("day", "n", "k")
+    val out = graft.operators.Stats.sprt(daily, "day", "n", "k", 0.2, 0.8)
+      .orderBy("period").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    val ln4 = math.log(4.0)
+    assert(out(0)._5 === "continue" && math.abs(out(0)._4 - 2 * ln4) < 1e-12)
+    assert(out(1)._5 === "accept_h1" && math.abs(out(1)._4 - 4 * ln4) < 1e-12)
+    // day 3 adds two failures: llr = (2·4 − 10)·... = (8−6−... ) recompute:
+    // k=4,n=6 -> (2k−n)·ln4 = 2·ln4 ≈ 2.77 -> back to continue
+    assert(out(2)._5 === "continue" && math.abs(out(2)._4 - 2 * ln4) < 1e-12)
+  }
+
+  test("ebShrinkage pulls small groups toward the global mean; degenerate raises") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("a", true)) ++ Seq.fill(8)(("a", false)) ++
+      Seq.fill(8)(("b", true)) ++ Seq.fill(2)(("b", false))).toDF("g", "s")
+    val out = graft.operators.Stats.ebShrinkage(df, "g", col("s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // m = 0.5, v = 0.09, a+b = 0.25/0.09 − 1 ≈ 1.7778:
+    // shrunk_a = (2 + 0.5·1.7778)/11.7778 ≈ 0.245283
+    assert(math.abs(out("a")._2 - 0.2452830) < 1e-4)
+    assert(out("a")._2 > out("a")._1 && out("a")._2 < 0.5) // pulled toward m
+    assert(out("b")._2 < out("b")._1 && out("b")._2 > 0.5)
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false)).toDF("g", "s")
+    val ex = intercept[Exception] {
+      graft.operators.Stats.ebShrinkage(flat, "g", col("s")).collect()
+    }
+    assert(ex.getMessage.contains("degenerate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("degenerate")))
+  }
+
+  test("ipsOffPolicy matches the hand-computed IPS/DM/match-rate") {
+    import spark.implicits._
+    // log split (in_log=true): ctx 0, action x q=.5 (wins), y q=0
+    // eval split: (x, r=1), (x, r=0), (y, r=1)
+    val rows = Seq(
+      (0L, "x", 60.0, true), (0L, "x", 10.0, true),
+      (0L, "y", 10.0, true), (0L, "y", 10.0, true),
+      (0L, "x", 60.0, false), (0L, "x", 10.0, false), (0L, "y", 60.0, false))
+      .toDF("c", "a", "v", "in_log")
+    val r = graft.operators.EvalMetrics.ipsOffPolicy(rows,
+        col("c"), col("a"), col("v") >= 50, col("in_log"))
+      .collect().head
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - 2.0 / 3.0) < 1e-6)  // 1·(4/2)/3
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-6)        // 3·0.5/3
+    assert(math.abs(r.getDouble(3) - 2.0 / 3.0) < 1e-6)
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
