@@ -3754,6 +3754,37 @@ object SparkEntry {
           fround(col("dm"), 6).as("dm"),
           fround(col("match_rate"), 6).as("match_rate"))
     }),
+    // --- round 8: Krippendorff's alpha across three deterministic
+    //     raters of document language ---
+    "q_krippendorff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"))
+      val r1 = d.select(col("doc_id").as("u"), lit("r1").as("rater"),
+        col("lang").as("cat"))
+      val r2 = d.select(col("doc_id").as("u"), lit("r2").as("rater"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")).as("cat"))
+      val r3 = d.select(col("doc_id").as("u"), lit("r3").as("rater"),
+        when(col("doc_id") % 11 === 0, lit("de")).otherwise(col("lang")).as("cat"))
+      graft.operators.Profiler.krippendorffAlpha(
+          r1.unionByName(r2).unionByName(r3), "u", "rater", "cat")
+        .select(col("n_units"), col("n_pairable_values"),
+          fround(col("do_rate"), 6).as("do_rate"),
+          fround(col("de_rate"), 6).as("de_rate"),
+          fround(col("alpha"), 6).as("alpha"))
+    }),
+    // --- round 8: Friedman repeated-measures rank test (days as blocks,
+    //     event types as treatments, exact daily cents as values) ---
+    "q_friedman" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+        .filter(col("event_type").isNotNull)
+        .groupBy("day", "event_type")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      graft.operators.Stats.friedman(daily, "day", "event_type", "cents")
+        .select(col("n_blocks"), col("k"),
+          fround(col("friedman_chi2"), 6).as("friedman_chi2"),
+          fround(col("kendall_w"), 6).as("kendall_w"))
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4461,6 +4492,52 @@ object SparkEntry {
     "q_ivfpq_topk" -> ivfPqSql,
     "q_bradley_terry" -> bradleyTerrySql,
     "q_sprt" -> sprtSql,
+    "q_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id AS u, lang AS cat FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END
+        |    FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'de' ELSE lang END
+        |    FROM documents WHERE lang IS NOT NULL),
+        |uc AS (SELECT u, cat, count(*)::BIGINT AS n_uc FROM r GROUP BY 1, 2),
+        |mu AS (SELECT u, sum(n_uc)::BIGINT AS m_u FROM uc GROUP BY 1
+        |  HAVING sum(n_uc) >= 2),
+        |p AS (SELECT uc.u, uc.cat, uc.n_uc, mu.m_u FROM uc JOIN mu ON mu.u = uc.u),
+        |dd AS (SELECT count(DISTINCT u)::BIGINT AS n_units,
+        |    sum(n_uc)::BIGINT AS n_vals,
+        |    sum(floor(n_uc::DOUBLE * (m_u - n_uc)::DOUBLE / (m_u - 1)::DOUBLE
+        |      * 1e6 + 0.5)::BIGINT)::BIGINT AS doq FROM p),
+        |mg AS (SELECT sum(n_c * n_c)::BIGINT AS sc2 FROM
+        |  (SELECT cat, sum(n_uc)::BIGINT AS n_c FROM p GROUP BY 1))
+        |SELECT n_units, n_vals AS n_pairable_values,
+        |  floor(doq::DOUBLE / 1e6 / n_vals * 1e6 + 0.5) / 1e6 AS do_rate,
+        |  floor((n_vals::DOUBLE * n_vals - sc2) / (n_vals::DOUBLE * (n_vals - 1))
+        |    * 1e6 + 0.5) / 1e6 AS de_rate,
+        |  floor((1.0 - (doq::DOUBLE / 1e6 / n_vals)
+        |    / ((n_vals::DOUBLE * n_vals - sc2) / (n_vals::DOUBLE * (n_vals - 1))))
+        |    * 1e6 + 0.5) / 1e6 AS alpha
+        |FROM dd CROSS JOIN mg""".stripMargin,
+    "q_friedman" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS b, event_type AS t,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM d),
+        |fb AS (SELECT b FROM d GROUP BY b HAVING count(*) = (SELECT k FROM kk)),
+        |rk AS (SELECT d.b, d.t,
+        |    row_number() OVER (PARTITION BY d.b ORDER BY d.v ASC, d.t ASC) AS r
+        |  FROM d JOIN fb USING (b)),
+        |pt AS (SELECT t, sum(r)::BIGINT AS rr, count(*)::BIGINT AS n
+        |  FROM rk GROUP BY 1),
+        |ag AS (SELECT max(n)::BIGINT AS n_blocks, count(*)::BIGINT AS k,
+        |    sum(rr * rr)::BIGINT AS sr2 FROM pt)
+        |SELECT n_blocks, k,
+        |  floor((12.0 / (n_blocks::DOUBLE * k * (k + 1)) * sr2::DOUBLE
+        |    - 3.0 * n_blocks::DOUBLE * (k + 1)) * 1e6 + 0.5) / 1e6
+        |    AS friedman_chi2,
+        |  floor((12.0 / (n_blocks::DOUBLE * k * (k + 1)) * sr2::DOUBLE
+        |    - 3.0 * n_blocks::DOUBLE * (k + 1)) / (n_blocks::DOUBLE * (k - 1))
+        |    * 1e6 + 0.5) / 1e6 AS kendall_w
+        |FROM ag""".stripMargin,
     "q_eb_shrinkage" ->
       """WITH g AS (SELECT l_partkey AS grp, count(*)::BIGINT AS n,
         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k

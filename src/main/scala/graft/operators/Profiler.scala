@@ -459,6 +459,53 @@ object Profiler {
     }
   }
 
+  /** Krippendorff's alpha for NOMINAL data (Krippendorff 2004) — the
+    * inter-annotator agreement score that, unlike Cohen's kappa, handles
+    * ANY number of raters and missing ratings: units rated by fewer than
+    * two raters are unpairable and drop out.
+    *
+    * With per-unit category counts `n_uc` and `m_u = Σ_c n_uc`:
+    * observed disagreement
+    * `Do = (1/N) Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1)`,
+    * expected `De = (N² − Σ_c n_c²)/(N·(N−1))` from the pooled
+    * marginals (`N = Σ m_u`), and `α = 1 − Do/De`.
+    *
+    * Exactness: the only non-integer per-row term,
+    * `n_uc(m_u−n_uc)/(m_u−1)`, is micro-quantized to a long before the
+    * unit sum; the marginal sums are exact; the final α is four pinned
+    * double ops on one row. Two keyed aggregations over the ratings
+    * frame — nothing wider than (unit, category) ever shuffles. Returns
+    * one row `(n_units, n_pairable_values, do_rate, de_rate, alpha)`. */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, raterCol: String,
+      categoryCol: String): DataFrame = {
+    val base = df.filter(col(unitCol).isNotNull && col(raterCol).isNotNull
+        && col(categoryCol).isNotNull)
+      .select(col(unitCol).as("u"), col(categoryCol).as("c"))
+    val uc = base.groupBy("u", "c").agg(count(lit(1)).as("n_uc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = uc.groupBy("u").agg(sum("n_uc").as("m_u"))
+      .filter(col("m_u") >= 2)
+    val paired = uc.join(mu, "u")
+    val termQ = floor(col("n_uc").cast("double")
+      * (col("m_u") - col("n_uc")).cast("double")
+      / (col("m_u") - 1).cast("double") * lit(1e6) + lit(0.5))
+    val doAgg = paired.agg(countDistinct("u").as("n_units"),
+      sum("n_uc").as("n_vals"), sum(termQ).as("__doq"))
+    val marg = paired.groupBy("c").agg(sum("n_uc").as("n_c"))
+      .agg(sum(col("n_c") * col("n_c")).as("__sc2"))
+    val out = doAgg.crossJoin(broadcast(marg)).select(
+      col("n_units"), col("n_vals").as("n_pairable_values"),
+      (col("__doq").cast("double") / lit(1e6) / col("n_vals")).as("do_rate"),
+      ((col("n_vals").cast("double") * col("n_vals") - col("__sc2"))
+        / (col("n_vals").cast("double") * (col("n_vals") - 1))).as("de_rate"),
+      (lit(1.0) - (col("__doq").cast("double") / lit(1e6) / col("n_vals"))
+        / ((col("n_vals").cast("double") * col("n_vals") - col("__sc2"))
+          / (col("n_vals").cast("double") * (col("n_vals") - 1)))).as("alpha"))
+    val res = out.transform(graft.core.Checkpoints.truncate)
+    uc.unpersist()
+    res
+  }
+
   /** Distribution-free confidence interval for the MEDIAN from order
     * statistics (the binomial/sign-test interval, large-sample rank form:
     * `rank_lo = ⌊(n − z·√n)/2⌋`, `rank_hi = n + 1 − rank_lo` — Conover,

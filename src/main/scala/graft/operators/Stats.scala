@@ -399,6 +399,47 @@ object Stats {
       ((col("t") - e) / sqrt(varT)).as("z"))
   }
 
+  /** Friedman test (1937) — the rank-based repeated-measures ANOVA: k
+    * treatments observed once per block; within each block the
+    * treatments are ranked 1..k and
+    * `χ²_F = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)` with `R_j` the rank
+    * sum of treatment j. The blocked complement of [[graft.operators
+    * .Profiler.kruskalWallis]] (which assumes independent groups).
+    *
+    * Contract: exactly one value per (block, treatment); blocks missing
+    * any treatment are dropped; ranking is by the exact long value with
+    * ties broken by treatment id (documented — exact values rarely tie,
+    * and the break is deterministic in both engines). Ranks are
+    * integers, so every sum is exact; the statistic is pinned double ops
+    * on one row. Also emits Kendall's W = χ²_F/(n(k−1)) concordance.
+    * Returns `(n_blocks, k, friedman_chi2, kendall_w)`. */
+  def friedman(df: org.apache.spark.sql.DataFrame, blockCol: String,
+      treatmentCol: String, valCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.select(col(blockCol).as("b"), col(treatmentCol).as("t"),
+        col(valCol).cast("long").as("v"))
+      .filter(col("b").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    val k = base.select("t").distinct().count()
+    require(k >= 2 && k <= 1000, s"friedman: k=$k treatments")
+    val full = base.groupBy("b").agg(count(lit(1)).as("__kt"))
+      .filter(col("__kt") === k).select("b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b")
+      .orderBy(col("v").asc, col("t").asc)
+    val ranked = base.join(full, "b").withColumn("__r", row_number().over(w))
+    val perT = ranked.groupBy("t").agg(sum("__r").as("__R"), count(lit(1)).as("__n"))
+    val agg = perT.agg(max("__n").as("n_blocks"), count(lit(1)).as("k"),
+      sum(col("__R") * col("__R")).as("__sr2"))
+    agg.select(col("n_blocks"), col("k"),
+      (lit(12.0) / (col("n_blocks").cast("double") * col("k") * (col("k") + 1))
+        * col("__sr2").cast("double")
+        - lit(3.0) * col("n_blocks").cast("double") * (col("k") + 1))
+        .as("friedman_chi2"),
+      ((lit(12.0) / (col("n_blocks").cast("double") * col("k") * (col("k") + 1))
+        * col("__sr2").cast("double")
+        - lit(3.0) * col("n_blocks").cast("double") * (col("k") + 1))
+        / (col("n_blocks").cast("double") * (col("k") - 1))).as("kendall_w"))
+  }
+
   /** Wald's sequential probability ratio test (SPRT, 1945) over a
     * period-aggregated Bernoulli stream — the always-valid monitor an
     * experiment platform runs daily instead of a fixed-horizon test:

@@ -629,6 +629,42 @@ class Round8Spec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / 3.0) < 1e-6)
   }
 
+  test("krippendorffAlpha matches the hand-computed nominal example") {
+    import spark.implicits._
+    // 2 raters x 4 units: Do = 2/8, De = (64−34)/56 -> alpha = 1 − .25/.5357
+    val ratings = Seq(
+      (1L, "x", "A"), (1L, "y", "A"),
+      (2L, "x", "A"), (2L, "y", "B"),
+      (3L, "x", "B"), (3L, "y", "B"),
+      (4L, "x", "B"), (4L, "y", "B")).toDF("u", "rater", "cat")
+    val r = graft.operators.Profiler
+      .krippendorffAlpha(ratings, "u", "rater", "cat").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 8L)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 30.0 / 56.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - (1.0 - 0.25 / (30.0 / 56.0))) < 1e-6)
+    // a unit rated once is unpairable and must drop out
+    val withSingle = ratings.union(Seq((9L, "x", "A")).toDF("u", "rater", "cat"))
+    val r2 = graft.operators.Profiler
+      .krippendorffAlpha(withSingle, "u", "rater", "cat").collect().head
+    assert(r2.getLong(0) === 4L && r2.getLong(1) === 8L)
+  }
+
+  test("friedman: perfect concordance gives chi2 = n(k−1) and W = 1") {
+    import spark.implicits._
+    val rows = for (b <- 1 to 4; t <- 1 to 3) yield (b.toLong, s"t$t", t.toLong * 10)
+    val r = graft.operators.Stats.friedman(rows.toDF("b", "t", "v"), "b", "t", "v")
+      .collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 8.0) < 1e-9) // 12/48·224 − 48
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    // an incomplete block is dropped
+    val withPartial = (rows ++ Seq((9L, "t1", 5L))).toDF("b", "t", "v")
+    val r2 = graft.operators.Stats.friedman(withPartial, "b", "t", "v")
+      .collect().head
+    assert(r2.getLong(0) === 4L)
+  }
+
   test("heapsLaw is invariant to input partitioning (the r07 flake class)") {
     import spark.implicits._
     val docs = (0L until 40L)
