@@ -3785,6 +3785,47 @@ object SparkEntry {
           fround(col("friedman_chi2"), 6).as("friedman_chi2"),
           fround(col("kendall_w"), 6).as("kendall_w"))
     }),
+    // --- round 8: blocklist scan — per-term doc frequency + total
+    //     occurrences by exact substring length arithmetic (ONE corpus
+    //     scan times a constant-size term list, no UDF) ---
+    "q_blocklist" -> ((s, dir) => {
+      graft.text.TextAnalysis.blocklistHits(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector", "spark", "stream", "null"))
+        .select(col("term"), col("n_docs"), col("n_occ"),
+          fround(col("doc_share"), 6).as("doc_share"))
+        .orderBy("term")
+    }),
+    // --- round 8: binned Cramér–von Mises drift — the L2 ECDF-gap
+    //     companion to q_drift_ks on the same split/bins; exact long
+    //     cumulatives, one IEEE division per ECDF point ---
+    "q_cvm_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Stats.cvmBinned(
+          o.filter(col("o_orderdate") < "1998-01-01"),
+          o.filter(col("o_orderdate") >= "1998-01-01"),
+          "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20)
+        .select(col("bin"), col("n_base"), col("n_curr"),
+          fround(col("f_base"), 6).as("f_base"),
+          fround(col("f_curr"), 6).as("f_curr"),
+          fround(col("cvm_term"), 6).as("cvm_term"))
+        .orderBy("bin")
+    }),
+    // --- round 8: isotonic calibration — PAV via the closed-form minimax
+    //     characterization on bounded score bins (one corpus aggregation,
+    //     then O(nBins³) bounded-frame relational algebra) ---
+    "q_isotonic" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("score",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.Profiler.isotonicFit(o, "score", "label", 10)
+        .select(col("bin"), col("n"), col("pos"),
+          fround(col("pos_rate"), 6).as("pos_rate"),
+          fround(col("iso_rate"), 6).as("iso_rate"))
+        .orderBy("bin")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4538,6 +4579,65 @@ object SparkEntry {
         |    - 3.0 * n_blocks::DOUBLE * (k + 1)) / (n_blocks::DOUBLE * (k - 1))
         |    * 1e6 + 0.5) / 1e6 AS kendall_w
         |FROM ag""".stripMargin,
+    "q_blocklist" ->
+      // occurrences by exact substring length arithmetic — same
+      // non-overlapping left-to-right replace() semantics in both engines
+      """WITH terms(term) AS (VALUES ('hash'), ('join'), ('vector'),
+        |    ('spark'), ('stream'), ('null')),
+        |d AS (SELECT text FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT term,
+        |    ((length(text) - length(replace(text, term, ''))) // length(term))::BIGINT AS occ
+        |  FROM d CROSS JOIN terms)
+        |SELECT term, sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+        |  sum(occ)::BIGINT AS n_occ,
+        |  floor(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::DOUBLE
+        |    / (SELECT count(*) FROM d)::DOUBLE * 1e6 + 0.5) / 1e6 AS doc_share
+        |FROM x GROUP BY term ORDER BY term""".stripMargin,
+    "q_cvm_drift" ->
+      // exact long cumulative counts; every double op mirrors the Spark
+      // expression tree left-to-right (division, subtraction, products)
+      """WITH b AS (SELECT least(greatest(floor(o_totalprice / 25000.0), 0), 19)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n_base FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |c AS (SELECT least(greatest(floor(o_totalprice / 25000.0), 0), 19)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n_curr FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(b.bin, c.bin) AS bin, coalesce(n_base, 0)::BIGINT AS n_base,
+        |    coalesce(n_curr, 0)::BIGINT AS n_curr FROM b FULL OUTER JOIN c ON b.bin = c.bin),
+        |cum AS (SELECT bin, n_base, n_curr,
+        |    sum(n_base) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cb,
+        |    sum(n_curr) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cc
+        |  FROM j),
+        |tot AS (SELECT sum(n_base)::BIGINT AS nb, sum(n_curr)::BIGINT AS nc FROM j)
+        |SELECT bin, n_base, n_curr,
+        |  floor(cb::DOUBLE / nb::DOUBLE * 1e6 + 0.5) / 1e6 AS f_base,
+        |  floor(cc::DOUBLE / nc::DOUBLE * 1e6 + 0.5) / 1e6 AS f_curr,
+        |  floor(nb::DOUBLE * nc::DOUBLE / ((nb + nc)::DOUBLE * (nb + nc)::DOUBLE)
+        |      * (n_base + n_curr)::DOUBLE
+        |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
+        |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS cvm_term
+        |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_isotonic" ->
+      // minimax PAV: interval ratios are exact-long-sum divisions, min/max
+      // is order-free — bit-identical fit in both engines
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT::DOUBLE / 65536.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT least(floor(s * 10), 9)::INT AS bin, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS pos FROM o GROUP BY 1),
+        |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+        |    sum(m.pos)::DOUBLE / sum(m.n)::DOUBLE AS ratio
+        |  FROM b j JOIN b k ON j.bin <= k.bin
+        |  JOIN b m ON m.bin >= j.bin AND m.bin <= k.bin
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT b.bin, iv.jb, min(ratio) AS mnr
+        |  FROM b JOIN iv ON iv.jb <= b.bin AND iv.kb >= b.bin GROUP BY 1, 2),
+        |iso AS (SELECT bin, max(mnr) AS iso_rate FROM mn GROUP BY 1)
+        |SELECT b.bin, n, pos,
+        |  floor(pos::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS pos_rate,
+        |  floor(iso_rate * 1e6 + 0.5) / 1e6 AS iso_rate
+        |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin,
     "q_eb_shrinkage" ->
       """WITH g AS (SELECT l_partkey AS grp, count(*)::BIGINT AS n,
         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k

@@ -1211,6 +1211,47 @@ object Profiler {
         (sum(y.cast("long")).cast("double") / count(lit(1))).as("pos_rate"))
   }
 
+  /** Isotonic (monotone non-decreasing) calibration fit over score bins —
+    * the pool-adjacent-violators solution computed by its closed-form
+    * minimax characterization `iso(i) = max_{j≤i} min_{k≥i} (Σ_{j..k} pos)
+    * / (Σ_{j..k} n)` (Robertson–Wright–Dykstra, Order Restricted
+    * Statistical Inference, Thm 1.4.4) instead of the sequential PAV
+    * merge loop, so the whole fit is plain relational algebra.
+    *
+    * Scale shape: the corpus is touched by ONE binning aggregation into
+    * ≤ `nBins` rows; the minimax runs on the bounded bin frame (O(nBins³)
+    * joined rows — a constant). Determinism: every interval ratio is one
+    * IEEE division of exact long sums, and min/max over doubles is
+    * order-free, so the fit is bit-identical in any engine — no PAV
+    * iteration order to disagree on. Returns per-bin
+    * `(bin, n, pos, pos_rate, iso_rate)` with `iso_rate` non-decreasing. */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "isotonicFit needs nBins >= 1")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val bins = df.filter(s.isNotNull && y.isNotNull)
+      .groupBy(least(floor(s * nBins), lit(nBins - 1)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y.cast("long")).as("pos"))
+    // bounded from here on: <= nBins rows
+    val b = bins.select(col("bin"), col("n"), col("pos"))
+    val spans = b.select(col("bin").as("jb"))
+      .join(b.select(col("bin").as("kb")), col("jb") <= col("kb"))
+    val intervals = spans
+      .join(b.select(col("bin").as("mb"), col("n"), col("pos")),
+        col("mb") >= col("jb") && col("mb") <= col("kb"))
+      .groupBy("jb", "kb")
+      .agg((sum("pos").cast("double") / sum("n").cast("double")).as("ratio"))
+    val iso = b.select(col("bin"))
+      .join(intervals, col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy("bin", "jb").agg(min("ratio").as("__mn"))
+      .groupBy("bin").agg(max("__mn").as("iso_rate"))
+    b.join(iso, "bin")
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        col("iso_rate"))
+  }
+
   /** Brier score `mean((s − y)²)` — per-row squared errors are
     * nano-quantized to longs before the sum, so the mean is exact under
     * any accumulation order (± 1e-9 quantization, far below reporting

@@ -517,4 +517,52 @@ object Stats {
         ((col("k").cast("double") + col("__m") * col("__ab"))
           / (col("n").cast("double") + col("__ab"))).as("shrunk"))
   }
+
+  /** Binned two-sample Cramér–von Mises drift — the L2 companion to the
+    * sup-norm KS statistic (`DriftCheck.ksDf`): where KS sees only the
+    * single worst ECDF gap, CvM integrates the squared gap over the whole
+    * distribution, so slow full-range drifts that never produce one big
+    * gap still register. Discrete form on shared fixed bins:
+    * `T = n·m/(n+m)² · Σ_b (c_b + d_b)·(F(b) − G(b))²`.
+    *
+    * Scale shape: each input collapses to ≤ `nBins` (bin, count) rows in
+    * ONE partial+final aggregation; everything after is bounded-frame math
+    * (the unpartitioned cumulative window runs on ≤ nBins rows, never the
+    * corpus). Determinism: cumulative counts are exact longs, each ECDF is
+    * one IEEE long/long division, and the per-bin term is a fixed
+    * expression tree — no order-dependent double accumulation; the total
+    * is left to the caller as a 6-dp-quantized exact-decimal sum.
+    * Returns per-bin `(bin, n_base, n_curr, f_base, f_curr, cvm_term)`
+    * with `cvm_term` already carrying the `n·m/(n+m)²` factor. */
+  def cvmBinned(base: org.apache.spark.sql.DataFrame,
+      curr: org.apache.spark.sql.DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nBins >= 2, "cvmBinned needs nBins >= 2")
+    require(hi > lo, "cvmBinned needs hi > lo")
+    val width = (hi - lo) / nBins
+    def binned(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+          lit(0)), lit(nBins - 1)).cast("long").as("bin"))
+        .agg(count(lit(1)).as(name))
+    val j = binned(base, "n_base")
+      .join(binned(curr, "n_curr"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_curr"))
+    val tot = j.agg(sum("n_base").as("__nb"), sum("n_curr").as("__nc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val f1 = col("__cb").cast("double") / col("__nb").cast("double")
+    val f2 = col("__cc").cast("double") / col("__nc").cast("double")
+    val nm = col("__nb").cast("double") * col("__nc").cast("double")
+    val nTot = (col("__nb") + col("__nc")).cast("double")
+    j.withColumn("__cb", sum("n_base").over(w))
+      .withColumn("__cc", sum("n_curr").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_base"), col("n_curr"),
+        f1.as("f_base"), f2.as("f_curr"),
+        (nm / (nTot * nTot) * (col("n_base") + col("n_curr")).cast("double") *
+          (f1 - f2) * (f1 - f2)).as("cvm_term"))
+  }
 }

@@ -974,4 +974,38 @@ object TextAnalysis {
     tc.unpersist()
     res
   }
+
+  /** Blocklist scan — per-term document frequency and total occurrence
+    * counts over a corpus, the primitive behind toxicity/PII blocklist
+    * filters in curation pipelines. Occurrences are counted by exact
+    * substring arithmetic (`(len(text) − len(replace(text, term))) / len
+    * (term)`) — pure integer math both engines reproduce bit-for-bit.
+    *
+    * Scale shape: the corpus is scanned ONCE per term via a constant-size
+    * literal-array explode (|terms| is a config constant, never data-sized),
+    * then ONE |terms|-row aggregation; `doc_share` divides exact longs.
+    * No UDF, no collect — every operation is codegen arithmetic.
+    */
+  def blocklistHits(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "blocklistHits needs a non-empty list of non-empty terms")
+    require(terms.distinct.size == terms.size, "blocklistHits: duplicate terms")
+    val docs = df.filter(col(textCol).isNotNull)
+    val tot = docs.agg(count(lit(1)).as("__n_total"))
+    val occ = ((length(col(textCol)) -
+      length(replace(col(textCol), col("term"), lit("")))) /
+      length(col("term"))).cast("long")
+    docs
+      .select(col(idCol), col(textCol),
+        explode(array(terms.map(lit): _*)).as("term"))
+      .select(col("term"), occ.as("__occ"))
+      .groupBy("term")
+      .agg(sum(when(col("__occ") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("__occ")).as("n_occ"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("n_docs"), col("n_occ"),
+        (col("n_docs").cast("double") / col("__n_total").cast("double"))
+          .as("doc_share"))
+  }
 }
