@@ -3826,6 +3826,38 @@ object SparkEntry {
           fround(col("iso_rate"), 6).as("iso_rate"))
         .orderBy("bin")
     }),
+    // --- round 8: expected calibration error — weighted reliability gap
+    //     over the q_calibration bins, nano-quantized exact sum ---
+    "q_ece" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("score",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.Profiler.expectedCalibrationError(o, "score", "label", 10)
+        .select(col("n"), fround(col("ece"), 6).as("ece"),
+          fround(col("max_gap"), 6).as("max_gap"))
+    }),
+    // --- round 8: quadratic-kernel MMD between even/odd embedding halves
+    //     — moment-matrix form, NO pairwise join: one VectorMomentsAgg
+    //     pass per half + O(d²) exact driver reduction ---
+    "q_mmd_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ml.Covariance.mmdQuadratic(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          "embedding", 64)
+        .select(col("n_a"), col("n_b"), fround(col("mmd2"), 6).as("mmd2"))
+    }),
+    // --- round 8: Shapley-value channel attribution — subset-counterfactual
+    //     coalition game over the 3 touch channels (2³ coalitions from TWO
+    //     corpus aggregations; exact-cents integer Shapley sums) ---
+    "q_shapley_attribution" -> ((s, dir) => {
+      graft.operators.Shapley.channelAttribution(t(s, dir, "events"),
+          "user_id", "event_type", "value",
+          Seq("click", "view", "signup"), "purchase")
+        .select(col("channel"), fround(col("shapley"), 6).as("shapley"))
+        .orderBy("channel")
+    }),
     // --- round 7: Matryoshka truncation audit — top-10 overlap between
     //     full-dim and 16-dim-truncated cosine rankings per query ---
     "q_matryoshka" -> ((s, dir) => {
@@ -4638,6 +4670,72 @@ object SparkEntry {
         |  floor(pos::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS pos_rate,
         |  floor(iso_rate * 1e6 + 0.5) / 1e6 AS iso_rate
         |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+    "q_ece" ->
+      // per-bin weighted gaps nano-quantized to exact longs before the sum
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT::DOUBLE / 65536.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT least(floor(s * 10), 9)::INT AS bin, count(*)::BIGINT AS n,
+        |    sum(CAST(s AS DECIMAL(30,12)))::DOUBLE / count(*) AS avg_score,
+        |    sum(y)::BIGINT::DOUBLE / count(*) AS pos_rate
+        |  FROM o GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS n,
+        |  floor(sum(floor(abs(avg_score - pos_rate) * n * 1e9 + 0.5)::BIGINT)::DOUBLE
+        |    / 1e9 / sum(n) * 1e6 + 0.5) / 1e6 AS ece,
+        |  floor(max(abs(avg_score - pos_rate)) * 1e6 + 0.5) / 1e6 AS max_gap
+        |FROM b""".stripMargin,
+    "q_mmd_embed" ->
+      // replays the engine's exact-long nano-quantized second moments per
+      // half, the pinned M_ij = S_ij/n/1e9 derivation, and pico-quantized
+      // squared diffs (off-diagonals doubled) summed as exact integers
+      """WITH x AS (SELECT vec_id, vec_id % 2 AS g, unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |n0 AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id % 2 = 0),
+        |n1 AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id % 2 = 1),
+        |s2 AS (SELECT a.g AS g, a.i AS i, b.i AS j,
+        |    sum(floor(a.v * b.v * 1e9 + 0.5)::BIGINT) AS s
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2, 3),
+        |m AS (SELECT p.i, p.j,
+        |    p.s::DOUBLE / n0.n / 1e9 - q.s::DOUBLE / n1.n / 1e9 AS diff
+        |  FROM (SELECT i, j, s FROM s2 WHERE g = 0) p
+        |  JOIN (SELECT i, j, s FROM s2 WHERE g = 1) q ON p.i = q.i AND p.j = q.j
+        |  CROSS JOIN n0 CROSS JOIN n1),
+        |tq AS (SELECT i, j, floor(diff * diff * 1e12 + 0.5)::BIGINT AS t FROM m)
+        |SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)::BIGINT AS n_a,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)::BIGINT AS n_b,
+        |  floor(sum(CASE WHEN i = j THEN t ELSE 2 * t END)::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS mmd2
+        |FROM tq""".stripMargin,
+    "q_shapley_attribution" ->
+      // coalition values from the <=8-row mask rollup; factorial-weighted
+      // marginals in exact integer cents, one pinned /6/100 close per row
+      """WITH rev AS (SELECT user_id, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1),
+        |mk AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |  + max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+        |  + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |rm AS (SELECT coalesce(mask, 0) AS mask, sum(cents)::BIGINT AS c
+        |  FROM rev LEFT JOIN mk USING (user_id) WHERE cents > 0 GROUP BY 1),
+        |vv AS (SELECT
+        |    coalesce(sum(CASE WHEN (mask & 0) = mask THEN c END), 0)::BIGINT AS v0,
+        |    coalesce(sum(CASE WHEN (mask & 1) = mask THEN c END), 0)::BIGINT AS v1,
+        |    coalesce(sum(CASE WHEN (mask & 2) = mask THEN c END), 0)::BIGINT AS v2,
+        |    coalesce(sum(CASE WHEN (mask & 3) = mask THEN c END), 0)::BIGINT AS v3,
+        |    coalesce(sum(CASE WHEN (mask & 4) = mask THEN c END), 0)::BIGINT AS v4,
+        |    coalesce(sum(CASE WHEN (mask & 5) = mask THEN c END), 0)::BIGINT AS v5,
+        |    coalesce(sum(CASE WHEN (mask & 6) = mask THEN c END), 0)::BIGINT AS v6,
+        |    coalesce(sum(CASE WHEN (mask & 7) = mask THEN c END), 0)::BIGINT AS v7
+        |  FROM rm)
+        |SELECT channel, floor(num::DOUBLE / 6 / 100 * 1e6 + 0.5) / 1e6 AS shapley
+        |FROM (
+        |  SELECT 'click' AS channel,
+        |    2 * (v1 - v0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6) AS num FROM vv
+        |  UNION ALL SELECT 'signup',
+        |    2 * (v4 - v0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3) FROM vv
+        |  UNION ALL SELECT 'view',
+        |    2 * (v2 - v0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5) FROM vv)
+        |ORDER BY channel""".stripMargin,
     "q_eb_shrinkage" ->
       """WITH g AS (SELECT l_partkey AS grp, count(*)::BIGINT AS n,
         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k

@@ -381,4 +381,41 @@ object Covariance {
     emb.select(col(idCol), (md2q.cast("double") / lit(1e9)).as("md2"))
       .select(col(idCol), col("md2"), (col("md2") > 2.0 * d).as("is_outlier"))
   }
+
+  /** Two-sample Maximum Mean Discrepancy with the quadratic kernel
+    * `k(u,v) = (u·v)²` — the embedding-space drift test. For this kernel
+    * the MMD² collapses to moment statistics: `E_{x,x'}[(x·x')²] =
+    * ‖E[xxᵀ]‖²_F`, so `MMD² = ‖M_a − M_b‖²_F` with `M = E[vvᵀ]` — NO
+    * pairwise join, just one [[VectorMomentsAgg]] pass per sample and an
+    * O(d²) driver reduction (Gretton et al., JMLR 2012, §2.2 with an
+    * explicit finite feature map).
+    *
+    * Determinism: each second moment is the pinned exact-long derivation
+    * `S_ij/n/1e9`; squared diffs are pico-quantized to longs and summed in
+    * exact integer arithmetic (off-diagonals doubled as `2·t_ij`), so the
+    * statistic is bit-identical in any engine. Returns one row
+    * `(n_a, n_b, mmd2)`. */
+  def mmdQuadratic(a: DataFrame, b: DataFrame, vecCol: String,
+      d: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val bufA = momentsBuffer(a, vecCol, d)
+    val bufB = momentsBuffer(b, vecCol, d)
+    require(bufA(0) > 0 && bufB(0) > 0, "mmdQuadratic: empty sample")
+    def m(buf: Array[Long], i: Int, j: Int): Double =
+      buf(upperIdx(d, i, j)).toDouble / buf(0).toDouble / 1e9
+    var sumQ = 0L
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val diff = m(bufA, i, j) - m(bufB, i, j)
+        val tq = math.floor(diff * diff * 1e12 + 0.5).toLong
+        sumQ += (if (i == j) tq else 2L * tq)
+        j += 1
+      }
+      i += 1
+    }
+    Seq((bufA(0), bufB(0), sumQ.toDouble / 1e12)).toDF("n_a", "n_b", "mmd2")
+  }
 }

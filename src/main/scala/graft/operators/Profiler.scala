@@ -1211,6 +1211,28 @@ object Profiler {
         (sum(y.cast("long")).cast("double") / count(lit(1))).as("pos_rate"))
   }
 
+  /** Expected Calibration Error — the headline scalar over the
+    * [[calibrationBins]] reliability diagram: `ECE = Σ_b (n_b/N)·|s̄_b −
+    * p̄_b|`, plus the worst single-bin gap (MCE). ONE corpus aggregation
+    * into ≤ `nBins` rows; per-bin weighted gaps are nano-quantized to
+    * exact longs before the closing sum, so the statistic is
+    * accumulation-order-proof. Returns one row `(n, ece, max_gap)`. */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val bins = df.filter(s.isNotNull && y.isNotNull)
+      .groupBy(least(floor(s * nBins), lit(nBins - 1)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(s.cast("decimal(30,12)")).cast("double") / count(lit(1))).as("avg_score"),
+        (sum(y.cast("long")).cast("double") / count(lit(1))).as("pos_rate"))
+    val gap = abs(col("avg_score") - col("pos_rate"))
+    bins.agg(sum("n").as("n"),
+      (sum(floor(gap * col("n") * lit(1e9) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e9) / sum("n")).as("ece"),
+      max(gap).as("max_gap"))
+  }
+
   /** Isotonic (monotone non-decreasing) calibration fit over score bins —
     * the pool-adjacent-violators solution computed by its closed-form
     * minimax characterization `iso(i) = max_{j≤i} min_{k≥i} (Σ_{j..k} pos)

@@ -100,4 +100,77 @@ class Round8bSpec extends SparkSpec {
     assert(iso === iso.sorted)
     assert(out.map(_.getDouble(3)).toSeq === Seq(0.0, 1.0, 0.0, 0.9))
   }
+
+  test("expectedCalibrationError matches a hand-computed two-bin case") {
+    import spark.implicits._
+    // bin0: scores all 0.2, 1/4 positive -> gap 0.05, weight 4
+    // bin1: scores all 0.8, 1/2 positive -> gap 0.30, weight 2
+    val df = Seq((0.2, 0), (0.2, 0), (0.2, 0), (0.2, 1), (0.8, 1), (0.8, 0))
+      .toDF("score", "label")
+    val out = graft.operators.Profiler
+      .expectedCalibrationError(df, "score", "label", 2)
+      .collect().head
+    assert(out.getLong(0) === 6L)
+    assert(math.abs(out.getDouble(1) - (4 * 0.05 + 2 * 0.30) / 6.0) < 1e-9)
+    assert(math.abs(out.getDouble(2) - 0.30) < 1e-12)
+  }
+
+  test("mmdQuadratic is zero on identical samples and positive on shifted ones") {
+    import spark.implicits._
+    val a = (1 to 40).map(i =>
+      Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 5f))
+      .toDF("embedding")
+    val same = graft.ml.Covariance.mmdQuadratic(a, a, "embedding", 4)
+      .collect().head
+    assert(same.getLong(0) === 40L && same.getLong(1) === 40L)
+    assert(same.getDouble(2) === 0.0)
+    val b = a.select(org.apache.spark.sql.functions.transform(
+      col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val diff = graft.ml.Covariance.mmdQuadratic(a, b, "embedding", 4)
+      .collect().head
+    assert(diff.getDouble(2) > 0.0)
+  }
+
+  test("mmdQuadratic matches a scalar replay of the moment-matrix form") {
+    import spark.implicits._
+    val va = Seq(Array(1f, 0f), Array(0f, 1f))
+    val vb = Seq(Array(1f, 1f), Array(1f, -1f))
+    val out = graft.ml.Covariance
+      .mmdQuadratic(va.toDF("embedding"), vb.toDF("embedding"), "embedding", 2)
+      .collect().head
+    // M_a = [[.5,0],[0,.5]], M_b = [[1,0],[0,1]] -> diff diag .5 each,
+    // off-diag 0 -> mmd2 = .25 + .25 = .5
+    assert(out.getDouble(2) === 0.5)
+  }
+
+  test("Shapley channel attribution matches a hand-computed game and sums to v(full)") {
+    import spark.implicits._
+    // user 1: click only, $1; user 2: click+view, $2; user 3: no touch, $4
+    val ev = Seq(
+      (1L, "click", 0.0), (1L, "purchase", 1.0),
+      (2L, "click", 0.0), (2L, "view", 0.0), (2L, "purchase", 2.0),
+      (3L, "purchase", 4.0),
+      (4L, "view", 0.0) // no purchase -> excluded
+    ).toDF("user_id", "event_type", "value")
+    val out = graft.operators.Shapley.channelAttribution(
+        ev, "user_id", "event_type", "value", Seq("click", "view"), "purchase")
+      .orderBy("channel").collect()
+    // v(empty)=4, v(c)=5, v(v)=4, v(cv)=7 (n=2, weights 1/2 each)
+    // phi_click = ((5-4) + (7-4))/2 = 2 ; phi_view = ((4-4) + (7-5))/2 = 1
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("click", 2.0), ("view", 1.0)))
+  }
+
+  test("Shapley attribution rejects bad channel configs") {
+    import spark.implicits._
+    val ev = Seq((1L, "click", 1.0)).toDF("user_id", "event_type", "value")
+    intercept[IllegalArgumentException] {
+      graft.operators.Shapley.channelAttribution(
+        ev, "user_id", "event_type", "value", Seq("a", "a"), "purchase")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Shapley.channelAttribution(
+        ev, "user_id", "event_type", "value", Seq("purchase", "b"), "purchase")
+    }
+  }
 }
