@@ -3838,6 +3838,27 @@ object SparkEntry {
         .select(col("n"), fround(col("ece"), 6).as("ece"),
           fround(col("max_gap"), 6).as("max_gap"))
     }),
+    // --- round 8: Hilbert-curve layout index — the locality-tighter
+    //     companion to q_zorder on the same key pair; per-bucket bbox
+    //     span is the locality readout (pure integer arithmetic) ---
+    "q_hilbert" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+        .distinct()
+      graft.sources.Bucketing.withHilbert(pairs, "x", "y", 10, "h")
+        .groupBy(shiftright(col("h"), 12).as("hbucket"))
+        .agg(count(lit(1)).as("n_pairs"), min("h").as("min_h"),
+          max("h").as("max_h"),
+          (max("x") - min("x") + (max("y") - min("y"))).as("bbox_span"))
+        .orderBy("hbucket")
+    }),
+    // --- round 8: Yule's K + hapax share — lexical-richness pair next to
+    //     q_zipf/q_heaps; exact long sums, two pinned closing divisions ---
+    "q_yule_k" -> ((s, dir) =>
+      graft.text.TextAnalysis.yuleK(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("n_tokens"), col("n_types"), col("hapax"),
+          fround(col("hapax_share"), 6).as("hapax_share"),
+          fround(col("yule_k"), 6).as("yule_k"))),
     // --- round 8: quadratic-kernel MMD between even/odd embedding halves
     //     — moment-matrix form, NO pairwise join: one VectorMomentsAgg
     //     pass per half + O(d²) exact driver reduction ---
@@ -4684,6 +4705,31 @@ object SparkEntry {
         |    / 1e9 / sum(n) * 1e6 + 0.5) / 1e6 AS ece,
         |  floor(max(abs(avg_score - pos_rate)) * 1e6 + 0.5) / 1e6 AS max_gap
         |FROM b""".stripMargin,
+    "q_hilbert" ->
+      // the per-level quadrant rotation replayed as generated CTE pairs —
+      // identical integer updates, so hd is bit-equal to the engine's
+      ("""WITH pairs AS (SELECT DISTINCT (l_partkey % 1024)::BIGINT AS x,
+         |    (l_suppkey % 1024)::BIGINT AS y FROM lineitem),
+         |""".stripMargin +
+        graft.sources.Bucketing.hilbertSqlCtes("pairs", 10, Seq("x", "y")) +
+        """
+          |SELECT (hd >> 12) AS hbucket, count(*) AS n_pairs,
+          |  min(hd) AS min_h, max(hd) AS max_h,
+          |  (max(x) - min(x) + (max(y) - min(y)))::BIGINT AS bbox_span
+          |FROM hil GROUP BY 1 ORDER BY hbucket""".stripMargin),
+    "q_yule_k" ->
+      // all statistics exact long sums over one token-count relation
+      """WITH tk AS (SELECT term, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS term
+        |    FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+        |ag AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |    sum(c * c)::BIGINT AS s2,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax FROM tk)
+        |SELECT n_tokens, n_types, hapax,
+        |  floor(hapax::DOUBLE / n_types::DOUBLE * 1e6 + 0.5) / 1e6 AS hapax_share,
+        |  floor((s2 - n_tokens)::DOUBLE * 1e4
+        |    / (n_tokens::DOUBLE * n_tokens::DOUBLE) * 1e6 + 0.5) / 1e6 AS yule_k
+        |FROM ag""".stripMargin,
     "q_mmd_embed" ->
       // replays the engine's exact-long nano-quantized second moments per
       // half, the pinned M_ij = S_ij/n/1e9 derivation, and pico-quantized

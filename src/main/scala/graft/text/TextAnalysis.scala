@@ -1008,4 +1008,32 @@ object TextAnalysis {
         (col("n_docs").cast("double") / col("__n_total").cast("double"))
           .as("doc_share"))
   }
+
+  /** Yule's K vocabulary-richness characteristic plus the hapax share —
+    * the classic lexical-diversity pair a corpus-health report carries
+    * next to Zipf/Heaps. `K = 10⁴·(S₂ − N)/N²` with `N` total tokens and
+    * `S₂ = Σ_t c_t²` the sum of squared token counts (identically
+    * `Σ_m m²·V_m` over the frequency-of-frequencies); K is
+    * length-invariant where raw type/token ratio is not.
+    *
+    * Scale shape: ONE token-count aggregation (the corpus shuffle) and
+    * ONE bounded rollup — every statistic (`N`, `S₂`, type and hapax
+    * counts) is an exact long sum, so only the two closing divisions are
+    * floating point and they are pinned single expressions. Returns one
+    * row `(n_tokens, n_types, hapax, hapax_share, yule_k)`. */
+  def yuleK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    tk.agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("n_tokens"), col("n_types"), col("hapax"),
+        (col("hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"),
+        ((col("s2") - col("n_tokens")).cast("double") * lit(1e4) /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+  }
 }

@@ -161,6 +161,70 @@ class Round8bSpec extends SparkSpec {
       Seq(("click", 2.0), ("view", 1.0)))
   }
 
+  /** Scalar twin of Bucketing.withHilbert (canonical xy2d). */
+  private def hilbertScalar(order: Int, x0: Long, y0: Long): Long = {
+    val full = 1L << order
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = full - 1 - x; y = full - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("withHilbert is a bijection with unit-step adjacency at order 3") {
+    import spark.implicits._
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val out = graft.sources.Bucketing
+      .withHilbert(grid.toDF("x", "y"), "x", "y", 3, "h")
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).toMap
+    assert(out.size === 64)
+    assert(out.keys.min === 0L && out.keys.max === 63L)
+    // consecutive curve positions are grid-adjacent (the Hilbert property
+    // Z-order lacks)
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = out(d); val (x2, y2) = out(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"at d=$d")
+    }
+    // and the column matches the scalar twin everywhere
+    grid.foreach { case (x, y) =>
+      assert(out.find(_._2 == ((x, y))).get._1 === hilbertScalar(3, x, y))
+    }
+  }
+
+  test("withHilbert matches the scalar twin on random points at order 10") {
+    import spark.implicits._
+    val pts = (0 until 200).map { i =>
+      (((i * 2654435761L) >>> 7) % 1024, ((i * 40503L) >>> 3) % 1024)
+    }
+    val out = graft.sources.Bucketing
+      .withHilbert(pts.toDF("x", "y"), "x", "y", 10, "h")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(out((x, y)) === hilbertScalar(10, x, y))
+    }
+  }
+
+  test("yuleK matches the hand-computed statistic") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a"), (1L, "c")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.yuleK(docs, "doc_id", "text")
+      .collect().head
+    // counts a:2 b:1 c:1 -> N=4, types=3, hapax=2, S2=6
+    assert(out.getLong(0) === 4L)
+    assert(out.getLong(1) === 3L)
+    assert(out.getLong(2) === 2L)
+    assert(out.getDouble(3) === 2.0 / 3.0)
+    assert(out.getDouble(4) === 1e4 * (6.0 - 4.0) / 16.0)
+  }
+
   test("Shapley attribution rejects bad channel configs") {
     import spark.implicits._
     val ev = Seq((1L, "click", 1.0)).toDF("user_id", "event_type", "value")
