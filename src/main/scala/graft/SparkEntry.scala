@@ -3811,6 +3811,32 @@ object SparkEntry {
           fround(col("cvm_term"), 6).as("cvm_term"))
         .orderBy("bin")
     }),
+    // --- round 8: Anderson–Darling weighted drift — the tail-sensitive
+    //     third member of the KS/CvM trio (same split/bins; terms weighted
+    //     by 1/(H(1−H)) of the pooled ECDF) ---
+    "q_ad_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Stats.cvmBinned(
+          o.filter(col("o_orderdate") < "1998-01-01"),
+          o.filter(col("o_orderdate") >= "1998-01-01"),
+          "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20,
+          adWeighted = true)
+        .select(col("bin"), col("n_base"), col("n_curr"),
+          fround(col("f_base"), 6).as("f_base"),
+          fround(col("f_curr"), 6).as("f_curr"),
+          fround(col("ad_term"), 6).as("ad_term"))
+        .orderBy("bin")
+    }),
+    // --- round 8: V-optimal histogram boundaries — DP on exact long
+    //     prefix sums over 32 fine bins (one corpus aggregation; the CBO
+    //     bucketing that beats equi-width under skew) ---
+    "q_voptimal_hist" -> ((s, dir) =>
+      graft.operators.Histograms.vOptimalBoundaries(
+          t(s, dir, "orders"), "o_totalprice",
+          lo = 0.0, hi = 500000.0, nFine = 32, nBuckets = 4)
+        .select(col("k"), col("boundary_bin"),
+          fround(col("total_sse"), 6).as("total_sse"))
+        .orderBy("k")),
     // --- round 8: isotonic calibration — PAV via the closed-form minimax
     //     characterization on bounded score bins (one corpus aggregation,
     //     then O(nBins³) bounded-frame relational algebra) ---
@@ -4671,6 +4697,76 @@ object SparkEntry {
         |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvm_term
         |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_ad_drift" ->
+      // the q_cvm_drift mirror with the 1/(H(1−H)) pooled-ECDF weight;
+      // H∈{0,1} bins contribute 0 by the shared convention
+      """WITH b AS (SELECT least(greatest(floor(o_totalprice / 25000.0), 0), 19)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n_base FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |c AS (SELECT least(greatest(floor(o_totalprice / 25000.0), 0), 19)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n_curr FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(b.bin, c.bin) AS bin, coalesce(n_base, 0)::BIGINT AS n_base,
+        |    coalesce(n_curr, 0)::BIGINT AS n_curr FROM b FULL OUTER JOIN c ON b.bin = c.bin),
+        |cum AS (SELECT bin, n_base, n_curr,
+        |    sum(n_base) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cb,
+        |    sum(n_curr) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cc
+        |  FROM j),
+        |tot AS (SELECT sum(n_base)::BIGINT AS nb, sum(n_curr)::BIGINT AS nc FROM j),
+        |terms AS (SELECT bin, n_base, n_curr,
+        |    cb::DOUBLE / nb::DOUBLE AS f1, cc::DOUBLE / nc::DOUBLE AS f2,
+        |    nb::DOUBLE * nc::DOUBLE / ((nb + nc)::DOUBLE * (nb + nc)::DOUBLE)
+        |      * (n_base + n_curr)::DOUBLE
+        |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
+        |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE) AS base_term,
+        |    (cb + cc)::DOUBLE / (nb + nc)::DOUBLE AS h
+        |  FROM cum CROSS JOIN tot)
+        |SELECT bin, n_base, n_curr,
+        |  floor(f1 * 1e6 + 0.5) / 1e6 AS f_base,
+        |  floor(f2 * 1e6 + 0.5) / 1e6 AS f_curr,
+        |  floor(CASE WHEN h > 0 AND h < 1 THEN base_term / (h * (1.0 - h))
+        |             ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS ad_term
+        |FROM terms ORDER BY bin""".stripMargin,
+    "q_voptimal_hist" ->
+      // the DP unrolled: micro-quantized interval SSEs from exact prefix
+      // sums, per-layer argmin via (cost, j) row_number, backtracked joins
+      """WITH raw AS (SELECT least(greatest(floor(o_totalprice / 15625.0), 0), 31)::INT AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |cnt AS (SELECT r.i::INT AS bin, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM (SELECT unnest(range(0, 32))::INT AS i) r
+        |  LEFT JOIN (SELECT bin, count(*)::BIGINT AS c FROM raw GROUP BY 1) c ON c.bin = r.i),
+        |pref AS (SELECT bin + 1 AS i,
+        |    sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cp,
+        |    sum(c * c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cq
+        |  FROM cnt),
+        |pref0 AS (SELECT 0 AS i, 0::BIGINT AS cp, 0::BIGINT AS cq
+        |  UNION ALL SELECT i, cp, cq FROM pref),
+        |costs AS (SELECT a.i AS j, b.i AS i,
+        |    floor(((b.cq - a.cq)::DOUBLE
+        |        - (b.cp - a.cp)::DOUBLE * (b.cp - a.cp)::DOUBLE / (b.i - a.i)::DOUBLE)
+        |      * 1e6 + 0.5)::BIGINT AS cst
+        |  FROM pref0 a JOIN pref0 b ON a.i < b.i),
+        |e1 AS (SELECT i, cst AS t FROM costs WHERE j = 0),
+        |e2a AS (SELECT c.i, c.j, e1.t + c.cst AS t,
+        |    row_number() OVER (PARTITION BY c.i ORDER BY e1.t + c.cst, c.j) AS rn
+        |  FROM costs c JOIN e1 ON e1.i = c.j WHERE c.j >= 1),
+        |e2 AS (SELECT i, j, t FROM e2a WHERE rn = 1),
+        |e3a AS (SELECT c.i, c.j, e2.t + c.cst AS t,
+        |    row_number() OVER (PARTITION BY c.i ORDER BY e2.t + c.cst, c.j) AS rn
+        |  FROM costs c JOIN e2 ON e2.i = c.j WHERE c.j >= 2),
+        |e3 AS (SELECT i, j, t FROM e3a WHERE rn = 1),
+        |e4a AS (SELECT c.j, e3.t + c.cst AS t,
+        |    row_number() OVER (ORDER BY e3.t + c.cst, c.j) AS rn
+        |  FROM costs c JOIN e3 ON e3.i = c.j WHERE c.i = 32 AND c.j >= 3),
+        |e4 AS (SELECT j AS b3, t FROM e4a WHERE rn = 1),
+        |bt3 AS (SELECT e3.j AS b2, e4.b3, e4.t FROM e3 JOIN e4 ON e3.i = e4.b3),
+        |bt2 AS (SELECT e2.j AS b1, bt3.b2, bt3.b3, bt3.t FROM e2 JOIN bt3 ON e2.i = bt3.b2)
+        |SELECT k::INT AS k, boundary_bin::INT AS boundary_bin,
+        |  floor(t::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS total_sse
+        |FROM (SELECT 1 AS k, b1 AS boundary_bin, t FROM bt2
+        |  UNION ALL SELECT 2, b2, t FROM bt2
+        |  UNION ALL SELECT 3, b3, t FROM bt2)
+        |ORDER BY k""".stripMargin,
     "q_isotonic" ->
       // minimax PAV: interval ratios are exact-long-sum divisions, min/max
       // is order-free — bit-identical fit in both engines

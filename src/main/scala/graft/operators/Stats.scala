@@ -533,10 +533,17 @@ object Stats {
     * expression tree — no order-dependent double accumulation; the total
     * is left to the caller as a 6-dp-quantized exact-decimal sum.
     * Returns per-bin `(bin, n_base, n_curr, f_base, f_curr, cvm_term)`
-    * with `cvm_term` already carrying the `n·m/(n+m)²` factor. */
+    * with `cvm_term` already carrying the `n·m/(n+m)²` factor.
+    *
+    * With `adWeighted = true` each term is further divided by
+    * `H·(1−H)` (`H` the pooled ECDF) — the Anderson–Darling weighting
+    * that amplifies tail gaps the unweighted CvM underplays; bins where
+    * `H ∈ {0, 1}` (before any mass / after all of it) contribute 0 by
+    * convention, identically in both engines. */
   def cvmBinned(base: org.apache.spark.sql.DataFrame,
       curr: org.apache.spark.sql.DataFrame, valueCol: String,
-      lo: Double, hi: Double, nBins: Int): org.apache.spark.sql.DataFrame = {
+      lo: Double, hi: Double, nBins: Int,
+      adWeighted: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(nBins >= 2, "cvmBinned needs nBins >= 2")
     require(hi > lo, "cvmBinned needs hi > lo")
@@ -557,12 +564,18 @@ object Stats {
     val f2 = col("__cc").cast("double") / col("__nc").cast("double")
     val nm = col("__nb").cast("double") * col("__nc").cast("double")
     val nTot = (col("__nb") + col("__nc")).cast("double")
+    val baseTerm = nm / (nTot * nTot) *
+      (col("n_base") + col("n_curr")).cast("double") * (f1 - f2) * (f1 - f2)
+    val h = (col("__cb") + col("__cc")).cast("double") / nTot
+    val term =
+      if (!adWeighted) baseTerm
+      else when(h > 0.0 && h < 1.0, baseTerm / (h * (lit(1.0) - h)))
+        .otherwise(lit(0.0))
     j.withColumn("__cb", sum("n_base").over(w))
       .withColumn("__cc", sum("n_curr").over(w))
       .crossJoin(broadcast(tot))
       .select(col("bin"), col("n_base"), col("n_curr"),
         f1.as("f_base"), f2.as("f_curr"),
-        (nm / (nTot * nTot) * (col("n_base") + col("n_curr")).cast("double") *
-          (f1 - f2) * (f1 - f2)).as("cvm_term"))
+        term.as(if (adWeighted) "ad_term" else "cvm_term"))
   }
 }

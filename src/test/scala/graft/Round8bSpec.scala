@@ -212,6 +212,72 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("Hilbert buckets are tighter than Z-order at unaligned file sizes") {
+    import spark.implicits._
+    // full 32x32 grid split into 48-index files (unaligned with quadrant
+    // boundaries — the realistic compaction case): Hilbert's unit-step
+    // adjacency keeps every file a compact blob; Z jumps quadrant seams
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def spans(indexed: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val r = indexed.groupBy((col("idx") / 48).cast("long").as("b"))
+        .agg((max("x") - min("x") + (max("y") - min("y"))).as("span"))
+        .agg(avg("span").as("a"), max("span").as("m")).collect().head
+      (r.getDouble(0), r.getLong(1))
+    }
+    val (ha, hm) = spans(graft.sources.Bucketing
+      .withHilbert(grid, "x", "y", 5, "idx"))
+    val (za, zm) = spans(grid.withColumn("idx",
+      graft.sources.Bucketing.zValue(col("x"), col("y"))))
+    assert(ha < za, s"hilbert avg $ha vs zorder $za")
+    assert(hm === 14L && zm === 38L)
+  }
+
+  test("cvmBinned adWeighted applies the 1/(H(1-H)) pooled weight") {
+    import spark.implicits._
+    val base = Seq(1.0, 2.0).toDF("v")
+    val curr = Seq(9.0).toDF("v")
+    val out = graft.operators.Stats
+      .cvmBinned(base, curr, "v", lo = 0.0, hi = 10.0, nBins = 2,
+        adWeighted = true)
+      .orderBy("bin").collect()
+    // bin 0: cvm term 4/9, H = 2/3 -> (4/9)/((2/3)(1/3)) = 2; bin 1: H=1 -> 0
+    assert(math.abs(out(0).getDouble(5) - 2.0) < 1e-12)
+    assert(out(1).getDouble(5) === 0.0)
+    val same = graft.operators.Stats
+      .cvmBinned(base, base, "v", lo = 0.0, hi = 10.0, nBins = 2,
+        adWeighted = true).collect()
+    assert(same.forall(_.getDouble(5) === 0.0))
+  }
+
+  test("vOptimalBoundaries finds the zero-SSE split and repeats the objective") {
+    import spark.implicits._
+    // bins (nFine=4, lo=0, hi=4): counts 10, 10, 2, 2 -> the 2-bucket
+    // V-optimal split is after bin 2 (both buckets constant, SSE 0)
+    val vals = (Seq.fill(10)(0.5) ++ Seq.fill(10)(1.5) ++
+      Seq.fill(2)(2.5) ++ Seq.fill(2)(3.5)).toDF("v")
+    val out = graft.operators.Histograms
+      .vOptimalBoundaries(vals, "v", 0.0, 4.0, nFine = 4, nBuckets = 2)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getInt(0) === 1)
+    assert(out.head.getInt(1) === 2)
+    assert(out.head.getDouble(2) === 0.0)
+  }
+
+  test("vOptimalBoundaries beats the equi-width split under skew") {
+    import spark.implicits._
+    // one hot bin then a long flat tail: equi-width (boundary 2) mixes the
+    // spike with flat bins; V-optimal isolates the spike (boundary 1)
+    val vals = (Seq.fill(100)(0.5) ++ Seq.fill(2)(1.5) ++
+      Seq.fill(2)(2.5) ++ Seq.fill(2)(3.5)).toDF("v")
+    val out = graft.operators.Histograms
+      .vOptimalBoundaries(vals, "v", 0.0, 4.0, nFine = 4, nBuckets = 2)
+      .collect().head
+    assert(out.getInt(1) === 1)
+    assert(out.getDouble(2) === 0.0)
+  }
+
   test("yuleK matches the hand-computed statistic") {
     import spark.implicits._
     val docs = Seq((0L, "a b a"), (1L, "c")).toDF("doc_id", "text")
