@@ -3811,6 +3811,15 @@ object SparkEntry {
           fround(col("cvm_term"), 6).as("cvm_term"))
         .orderBy("bin")
     }),
+    // --- round 8: gaps-and-islands id-coverage audit — contiguous
+    //     orderkey runs via two keyed anti-joins (no global row_number
+    //     over the corpus; only boundary frames hit the pairing window) ---
+    "q_id_islands" -> ((s, dir) =>
+      // the 'F'-status subset fragments the dense orderkey axis into real
+      // islands (the full axis is contiguous in this fixture)
+      graft.operators.Sessionize.idIslands(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F"), "o_orderkey")
+        .orderBy("island")),
     // --- round 8: Anderson–Darling weighted drift — the tail-sensitive
     //     third member of the KS/CvM trio (same split/bins; terms weighted
     //     by 1/(H(1−H)) of the pooled ECDF) ---
@@ -4697,6 +4706,16 @@ object SparkEntry {
         |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvm_term
         |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_id_islands" ->
+      // the classic id − row_number() grouping is fine AS AN ORACLE
+      // (DuckDB sorts locally); the engine side uses distributed anti-joins
+      """WITH ids AS (SELECT DISTINCT o_orderkey::BIGINT AS id
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderstatus = 'F'),
+        |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM ids),
+        |isl AS (SELECT min(id) AS start_id, max(id) AS end_id FROM g GROUP BY grp)
+        |SELECT row_number() OVER (ORDER BY start_id)::INT AS island,
+        |  start_id, end_id, (end_id - start_id + 1)::BIGINT AS len
+        |FROM isl ORDER BY island""".stripMargin,
     "q_ad_drift" ->
       // the q_cvm_drift mirror with the 1/(H(1−H)) pooled-ECDF weight;
       // H∈{0,1} bins contribute 0 by the shared convention

@@ -58,6 +58,36 @@ object Sessionize {
       .filter(col("n_gaps") > 0)
   }
 
+  /** Gaps-and-islands over an integer id column — contiguous runs of
+    * present ids, the completeness audit that turns "some orderkeys are
+    * missing" into an explicit list of covered ranges (and, by
+    * complement, the holes an ingest job must backfill).
+    *
+    * Deliberately NOT the classic `id − row_number()` trick, whose global
+    * row numbering is a single-reducer sort at corpus scale. Island
+    * boundaries are found by two keyed ANTI-joins (a start has no `id−1`,
+    * an end has no `id+1`) — fully distributed — and only the boundary
+    * frames (bounded by the island count, typically ≪ rows) pass through
+    * the rank-pairing window. Pure integer arithmetic throughout.
+    * Returns `(island, start_id, end_id, len)` ordered by id. */
+  def idIslands(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("__id"))
+      .filter(col("__id").isNotNull).distinct()
+    val a = ids.select(col("__id").as("id"))
+    val b = ids.select(col("__id").as("nb"))
+    val starts = a.join(b, col("id") - 1 === col("nb"), "left_anti")
+      .select(col("id").as("start_id"))
+    val ends = a.join(b, col("id") + 1 === col("nb"), "left_anti")
+      .select(col("id").as("end_id"))
+    // the k-th start pairs with the k-th end (islands cannot nest)
+    val ws = Window.orderBy("start_id")
+    val we = Window.orderBy("end_id")
+    starts.withColumn("__rn", row_number().over(ws))
+      .join(ends.withColumn("__rn", row_number().over(we)), "__rn")
+      .select(col("__rn").as("island"), col("start_id"), col("end_id"),
+        (col("end_id") - col("start_id") + 1).as("len"))
+  }
+
   /** Sessionize and aggregate: one row per (key, session) with start/end
     * (in `tsCol` units), event count, and any extra aggregates. */
   def sessionAgg(

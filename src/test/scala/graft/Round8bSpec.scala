@@ -291,6 +291,51 @@ class Round8bSpec extends SparkSpec {
     assert(out.getDouble(4) === 1e4 * (6.0 - 4.0) / 16.0)
   }
 
+  test("idIslands finds contiguous runs via anti-joins") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 7L, 10L, 11L, 2L).toDF("id").repartition(3)
+    val out = graft.operators.Sessionize.idIslands(df, "id")
+      .orderBy("island").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((1, 1L, 3L, 3L), (2, 7L, 7L, 1L), (3, 10L, 11L, 2L)))
+  }
+
+  test("idIslands plan has no corpus-sized single-partition window") {
+    import spark.implicits._
+    val df = (1L to 100L).filter(_ % 7 != 0).toDF("id")
+    val plan = graft.operators.Sessionize.idIslands(df, "id")
+      .queryExecution.executedPlan.toString
+    // the anti-joins do the corpus work; windows only touch boundary rows
+    assert(plan.toLowerCase.contains("leftanti"))
+  }
+
+  test("partitioned fact scan is dynamically pruned by a filtered dim join") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dpp").toString
+    val useStatsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prevUseStats = spark.conf.get(useStatsKey)
+    try {
+      // fallback filter-ratio benefit estimation (tiny test frames defeat
+      // the stats-based one, which a real fact table would satisfy)
+      spark.conf.set(useStatsKey, "false")
+      (1 to 100000).map(i => (i.toLong, i % 20)).toDF("v", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(s"$root/fact")
+      (0 until 20).map(k => (k, s"name$k")).toDF("k", "nm")
+        .write.mode("overwrite").parquet(s"$root/dim")
+      val fact = spark.read.parquet(s"$root/fact")
+      val dim = spark.read.parquet(s"$root/dim")
+      val q = fact.join(dim.filter(col("nm") === "name3"),
+        fact("p") === dim("k"))
+      val plan = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("dynamicpruning"),
+        s"expected dynamic partition pruning in plan:\n$plan")
+      assert(q.count() === 5000L)
+    } finally {
+      spark.conf.set(useStatsKey, prevUseStats)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("Shapley attribution rejects bad channel configs") {
     import spark.implicits._
     val ev = Seq((1L, "click", 1.0)).toDF("user_id", "event_type", "value")
