@@ -3811,6 +3811,22 @@ object SparkEntry {
           fround(col("cvm_term"), 6).as("cvm_term"))
         .orderBy("bin")
     }),
+    // --- round 8: lagged cross-correlation — lead/lag detector between
+    //     daily purchase revenue and daily error volume (exact long sums;
+    //     IEEE sqrt is correctly rounded, so the Pearson close is pinned) ---
+    "q_xcorr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .groupBy("day")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev_cents"))
+      val errs = ev.filter(col("event_type") === "error")
+        .groupBy("day").agg(count(lit(1)).as("n_err"))
+      graft.operators.TimeSeries.crossCorrelation(
+          rev, errs, "day", "rev_cents", "n_err", maxLag = 3)
+        .select(col("lag"), col("n_pairs"), fround(col("xcorr"), 6).as("xcorr"))
+        .orderBy("lag")
+    }),
     // --- round 8: gaps-and-islands id-coverage audit — contiguous
     //     orderkey runs via two keyed anti-joins (no global row_number
     //     over the corpus; only boundary frames hit the pairing window) ---
@@ -4706,6 +4722,32 @@ object SparkEntry {
         |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvm_term
         |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_xcorr" ->
+      // five exact long sums per lag; Pearson closed with the identical
+      // double tree (sqrt is IEEE correctly-rounded in both engines)
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, value FROM events),
+        |x AS (SELECT day AS k, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS xv
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        |y AS (SELECT day AS k, count(*)::BIGINT AS yv FROM ev
+        |  WHERE event_type = 'error' GROUP BY 1),
+        |l AS (SELECT unnest(range(-3, 4))::BIGINT AS lag),
+        |j AS (SELECT l.lag, x.xv AS xx, y.yv AS yy
+        |  FROM x CROSS JOIN l JOIN y ON y.k = x.k + l.lag),
+        |g AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+        |    sum(xx)::BIGINT AS sx, sum(yy)::BIGINT AS sy,
+        |    sum(xx * xx)::BIGINT AS sxx, sum(yy * yy)::BIGINT AS syy,
+        |    sum(xx * yy)::BIGINT AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT lag::INT AS lag, n_pairs,
+        |  CASE WHEN n_pairs >= 2
+        |        AND n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |        AND n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+        |    THEN floor((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |      * 1e6 + 0.5) / 1e6
+        |    ELSE NULL END AS xcorr
+        |FROM g ORDER BY lag""".stripMargin,
     "q_id_islands" ->
       // the classic id − row_number() grouping is fine AS AN ORACLE
       // (DuckDB sorts locally); the engine side uses distributed anti-joins

@@ -356,4 +356,45 @@ object TimeSeries {
       ((col("__sae").cast("double") / col("n_scored"))
         / (col("__sn1").cast("double") / col("n_scored"))).as("mase"))
   }
+
+  /** Lagged cross-correlation between two integer-keyed series — the
+    * lead/lag detector ("do errors spike k days before revenue drops?").
+    * For each lag in `−maxLag..maxLag`, Pearson r between `x(k)` and
+    * `y(k + lag)` over the keys where both exist.
+    *
+    * Scale shape: each series is already one aggregated row per key; the
+    * lag fan-out is a constant-size literal explode and the per-lag sums
+    * are ONE keyed aggregation. Determinism: all five sums are exact
+    * longs; the closing Pearson algebra runs on those exact values through
+    * a fixed double tree (IEEE sqrt is correctly rounded, so it is
+    * bit-identical across engines — unlike libm ln). Lags with fewer than
+    * 2 paired keys or zero variance return null r (both engines alike).
+    * Returns `(lag, n_pairs, xcorr)`. */
+  def crossCorrelation(xs: DataFrame, ys: DataFrame, keyCol: String,
+      xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, "crossCorrelation: maxLag in [0, 64]")
+    val lags = array((-maxLag to maxLag).map(l => lit(l)): _*)
+    val xl = xs.select(col(keyCol).cast("long").as("__k"),
+        col(xCol).cast("long").as("__x"))
+      .select(col("__k"), col("__x"), explode(lags).as("lag"))
+    val yl = ys.select(col(keyCol).cast("long").as("__yk"),
+      col(yCol).cast("long").as("__y"))
+    val j = xl.join(yl, col("__yk") === col("__k") + col("lag"))
+    val g = j.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_pairs").cast("double")
+    val num = n * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = n * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = n * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    g.select(col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && vx > 0.0 && vy > 0.0,
+        num / (sqrt(vx) * sqrt(vy))).as("xcorr"))
+  }
 }

@@ -336,6 +336,56 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("crossCorrelation matches hand-computed Pearson at the aligning lag") {
+    import spark.implicits._
+    // y(k) = x(k-1) exactly -> r = 1 at lag +1 (y leads by one key)
+    val xs = Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 5L)).toDF("k", "x")
+    val ys = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 5L)).toDF("k", "y")
+    val out = graft.operators.TimeSeries
+      .crossCorrelation(xs, ys, "k", "x", "y", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(-2, -1, 0, 1, 2))
+    val at1 = out.find(_.getInt(0) === 1).get
+    assert(at1.getLong(1) === 4L)
+    assert(math.abs(at1.getDouble(2) - 1.0) < 1e-12)
+    // zero-variance pairing yields null, not NaN
+    val ysConst = Seq((0L, 7L), (1L, 7L), (2L, 7L)).toDF("k", "y")
+    val nulls = graft.operators.TimeSeries
+      .crossCorrelation(xs, ysConst, "k", "x", "y", 0).collect()
+    assert(nulls.forall(_.isNullAt(2)))
+  }
+
+  test("AQE splits a skewed sort-merge join partition") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null))
+    try {
+      spark.conf.set(keys(0), "-1")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "32768")
+      spark.conf.set(keys(3), "16384")
+      // 95% of rows share key 0 -> one shuffle partition dwarfs the median
+      val left = (1 to 200000)
+        .map(i => (if (i % 20 == 0) (i % 97).toLong else 0L,
+          s"payload_padding_for_bytes_$i"))
+        .toDF("k", "pl")
+      val right = (0L to 96L).map(k => (k, k * 2)).toDF("k", "v")
+      val q = left.join(right, "k")
+      q.queryExecution.toRdd.count() // materialize THIS plan so AQE finalizes it
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the final AQE plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Shapley attribution rejects bad channel configs") {
     import spark.implicits._
     val ev = Seq((1L, "click", 1.0)).toDF("user_id", "event_type", "value")
