@@ -3811,6 +3811,31 @@ object SparkEntry {
           fround(col("cvm_term"), 6).as("cvm_term"))
         .orderBy("bin")
     }),
+    // --- round 8: Qini uplift curve — treated-vs-control cumulative
+    //     conversion gap walked best-bucket-first (md5 score deciles;
+    //     exact long counts, bounded bucket frame) ---
+    "q_qini" -> ((s, dir) => {
+      val perUser = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .withColumn("treated", col("user_id") % 2 === 0)
+        .withColumn("bucket",
+          least(floor(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") / lit(6554.0)), lit(9.0)).cast("int"))
+      graft.operators.EvalMetrics.qiniByBucket(perUser, "bucket", "treated", "conv")
+        .select(col("bucket"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"), fround(col("qini"), 6).as("qini"))
+        .orderBy("bucket")
+    }),
+    // --- round 8: vocabulary coverage curve — smallest top-k type count
+    //     covering p of token mass (integer-exact rational targets; the
+    //     cumulative window touches only the frequency-of-frequencies
+    //     frame) ---
+    "q_vocab_coverage" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("p"), col("target_tokens"), col("k_types"),
+          col("n_types_total"), fround(col("vocab_share"), 6).as("vocab_share"))
+        .orderBy("p")),
     // --- round 8: lagged cross-correlation — lead/lag detector between
     //     daily purchase revenue and daily error volume (exact long sums;
     //     IEEE sqrt is correctly rounded, so the Pearson close is pinned) ---
@@ -4722,6 +4747,56 @@ object SparkEntry {
         |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvm_term
         |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_qini" ->
+      // exact long cumulative counts, one pinned close per bucket;
+      // null qini until the control side has mass
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |b AS (SELECT user_id % 2 = 0 AS treated, conv = 1 AS y,
+        |    least(floor(('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT / 6554.0), 9)::INT AS bucket
+        |  FROM u),
+        |g AS (SELECT bucket,
+        |    sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN treated AND y THEN 1 ELSE 0 END)::BIGINT AS conv_t,
+        |    sum(CASE WHEN NOT treated AND y THEN 1 ELSE 0 END)::BIGINT AS conv_c
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT bucket, n_t, n_c, conv_t, conv_c,
+        |    sum(conv_t) OVER w AS ct, sum(conv_c) OVER w AS cc,
+        |    sum(n_t) OVER w AS nt, sum(n_c) OVER w AS nc
+        |  FROM g WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_t, n_c, conv_t, conv_c,
+        |  CASE WHEN nc > 0 THEN
+        |    floor((ct::DOUBLE - cc::DOUBLE * (nt::DOUBLE / nc::DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS qini
+        |FROM c ORDER BY bucket""".stripMargin,
+    "q_vocab_coverage" ->
+      // integer-exact: rational targets ceil(N·num/den), within-class
+      // refinement by integer ceiling division; share divides at the end
+      """WITH tk AS (SELECT term, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(regexp_extract_all(trim(text), '\S+')) AS term
+        |    FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+        |ff AS (SELECT c, count(*)::BIGINT AS n_types,
+        |    (c * count(*))::BIGINT AS tok_c FROM tk GROUP BY 1),
+        |cum AS (SELECT c, n_types, tok_c,
+        |    sum(n_types) OVER w AS cum_types, sum(tok_c) OVER w AS cum_tok
+        |  FROM ff WINDOW w AS (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT max(cum_tok)::BIGINT AS n, max(cum_types)::BIGINT AS v FROM cum),
+        |tg AS (SELECT * FROM (VALUES ('0.50', 1, 2), ('0.90', 9, 10),
+        |    ('0.95', 19, 20), ('0.99', 99, 100)) t(p, num, den)),
+        |x AS (SELECT cum.c, cum.n_types, cum.tok_c, cum.cum_types, cum.cum_tok,
+        |    tot.n, tot.v, tg.p,
+        |    ((tot.n * tg.num + tg.den - 1) // tg.den)::BIGINT AS target_tokens
+        |  FROM cum CROSS JOIN tot CROSS JOIN tg),
+        |hit AS (SELECT p, target_tokens,
+        |    ((cum_types - n_types)
+        |      + ((target_tokens - (cum_tok - tok_c) + c - 1) // c))::BIGINT AS k_types,
+        |    v AS n_types_total
+        |  FROM x WHERE cum_tok >= target_tokens AND (cum_tok - tok_c) < target_tokens)
+        |SELECT p, target_tokens, k_types, n_types_total,
+        |  floor(k_types::DOUBLE / n_types_total::DOUBLE * 1e6 + 0.5) / 1e6 AS vocab_share
+        |FROM hit ORDER BY p""".stripMargin,
     "q_xcorr" ->
       // five exact long sums per lag; Pearson closed with the identical
       // double tree (sqrt is IEEE correctly-rounded in both engines)

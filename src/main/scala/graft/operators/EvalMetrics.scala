@@ -199,4 +199,38 @@ object EvalMetrics {
         (col("pad_tokens").cast("double")
           / (col("real_tokens") + col("pad_tokens"))).as("pad_ratio"))
   }
+
+  /** Qini uplift curve over score buckets — the standard readout for an
+    * uplift / targeting model: walking buckets best-first, how many extra
+    * conversions did the treated group produce beyond the control group's
+    * rate-scaled expectation? `qini(d) = cumConvT(d) − cumConvC(d) ·
+    * (cumNT(d)/cumNC(d))` (Radcliffe 2007). One row per unit in, ONE
+    * bucket-keyed corpus aggregation, then cumulative algebra on the
+    * bounded bucket frame (the unpartitioned window sees ≤ #buckets
+    * rows). All counts exact longs; the per-bucket close is one pinned
+    * double expression; buckets with no control mass yet yield null.
+    * Returns `(bucket, n_t, n_c, conv_t, conv_c, qini)`. */
+  def qiniByBucket(df: DataFrame, bucketCol: String, treatedCol: String,
+      convertedCol: String): DataFrame = {
+    val t = col(treatedCol).cast("boolean")
+    val y = col(convertedCol).cast("boolean")
+    val g = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_t"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_c"),
+        sum(when(t && y, 1L).otherwise(0L)).as("conv_t"),
+        sum(when(!t && y, 1L).otherwise(0L)).as("conv_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    g.withColumn("__ct", sum("conv_t").over(w))
+      .withColumn("__cc", sum("conv_c").over(w))
+      .withColumn("__nt", sum("n_t").over(w))
+      .withColumn("__nc", sum("n_c").over(w))
+      .select(col("bucket"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"),
+        when(col("__nc") > 0,
+          col("__ct").cast("double") - col("__cc").cast("double") *
+            (col("__nt").cast("double") / col("__nc").cast("double")))
+          .as("qini"))
+  }
 }

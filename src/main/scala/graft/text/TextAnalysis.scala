@@ -1009,6 +1009,60 @@ object TextAnalysis {
           .as("doc_share"))
   }
 
+  /** Vocabulary coverage curve — for each target share `p`, the smallest
+    * number of top-frequency types whose counts cover ≥ p of all token
+    * occurrences: the number a tokenizer designer reads off to size a
+    * vocab ("how many types buy 95% coverage?").
+    *
+    * Scale shape: ONE token-count aggregation (the corpus shuffle), then a
+    * frequency-of-frequencies rollup whose row count is the number of
+    * DISTINCT count values — the only frame the cumulative window touches
+    * (≪ vocab, ≪ corpus). The within-class refinement is exact integer
+    * ceiling division, and targets are exact rationals
+    * (`ceil(N·num/den)` in longs), so the whole curve is integer-exact;
+    * only `vocab_share` divides at the end. Returns one row per target:
+    * `(p, target_tokens, k_types, vocab_share)`. */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      targets: Seq[(String, Int, Int)] = Seq(("0.50", 1, 2), ("0.90", 9, 10),
+        ("0.95", 19, 20), ("0.99", 99, 100))): org.apache.spark.sql.DataFrame = {
+    require(targets.nonEmpty &&
+      targets.forall { case (_, n, d) => n > 0 && d >= n },
+      "vocabCoverage: targets must be rationals in (0, 1]")
+    val tk = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    // bounded from here: one row per DISTINCT count value
+    val ff = tk.groupBy("c").agg(count(lit(1)).as("n_types"))
+      .withColumn("tok_c", col("c") * col("n_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = ff.withColumn("cum_types", sum("n_types").over(w))
+      .withColumn("cum_tok", sum("tok_c").over(w))
+    val tot = cum.agg(max("cum_tok").as("__n"), max("cum_types").as("__v"))
+    val tgt = explode(array(targets.map { case (lbl, n, d) =>
+      struct(lit(lbl).as("p"), lit(n.toLong).as("num"), lit(d.toLong).as("den"))
+    }: _*)).as("__t")
+    val crossed = cum.crossJoin(broadcast(tot.select(col("__n"), col("__v"), tgt)))
+      .select(col("c"), col("n_types"), col("tok_c"), col("cum_types"),
+        col("cum_tok"), col("__n"), col("__v"),
+        col("__t.p").as("p"),
+        (((col("__n") * col("__t.num")) + col("__t.den") - 1)
+          .cast("long") / col("__t.den")).cast("long").as("target_tokens"))
+    crossed
+      .filter(col("cum_tok") >= col("target_tokens") &&
+        (col("cum_tok") - col("tok_c")) < col("target_tokens"))
+      .select(col("p"), col("target_tokens"),
+        ((col("cum_types") - col("n_types")) +
+          ((col("target_tokens") - (col("cum_tok") - col("tok_c"))
+            + col("c") - 1).cast("long") / col("c")).cast("long"))
+          .as("k_types"),
+        (col("__v")).as("n_types_total"))
+      .withColumn("vocab_share",
+        col("k_types").cast("double") / col("n_types_total").cast("double"))
+  }
+
   /** Yule's K vocabulary-richness characteristic plus the hapax share —
     * the classic lexical-diversity pair a corpus-health report carries
     * next to Zipf/Heaps. `K = 10⁴·(S₂ − N)/N²` with `N` total tokens and

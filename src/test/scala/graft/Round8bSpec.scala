@@ -386,6 +386,37 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("qiniByBucket matches the hand-computed cumulative uplift") {
+    import spark.implicits._
+    // bucket 0: T 2/4 convert, C 1/4 -> qini(0) = 2 - 1*(4/4) = 1
+    // bucket 1: T 0/2, C 1/2      -> qini(1) = 2 - 2*(6/6) = 0
+    def rows(b: Int, treated: Boolean, n: Int, conv: Int) =
+      (0 until n).map(i => (b, treated, i < conv))
+    val df = (rows(0, treated = true, 4, 2) ++ rows(0, treated = false, 4, 1) ++
+      rows(1, treated = true, 2, 0) ++ rows(1, treated = false, 2, 1))
+      .toDF("bucket", "treated", "conv")
+    val out = graft.operators.EvalMetrics
+      .qiniByBucket(df, "bucket", "treated", "conv")
+      .orderBy("bucket").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((0, 4L, 2L), (1, 2L, 0L)))
+    assert(out(0).getDouble(5) === 1.0)
+    assert(out(1).getDouble(5) === 0.0)
+  }
+
+  test("vocabCoverage picks the smallest covering type count") {
+    import spark.implicits._
+    // counts a:4 b:2 c:1 d:1 -> N=8, V=4; p50 target 4 -> 1 type;
+    // p90/95/99 targets 8 -> all 4 types
+    val docs = Seq((0L, "a a a a b b c d")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.vocabCoverage(docs, "doc_id", "text")
+      .orderBy("p").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("0.50", 4L, 1L), ("0.90", 8L, 4L), ("0.95", 8L, 4L),
+        ("0.99", 8L, 4L)))
+    assert(out.head.getDouble(4) === 0.25)
+  }
+
   test("Shapley attribution rejects bad channel configs") {
     import spark.implicits._
     val ev = Seq((1L, "click", 1.0)).toDF("user_id", "event_type", "value")
