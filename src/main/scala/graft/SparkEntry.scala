@@ -3811,6 +3811,20 @@ object SparkEntry {
           fround(col("cvm_term"), 6).as("cvm_term"))
         .orderBy("bin")
     }),
+    // --- round 8: global-series ACF + Ljung–Box portmanteau on daily
+    //     revenue (exact mean-scaled integer sums; the per-key lag-1
+    //     q_acf's whole-series complement) ---
+    "q_ljung_box" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("day")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      graft.operators.TimeSeries.ljungBox(daily, "day", "cents", maxLag = 5)
+        .select(col("lag"), col("n_pairs"), fround(col("rho"), 6).as("rho"),
+          fround(col("lb_q"), 6).as("lb_q"))
+        .orderBy("lag")
+    }),
     // --- round 8: Qini uplift curve — treated-vs-control cumulative
     //     conversion gap walked best-bucket-first (md5 score deciles;
     //     exact long counts, bounded bucket frame) ---
@@ -4747,6 +4761,31 @@ object SparkEntry {
         |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvm_term
         |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_ljung_box" ->
+      // y = n·x − S cancels the mean exactly; HUGEINT sums mirror the
+      // engine's decimal(38,0); both convert correctly-rounded to DOUBLE
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM d),
+        |y AS (SELECT k, (x * n - s)::BIGINT AS y, n FROM d CROSS JOIN tot),
+        |dn AS (SELECT sum(y::HUGEINT * y::HUGEINT) AS den, max(n)::BIGINT AS n FROM y),
+        |l AS (SELECT unnest(range(1, 6))::BIGINT AS lag),
+        |p AS (SELECT l.lag, a.y AS ya, b.y AS yb
+        |  FROM y a CROSS JOIN l JOIN y b ON b.k = a.k + l.lag),
+        |g AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+        |    sum(ya::HUGEINT * yb::HUGEINT) AS num FROM p GROUP BY 1),
+        |r AS (SELECT lag, n_pairs,
+        |    num::DOUBLE / dn.den::DOUBLE AS rho, dn.n AS n FROM g CROSS JOIN dn),
+        |q AS (SELECT lag, n_pairs, rho, n,
+        |    floor(rho * rho / (n - lag)::DOUBLE * 1e12 + 0.5)::BIGINT AS tq FROM r),
+        |c AS (SELECT lag, n_pairs, rho, n,
+        |    sum(tq) OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cq
+        |  FROM q)
+        |SELECT lag::INT AS lag, n_pairs,
+        |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+        |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
+        |FROM c ORDER BY lag""".stripMargin,
     "q_qini" ->
       // exact long cumulative counts, one pinned close per bucket;
       // null qini until the control side has mass

@@ -357,6 +357,56 @@ object TimeSeries {
         / (col("__sn1").cast("double") / col("n_scored"))).as("mase"))
   }
 
+  /** Global-series autocorrelation + Ljung–Box portmanteau over an
+    * integer-keyed series of exact long values — the "is there ANY serial
+    * structure" test run before fitting a forecaster (the whole-series
+    * complement to the per-key lag-1 [[autocorr]]).
+    *
+    * Exactness: with `y_t = n·x_t − S` (all longs), `ρ_k = Σ y_t·y_{t+k}
+    * / Σ y_t²` — the n² scaling cancels, so both sums are exact
+    * decimal(38,0) integers and the single division is pinned (decimal →
+    * double conversion is correctly rounded in both engines). The
+    * Ljung–Box terms `ρ_k²/(n−k)` are pico-quantized to longs before the
+    * cumulative sum, so `Q(k) = n(n+2)·Σ_{j≤k}` is order-proof. Pairs
+    * exist where BOTH keys are present (a documented contract on gappy
+    * axes); the lag fan-out is a constant literal explode and every
+    * corpus-sized step is one keyed aggregation.
+    * Returns `(lag, n_pairs, rho, lb_q)`. */
+  def ljungBox(daily: DataFrame, keyCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "ljungBox: maxLag in [1, 64]")
+    val base = daily.select(col(keyCol).cast("long").as("__k"),
+      col(valCol).cast("long").as("__x"))
+    val tot = base.agg(count(lit(1)).as("__n"), sum("__x").as("__s"))
+    val y = base.crossJoin(broadcast(tot))
+      .select(col("__k"), (col("__x") * col("__n") - col("__s")).as("__y"),
+        col("__n"))
+    val den = y.agg(
+      sum(col("__y").cast("decimal(19,0)") * col("__y").cast("decimal(19,0)"))
+        .as("__den"),
+      max("__n").as("__n"))
+    val lags = explode(array((1 to maxLag).map(l => lit(l)): _*)).as("lag")
+    val pairs = y.select(col("__k"), col("__y"), lags)
+      .join(y.select(col("__k").as("__k2"), col("__y").as("__y2")),
+        col("__k2") === col("__k") + col("lag"))
+    val byLag = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__y").cast("decimal(19,0)") * col("__y2").cast("decimal(19,0)"))
+        .as("__num"))
+    val rho = col("__num").cast("double") / col("__den").cast("double")
+    val termQ = floor(rho * rho / (col("__n") - col("lag")).cast("double")
+      * lit(1e12) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("lag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byLag.crossJoin(broadcast(den))
+      .withColumn("__tq", termQ)
+      .withColumn("__cq", sum("__tq").over(w))
+      .select(col("lag"), col("n_pairs"), rho.as("rho"),
+        ((col("__n") * (col("__n") + 2)).cast("double") *
+          (col("__cq").cast("double") / lit(1e12))).as("lb_q"))
+  }
+
   /** Lagged cross-correlation between two integer-keyed series — the
     * lead/lag detector ("do errors spike k days before revenue drops?").
     * For each lag in `−maxLag..maxLag`, Pearson r between `x(k)` and

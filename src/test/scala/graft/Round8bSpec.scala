@@ -386,6 +386,22 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("ljungBox matches the hand-computed ACF and Q statistic") {
+    import spark.implicits._
+    // x = [1,2,1,2]: y = 4x-6 = [-2,2,-2,2], den = 16
+    // rho1 = -12/16 = -0.75, rho2 = 8/16 = 0.5
+    // Q1 = 4*6*(0.5625/3) = 4.5 ; Q2 = 24*(0.1875 + 0.25/2) = 7.5
+    val daily = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)).toDF("k", "x")
+    val out = graft.operators.TimeSeries.ljungBox(daily, "k", "x", 2)
+      .orderBy("lag").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 3L), (2, 2L)))
+    assert(out(0).getDouble(2) === -0.75)
+    assert(out(1).getDouble(2) === 0.5)
+    assert(math.abs(out(0).getDouble(3) - 4.5) < 1e-6)
+    assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
+  }
+
   test("qiniByBucket matches the hand-computed cumulative uplift") {
     import spark.implicits._
     // bucket 0: T 2/4 convert, C 1/4 -> qini(0) = 2 - 1*(4/4) = 1
