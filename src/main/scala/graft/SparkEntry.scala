@@ -3811,6 +3811,20 @@ object SparkEntry {
           fround(col("cvm_term"), 6).as("cvm_term"))
         .orderBy("bin")
     }),
+    // --- round 8: periodogram power at the weekly/monthly DFT bins —
+    //     plan-time trig literals (no libm at query time), milli-quantized
+    //     exact coefficient sums ---
+    "q_periodogram" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("day")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      graft.operators.TimeSeries.periodogram(daily, "day", "cents", Seq(7, 30))
+        .select(col("period"), col("n"),
+          fround(col("power_ratio"), 6).as("power_ratio"))
+        .orderBy("period")
+    }),
     // --- round 8: global-series ACF + Ljung–Box portmanteau on daily
     //     revenue (exact mean-scaled integer sums; the per-key lag-1
     //     q_acf's whole-series complement) ---
@@ -4761,6 +4775,31 @@ object SparkEntry {
         |      * (cb::DOUBLE / nb::DOUBLE - cc::DOUBLE / nc::DOUBLE)
         |    * 1e6 + 0.5) / 1e6 AS cvm_term
         |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_periodogram" -> {
+      import graft.operators.TimeSeries.trigSqlCase
+      // the CASE arms carry the identical shortest-round-trip literals the
+      // Spark plan embeds; HUGEINT sums mirror the engine's decimal(38,0)
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+         |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM d),
+         |y AS (SELECT k, (x * n - s)::BIGINT AS y FROM d CROSS JOIN tot),
+         |dn AS (SELECT sum(y::HUGEINT * y::HUGEINT) AS den, count(*)::BIGINT AS n FROM y),
+         |p7 AS (SELECT 7 AS period,
+         |    sum(floor(y * (${trigSqlCase("k % 7", 7, sin = false)}) * 1e3 + 0.5)::BIGINT::HUGEINT) AS sc,
+         |    sum(floor(y * (${trigSqlCase("k % 7", 7, sin = true)}) * 1e3 + 0.5)::BIGINT::HUGEINT) AS ss
+         |  FROM y),
+         |p30 AS (SELECT 30 AS period,
+         |    sum(floor(y * (${trigSqlCase("k % 30", 30, sin = false)}) * 1e3 + 0.5)::BIGINT::HUGEINT) AS sc,
+         |    sum(floor(y * (${trigSqlCase("k % 30", 30, sin = true)}) * 1e3 + 0.5)::BIGINT::HUGEINT) AS ss
+         |  FROM y),
+         |u AS (SELECT * FROM p7 UNION ALL SELECT * FROM p30)
+         |SELECT period, dn.n,
+         |  floor(((sc::DOUBLE / 1e3) * (sc::DOUBLE / 1e3)
+         |      + (ss::DOUBLE / 1e3) * (ss::DOUBLE / 1e3))
+         |    / dn.den::DOUBLE * 1e6 + 0.5) / 1e6 AS power_ratio
+         |FROM u CROSS JOIN dn ORDER BY period""".stripMargin
+    },
     "q_ljung_box" ->
       // y = n·x − S cancels the mean exactly; HUGEINT sums mirror the
       // engine's decimal(38,0); both convert correctly-rounded to DOUBLE

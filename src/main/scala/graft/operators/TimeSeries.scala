@@ -407,6 +407,69 @@ object TimeSeries {
           (col("__cq").cast("double") / lit(1e12))).as("lb_q"))
   }
 
+  /** Periodogram power at fixed candidate periods — "is there a weekly /
+    * monthly cycle" read directly off the DFT bin: for period `p`,
+    * `power = (Σ y_t·cos(2πt/p))² + (Σ y_t·sin(2πt/p))²`, reported
+    * relative to the series energy `Σ y_t²` (mean removed exactly via the
+    * same `y = n·x − S` integer scaling as [[ljungBox]]).
+    *
+    * Trig values never touch libm at query time: each period's `p`
+    * cos/sin values are computed ONCE at plan time and embedded as
+    * shortest-round-trip double literals — both engines parse the
+    * identical bits (the SPRT log-constant discipline). Per-term products
+    * are milli-quantized to longs and summed as exact decimals, so each
+    * DFT coefficient is accumulation-order-proof; the close is one pinned
+    * double expression per period. One keyed aggregation per period over
+    * the bounded daily frame. Returns `(period, n, power_ratio)`. */
+  def periodogram(daily: DataFrame, keyCol: String, valCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(p => p >= 2 && p <= 512),
+      "periodogram: periods in [2, 512]")
+    require(periods.distinct.size == periods.size, "duplicate periods")
+    val base = daily.select(col(keyCol).cast("long").as("__k"),
+      col(valCol).cast("long").as("__x"))
+    val tot = base.agg(count(lit(1)).as("__n"), sum("__x").as("__s"))
+    val y = base.crossJoin(broadcast(tot))
+      .select(col("__k"), (col("__x") * col("__n") - col("__s")).as("__y"))
+    val den = y.agg(
+      sum(col("__y").cast("decimal(19,0)") * col("__y").cast("decimal(19,0)"))
+        .as("__den"),
+      count(lit(1)).as("n"))
+    val parts = periods.map { p =>
+      val cosA = array((0 until p).map(k =>
+        lit(math.cos(2.0 * math.Pi * k / p))): _*)
+      val sinA = array((0 until p).map(k =>
+        lit(math.sin(2.0 * math.Pi * k / p))): _*)
+      val idx = (col("__k") % p).cast("int") + 1
+      y.select(lit(p).as("period"),
+          floor(col("__y") * element_at(cosA, idx) * lit(1e3) + lit(0.5))
+            .cast("long").as("__tc"),
+          floor(col("__y") * element_at(sinA, idx) * lit(1e3) + lit(0.5))
+            .cast("long").as("__ts"))
+        .groupBy("period")
+        .agg(sum(col("__tc").cast("decimal(38,0)")).as("__sc"),
+          sum(col("__ts").cast("decimal(38,0)")).as("__ss"))
+    }
+    val a = col("__sc").cast("double") / lit(1e3)
+    val b = col("__ss").cast("double") / lit(1e3)
+    parts.reduce(_ unionByName _)
+      .crossJoin(broadcast(den))
+      .select(col("period"), col("n"),
+        ((a * a + b * b) / col("__den").cast("double")).as("power_ratio"))
+  }
+
+  /** The DuckDB mirror of [[periodogram]]'s trig tables: a CASE expression
+    * over `residExpr` (the day-key mod `p`) whose arms carry the IDENTICAL
+    * shortest-round-trip literals the Spark plan embeds. */
+  def trigSqlCase(residExpr: String, p: Int, sin: Boolean): String = {
+    val arms = (0 until p).map { k =>
+      val v = if (sin) math.sin(2.0 * math.Pi * k / p)
+              else math.cos(2.0 * math.Pi * k / p)
+      s"WHEN $k THEN ${v}"
+    }.mkString(" ")
+    s"CASE $residExpr $arms END"
+  }
+
   /** Lagged cross-correlation between two integer-keyed series — the
     * lead/lag detector ("do errors spike k days before revenue drops?").
     * For each lag in `−maxLag..maxLag`, Pearson r between `x(k)` and

@@ -386,6 +386,19 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("periodogram puts all power on the true cycle") {
+    import spark.implicits._
+    // x = [1,2,1,2]: y = [-2,2,-2,2]; period-2 bin captures everything
+    // ((-8)^2/16 = 4), period-4 bin is orthogonal (0)
+    val daily = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)).toDF("k", "x")
+    val out = graft.operators.TimeSeries
+      .periodogram(daily, "k", "x", Seq(2, 4))
+      .orderBy("period").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(2, 4))
+    assert(math.abs(out(0).getDouble(2) - 4.0) < 1e-6)
+    assert(math.abs(out(1).getDouble(2)) < 1e-6)
+  }
+
   test("ljungBox matches the hand-computed ACF and Q statistic") {
     import spark.implicits._
     // x = [1,2,1,2]: y = 4x-6 = [-2,2,-2,2], den = 16
