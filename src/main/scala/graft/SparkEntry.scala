@@ -3839,6 +3839,19 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: PACF via Durbin–Levinson — the AR-order identifier
+    //     completing the Box–Jenkins trio; recursion replayed by generated
+    //     CTEs with the identical IEEE operation order ---
+    "q_pacf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("day")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      graft.operators.TimeSeries.pacf(daily, "day", "cents", maxLag = 5)
+        .select(col("lag"), fround(col("pacf"), 6).as("pacf"))
+        .orderBy("lag")
+    }),
     // --- round 8: Qini uplift curve — treated-vs-control cumulative
     //     conversion gap walked best-bucket-first (md5 score deciles;
     //     exact long counts, bounded bucket frame) ---
@@ -4825,6 +4838,29 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_pacf" -> {
+      import graft.operators.TimeSeries.durbinLevinsonSqlCtes
+      // rho from the exact decimal ACF sums; the Durbin–Levinson levels
+      // unrolled as generated CTEs with the engine's operation order
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+         |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM d),
+         |y AS (SELECT k, (x * n - s)::BIGINT AS y FROM d CROSS JOIN tot),
+         |dn AS (SELECT sum(y::HUGEINT * y::HUGEINT) AS den FROM y),
+         |l AS (SELECT unnest(range(1, 6))::BIGINT AS lag),
+         |p AS (SELECT l.lag, a.y AS ya, b.y AS yb
+         |  FROM y a CROSS JOIN l JOIN y b ON b.k = a.k + l.lag),
+         |g AS (SELECT lag, sum(ya::HUGEINT * yb::HUGEINT) AS num FROM p GROUP BY 1),
+         |r AS (SELECT lag, num::DOUBLE / dn.den::DOUBLE AS rho FROM g CROSS JOIN dn),
+         |${durbinLevinsonSqlCtes(5, "r")}
+         |SELECT 1 AS lag, floor(f1_1 * 1e6 + 0.5) / 1e6 AS pacf FROM dl1
+         |UNION ALL SELECT 2, floor(f2_2 * 1e6 + 0.5) / 1e6 FROM dl2
+         |UNION ALL SELECT 3, floor(f3_3 * 1e6 + 0.5) / 1e6 FROM dl3
+         |UNION ALL SELECT 4, floor(f4_4 * 1e6 + 0.5) / 1e6 FROM dl4
+         |UNION ALL SELECT 5, floor(f5_5 * 1e6 + 0.5) / 1e6 FROM dl5
+         |ORDER BY lag""".stripMargin
+    },
     "q_qini" ->
       // exact long cumulative counts, one pinned close per bucket;
       // null qini until the control side has mass

@@ -375,6 +375,28 @@ object TimeSeries {
   def ljungBox(daily: DataFrame, keyCol: String, valCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, "ljungBox: maxLag in [1, 64]")
+    val (byLag, den) = acfExactFrames(daily, keyCol, valCol, maxLag)
+    val rho = col("__num").cast("double") / col("__den").cast("double")
+    val termQ = floor(rho * rho / (col("__n") - col("lag")).cast("double")
+      * lit(1e12) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("lag")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byLag.crossJoin(broadcast(den))
+      .withColumn("__tq", termQ)
+      .withColumn("__cq", sum("__tq").over(w))
+      .select(col("lag"), col("n_pairs"), rho.as("rho"),
+        ((col("__n") * (col("__n") + 2)).cast("double") *
+          (col("__cq").cast("double") / lit(1e12))).as("lb_q"))
+  }
+
+  /** Shared exact-ACF machinery for [[ljungBox]] and [[pacf]]: with
+    * `y_t = n·x_t − S` (exact longs — the n² scaling cancels in every
+    * ratio), returns (`byLag` = per-lag `(lag, n_pairs, __num)` exact
+    * decimal lagged products, `den` = one row `(__den, __n)` exact decimal
+    * energy). Two keyed aggregations over the bounded series frame. */
+  private def acfExactFrames(daily: DataFrame, keyCol: String,
+      valCol: String, maxLag: Int): (DataFrame, DataFrame) = {
     val base = daily.select(col(keyCol).cast("long").as("__k"),
       col(valCol).cast("long").as("__x"))
     val tot = base.agg(count(lit(1)).as("__n"), sum("__x").as("__s"))
@@ -393,18 +415,65 @@ object TimeSeries {
       count(lit(1)).as("n_pairs"),
       sum(col("__y").cast("decimal(19,0)") * col("__y2").cast("decimal(19,0)"))
         .as("__num"))
-    val rho = col("__num").cast("double") / col("__den").cast("double")
-    val termQ = floor(rho * rho / (col("__n") - col("lag")).cast("double")
-      * lit(1e12) + lit(0.5)).cast("long")
-    val w = org.apache.spark.sql.expressions.Window.orderBy("lag")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    byLag.crossJoin(broadcast(den))
-      .withColumn("__tq", termQ)
-      .withColumn("__cq", sum("__tq").over(w))
-      .select(col("lag"), col("n_pairs"), rho.as("rho"),
-        ((col("__n") * (col("__n") + 2)).cast("double") *
-          (col("__cq").cast("double") / lit(1e12))).as("lb_q"))
+    (byLag, den)
+  }
+
+  /** Partial autocorrelation function via the Durbin–Levinson recursion —
+    * the AR-order identifier that completes the Box–Jenkins trio
+    * (ACF = [[ljungBox]]'s rho, PACF here). The ρ inputs are the same
+    * exact-integer ratios as [[ljungBox]]; the recursion itself runs on
+    * the driver over ≤ `maxLag` values with a FIXED operation order
+    * (left-associated ascending-j sums, one division per level), and the
+    * oracle replays the identical tree via generated CTEs
+    * ([[durbinLevinsonSqlCtes]]) — deterministic by construction, no
+    * quantization needed because both engines execute the same IEEE ops
+    * on the same inputs. Returns `(lag, pacf)`. */
+  def pacf(daily: DataFrame, keyCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, "pacf: maxLag in [1, 16]")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val (byLag, den) = acfExactFrames(daily, keyCol, valCol, maxLag)
+    val denD = den.collect().head.getDecimal(0).doubleValue
+    val nums = byLag.collect()
+      .map(r => r.getInt(0) -> r.getDecimal(2).doubleValue).toMap
+    require(nums.size == maxLag,
+      s"pacf: series too short/gappy — only ${nums.size} of $maxLag lags present")
+    val rho = (1 to maxLag).map(k => k -> nums(k) / denD).toMap
+    var phi = Array(rho(1))
+    val out = scala.collection.mutable.ArrayBuffer((1, rho(1)))
+    for (k <- 2 to maxLag) {
+      val s = (1 until k).map(j => phi(j - 1) * rho(k - j)).reduceLeft(_ + _)
+      val t = (1 until k).map(j => phi(j - 1) * rho(j)).reduceLeft(_ + _)
+      val fkk = (rho(k) - s) / (1.0 - t)
+      phi = Array.tabulate(k)(i =>
+        if (i == k - 1) fkk else phi(i) - fkk * phi(k - 2 - i))
+      out += ((k, fkk))
+    }
+    out.toSeq.toDF("lag", "pacf")
+  }
+
+  /** The DuckDB mirror of [[pacf]]'s recursion: CTE pairs `dl{k}a/dl{k}`
+    * replaying the identical left-associated sums, division, and φ
+    * updates over a relation `rhoRel(lag, rho)`. The final CTE chain ends
+    * at `dl{m}`; each level's `f{k}_{k}` is that lag's PACF. */
+  def durbinLevinsonSqlCtes(m: Int, rhoRel: String): String = {
+    require(m >= 1 && m <= 16)
+    def r(j: Int) = s"(SELECT rho FROM $rhoRel WHERE lag = $j)"
+    val parts = Seq.newBuilder[String]
+    parts += s"dl1 AS (SELECT ${r(1)} AS f1_1)"
+    var prev = "dl1"
+    for (k <- 2 to m) {
+      val sTerms = (1 until k).map(j => s"f${k - 1}_$j * ${r(k - j)}").mkString(" + ")
+      val tTerms = (1 until k).map(j => s"f${k - 1}_$j * ${r(j)}").mkString(" + ")
+      parts += s"dl${k}a AS (SELECT *, (${r(k)} - ($sTerms)) / (1.0 - ($tTerms)) AS f${k}_$k FROM $prev)"
+      val updates = (1 until k)
+        .map(j => s"f${k - 1}_$j - f${k}_$k * f${k - 1}_${k - j} AS f${k}_$j")
+        .mkString(", ")
+      parts += s"dl$k AS (SELECT f${k}_$k, $updates FROM dl${k}a)"
+      prev = s"dl$k"
+    }
+    parts.result().mkString(",\n")
   }
 
   /** Periodogram power at fixed candidate periods — "is there a weekly /

@@ -415,6 +415,24 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("pacf matches the hand-unrolled Durbin-Levinson recursion") {
+    import spark.implicits._
+    // x = [1,2,1,2]: rho = (-0.75, 0.5, -0.25)
+    // phi11 = -0.75; phi22 = (0.5-0.5625)/(1-0.5625) = -1/7
+    // phi21 = -0.75 - (-1/7)(-0.75) = -6/7; phi33 = 1/6
+    val daily = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)).toDF("k", "x")
+    val out = graft.operators.TimeSeries.pacf(daily, "k", "x", 3)
+      .orderBy("lag").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(out(0).getDouble(1) === -0.75)
+    assert(math.abs(out(1).getDouble(1) - (-1.0 / 7.0)) < 1e-12)
+    assert(math.abs(out(2).getDouble(1) - 1.0 / 6.0) < 1e-12)
+    // short series fails loudly instead of returning a partial curve
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.pacf(daily, "k", "x", 4)
+    }
+  }
+
   test("qiniByBucket matches the hand-computed cumulative uplift") {
     import spark.implicits._
     // bucket 0: T 2/4 convert, C 1/4 -> qini(0) = 2 - 1*(4/4) = 1
