@@ -3839,6 +3839,15 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: GPD tail fit (peaks over a fixed threshold, method of
+    //     moments) — extreme-value heaviness of the order-price tail ---
+    "q_gpd_tail" -> ((s, dir) =>
+      graft.operators.Stats.gpdTail(t(s, dir, "orders"), "o_totalprice",
+          thresholdCents = 40000000L)
+        .select(col("n_exceed"),
+          fround(col("mean_excess"), 6).as("mean_excess"),
+          fround(col("xi"), 6).as("xi"),
+          fround(col("sigma"), 6).as("sigma"))),
     // --- round 8: PACF via Durbin–Levinson — the AR-order identifier
     //     completing the Box–Jenkins trio; recursion replayed by generated
     //     CTEs with the identical IEEE operation order ---
@@ -4838,6 +4847,26 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_gpd_tail" ->
+      // exact cents exceedances; Hosking-Wallis moment algebra as one
+      // pinned double tree per output column
+      """WITH e AS (SELECT (floor(o_totalprice * 100 + 0.5)::BIGINT - 40000000) AS e
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND floor(o_totalprice * 100 + 0.5)::BIGINT - 40000000 > 0),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(e)::BIGINT AS se,
+        |    sum(e::HUGEINT * e::HUGEINT) AS se2 FROM e)
+        |SELECT k AS n_exceed,
+        |  floor(se::DOUBLE / k::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6 AS mean_excess,
+        |  floor(0.5 * (1.0 - (se::DOUBLE / k::DOUBLE) * (se::DOUBLE / k::DOUBLE)
+        |      / ((k::DOUBLE * se2::DOUBLE - se::DOUBLE * se::DOUBLE)
+        |         / (k::DOUBLE * (k::DOUBLE - 1.0))))
+        |    * 1e6 + 0.5) / 1e6 AS xi,
+        |  floor(0.5 * (se::DOUBLE / k::DOUBLE)
+        |      * (1.0 + (se::DOUBLE / k::DOUBLE) * (se::DOUBLE / k::DOUBLE)
+        |        / ((k::DOUBLE * se2::DOUBLE - se::DOUBLE * se::DOUBLE)
+        |           / (k::DOUBLE * (k::DOUBLE - 1.0)))) / 100.0
+        |    * 1e6 + 0.5) / 1e6 AS sigma
+        |FROM a WHERE k >= 2""".stripMargin,
     "q_pacf" -> {
       import graft.operators.TimeSeries.durbinLevinsonSqlCtes
       // rho from the exact decimal ACF sums; the Durbin–Levinson levels

@@ -518,6 +518,43 @@ object Stats {
           / (col("n").cast("double") + col("__ab"))).as("shrunk"))
   }
 
+  /** Peaks-over-threshold GPD tail fit by method of moments — the extreme
+    * -value readout ("how heavy is the tail beyond u?") behind capacity
+    * and risk planning: exceedances `e = value − u` are approximately
+    * Generalized-Pareto (Pickands–Balkema–de Haan), and the moment
+    * estimators are `ξ̂ = (1 − m²/s²)/2`, `σ̂ = m(1 + m²/s²)/2` (Hosking
+    * & Wallis 1987). The threshold is a CONFIGURED constant in cents —
+    * deliberately not a percentile, whose interpolated double could flip
+    * the exceedance set by one ulp between engines.
+    *
+    * ONE aggregation over the corpus; exceedances are exact cents longs,
+    * their squares exact decimals, and the moment algebra is a pinned
+    * double tree. Fewer than 2 exceedances → empty result (fail-visible).
+    * Returns one row `(n_exceed, mean_excess, xi, sigma)` in value units. */
+  def gpdTail(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      thresholdCents: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(thresholdCents >= 0, "gpdTail: thresholdCents >= 0")
+    val vc = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val e = df.filter(col(valueCol).isNotNull)
+      .select((vc - lit(thresholdCents)).as("__e"))
+      .filter(col("__e") > 0)
+    val agg = e.agg(count(lit(1)).as("k"), sum("__e").as("__se"),
+      sum(col("__e").cast("decimal(19,0)") * col("__e").cast("decimal(19,0)"))
+        .as("__se2"))
+    val k = col("k").cast("double")
+    val m = col("__se").cast("double") / k
+    val s2 = (k * col("__se2").cast("double") -
+      col("__se").cast("double") * col("__se").cast("double")) /
+      (k * (k - lit(1.0)))
+    val r = m * m / s2
+    agg.filter(col("k") >= 2)
+      .select(col("k").as("n_exceed"),
+        (m / lit(100.0)).as("mean_excess"),
+        (lit(0.5) * (lit(1.0) - r)).as("xi"),
+        (lit(0.5) * m * (lit(1.0) + r) / lit(100.0)).as("sigma"))
+  }
+
   /** Binned two-sample Cramér–von Mises drift — the L2 companion to the
     * sup-norm KS statistic (`DriftCheck.ksDf`): where KS sees only the
     * single worst ECDF gap, CvM integrates the squared gap over the whole

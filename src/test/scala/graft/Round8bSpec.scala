@@ -415,6 +415,22 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("gpdTail matches the hand-computed moment estimators") {
+    import spark.implicits._
+    // threshold $1.00 -> exceedances 100 and 300 cents:
+    // m = 200, s^2 = 20000, r = 2 -> xi = -0.5, sigma = 300c = 3.0
+    val df = Seq(0.50, 1.00, 2.00, 4.00).toDF("v")
+    val out = graft.operators.Stats.gpdTail(df, "v", thresholdCents = 100L)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 2L)
+    assert(out.head.getDouble(1) === 2.0)
+    assert(out.head.getDouble(2) === -0.5)
+    assert(out.head.getDouble(3) === 3.0)
+    // < 2 exceedances -> empty, not NaN
+    assert(graft.operators.Stats.gpdTail(df, "v", 30000L).collect().isEmpty)
+  }
+
   test("pacf matches the hand-unrolled Durbin-Levinson recursion") {
     import spark.implicits._
     // x = [1,2,1,2]: rho = (-0.75, 0.5, -0.25)
