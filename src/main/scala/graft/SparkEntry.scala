@@ -3839,6 +3839,14 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: Cochran's Q — equal-rate test for k matched binary
+    //     treatments (users × did-event-type; generalizes McNemar) ---
+    "q_cochran_q" -> ((s, dir) =>
+      graft.operators.Stats.cochranQ(
+          t(s, dir, "events").filter(col("user_id").isNotNull),
+          "user_id", "event_type")
+        .select(col("k"), col("n_blocks"), col("n_success"), col("df"),
+          fround(col("q"), 6).as("q"))),
     // --- round 8: GPD tail fit (peaks over a fixed threshold, method of
     //     moments) — extreme-value heaviness of the order-price tail ---
     "q_gpd_tail" -> ((s, dir) =>
@@ -4847,6 +4855,23 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_cochran_q" ->
+      // absent (block, treatment) pairs are zeros — no densification;
+      // HUGEINT mirrors the engine's decimal(38,0) exact algebra
+      """WITH cells AS (SELECT DISTINCT user_id AS b, event_type AS t FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM cells),
+        |r AS (SELECT count(*)::BIGINT AS n_blocks, sum(u)::BIGINT AS n,
+        |    sum(u * u)::BIGINT AS su2
+        |  FROM (SELECT b, count(*)::BIGINT AS u FROM cells GROUP BY 1)),
+        |ct AS (SELECT sum(tj * tj)::BIGINT AS st2
+        |  FROM (SELECT t, count(*)::BIGINT AS tj FROM cells GROUP BY 1))
+        |SELECT k, n_blocks, n AS n_success, (k - 1)::BIGINT AS df,
+        |  CASE WHEN k * n - su2 > 0 THEN
+        |    floor(((k - 1)::HUGEINT * (k::HUGEINT * st2::HUGEINT - n::HUGEINT * n::HUGEINT))::DOUBLE
+        |      / (k::HUGEINT * n::HUGEINT - su2::HUGEINT)::DOUBLE * 1e6 + 0.5) / 1e6
+        |  END AS q
+        |FROM r CROSS JOIN kk CROSS JOIN ct""".stripMargin,
     "q_gpd_tail" ->
       // exact cents exceedances; Hosking-Wallis moment algebra as one
       // pinned double tree per output column

@@ -518,6 +518,37 @@ object Stats {
           / (col("n").cast("double") + col("__ab"))).as("shrunk"))
   }
 
+  /** Cochran's Q test — "do k binary treatments have equal success rates
+    * on MATCHED blocks?", the k-treatment generalization of McNemar
+    * (which this reduces to at k = 2): `Q = (k−1)·(k·ΣT_j² − N²) /
+    * (k·N − Σu_i²)` with `T_j` per-treatment and `u_i` per-block success
+    * counts, `N = Σu_i` (Cochran 1950). Absent (block, treatment) pairs
+    * are zeros, so blocks need no densification — two keyed aggregations
+    * over observed successes only, all statistics exact longs, ONE pinned
+    * division. Returns one row `(k, n_blocks, n_success, df, q)`;
+    * all-equal-margins degenerate denominators yield null q. */
+  def cochranQ(df: org.apache.spark.sql.DataFrame, blockCol: String,
+      treatmentCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = df.filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .distinct()
+    val k = cells.select(countDistinct("__t").as("__k"))
+    val rows = cells.groupBy("__b").agg(count(lit(1)).as("__u"))
+      .agg(count(lit(1)).as("n_blocks"), sum("__u").as("__n"),
+        sum(col("__u") * col("__u")).as("__su2"))
+    val colsT = cells.groupBy("__t").agg(count(lit(1)).as("__tj"))
+      .agg(sum(col("__tj") * col("__tj")).as("__st2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val num = d(col("__k") - 1) * (d(col("__k")) * d(col("__st2")) -
+      d(col("__n")) * d(col("__n")))
+    val den = d(col("__k")) * d(col("__n")) - d(col("__su2"))
+    rows.crossJoin(broadcast(k)).crossJoin(broadcast(colsT))
+      .select(col("__k").as("k"), col("n_blocks"),
+        col("__n").as("n_success"), (col("__k") - 1).as("df"),
+        when(den > 0, num.cast("double") / den.cast("double")).as("q"))
+  }
+
   /** Peaks-over-threshold GPD tail fit by method of moments — the extreme
     * -value readout ("how heavy is the tail beyond u?") behind capacity
     * and risk planning: exceedances `e = value − u` are approximately

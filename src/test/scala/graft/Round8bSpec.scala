@@ -415,6 +415,22 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("cochranQ matches the hand-computed textbook case") {
+    import spark.implicits._
+    // blocks x treatments successes: b1:{A,B} b2:{A} b3:{A,B,C} b4:{B}
+    // T=(3,3,1), N=7, sumT2=19, sumU2=15 -> Q = 2*(3*19-49)/(21-15) = 8/3
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (3L, "A"), (3L, "B"), (3L, "C"),
+      (4L, "B"), (4L, "B") // duplicate observation collapses
+    ).toDF("blk", "trt")
+    val out = graft.operators.Stats.cochranQ(df, "blk", "trt").collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(2) === 7L)
+    assert(out.getLong(3) === 2L)
+    assert(math.abs(out.getDouble(4) - 8.0 / 3.0) < 1e-12)
+  }
+
   test("gpdTail matches the hand-computed moment estimators") {
     import spark.implicits._
     // threshold $1.00 -> exceedances 100 and 300 cents:
