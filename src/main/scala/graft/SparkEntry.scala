@@ -3839,6 +3839,21 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: Chapman capture–recapture — estimate the TRUE vocabulary
+    //     size (incl. unseen types) from the even/odd doc-sample overlap ---
+    "q_capture_recapture" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val marks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tk"),
+          (col("doc_id") % 2 === 0).as("ea"))
+        .groupBy("tk")
+        .agg(max(when(col("ea"), 1).otherwise(0)).as("in_a"),
+          max(when(!col("ea"), 1).otherwise(0)).as("in_b"))
+      graft.operators.Stats.captureRecapture(marks, "in_a", "in_b")
+        .select(col("n_a"), col("n_b"), col("n_both"), col("n_seen"),
+          fround(col("chapman"), 6).as("chapman"),
+          fround(col("coverage"), 6).as("coverage"))
+    }),
     // --- round 8: Cochran's Q — equal-rate test for k matched binary
     //     treatments (users × did-event-type; generalizes McNemar) ---
     "q_cochran_q" -> ((s, dir) =>
@@ -4855,6 +4870,25 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_capture_recapture" ->
+      // exact long capture counts; Chapman close is one pinned tree
+      """WITH m AS (SELECT term,
+        |    max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS in_b
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1),
+        |g AS (SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+        |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |    count(*)::BIGINT AS n_seen
+        |  FROM m WHERE in_a = 1 OR in_b = 1)
+        |SELECT n_a, n_b, n_both, n_seen,
+        |  floor((((n_a + 1) * (n_b + 1))::DOUBLE / (n_both + 1)::DOUBLE - 1.0)
+        |    * 1e6 + 0.5) / 1e6 AS chapman,
+        |  floor(n_seen::DOUBLE
+        |      / (((n_a + 1) * (n_b + 1))::DOUBLE / (n_both + 1)::DOUBLE - 1.0)
+        |    * 1e6 + 0.5) / 1e6 AS coverage
+        |FROM g""".stripMargin,
     "q_cochran_q" ->
       // absent (block, treatment) pairs are zeros — no densification;
       // HUGEINT mirrors the engine's decimal(38,0) exact algebra

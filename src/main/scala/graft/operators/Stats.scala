@@ -518,6 +518,36 @@ object Stats {
           / (col("n").cast("double") + col("__ab"))).as("shrunk"))
   }
 
+  /** Chapman capture–recapture estimator — how many distinct entities
+    * exist in total, given two overlapping capture samples? `N̂ =
+    * (n_A+1)(n_B+1)/(n_AB+1) − 1` (Chapman 1951, the bias-corrected
+    * Lincoln–Petersen). The corpus-health use: mark each vocabulary type
+    * (or near-dup cluster, entity, …) by which sample saw it, and the
+    * estimator says how much of the population the union still MISSES —
+    * a coverage dial no direct count provides.
+    *
+    * Input: one row per captured entity with two boolean marks. ONE
+    * aggregation; all counts exact longs; the estimator and coverage are
+    * each one pinned double expression. Empty overlap is fine (the +1
+    * correction keeps it finite). Returns one row
+    * `(n_a, n_b, n_both, n_seen, chapman, coverage)`. */
+  def captureRecapture(df: org.apache.spark.sql.DataFrame, aCol: String,
+      bCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val g = df.filter(a || b).agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(b, 1L).otherwise(0L)).as("n_b"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+      count(lit(1)).as("n_seen"))
+    val chap = ((col("n_a") + 1) * (col("n_b") + 1)).cast("double") /
+      (col("n_both") + 1).cast("double") - lit(1.0)
+    g.select(col("n_a"), col("n_b"), col("n_both"), col("n_seen"),
+      chap.as("chapman"),
+      (col("n_seen").cast("double") / chap).as("coverage"))
+  }
+
   /** Cochran's Q test — "do k binary treatments have equal success rates
     * on MATCHED blocks?", the k-treatment generalization of McNemar
     * (which this reduces to at k = 2): `Q = (k−1)·(k·ΣT_j² − N²) /

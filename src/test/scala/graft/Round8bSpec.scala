@@ -415,6 +415,19 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("captureRecapture matches the hand-computed Chapman estimate") {
+    import spark.implicits._
+    // n_a=3, n_b=2, overlap=1 -> chapman = 4*3/2 - 1 = 5 (true pop feel)
+    val df = Seq((true, true), (true, false), (true, false), (false, true),
+      (false, false)).toDF("a", "b")
+    val out = graft.operators.Stats.captureRecapture(df, "a", "b")
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((3L, 2L, 1L, 4L)))
+    assert(out.getDouble(4) === 5.0)
+    assert(out.getDouble(5) === 0.8)
+  }
+
   test("cochranQ matches the hand-computed textbook case") {
     import spark.implicits._
     // blocks x treatments successes: b1:{A,B} b2:{A} b3:{A,B,C} b4:{B}
