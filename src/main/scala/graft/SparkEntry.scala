@@ -3839,6 +3839,22 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: Wilcoxon signed-rank — paired even-day vs odd-day user
+    //     spend (the paired complement of q_mann_whitney; exact doubled
+    //     ranks from the distributed prefix scan) ---
+    "q_wilcoxon" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .filter(col("cents").isNotNull)
+      val perUser = ev.groupBy("user_id").agg(
+        sum(when(col("day") % 2 === 0, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("day") % 2 =!= 0, col("cents")).otherwise(0L)).as("post"))
+      graft.operators.Profiler.wilcoxonSignedRank(perUser, "pre", "post")
+        .select(col("n"), fround(col("w_plus"), 6).as("w_plus"),
+          fround(col("z"), 6).as("z"))
+    }),
     // --- round 8: Chapman capture–recapture — estimate the TRUE vocabulary
     //     size (incl. unseen types) from the even/odd doc-sample overlap ---
     "q_capture_recapture" -> ((s, dir) => {
@@ -4870,6 +4886,36 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_wilcoxon" ->
+      // doubled tie-averaged ranks keep 2W+ an exact integer; the normal
+      // approximation closes in one pinned tree (IEEE sqrt)
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |    AND value IS NOT NULL),
+        |u AS (SELECT user_id,
+        |    sum(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END)::BIGINT AS pre,
+        |    sum(CASE WHEN day % 2 <> 0 THEN cents ELSE 0 END)::BIGINT AS post
+        |  FROM e GROUP BY 1),
+        |dd AS (SELECT abs(post - pre)::BIGINT AS ad, (post - pre > 0) AS pos
+        |  FROM u WHERE post - pre <> 0),
+        |pv AS (SELECT ad, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS tp FROM dd GROUP BY 1),
+        |rk AS (SELECT t, tp,
+        |    2 * (sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS s2
+        |  FROM pv),
+        |a AS (SELECT sum(t)::BIGINT AS n, sum(tp * s2)::BIGINT AS w2,
+        |    sum(t * t * t - t)::BIGINT AS tt FROM rk)
+        |SELECT n,
+        |  floor(w2::DOUBLE / 2.0 * 1e6 + 0.5) / 1e6 AS w_plus,
+        |  CASE WHEN n >= 2 AND
+        |      n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0) / 24.0
+        |        - tt::DOUBLE / 48.0 > 0
+        |    THEN floor((w2::DOUBLE / 2.0 - n::DOUBLE * (n::DOUBLE + 1.0) / 4.0)
+        |      / sqrt(n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0) / 24.0
+        |             - tt::DOUBLE / 48.0) * 1e6 + 0.5) / 1e6
+        |  END AS z
+        |FROM a""".stripMargin,
     "q_capture_recapture" ->
       // exact long capture counts; Chapman close is one pinned tree
       """WITH m AS (SELECT term,

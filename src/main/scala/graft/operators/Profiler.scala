@@ -719,6 +719,42 @@ object Profiler {
     res
   }
 
+  /** Wilcoxon signed-rank test — the PAIRED complement of Mann–Whitney
+    * (and the n=2-treatment sibling of Friedman): given integer-unit
+    * pre/post values per entity, ranks |post − pre| with tie-averaged
+    * ranks and sums the ranks of positive differences. Zero differences
+    * drop (the standard treatment).
+    *
+    * Same exact machinery as [[kruskalWallis]]: doubled average ranks
+    * from the distributed prefix scan keep every rank an exact long, so
+    * `2·W⁺` is an exact integer; the normal approximation
+    * `z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)` closes in
+    * one pinned double tree (IEEE sqrt is correctly rounded). Returns one
+    * row `(n, w_plus, z)`; n < 2 or zero variance yields null z. */
+  def wilcoxonSignedRank(df: DataFrame, preCol: String,
+      postCol: String): DataFrame = {
+    val d = col(postCol).cast("long") - col(preCol).cast("long")
+    val nz = df.filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(d.as("__d")).filter(col("__d") =!= 0)
+      .select(abs(col("__d")).as("__ad"), (col("__d") > 0).as("__pos"))
+    val perV = nz.groupBy("__ad").agg(count(lit(1)).as("t"),
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("tp"))
+    val ranked = graft.operators.Prefix
+      .cumSumLongs(perV, "__ad", Seq("t"), Seq("ct"))
+      .select(col("t"), col("tp"),
+        (lit(2L) * (col("ct") - col("t")) + col("t") + lit(1L)).as("s2"))
+    val agg = ranked.agg(sum("t").as("n"),
+      sum(col("tp") * col("s2")).as("__w2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("__tt"))
+    val n = col("n").cast("double")
+    val wp = col("__w2").cast("double") / lit(2.0)
+    val mu = n * (n + lit(1.0)) / lit(4.0)
+    val va = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+      col("__tt").cast("double") / lit(48.0)
+    agg.select(col("n"), wp.as("w_plus"),
+      when(col("n") >= 2 && va > 0.0, (wp - mu) / sqrt(va)).as("z"))
+  }
+
   /** Standardized effect sizes between two groups' value distributions —
     * the "is the difference MEANINGFUL" companion to q_ttest/q_mann_whitney
     * significance: Cohen's d (pooled-SD standardized mean difference),

@@ -415,6 +415,25 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("wilcoxonSignedRank matches hand-computed W+ and z, with ties") {
+    import spark.implicits._
+    // d = (+1, -2, +3): ranks 1,2,3 -> W+ = 4, mu = 3, var = 3.5
+    val a = Seq((10L, 11L), (10L, 8L), (10L, 13L), (5L, 5L))
+      .toDF("pre", "post")
+    val oa = graft.operators.Profiler.wilcoxonSignedRank(a, "pre", "post")
+      .collect().head
+    assert(oa.getLong(0) === 3L)
+    assert(oa.getDouble(1) === 4.0)
+    assert(math.abs(oa.getDouble(2) - 1.0 / math.sqrt(3.5)) < 1e-12)
+    // tie case: d = (+1, -1, +2): avg ranks 1.5,1.5,3 -> W+ = 4.5,
+    // var = 3.5 - 6/48 = 3.375 -> z = 1.5/sqrt(3.375)
+    val b = Seq((10L, 11L), (10L, 9L), (10L, 12L)).toDF("pre", "post")
+    val ob = graft.operators.Profiler.wilcoxonSignedRank(b, "pre", "post")
+      .collect().head
+    assert(ob.getDouble(1) === 4.5)
+    assert(math.abs(ob.getDouble(2) - 1.5 / math.sqrt(3.375)) < 1e-12)
+  }
+
   test("captureRecapture matches the hand-computed Chapman estimate") {
     import spark.implicits._
     // n_a=3, n_b=2, overlap=1 -> chapman = 4*3/2 - 1 = 5 (true pop feel)
