@@ -3839,6 +3839,20 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: seasonal Mann–Kendall — weekday-stratified trend test
+    //     on daily revenue (pairs never cross weekdays, so the weekly
+    //     cycle contributes nothing to S) ---
+    "q_seasonal_mk" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("day")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        .withColumn("wd", col("day") % 7)
+      graft.operators.RankStats.seasonalMannKendall(daily, "wd", "day", "cents")
+        .select(col("n_seasons"), col("n"), col("s"),
+          fround(col("var_s"), 6).as("var_s"), fround(col("z"), 6).as("z"))
+    }),
     // --- round 8: Wilcoxon signed-rank — paired even-day vs odd-day user
     //     spend (the paired complement of q_mann_whitney; exact doubled
     //     ranks from the distributed prefix scan) ---
@@ -4886,6 +4900,29 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_seasonal_mk" ->
+      // exact integer S and Var numerators per weekday, one /18 + sqrt close
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT day % 7 AS g, day AS x, cents AS y FROM d),
+        |sa AS (SELECT coalesce(sum(CASE WHEN r.y > l.y THEN 1
+        |      WHEN r.y < l.y THEN -1 ELSE 0 END), 0)::BIGINT AS s
+        |  FROM b l JOIN b r ON l.g = r.g AND l.x < r.x),
+        |pg AS (SELECT g, count(*)::BIGINT AS n FROM b GROUP BY 1),
+        |tt AS (SELECT g, coalesce(sum(CASE WHEN t > 1
+        |      THEN t * (t - 1) * (t * 2 + 5) END), 0)::BIGINT AS tt
+        |  FROM (SELECT g, y, count(*)::BIGINT AS t FROM b GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |vn AS (SELECT count(*)::BIGINT AS n_seasons, sum(n)::BIGINT AS n,
+        |    sum(n * (n - 1) * (n * 2 + 5) - tt)::BIGINT AS vn
+        |  FROM pg JOIN tt USING (g))
+        |SELECT n_seasons, n, s,
+        |  floor(vn::DOUBLE / 18.0 * 1e6 + 0.5) / 1e6 AS var_s,
+        |  floor(CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(vn::DOUBLE / 18.0)
+        |             WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(vn::DOUBLE / 18.0)
+        |             ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS z
+        |FROM sa CROSS JOIN vn""".stripMargin,
     "q_wilcoxon" ->
       // doubled tie-averaged ranks keep 2W+ an exact integer; the normal
       // approximation closes in one pinned tree (IEEE sqrt)

@@ -147,6 +147,41 @@ object RankStats {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) — the
+    * [[mannKendall]] variant that is immune to a periodic signal: S and
+    * Var(S) are computed WITHIN each season (pairs never cross seasons,
+    * so a weekly/monthly cycle contributes nothing) and summed; the
+    * continuity-corrected z closes on the totals. Same day-axis-bounded
+    * pairwise-join shape as MK — the corpus collapses to the keyed series
+    * first; everything here is exact longs until the final /18 and the
+    * correctly-rounded sqrt. Returns
+    * `(n_seasons, n, s, var_s, z)`. */
+  def seasonalMannKendall(df: DataFrame, seasonCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(seasonCol).cast("long").as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val l = base.select(col("__g"), col("__x").as("__xi"), col("__y").as("__yi"))
+    val r = base.select(col("__g").as("__g2"), col("__x").as("__xj"),
+      col("__y").as("__yj"))
+    val sAgg = l.join(r, col("__g") === col("__g2") && col("__xi") < col("__xj"))
+      .agg(coalesce(sum(when(col("__yj") > col("__yi"), 1L)
+        .when(col("__yj") < col("__yi"), -1L).otherwise(0L)), lit(0L)).as("s"))
+    val perG = base.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val ties = base.groupBy("__g", "__y").agg(count(lit(1)).as("__t"))
+      .groupBy("__g").agg(coalesce(sum(when(col("__t") > 1,
+        col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))), lit(0L)).as("__tt"))
+    val varNum = perG.join(ties, "__g")
+      .agg(count(lit(1)).as("n_seasons"), sum("__n").as("n"),
+        sum(col("__n") * (col("__n") - 1) * (col("__n") * 2 + 5) - col("__tt"))
+          .as("__vn"))
+    val varS = col("__vn").cast("double") / lit(18.0)
+    sAgg.crossJoin(broadcast(varNum))
+      .select(col("n_seasons"), col("n"), col("s"), varS.as("var_s"),
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Hill tail-index estimator over the top-`k` order statistics of an
     * integer-valued (cents) column: `gamma = mean of ln(x_i) − ln(x_k)`
     * over the k largest values (ties at the boundary contribute zero, so

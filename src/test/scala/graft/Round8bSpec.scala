@@ -415,6 +415,25 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("seasonalMannKendall ignores a pure seasonal cycle, sees a trend") {
+    import spark.implicits._
+    // pure period-2 cycle: within-season series are constant -> S = 0
+    val cyc = (0L until 12L).map(d => (d % 2, d, if (d % 2 == 0) 10L else 20L))
+      .toDF("g", "x", "y")
+    val oc = graft.operators.RankStats
+      .seasonalMannKendall(cyc, "g", "x", "y").collect().head
+    assert(oc.getLong(2) === 0L && oc.getDouble(4) === 0.0)
+    // strictly rising series: within each of 2 seasons of 3 points,
+    // S_g = 3 -> S = 6; var numerator per season = 3*2*11 = 66
+    val up = (0L until 6L).map(d => (d % 2, d, d * 100L)).toDF("g", "x", "y")
+    val ou = graft.operators.RankStats
+      .seasonalMannKendall(up, "g", "x", "y").collect().head
+    assert(ou.getLong(0) === 2L && ou.getLong(1) === 6L)
+    assert(ou.getLong(2) === 6L)
+    assert(math.abs(ou.getDouble(3) - 132.0 / 18.0) < 1e-12)
+    assert(math.abs(ou.getDouble(4) - 5.0 / math.sqrt(132.0 / 18.0)) < 1e-9)
+  }
+
   test("wilcoxonSignedRank matches hand-computed W+ and z, with ties") {
     import spark.implicits._
     // d = (+1, -2, +3): ranks 1,2,3 -> W+ = 4, mu = 3, var = 3.5
