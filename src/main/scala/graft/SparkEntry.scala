@@ -3839,6 +3839,18 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: Brown–Forsythe — robust equal-spread test across order
+    //     priorities (ANOVA on |dollars − group median|; discrete exact
+    //     group medians, long-safe whole-dollar units) ---
+    "q_brown_forsythe" -> ((s, dir) => {
+      // kilodollar units keep anovaF's x1e6-quantized SS terms inside the
+      // long domain through sf10 (dollar units overflow at sf0.01)
+      val o = t(s, dir, "orders")
+        .withColumn("kd", floor(col("o_totalprice") / 1000.0 + lit(0.5)).cast("long"))
+      graft.operators.Stats.brownForsythe(o, "o_orderpriority", "kd")
+        .select(col("k"), col("n"), fround(col("ssb"), 6).as("ssb"),
+          fround(col("ssw"), 6).as("ssw"), fround(col("f"), 6).as("f"))
+    }),
     // --- round 8: seasonal Mann–Kendall — weekday-stratified trend test
     //     on daily revenue (pairs never cross weekdays, so the weekly
     //     cycle contributes nothing to S) ---
@@ -4900,6 +4912,32 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_brown_forsythe" ->
+      // rank-selection lower medians (the groupQuantilesDisc convention),
+      // exact integer deviations, anovaF's micro-quantized group terms
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |    floor(o_totalprice / 1000.0 + 0.5)::BIGINT AS x
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |m AS (SELECT g, max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |    THEN x END) AS med FROM r GROUP BY 1),
+        |z AS (SELECT b.g, abs(b.x - m.med)::BIGINT AS z FROM b JOIN m USING (g)),
+        |gg AS (SELECT g, count(*)::BIGINT AS gn, sum(z)::BIGINT AS gs,
+        |    sum(z * z)::BIGINT AS gss FROM z GROUP BY 1),
+        |tot AS (SELECT sum(gn)::BIGINT AS nt, sum(gs)::BIGINT AS st,
+        |    count(*)::BIGINT AS k FROM gg),
+        |t AS (SELECT max(k)::BIGINT AS k, max(nt)::BIGINT AS n,
+        |    sum(floor(gn * (gs::DOUBLE / gn - st::DOUBLE / nt)
+        |      * (gs::DOUBLE / gn - st::DOUBLE / nt) * 1e6 + 0.5)::BIGINT)::BIGINT AS ssbq,
+        |    sum(floor((gss::DOUBLE - gs::DOUBLE * gs / gn) * 1e6 + 0.5)::BIGINT)::BIGINT AS sswq
+        |  FROM gg CROSS JOIN tot)
+        |SELECT k, n,
+        |  floor(ssbq::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS ssb,
+        |  floor(sswq::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS ssw,
+        |  floor((ssbq::DOUBLE / 1e6 / (k - 1)) / (sswq::DOUBLE / 1e6 / (n - k))
+        |    * 1e6 + 0.5) / 1e6 AS f
+        |FROM t""".stripMargin,
     "q_seasonal_mk" ->
       // exact integer S and Var numerators per weekday, one /18 + sqrt close
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,

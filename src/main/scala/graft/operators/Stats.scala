@@ -264,6 +264,31 @@ object Stats {
         / (col("__sswq").cast("double") / lit(1e6) / (col("n") - col("k")))).as("f"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test — "do the groups have equal
+    * SPREAD?", the robust Levene variant: one-way ANOVA on the absolute
+    * deviations from each group's MEDIAN (Brown & Forsythe 1974), immune
+    * to the heavy tails that wreck the classic F-ratio-of-variances.
+    * The median is the discrete lower median from the distributed
+    * rank-selection machinery ([[Profiler.groupQuantilesDisc]] — exact
+    * value, bit-identical in any engine), deviations are exact integer
+    * units, and the F close reuses [[anovaF]]'s quantized group terms.
+    * `valCol` must be integer-valued and small enough that `Σz²` fits a
+    * long (use coarse units for wide-range values). Returns
+    * `(k, n, ssb, ssw, f)`. */
+  def brownForsythe(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol), col(valCol).cast("long").as("__x"))
+    val med = graft.operators.Profiler
+      .groupQuantilesDisc(base, groupCol, "__x", Seq(0.5))
+      .select(col(groupCol), col("q_50").as("__med"))
+    val z = base.join(med, Seq(groupCol))
+      .select(col(groupCol),
+        abs(col("__x") - col("__med").cast("long")).as("__z"))
+    anovaF(z, groupCol, "__z")
+  }
+
   /** 2×2 odds ratio with a log-space Wald interval, fully deterministic:
     * `OR = ad/bc` (exact integer products), `ln OR` via the engine-pinned
     * [[graft.functions.DetMath.lnPosInt]] series (`ln(ad) − ln(bc)` — no

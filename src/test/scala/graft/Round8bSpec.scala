@@ -415,6 +415,30 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("brownForsythe separates equal-spread from unequal-spread groups") {
+    import spark.implicits._
+    // group A: |dev| = (1,1), group B: |dev| = (10,10) -> all within-group
+    // spread of deviations is 0 -> SSW = 0, SSB > 0 (clear inequality)
+    val df = Seq(("A", 9L), ("A", 10L), ("A", 11L),
+      ("B", 90L), ("B", 100L), ("B", 110L)).toDF("g", "v")
+    val out = graft.operators.Stats.brownForsythe(df, "g", "v")
+      .collect().head
+    // medians 10 and 100; z_A = (1,0,1), z_B = (10,0,10)
+    // means 2/3 and 20/3, grand 11/3: SSB = 3*(3)^2*2 = 54... hand:
+    // ssb = 3*(2/3-11/3)^2 + 3*(20/3-11/3)^2 = 3*9 + 3*9 = 54
+    // ssw = (1-2/3)^2*... compute: A: sum z^2=2, (sum z)^2/n=4/3 -> 2/3
+    //       B: 200 - 400/3 = 200/3 -> ssw = 202/3 - 134/3? -> 2/3+200/3
+    assert(out.getLong(0) === 2L && out.getLong(1) === 6L)
+    assert(math.abs(out.getDouble(2) - 54.0) < 1e-6)
+    assert(math.abs(out.getDouble(3) - 202.0 / 3.0) < 1e-6)
+    // identical groups -> F = 0 numerator (ssb = 0)
+    val same = Seq(("A", 1L), ("A", 3L), ("B", 11L), ("B", 13L))
+      .toDF("g", "v")
+    val o2 = graft.operators.Stats.brownForsythe(same, "g", "v")
+      .collect().head
+    assert(o2.getDouble(2) === 0.0)
+  }
+
   test("seasonalMannKendall ignores a pure seasonal cycle, sees a trend") {
     import spark.implicits._
     // pure period-2 cycle: within-season series are constant -> S = 0
