@@ -3839,6 +3839,21 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: TOST equivalence — are purchase and view order values
+    //     provably within ±$5 of each other? (exact cents moments; the
+    //     flip of q_ttest's difference test) ---
+    "q_tost" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .filter(col("cents").isNotNull)
+      graft.operators.Stats.tostEquivalence(ev, "cents", "event_type",
+          "purchase", "view", margin = 500L)
+        .select(col("n_a"), col("n_b"),
+          fround(col("diff"), 6).as("diff"), fround(col("se"), 6).as("se"),
+          fround(col("df"), 6).as("df"),
+          fround(col("t_lower"), 6).as("t_lower"),
+          fround(col("t_upper"), 6).as("t_upper"))
+    }),
     // --- round 8: Brown–Forsythe — robust equal-spread test across order
     //     priorities (ANOVA on |dollars − group median|; discrete exact
     //     group medians, long-safe whole-dollar units) ---
@@ -4912,6 +4927,35 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_tost" ->
+      // exact HUGEINT moments; Welch SE/df and both shifted statistics
+      // close in the engine's pinned double trees
+      """WITH e AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT
+        |    count(CASE WHEN event_type = 'purchase' THEN x END)::BIGINT AS n_a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN x::HUGEINT END) AS s_a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN x::HUGEINT * x::HUGEINT END) AS ss_a,
+        |    count(CASE WHEN event_type = 'view' THEN x END)::BIGINT AS n_b,
+        |    sum(CASE WHEN event_type = 'view' THEN x::HUGEINT END) AS s_b,
+        |    sum(CASE WHEN event_type = 'view' THEN x::HUGEINT * x::HUGEINT END) AS ss_b
+        |  FROM e),
+        |c AS (SELECT n_a, n_b,
+        |    s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE AS diff,
+        |    (n_a::DOUBLE * ss_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+        |      / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE AS sea,
+        |    (n_b::DOUBLE * ss_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+        |      / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE AS seb
+        |  FROM a WHERE n_a >= 2 AND n_b >= 2)
+        |SELECT n_a, n_b,
+        |  floor(diff * 1e6 + 0.5) / 1e6 AS diff,
+        |  floor(sqrt(sea + seb) * 1e6 + 0.5) / 1e6 AS se,
+        |  floor((sea + seb) * (sea + seb)
+        |      / (sea * sea / (n_a::DOUBLE - 1.0) + seb * seb / (n_b::DOUBLE - 1.0))
+        |    * 1e6 + 0.5) / 1e6 AS df,
+        |  floor((diff + 500.0) / sqrt(sea + seb) * 1e6 + 0.5) / 1e6 AS t_lower,
+        |  floor((diff - 500.0) / sqrt(sea + seb) * 1e6 + 0.5) / 1e6 AS t_upper
+        |FROM c""".stripMargin,
     "q_brown_forsythe" ->
       // rank-selection lower medians (the groupQuantilesDisc convention),
       // exact integer deviations, anovaF's micro-quantized group terms

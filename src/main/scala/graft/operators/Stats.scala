@@ -264,6 +264,51 @@ object Stats {
         / (col("__sswq").cast("double") / lit(1e6) / (col("n") - col("k")))).as("f"))
   }
 
+  /** TOST equivalence test (two one-sided tests, Schuirmann 1987) — the
+    * flip of the difference test: "are the two groups' means provably
+    * WITHIN ±margin of each other?" Both shifted Welch statistics must
+    * clear their one-sided threshold for equivalence; reporting both is
+    * the honest readout. Unlike the legacy double-avg t-test, everything
+    * here is exact: per-group `n, Σx, Σx²` in exact decimals over integer
+    * units, variances via `(nΣx² − (Σx)²)/(n(n−1))`, and the Welch SE /
+    * df close in one pinned double tree each. One conditional aggregation
+    * over one scan. Returns
+    * `(n_a, n_b, diff, se, df, t_lower, t_upper)` in input units. */
+  def tostEquivalence(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      margin: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(margin > 0, "tostEquivalence: margin > 0")
+    val x = col(valueCol).cast("long")
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def side(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, x)).as(s"n_$tag"),
+      sum(when(col(groupCol) === g, d(x))).as(s"s_$tag"),
+      sum(when(col(groupCol) === g, d(x) * d(x))).as(s"ss_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    def m(tag: String) =
+      col(s"s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    def va(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      (n * col(s"ss_$tag").cast("double") -
+        col(s"s_$tag").cast("double") * col(s"s_$tag").cast("double")) /
+        (n * (n - lit(1.0)))
+    }
+    val sea = va("a") / col("n_a").cast("double")
+    val seb = va("b") / col("n_b").cast("double")
+    val se = sqrt(sea + seb)
+    val diff = m("a") - m("b")
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("n_a").cast("double") - lit(1.0)) +
+        seb * seb / (col("n_b").cast("double") - lit(1.0)))
+    a.filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("n_a"), col("n_b"), diff.as("diff"), se.as("se"),
+        dfW.as("df"),
+        ((diff + lit(margin.toDouble)) / se).as("t_lower"),
+        ((diff - lit(margin.toDouble)) / se).as("t_upper"))
+  }
+
   /** Brown–Forsythe variance-homogeneity test — "do the groups have equal
     * SPREAD?", the robust Levene variant: one-way ANOVA on the absolute
     * deviations from each group's MEDIAN (Brown & Forsythe 1974), immune

@@ -415,6 +415,27 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("tostEquivalence matches the hand-computed shifted Welch statistics") {
+    import spark.implicits._
+    val df = Seq(("a", 100L), ("a", 200L), ("a", 300L),
+      ("b", 200L), ("b", 300L)).toDF("g", "v")
+    val out = graft.operators.Stats
+      .tostEquivalence(df, "v", "g", "a", "b", margin = 100L)
+      .collect().head
+    val sea = 10000.0 / 3.0
+    val seb = 2500.0
+    val se = math.sqrt(sea + seb)
+    assert(out.getLong(0) === 3L && out.getLong(1) === 2L)
+    assert(out.getDouble(2) === -50.0)
+    assert(math.abs(out.getDouble(3) - se) < 1e-12)
+    assert(math.abs(out.getDouble(5) - 50.0 / se) < 1e-12)
+    assert(math.abs(out.getDouble(6) - -150.0 / se) < 1e-12)
+    // singleton group -> empty result, not NaN
+    val tiny = Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    assert(graft.operators.Stats
+      .tostEquivalence(tiny, "v", "g", "a", "b", 10L).collect().isEmpty)
+  }
+
   test("brownForsythe separates equal-spread from unequal-spread groups") {
     import spark.implicits._
     // group A: |dev| = (1,1), group B: |dev| = (10,10) -> all within-group
