@@ -3839,6 +3839,16 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: decision-stump split — best Gini cut of the price axis
+    //     for return-flag separation (one corpus aggregation; every
+    //     candidate scored on the bounded bin×label frame) ---
+    "q_best_split" -> ((s, dir) =>
+      graft.operators.Histograms.bestGiniSplit(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_returnflag", lo = 0.0, hi = 120000.0,
+          nFine = 32)
+        .select(col("cut_bin"), col("n_left"), col("n_right"),
+          fround(col("gini_split"), 6).as("gini_split"),
+          fround(col("gini_root"), 6).as("gini_root"))),
     // --- round 8: TOST equivalence — are purchase and view order values
     //     provably within ±$5 of each other? (exact cents moments; the
     //     flip of q_ttest's difference test) ---
@@ -4927,6 +4937,38 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_best_split" ->
+      // exact long cumulatives densified by the bounded <=-join; impurity
+      // micro-quantized before the (gq, cb) argmin — deterministic ties
+      """WITH cells AS (SELECT least(greatest(floor(l_extendedprice / 3750.0), 0), 31)::INT AS bin,
+        |    l_returnflag AS lbl, count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tots AS (SELECT lbl, sum(c)::BIGINT AS tc FROM cells GROUP BY 1),
+        |cum AS (SELECT lbl AS l, bin AS b,
+        |    sum(c) OVER (PARTITION BY lbl ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS lc
+        |  FROM cells),
+        |mx AS (SELECT max(bin) AS mxb FROM cells),
+        |cand AS (SELECT DISTINCT bin AS cb FROM cells CROSS JOIN mx WHERE bin < mx.mxb),
+        |atcut AS (SELECT cand.cb, t.lbl, t.tc, coalesce(max(cum.lc), 0)::BIGINT AS lc
+        |  FROM cand CROSS JOIN tots t
+        |  LEFT JOIN cum ON cum.l = t.lbl AND cum.b <= cand.cb
+        |  GROUP BY 1, 2, 3),
+        |pc AS (SELECT cb, sum(lc)::BIGINT AS n_left, sum(tc - lc)::BIGINT AS n_right,
+        |    sum(lc * lc)::BIGINT AS l2, sum((tc - lc) * (tc - lc))::BIGINT AS r2
+        |  FROM atcut GROUP BY 1),
+        |q AS (SELECT cb, n_left, n_right,
+        |    floor(((n_left::DOUBLE - l2::DOUBLE / n_left::DOUBLE)
+        |        + (n_right::DOUBLE - r2::DOUBLE / n_right::DOUBLE))
+        |      / (n_left::DOUBLE + n_right::DOUBLE) * 1e9 + 0.5)::BIGINT AS gq
+        |  FROM pc),
+        |best AS (SELECT * FROM (SELECT q.*, row_number() OVER (ORDER BY gq, cb) AS rn FROM q)
+        |  WHERE rn = 1),
+        |rt AS (SELECT floor((sum(tc)::DOUBLE - sum(tc * tc)::DOUBLE / sum(tc)::DOUBLE)
+        |    / sum(tc)::DOUBLE * 1e6 + 0.5) / 1e6 AS gini_root FROM tots)
+        |SELECT cb AS cut_bin, n_left, n_right,
+        |  floor(gq::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS gini_split, gini_root
+        |FROM best CROSS JOIN rt""".stripMargin,
     "q_tost" ->
       // exact HUGEINT moments; Welch SE/df and both shifted statistics
       // close in the engine's pinned double trees

@@ -6,6 +6,73 @@ import org.apache.spark.sql.functions._
 /** Optimizer-grade histogram construction. */
 object Histograms {
 
+  /** Decision-stump split selection — the single CART step: over equi-width
+    * feature bins, find the cut minimizing the weighted Gini impurity of a
+    * label column (`G_side = 1 − Σ_c p_c²`, weighted by side mass). The
+    * classic "which threshold separates the classes best" readout for
+    * feature screening and shallow-tree routing.
+    *
+    * Scale shape: ONE (bin, label) aggregation over the corpus (labels are
+    * a bounded dimension), then all candidate cuts are scored on the
+    * bounded bin×label frame via cumulative windows — the corpus is never
+    * rescanned per cut. Determinism: side masses and per-class cumulative
+    * counts are exact longs; each cut's impurity is micro-quantized to a
+    * long before the argmin, which ties to the SMALLER cut bin. Returns
+    * one row `(cut_bin, n_left, n_right, gini_split, gini_root)` — split
+    * at `bin ≤ cut_bin`. */
+  def bestGiniSplit(df: DataFrame, valueCol: String, labelCol: String,
+      lo: Double, hi: Double, nFine: Int): DataFrame = {
+    require(nFine >= 2 && nFine <= 256, "bestGiniSplit: nFine in [2, 256]")
+    require(hi > lo, "bestGiniSplit: hi > lo")
+    val width = (hi - lo) / nFine
+    val cells = df.filter(col(valueCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+        lit(0)), lit(nFine - 1)).cast("int").as("bin"),
+        col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("c"))
+    // bounded from here: <= nFine x |labels| rows
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+      .orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tots = cells.groupBy("lbl").agg(sum("c").as("tc"))
+    val cum = cells.withColumn("lc", sum("c").over(wCum))
+      .select(col("lbl").as("__l"), col("bin").as("__b"), col("lc"))
+    // candidate cut = every occupied bin except the last (right side
+    // always keeps the last bin's rows, so both sides are non-empty);
+    // a label absent at the cut bin takes its last cumulative at or
+    // below it (0 if none) — densified by the bounded ≤-join
+    val maxBin = cells.agg(max("bin").as("__mx"))
+    val candidates = cells.select(col("bin").as("cb")).distinct()
+      .crossJoin(broadcast(maxBin)).filter(col("cb") < col("__mx"))
+      .select("cb")
+    val atCut = candidates.crossJoin(tots)
+      .join(cum, col("__l") === col("lbl") && col("__b") <= col("cb"), "left")
+      .groupBy("cb", "lbl", "tc")
+      .agg(coalesce(max("lc"), lit(0L)).as("lc"))
+    val perCut = atCut.groupBy("cb")
+      .agg(sum("lc").as("n_left"), sum(col("tc") - col("lc")).as("n_right"),
+        sum(col("lc") * col("lc")).as("__l2"),
+        sum((col("tc") - col("lc")) * (col("tc") - col("lc"))).as("__r2"))
+    val nL = col("n_left").cast("double")
+    val nR = col("n_right").cast("double")
+    val nAll = nL + nR
+    val gini = ((nL - col("__l2").cast("double") / nL) +
+      (nR - col("__r2").cast("double") / nR)) / nAll
+    val root = tots.agg(sum("tc").as("__n"), sum(col("tc") * col("tc")).as("__t2"))
+      .select(((col("__n").cast("double") -
+        col("__t2").cast("double") / col("__n").cast("double")) /
+        col("__n").cast("double")).as("gini_root"))
+    perCut
+      .withColumn("__gq", floor(gini * lit(1e9) + lit(0.5)).cast("long"))
+      .orderBy(col("__gq"), col("cb"))
+      .limit(1)
+      .crossJoin(broadcast(root))
+      .select(col("cb").as("cut_bin"), col("n_left"), col("n_right"),
+        (col("__gq").cast("double") / lit(1e9)).as("gini_split"),
+        col("gini_root"))
+  }
+
   /** V-optimal histogram boundaries (Jagadish et al., VLDB 1998): partition
     * `nFine` equi-width base bins into `nBuckets` contiguous buckets
     * minimizing the total within-bucket SSE of the frequency vector — the

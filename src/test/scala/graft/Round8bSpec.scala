@@ -415,6 +415,22 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("bestGiniSplit finds the perfect separator and scores the root") {
+    import spark.implicits._
+    // bins (lo=0, hi=3, nFine=3): bin0 = 4x label X, bin1 = 6x label Y,
+    // bin2 = 1x label Y -> cut at bin 0 separates perfectly (gini 0)
+    val rows = Seq.fill(4)((0.5, "X")) ++ Seq.fill(6)((1.5, "Y")) ++
+      Seq((2.5, "Y"))
+    val out = graft.operators.Histograms
+      .bestGiniSplit(rows.toDF("v", "lbl"), "v", "lbl", 0.0, 3.0, 3)
+      .collect().head
+    assert(out.getInt(0) === 0)
+    assert(out.getLong(1) === 4L && out.getLong(2) === 7L)
+    assert(out.getDouble(3) === 0.0)
+    // root gini = (11 - 65/11)/11
+    assert(math.abs(out.getDouble(4) - (11.0 - 65.0 / 11.0) / 11.0) < 1e-9)
+  }
+
   test("tostEquivalence matches the hand-computed shifted Welch statistics") {
     import spark.implicits._
     val df = Seq(("a", 100L), ("a", 200L), ("a", 300L),
