@@ -3839,6 +3839,37 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: partial correlation — daily revenue vs error volume
+    //     with click volume held fixed (nine exact long sums, one pass) ---
+    "q_partial_corr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      val x = ev.filter(col("event_type") === "purchase").groupBy("day")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("x"))
+      val y = ev.filter(col("event_type") === "error").groupBy("day")
+        .agg(count(lit(1)).as("y"))
+      val z = ev.filter(col("event_type") === "click").groupBy("day")
+        .agg(count(lit(1)).as("z"))
+      graft.operators.Stats.partialCorr(
+          x.join(y, "day").join(z, "day"), "x", "y", "z")
+        .select(col("n"), fround(col("r_xy"), 6).as("r_xy"),
+          fround(col("r_xz"), 6).as("r_xz"),
+          fround(col("r_yz"), 6).as("r_yz"),
+          fround(col("r_xy_z"), 6).as("r_xy_z"))
+    }),
+    // --- round 8: Cronbach's alpha — internal consistency of per-user
+    //     event-type spend "items" (exact long/decimal sums; absent
+    //     scores are zeros, no densification) ---
+    "q_cronbach" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .filter(col("cents").isNotNull)
+      graft.operators.Stats.cronbachAlpha(ev, "user_id", "event_type", "cents")
+        .select(col("k"), col("n_subjects"),
+          fround(col("sum_item_var"), 6).as("sum_item_var"),
+          fround(col("total_var"), 6).as("total_var"),
+          fround(col("alpha"), 6).as("alpha"))
+    }),
     // --- round 8: decision-stump split — best Gini cut of the price axis
     //     for return-flag separation (one corpus aggregation; every
     //     candidate scored on the bounded bin×label frame) ---
@@ -4937,6 +4968,72 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_partial_corr" ->
+      // nine exact long sums; each r and the partial close mirror the
+      // engine's pinned trees term for term
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, value FROM events),
+        |x AS (SELECT day, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        |y AS (SELECT day, count(*)::BIGINT AS y FROM ev WHERE event_type = 'error' GROUP BY 1),
+        |z AS (SELECT day, count(*)::BIGINT AS z FROM ev WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT x.x, y.y, z.z FROM x JOIN y USING (day) JOIN z USING (day)),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(z)::BIGINT AS sz,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy, sum(z * z)::BIGINT AS szz,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * z)::BIGINT AS sxz, sum(y * z)::BIGINT AS syz
+        |  FROM j),
+        |c AS (SELECT n,
+        |    n >= 3 AND n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        |      AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+        |      AND n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE > 0 AS ok,
+        |    (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS rxy,
+        |    (n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE)
+        |      / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)) AS rxz,
+        |    (n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE)
+        |      / (sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |         * sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE)) AS ryz
+        |  FROM a)
+        |SELECT n,
+        |  CASE WHEN ok THEN floor(rxy * 1e6 + 0.5) / 1e6 END AS r_xy,
+        |  CASE WHEN ok THEN floor(rxz * 1e6 + 0.5) / 1e6 END AS r_xz,
+        |  CASE WHEN ok THEN floor(ryz * 1e6 + 0.5) / 1e6 END AS r_yz,
+        |  CASE WHEN ok AND (1.0 - rxz * rxz) > 0 AND (1.0 - ryz * ryz) > 0 THEN
+        |    floor((rxy - rxz * ryz)
+        |      / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)) * 1e6 + 0.5) / 1e6
+        |  END AS r_xy_z
+        |FROM c""".stripMargin,
+    "q_cronbach" ->
+      // per-item and per-subject exact moments; micro-quantized item
+      // variances summed exactly; one pinned alpha close
+      """WITH b AS (SELECT user_id AS s, event_type AS i,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT count(DISTINCT s)::BIGINT AS n FROM b),
+        |pi AS (SELECT i, sum(v)::BIGINT AS isum,
+        |    sum(v::HUGEINT * v::HUGEINT) AS iss FROM b GROUP BY 1),
+        |it AS (SELECT count(*)::BIGINT AS k,
+        |    sum(floor((ns.n::DOUBLE * iss::DOUBLE - isum::DOUBLE * isum::DOUBLE)
+        |      / (ns.n::DOUBLE * (ns.n::DOUBLE - 1.0)) * 1e6 + 0.5)::BIGINT)::BIGINT AS ivq
+        |  FROM pi CROSS JOIN ns),
+        |ps AS (SELECT sum(t)::BIGINT AS ts, sum(t::HUGEINT * t::HUGEINT) AS tss
+        |  FROM (SELECT s, sum(v)::BIGINT AS t FROM b GROUP BY 1)),
+        |f AS (SELECT k, ns.n AS n_subjects, ivq,
+        |    (ns.n::DOUBLE * tss::DOUBLE - ts::DOUBLE * ts::DOUBLE)
+        |      / (ns.n::DOUBLE * (ns.n::DOUBLE - 1.0)) AS tv
+        |  FROM it CROSS JOIN ns CROSS JOIN ps)
+        |SELECT k, n_subjects,
+        |  floor(ivq::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS sum_item_var,
+        |  floor(tv * 1e6 + 0.5) / 1e6 AS total_var,
+        |  CASE WHEN n_subjects >= 2 AND k >= 2 AND tv > 0 THEN
+        |    floor(k::DOUBLE / (k::DOUBLE - 1.0) * (1.0 - ivq::DOUBLE / 1e6 / tv)
+        |      * 1e6 + 0.5) / 1e6
+        |  END AS alpha
+        |FROM f""".stripMargin,
     "q_best_split" ->
       // exact long cumulatives densified by the bounded <=-join; impurity
       // micro-quantized before the (gq, cb) argmin — deterministic ties

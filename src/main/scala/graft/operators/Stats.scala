@@ -264,6 +264,92 @@ object Stats {
         / (col("__sswq").cast("double") / lit(1e6) / (col("n") - col("k")))).as("f"))
   }
 
+  /** First-order partial correlation — the correlation between `x` and
+    * `y` with a confounder `z` held fixed: `r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²))` — the "is the x–y link real or just
+    * driven by z" readout. Input: one row per key with all three integer
+    * values present. ONE aggregation collects the nine exact long sums;
+    * each Pearson r and the partial close are pinned double trees (IEEE
+    * sqrt). Degenerate variance yields null. Returns
+    * `(n, r_xy, r_xz, r_yz, r_xy_z)`. */
+  def partialCorr(df: org.apache.spark.sql.DataFrame, xCol: String,
+      yCol: String, zCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val z = col(zCol).cast("long")
+    val a = df.filter(x.isNotNull && y.isNotNull && z.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+      sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+    val n = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    // nullif keeps ANSI mode from raising on the degenerate-variance
+    // divisor the `ok` guard nulls out anyway
+    def r(sab: String, a1: String, b1: String, saa: String, sbb: String) =
+      (n * dd(sab) - dd(a1) * dd(b1)) /
+        nullif(sqrt(n * dd(saa) - dd(a1) * dd(a1)) *
+          sqrt(n * dd(sbb) - dd(b1) * dd(b1)), lit(0.0))
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val ok = col("n") >= 3 &&
+      n * dd("sxx") - dd("sx") * dd("sx") > 0.0 &&
+      n * dd("syy") - dd("sy") * dd("sy") > 0.0 &&
+      n * dd("szz") - dd("sz") * dd("sz") > 0.0
+    a.select(col("n"),
+      when(ok, rxy).as("r_xy"), when(ok, rxz).as("r_xz"),
+      when(ok, ryz).as("r_yz"),
+      when(ok && (lit(1.0) - rxz * rxz) > 0.0 && (lit(1.0) - ryz * ryz) > 0.0,
+        (rxy - rxz * ryz) /
+          nullif(sqrt(lit(1.0) - rxz * rxz) * sqrt(lit(1.0) - ryz * ryz),
+            lit(0.0)))
+        .as("r_xy_z"))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of k "items"
+    * scored per subject: `α = k/(k−1)·(1 − Σ var_item / var_total)`
+    * (Cronbach 1951). Absent (subject, item) scores are zeros, so sums
+    * over observed rows plus the subject count suffice — no
+    * densification. Sample variances from exact long sums (one keyed
+    * aggregation per axis); the close is one pinned tree. Returns
+    * `(k, n_subjects, sum_item_var, total_var, alpha)`; degenerate total
+    * variance yields null alpha. */
+  def cronbachAlpha(df: org.apache.spark.sql.DataFrame, subjectCol: String,
+      itemCol: String, scoreCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.filter(col(subjectCol).isNotNull && col(itemCol).isNotNull &&
+      col(scoreCol).isNotNull)
+      .groupBy(col(subjectCol).as("__s"), col(itemCol).as("__i"))
+      .agg(sum(col(scoreCol).cast("long")).as("__v"))
+    val nSub = base.select(countDistinct("__s").as("n_subjects"))
+    // per-item exact sums over observed rows (absent subjects contribute 0)
+    val perItem = base.groupBy("__i")
+      .agg(sum("__v").as("__is"),
+        sum(col("__v").cast("decimal(19,0)") * col("__v").cast("decimal(19,0)"))
+          .as("__iss"))
+    val nD = col("n_subjects").cast("double")
+    val itemVarQ = floor((nD * col("__iss").cast("double") -
+      col("__is").cast("double") * col("__is").cast("double")) /
+      (nD * (nD - lit(1.0))) * lit(1e6) + lit(0.5)).cast("long")
+    val items = perItem.crossJoin(broadcast(nSub))
+      .agg(count(lit(1)).as("k"), sum(itemVarQ).as("__ivq"))
+    val perSub = base.groupBy("__s").agg(sum("__v").as("__t"))
+      .agg(sum("__t").as("__ts"),
+        sum(col("__t").cast("decimal(19,0)") * col("__t").cast("decimal(19,0)"))
+          .as("__tss"))
+    val totVar = (nD * col("__tss").cast("double") -
+      col("__ts").cast("double") * col("__ts").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    val sumItemVar = col("__ivq").cast("double") / lit(1e6)
+    items.crossJoin(broadcast(nSub)).crossJoin(broadcast(perSub))
+      .select(col("k"), col("n_subjects"), sumItemVar.as("sum_item_var"),
+        totVar.as("total_var"),
+        when(col("n_subjects") >= 2 && col("k") >= 2 && totVar > 0.0,
+          col("k").cast("double") / (col("k").cast("double") - lit(1.0)) *
+            (lit(1.0) - sumItemVar / totVar)).as("alpha"))
+  }
+
   /** TOST equivalence test (two one-sided tests, Schuirmann 1987) — the
     * flip of the difference test: "are the two groups' means provably
     * WITHIN ±margin of each other?" Both shifted Welch statistics must

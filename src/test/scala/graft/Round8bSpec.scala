@@ -415,6 +415,37 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("partialCorr recovers full dependence once the confounder is held") {
+    import spark.implicits._
+    // y = x + z with x orthogonal to z: r_xy < 1 but r_xy.z = 1
+    val df = Seq((0L, 0L, 0L), (1L, 1L, 0L), (0L, 1L, 1L), (1L, 2L, 1L))
+      .toDF("x", "y", "z")
+    val out = graft.operators.Stats.partialCorr(df, "x", "y", "z")
+      .collect().head
+    assert(out.getLong(0) === 4L)
+    assert(math.abs(out.getDouble(1) - math.sqrt(0.5)) < 1e-12)
+    assert(out.getDouble(2) === 0.0)
+    assert(math.abs(out.getDouble(4) - 1.0) < 1e-9)
+    // degenerate variance -> nulls, not NaN
+    val deg = Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 5L)).toDF("x", "y", "z")
+    assert(graft.operators.Stats.partialCorr(deg, "x", "y", "z")
+      .collect().head.isNullAt(4))
+  }
+
+  test("cronbachAlpha matches the hand-computed two-item case") {
+    import spark.implicits._
+    // item A: 1,2,3 (var 1); item B = 2A (var 4); totals 3,6,9 (var 9)
+    // alpha = 2 * (1 - 5/9) = 8/9
+    val df = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (1L, "B", 2L), (2L, "B", 4L), (3L, "B", 6L)).toDF("s", "i", "v")
+    val out = graft.operators.Stats.cronbachAlpha(df, "s", "i", "v")
+      .collect().head
+    assert(out.getLong(0) === 2L && out.getLong(1) === 3L)
+    assert(math.abs(out.getDouble(2) - 5.0) < 1e-6)
+    assert(math.abs(out.getDouble(3) - 9.0) < 1e-6)
+    assert(math.abs(out.getDouble(4) - 8.0 / 9.0) < 1e-6)
+  }
+
   test("bestGiniSplit finds the perfect separator and scores the root") {
     import spark.implicits._
     // bins (lo=0, hi=3, nFine=3): bin0 = 4x label X, bin1 = 6x label Y,
