@@ -66,7 +66,13 @@ object ScaleLadder {
     // unmeasured at sf1; modularity / Kruskal-Wallis / chi2 terms /
     // sharded LSH dedup from the round-8 operator slate
     "q_hits", "q_clustering_coeff", "q_modularity", "q_kruskal_wallis",
-    "q_chi2_terms", "q_dedup_sharded")
+    "q_chi2_terms", "q_dedup_sharded",
+    // round-8 second session: the heaviest new shapes — Hilbert layout +
+    // stump split (lineitem distinct-pair / bin-label scans), V-optimal
+    // (orders scan + constant DP), Yule/coverage/capture (documents token
+    // aggregation), islands (orderkey anti-joins)
+    "q_hilbert", "q_best_split", "q_voptimal_hist", "q_yule_k",
+    "q_vocab_coverage", "q_capture_recapture", "q_id_islands")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
