@@ -483,4 +483,43 @@ object StreamingDQ {
         }
       }
       .start()
+
+  /** Streaming blocklist monitor — the stateful twin of
+    * [[graft.text.TextAnalysis.blocklistHits]]: a REAL streaming
+    * aggregation (StateStore-backed running totals per term, update
+    * mode), not a per-batch replay, so the cumulative per-term document
+    * and occurrence counts equal the batch operator over everything
+    * ingested so far — the exactly-once ingestion-gate readout
+    * ("toxicity term X has now been seen in N docs"). Occurrence counting
+    * is the same pure integer substring arithmetic as the batch op; the
+    * constant-size term explode keeps state bounded at |terms| rows.
+    * `onResult(batchId, term -> (n_docs, n_occ))` receives the UPDATED
+    * cumulative rows each micro-batch. */
+  def blocklistMonitor(stream: DataFrame, textCol: String,
+      terms: Seq[String])(
+      onResult: (Long, Map[String, (Long, Long)]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "blocklistMonitor needs non-empty terms")
+    require(terms.distinct.size == terms.size, "duplicate terms")
+    val occ = ((length(col(textCol)) -
+      length(replace(col(textCol), col("term"), lit("")))) /
+      length(col("term"))).cast("long")
+    stream.filter(col(textCol).isNotNull)
+      .select(col(textCol), explode(array(terms.map(lit): _*)).as("term"))
+      .select(col("term"), occ.as("__occ"))
+      .groupBy("term")
+      .agg(sum(when(col("__occ") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("__occ")).as("n_occ"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val m = batch.collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          onResult(id, m)
+        }
+      }
+      .start()
+  }
 }

@@ -415,6 +415,38 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("streaming blocklistMonitor cumulative state equals the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val seen = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val q = graft.streaming.StreamingDQ.blocklistMonitor(
+      df, "text", Seq("hash", "join")) { (_, m) =>
+      seen.synchronized { seen ++= m }
+    }
+    try {
+      val b1 = Seq((0L, "hash hash join"), (1L, "nothing"))
+      val b2 = Seq((2L, "join join"), (3L, "hash"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val mid = seen.synchronized(seen.toMap)
+      assert(mid("hash") === ((1L, 2L)) && mid("join") === ((1L, 1L)))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val fin = seen.synchronized(seen.toMap)
+      // cumulative state == batch operator over everything ingested
+      val batch = graft.text.TextAnalysis
+        .blocklistHits((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+          Seq("hash", "join"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(fin === batch)
+    } finally q.stop()
+  }
+
   test("partialCorr recovers full dependence once the confounder is held") {
     import spark.implicits._
     // y = x + z with x orthogonal to z: r_xy < 1 but r_xy.z = 1
