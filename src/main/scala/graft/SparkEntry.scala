@@ -3839,6 +3839,39 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: position-bias audit (COEC) — click propensity by
+    //     within-user event position vs the global rate (keyed window,
+    //     deterministic (ts, event_id) tie-break) ---
+    "q_position_bias" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val g = ev.withColumn("pos", least(row_number().over(w), lit(10)))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"))
+      val tot = g.agg(sum("n_events").as("__te"), sum("n_clicks").as("__tc"))
+      val ctr = col("n_clicks").cast("double") / col("n_events").cast("double")
+      g.crossJoin(broadcast(tot))
+        .select(col("pos"), col("n_events"), col("n_clicks"),
+          fround(ctr, 6).as("ctr"),
+          fround(ctr / (col("__tc").cast("double") / col("__te").cast("double")), 6)
+            .as("coec"))
+        .orderBy("pos")
+    }),
+    // --- round 8: deterministic log loss — the md5 score lives on the
+    //     exact k/65536 grid, so ln p = lnPosInt(k) − 16·ln2 with the
+    //     engine-pinned series ln (no libm); nano-quantized exact mean ---
+    "q_log_loss" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("k",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("long"))
+        .withColumn("y", (col("o_orderstatus") === "F").cast("int"))
+      graft.operators.EvalMetrics.logLossOnGrid(o, "k", "y", bits = 16)
+        .select(col("n"), fround(col("log_loss"), 6).as("log_loss"))
+    }),
     // --- round 8: partial correlation — daily revenue vs error volume
     //     with click volume held fixed (nine exact long sums, one pass) ---
     "q_partial_corr" -> ((s, dir) => {
@@ -4968,6 +5001,41 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_position_bias" ->
+      // row_number per user with the (ts, event_id) tie-break; exact long
+      // counts, two pinned ratio closes
+      """WITH r AS (SELECT event_type,
+        |    least(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id), 10) AS pos
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT pos, count(*)::BIGINT AS n_events,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT sum(n_events)::BIGINT AS te, sum(n_clicks)::BIGINT AS tc FROM g)
+        |SELECT pos::INT AS pos, n_events, n_clicks,
+        |  floor(n_clicks::DOUBLE / n_events::DOUBLE * 1e6 + 0.5) / 1e6 AS ctr,
+        |  floor(n_clicks::DOUBLE / n_events::DOUBLE
+        |      / (tc::DOUBLE / te::DOUBLE) * 1e6 + 0.5) / 1e6 AS coec
+        |FROM g CROSS JOIN t ORDER BY pos""".stripMargin,
+    "q_log_loss" ->
+      // the identical series-ln table over every needed integer (k,
+      // 65536−k, 65536); nano-quantized exact term sum
+      (s"""WITH o AS (SELECT
+          |    greatest(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT, 1) AS k,
+          |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+          |vals AS (SELECT DISTINCT nval FROM (
+          |    SELECT k AS nval FROM o
+          |    UNION ALL SELECT 65536 - k FROM o
+          |    UNION ALL SELECT 65536)),
+          |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+          |t AS (SELECT CASE WHEN o.y = 1 THEN a.lnv - c.lnv ELSE b.lnv - c.lnv END AS term
+          |  FROM o JOIN lnv a ON a.nval = o.k
+          |         JOIN lnv b ON b.nval = 65536 - o.k
+          |         JOIN lnv c ON c.nval = 65536)
+          |SELECT count(*)::BIGINT AS n,
+          |  floor(-(sum(floor(term * 1e9 + 0.5)::BIGINT)::DOUBLE / 1e9 / count(*))
+          |    * 1e6 + 0.5) / 1e6 AS log_loss
+          |FROM t""").stripMargin,
     "q_partial_corr" ->
       // nine exact long sums; each r and the partial close mirror the
       // engine's pinned trees term for term

@@ -200,6 +200,30 @@ object EvalMetrics {
           / (col("real_tokens") + col("pad_tokens"))).as("pad_ratio"))
   }
 
+  /** Deterministic binary log loss over a DYADIC probability grid — for
+    * scores living on the exact `k / 2^bits` lattice (hash-derived
+    * scores, quantized model outputs), `ln p = lnPosInt(k) − bits·ln 2`
+    * with the engine-pinned series ln, so cross-entropy needs no libm
+    * anywhere. Terms are nano-quantized longs summed exactly; k is
+    * clamped to `[1, 2^bits − 1]` so both ln arguments stay in domain.
+    * One aggregation. Returns one row `(n, log_loss)` in nats. */
+  def logLossOnGrid(df: DataFrame, kCol: String, yCol: String,
+      bits: Int = 16): DataFrame = {
+    import graft.functions.DetMath.lnPosInt
+    require(bits >= 1 && bits <= 62, "logLossOnGrid: bits in [1, 62]")
+    val grid = 1L << bits
+    val k = least(greatest(col(kCol).cast("long"), lit(1L)), lit(grid - 1))
+    val y = col(yCol).cast("int")
+    val lnGrid = lnPosInt(lit(grid))
+    val term = when(y === 1, lnPosInt(k) - lnGrid)
+      .otherwise(lnPosInt(lit(grid) - k) - lnGrid)
+    df.filter(col(kCol).isNotNull && y.isNotNull)
+      .select(floor(term * lit(1e9) + lit(0.5)).cast("long").as("__q"))
+      .agg(count(lit(1)).as("n"), sum("__q").as("__s"))
+      .select(col("n"),
+        (-(col("__s").cast("double") / lit(1e9) / col("n"))).as("log_loss"))
+  }
+
   /** Qini uplift curve over score buckets — the standard readout for an
     * uplift / targeting model: walking buckets best-first, how many extra
     * conversions did the treated group produce beyond the control group's

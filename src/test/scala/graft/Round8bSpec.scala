@@ -415,6 +415,22 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("logLossOnGrid matches ln 2 on the p=1/2 lattice point") {
+    import spark.implicits._
+    import graft.functions.DetMath
+    // k = 32768 on the 2^16 grid -> p = 0.5 for both labels -> LL = ln 2
+    val df = Seq((32768L, 1), (32768L, 0)).toDF("k", "y")
+    val out = graft.operators.EvalMetrics.logLossOnGrid(df, "k", "y", 16)
+      .collect().head
+    assert(out.getLong(0) === 2L)
+    assert(math.abs(out.getDouble(1) - DetMath.LN2) < 1e-9)
+    // k clamps into domain: k = 0 and k = grid stay finite
+    val edge = Seq((0L, 0), (65536L, 1)).toDF("k", "y")
+    val oe = graft.operators.EvalMetrics.logLossOnGrid(edge, "k", "y", 16)
+      .collect().head
+    assert(!oe.getDouble(1).isNaN && !oe.getDouble(1).isInfinite)
+  }
+
   test("streaming blocklistMonitor cumulative state equals the batch twin") {
     val s = spark
     import s.implicits._
