@@ -3839,6 +3839,17 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: Page's L — ordered-alternative trend across event types
+    //     (days as blocks; the monotone-dose sibling of q_friedman) ---
+    "q_page_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000").cast("long"))
+        .filter(col("event_type").isNotNull)
+        .groupBy("day", "event_type")
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      graft.operators.Stats.pageTrend(daily, "day", "event_type", "cents")
+        .select(col("n_blocks"), col("k"), col("l"), fround(col("z"), 6).as("z"))
+    }),
     // --- round 8: position-bias audit (COEC) — click propensity by
     //     within-user event position vs the global rate (keyed window,
     //     deterministic (ts, event_id) tie-break) ---
@@ -5001,6 +5012,29 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_page_trend" ->
+      // friedman's exact rank CTEs + a lexicographic treatment index;
+      // the normal close mirrors the engine's pinned tree
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS b, event_type AS t,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM d),
+        |fb AS (SELECT b FROM d GROUP BY b HAVING count(*) = (SELECT k FROM kk)),
+        |rk AS (SELECT d.b, d.t,
+        |    row_number() OVER (PARTITION BY d.b ORDER BY d.v ASC, d.t ASC) AS r
+        |  FROM d JOIN fb USING (b)),
+        |pt AS (SELECT t, sum(r)::BIGINT AS rr, count(*)::BIGINT AS n
+        |  FROM rk GROUP BY 1),
+        |jx AS (SELECT rr, n, row_number() OVER (ORDER BY t)::BIGINT AS j FROM pt),
+        |ag AS (SELECT max(n)::BIGINT AS n_blocks, count(*)::BIGINT AS k,
+        |    sum(j * rr)::BIGINT AS l FROM jx)
+        |SELECT n_blocks, k, l,
+        |  floor((l::DOUBLE
+        |      - n_blocks::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0) * (k::DOUBLE + 1.0) / 4.0)
+        |    / sqrt(n_blocks::DOUBLE * k::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+        |      * (k::DOUBLE + 1.0) * (k::DOUBLE - 1.0) / 144.0)
+        |    * 1e6 + 0.5) / 1e6 AS z
+        |FROM ag""".stripMargin,
     "q_position_bias" ->
       // row_number per user with the (ts, event_id) tie-break; exact long
       // counts, two pinned ratio closes

@@ -596,6 +596,44 @@ object Stats {
         / (col("n_blocks").cast("double") * (col("k") - 1))).as("kendall_w"))
   }
 
+  /** Page's L trend test (Page 1963) — the ORDERED-alternative sibling of
+    * [[friedman]]: with treatments carrying a natural order (doses, days,
+    * model versions), `L = Σ_j j·R_j` weights each treatment's rank sum by
+    * its position, so a monotone trend that Friedman's omnibus χ² dilutes
+    * shows up directly. Same contract and exact integer rank machinery as
+    * Friedman (complete blocks only, deterministic tie-break); treatment
+    * order is lexicographic on the treatment id (documented). The normal
+    * close `z = (L − n·k(k+1)²/4) / √(n·k²(k+1)²(k−1)/144)` is one pinned
+    * tree. Returns `(n_blocks, k, l, z)`. */
+  def pageTrend(df: org.apache.spark.sql.DataFrame, blockCol: String,
+      treatmentCol: String, valCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.select(col(blockCol).as("b"), col(treatmentCol).as("t"),
+        col(valCol).cast("long").as("v"))
+      .filter(col("b").isNotNull && col("t").isNotNull && col("v").isNotNull)
+    val k = base.select("t").distinct().count()
+    require(k >= 3 && k <= 1000, s"pageTrend: k=$k treatments (need >= 3)")
+    val full = base.groupBy("b").agg(count(lit(1)).as("__kt"))
+      .filter(col("__kt") === k).select("b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b")
+      .orderBy(col("v").asc, col("t").asc)
+    val ranked = base.join(full, "b").withColumn("__r", row_number().over(w))
+    val perT = ranked.groupBy("t").agg(sum("__r").as("__R"),
+      count(lit(1)).as("__n"))
+    // ordered treatment index on the bounded k-row frame
+    val wj = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val agg = perT.withColumn("__j", row_number().over(wj).cast("long"))
+      .agg(max("__n").as("n_blocks"), count(lit(1)).as("k"),
+        sum(col("__j") * col("__R")).as("l"))
+    val n = col("n_blocks").cast("double")
+    val kd = col("k").cast("double")
+    val mu = n * kd * (kd + lit(1.0)) * (kd + lit(1.0)) / lit(4.0)
+    val va = n * kd * kd * (kd + lit(1.0)) * (kd + lit(1.0)) *
+      (kd - lit(1.0)) / lit(144.0)
+    agg.select(col("n_blocks"), col("k"), col("l"),
+      ((col("l").cast("double") - mu) / sqrt(va)).as("z"))
+  }
+
   /** Wald's sequential probability ratio test (SPRT, 1945) over a
     * period-aggregated Bernoulli stream — the always-valid monitor an
     * experiment platform runs daily instead of a fixed-horizon test:

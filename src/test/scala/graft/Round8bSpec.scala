@@ -415,6 +415,20 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("pageTrend matches the hand-computed perfect monotone case") {
+    import spark.implicits._
+    // 3 blocks, values rise with treatment order A<B<C in every block:
+    // R = (3,6,9), L = 42, mu = 36, var = 6 -> z = sqrt(6)
+    val df = (1L to 3L).flatMap(b =>
+      Seq((b, "A", b * 10L), (b, "B", b * 10L + 1), (b, "C", b * 10L + 2)))
+      .toDF("b", "t", "v")
+    val out = graft.operators.Stats.pageTrend(df, "b", "t", "v")
+      .collect().head
+    assert(out.getLong(0) === 3L && out.getLong(1) === 3L)
+    assert(out.getLong(2) === 42L)
+    assert(math.abs(out.getDouble(3) - math.sqrt(6.0)) < 1e-12)
+  }
+
   test("logLossOnGrid matches ln 2 on the p=1/2 lattice point") {
     import spark.implicits._
     import graft.functions.DetMath
