@@ -415,6 +415,26 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 7.5) < 1e-6)
   }
 
+  test("new heavy queries prune their scans to the referenced columns") {
+    // plan hygiene: a 2-column operator must not read 16-column lineitem
+    def readSchema(q: String): String = {
+      val plan = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    }
+    val hil = readSchema("q_hilbert")
+    assert(hil.contains("l_partkey") && hil.contains("l_suppkey"))
+    assert(!hil.contains("l_extendedprice") && !hil.contains("l_comment"),
+      s"q_hilbert reads more than its two key columns:\n$hil")
+    val split = readSchema("q_best_split")
+    assert(split.contains("l_extendedprice") && split.contains("l_returnflag"))
+    assert(!split.contains("l_partkey"),
+      s"q_best_split reads unrelated columns:\n$split")
+    val bl = readSchema("q_blocklist")
+    assert(bl.contains("text") && !bl.contains("lang"),
+      s"q_blocklist reads unrelated columns:\n$bl")
+  }
+
   test("pageTrend matches the hand-computed perfect monotone case") {
     import spark.implicits._
     // 3 blocks, values rise with treatment order A<B<C in every block:
