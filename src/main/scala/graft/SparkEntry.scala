@@ -3839,6 +3839,19 @@ object SparkEntry {
           fround(col("lb_q"), 6).as("lb_q"))
         .orderBy("lag")
     }),
+    // --- round 8: Wilson score intervals — per-weekday purchase-rate CIs
+    //     (boundary-safe where Wald collapses; exact counts, plan-time z) ---
+    "q_wilson_ci" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("wd", expr("((ts div 1000) div 86400000000) % 7"))
+      graft.operators.Stats.wilsonCI(ev, "wd",
+          col("event_type") === "purchase")
+        .select(col("group").as("wd"), col("n"), col("k"),
+          fround(col("rate"), 6).as("rate"),
+          fround(col("ci_lo"), 6).as("ci_lo"),
+          fround(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("wd")
+    }),
     // --- round 8: Page's L — ordered-alternative trend across event types
     //     (days as blocks; the monotone-dose sibling of q_friedman) ---
     "q_page_trend" -> ((s, dir) => {
@@ -5012,6 +5025,26 @@ object SparkEntry {
         |  floor(rho * 1e6 + 0.5) / 1e6 AS rho,
         |  floor((n * (n + 2))::DOUBLE * (cq::DOUBLE / 1e12) * 1e6 + 0.5) / 1e6 AS lb_q
         |FROM c ORDER BY lag""".stripMargin,
+    "q_wilson_ci" ->
+      // exact long counts; center/half mirror the engine's pinned trees
+      // (z and z^2 as plan-time literals)
+      """WITH g AS (SELECT ((epoch_us(ts) // 86400000000) % 7)::BIGINT AS wd,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS k
+        |  FROM events GROUP BY 1)
+        |SELECT wd, n, k,
+        |  floor(k::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS rate,
+        |  floor(((k::DOUBLE / n::DOUBLE + 3.8415999999999997 / (2.0 * n::DOUBLE))
+        |      / (1.0 + 3.8415999999999997 / n::DOUBLE)
+        |    - 1.96 * sqrt(k::DOUBLE / n::DOUBLE * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+        |        + 3.8415999999999997 / (4.0 * n::DOUBLE * n::DOUBLE))
+        |      / (1.0 + 3.8415999999999997 / n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor(((k::DOUBLE / n::DOUBLE + 3.8415999999999997 / (2.0 * n::DOUBLE))
+        |      / (1.0 + 3.8415999999999997 / n::DOUBLE)
+        |    + 1.96 * sqrt(k::DOUBLE / n::DOUBLE * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+        |        + 3.8415999999999997 / (4.0 * n::DOUBLE * n::DOUBLE))
+        |      / (1.0 + 3.8415999999999997 / n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM g ORDER BY wd""".stripMargin,
     "q_page_trend" ->
       // friedman's exact rank CTEs + a lexicographic treatment index;
       // the normal close mirrors the engine's pinned tree

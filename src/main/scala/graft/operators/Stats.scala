@@ -596,6 +596,32 @@ object Stats {
         / (col("n_blocks").cast("double") * (col("k") - 1))).as("kendall_w"))
   }
 
+  /** Wilson score interval per group — the proportion CI that behaves at
+    * the boundaries where the Wald interval collapses (k = 0 or k = n):
+    * `center = (p̂ + z²/2n)/(1 + z²/n)`, `half = z·√(p̂(1−p̂)/n +
+    * z²/4n²)/(1 + z²/n)` (Wilson 1927). One keyed aggregation; counts are
+    * exact longs, z is a plan-time literal, and each bound is one pinned
+    * double tree (IEEE sqrt). Groups with n = 0 cannot occur (they have
+    * no rows). Returns per group `(group, n, k, rate, ci_lo, ci_hi)`. */
+  def wilsonCI(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      successCol: org.apache.spark.sql.Column,
+      z: Double = 1.96): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(z > 0, "wilsonCI: z > 0")
+    val g = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    g.select(col("group"), col("n"), col("k"), p.as("rate"),
+      (center - half).as("ci_lo"), (center + half).as("ci_hi"))
+  }
+
   /** Page's L trend test (Page 1963) — the ORDERED-alternative sibling of
     * [[friedman]]: with treatments carrying a natural order (doses, days,
     * model versions), `L = Σ_j j·R_j` weights each treatment's rank sum by

@@ -435,6 +435,28 @@ class Round8bSpec extends SparkSpec {
       s"q_blocklist reads unrelated columns:\n$bl")
   }
 
+  test("wilsonCI brackets the rate and stays inside [0,1] at the boundary") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(1)(("a", false)) ++
+      Seq.fill(5)(("b", false))).toDF("g", "s")
+    val out = graft.operators.Stats.wilsonCI(df, "g", col("s"))
+      .orderBy("group").collect()
+    val a = out(0)
+    assert(a.getLong(1) === 4L && a.getLong(2) === 3L)
+    assert(a.getDouble(4) < 0.75 && a.getDouble(5) > 0.75)
+    // scalar replay of the Wilson algebra
+    val (n, p, z2) = (4.0, 0.75, 1.96 * 1.96)
+    val center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    val half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) /
+      (1.0 + z2 / n)
+    assert(math.abs(a.getDouble(4) - (center - half)) < 1e-12)
+    // k = 0 boundary: Wald collapses to [0,0]; Wilson stays a real interval
+    // (the lower bound is mathematically 0 and may carry -1ulp fp noise)
+    val b = out(1)
+    assert(b.getDouble(3) === 0.0)
+    assert(b.getDouble(4) >= -1e-12 && b.getDouble(5) > 0.0 && b.getDouble(5) < 1.0)
+  }
+
   test("pageTrend matches the hand-computed perfect monotone case") {
     import spark.implicits._
     // 3 blocks, values rise with treatment order A<B<C in every block:
