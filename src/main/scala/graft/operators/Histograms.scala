@@ -17,7 +17,9 @@ object Histograms {
     * bounded bin×label frame via cumulative windows — the corpus is never
     * rescanned per cut. Determinism: side masses and per-class cumulative
     * counts are exact longs; each cut's impurity is micro-quantized to a
-    * long before the argmin, which ties to the SMALLER cut bin. Returns
+    * long before the argmin, which ties to the SMALLER cut bin. Long
+    * domain: Σ lc² over labels needs rows ≲ 1.7·10⁹ per class — partition
+    * (e.g. per source) before calling at larger scales. Returns
     * one row `(cut_bin, n_left, n_right, gini_split, gini_root)` — split
     * at `bin ≤ cut_bin`. */
   def bestGiniSplit(df: DataFrame, valueCol: String, labelCol: String,

@@ -727,7 +727,8 @@ object Profiler {
     *
     * Same exact machinery as [[kruskalWallis]]: doubled average ranks
     * from the distributed prefix scan keep every rank an exact long, so
-    * `2·W⁺` is an exact integer; the normal approximation
+    * `2·W⁺` is an exact integer (long-safe to ~2·10⁹ pairs — `2W⁺ ≤ 2n²`);
+    * the normal approximation
     * `z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)` closes in
     * one pinned double tree (IEEE sqrt is correctly rounded). Returns one
     * row `(n, w_plus, z)`; n < 2 or zero variance yields null z. */
