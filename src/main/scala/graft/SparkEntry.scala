@@ -3585,6 +3585,17 @@ object SparkEntry {
           fround(col("ln_or"), 6).as("ln_or"), fround(col("se"), 6).as("se"),
           fround(col("ci_lo"), 6).as("ci_lo"), fround(col("ci_hi"), 6).as("ci_hi"))
     }),
+    // --- round 8: relative risk — the cohort-facing companion to
+    //     q_odds_ratio (risk ratio, series-ln log-space CI) ---
+    "q_relative_risk" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      graft.operators.Stats.relativeRisk(ev,
+          col("user_id") % 2 === 0, col("event_type") === "purchase")
+        .select(col("a"), col("b"), col("c"), col("d"),
+          fround(col("rel_risk"), 6).as("rel_risk"),
+          fround(col("ln_rr"), 6).as("ln_rr"), fround(col("se"), 6).as("se"),
+          fround(col("ci_lo"), 6).as("ci_lo"), fround(col("ci_hi"), 6).as("ci_hi"))
+    }),
     // --- round 8: modularity of the brand partition on the co-purchase
     //     graph — integer-exact numerator, one final division ---
     "q_modularity" -> ((s, dir) => {
@@ -10049,6 +10060,31 @@ object SparkEntry {
         |      AS r FROM scored)
         |SELECT class, term, a AS df_in_class, chiq::DOUBLE / 1e6 AS chi2
         |FROM rk WHERE r <= 5 ORDER BY class, term""".stripMargin,
+    "q_relative_risk" ->
+      // exact integer products into the shared series-ln table; risk-ratio
+      // SE in the engine's pinned association
+      raw"""WITH e AS (SELECT user_id % 2 = 0 AS ex, event_type = 'purchase' AS oc
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c2 AS (SELECT
+        |    sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM e),
+        |vals AS (SELECT a * (c + d) AS nval FROM c2 UNION SELECT c * (a + b) FROM c2),
+        |lnv AS MATERIALIZED (${graft.functions.DetMath.lnPosIntSqlSelect("vals")}),
+        |x AS (SELECT c2.a, c2.b, c2.c, c2.d, la.lnv - lb.lnv AS lnrr,
+        |    sqrt(1.0::DOUBLE / c2.a - 1.0::DOUBLE / (c2.a + c2.b)
+        |      + 1.0::DOUBLE / c2.c - 1.0::DOUBLE / (c2.c + c2.d)) AS se
+        |  FROM c2 JOIN lnv la ON la.nval = c2.a * (c2.c + c2.d)
+        |  JOIN lnv lb ON lb.nval = c2.c * (c2.a + c2.b))
+        |SELECT a, b, c, d,
+        |  floor((a * (c + d))::DOUBLE / (c * (a + b)) * 1e6 + 0.5) / 1e6 AS rel_risk,
+        |  floor(lnrr * 1e6 + 0.5) / 1e6 AS ln_rr,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS se,
+        |  floor((lnrr - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor((lnrr + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM x""".stripMargin,
     "q_odds_ratio" ->
       raw"""WITH e AS (SELECT user_id % 2 = 0 AS ex, event_type = 'purchase' AS oc
         |  FROM events WHERE user_id IS NOT NULL),

@@ -460,6 +460,42 @@ object Stats {
       (lnor - lit(1.96) * se).as("ci_lo"), (lnor + lit(1.96) * se).as("ci_hi"))
   }
 
+  /** Relative risk with a log-space Wald interval — [[oddsRatio]]'s
+    * epidemiology companion (risk RATIO of the exposed vs unexposed
+    * rows, the number a cohort comparison actually reports): `RR =
+    * [a/(a+b)] / [c/(c+d)]`, `ln RR = ln(a(c+d)) − ln(c(a+b))` via the
+    * engine-pinned series ln (exact integer products — no libm),
+    * `SE = √(1/a − 1/(a+b) + 1/c − 1/(c+d))`, bounds in LOG space.
+    * One conditional aggregation; empty exposed/unexposed-outcome cells
+    * fail loudly (the oddsRatio convention). Returns
+    * `(a, b, c, d, rel_risk, ln_rr, se, ci_lo, ci_hi)`. */
+  def relativeRisk(df: org.apache.spark.sql.DataFrame,
+      exposedCol: org.apache.spark.sql.Column,
+      outcomeCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.DetMath.lnPosInt
+    val agg = df.agg(
+      sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("a"),
+      sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("d"))
+    val pos = col("a") > 0 && col("c") > 0
+    def guarded(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(pos, c).otherwise(raise_error(concat(
+        lit("relativeRisk: empty outcome cell (a,c)=("),
+        concat_ws(",", col("a"), col("c")), lit(")"))))
+    val lnrr = guarded(lnPosInt(col("a") * (col("c") + col("d"))) -
+      lnPosInt(col("c") * (col("a") + col("b"))))
+    val se = guarded(sqrt(
+      lit(1.0) / col("a") - lit(1.0) / (col("a") + col("b")) +
+        lit(1.0) / col("c") - lit(1.0) / (col("c") + col("d"))))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      guarded((col("a") * (col("c") + col("d"))).cast("double") /
+        (col("c") * (col("a") + col("b")))).as("rel_risk"),
+      lnrr.as("ln_rr"), se.as("se"),
+      (lnrr - lit(1.96) * se).as("ci_lo"), (lnrr + lit(1.96) * se).as("ci_hi"))
+  }
+
   /** Adjusted Rand index between two labelings of the same rows — the
     * standard pair-counting agreement score for comparing a clustering
     * against a reference partition (Hubert & Arabie 1985).

@@ -435,6 +435,28 @@ class Round8bSpec extends SparkSpec {
       s"q_blocklist reads unrelated columns:\n$bl")
   }
 
+  test("relativeRisk matches the hand-computed 2x2 and fails loudly on empty cells") {
+    import spark.implicits._
+    // exposed: 2/4 outcome; unexposed: 1/4 -> RR = 2
+    val df = (Seq.fill(2)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("ex", "oc")
+    val out = graft.operators.Stats.relativeRisk(df, col("ex"), col("oc"))
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((2L, 2L, 1L, 3L)))
+    assert(out.getDouble(4) === 2.0)
+    // ln RR via the series ln
+    assert(math.abs(out.getDouble(5) -
+      (graft.functions.DetMath.lnPosIntScalar(8) -
+        graft.functions.DetMath.lnPosIntScalar(4))) < 1e-12)
+    val bad = Seq((true, false), (false, true)).toDF("ex", "oc")
+    val ex = intercept[Exception] {
+      graft.operators.Stats.relativeRisk(bad, col("ex"), col("oc")).collect()
+    }
+    assert(ex.getMessage.contains("relativeRisk"))
+  }
+
   test("wilsonCI brackets the rate and stays inside [0,1] at the boundary") {
     import spark.implicits._
     val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(1)(("a", false)) ++
