@@ -69,6 +69,51 @@ class Round8bSpec extends SparkSpec {
     assert(out(1).getDouble(5) === 0.0)
   }
 
+  test("isotonicFit equals a scalar PAV merge on seeded random bins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val nBins = 2 + rnd.nextInt(7)
+      // random per-bin (n, pos) with pos <= n
+      val bins = (0 until nBins).map { b =>
+        val n = 1 + rnd.nextInt(20)
+        (b, n, rnd.nextInt(n + 1))
+      }
+      val rows = bins.flatMap { case (b, n, pos) =>
+        val s = (b + 0.5) / nBins
+        (0 until n).map(i => (s, if (i < pos) 1 else 0))
+      }
+      val got = graft.operators.Profiler
+        .isotonicFit(rows.toDF("score", "label"), "score", "label", nBins)
+        .orderBy("bin").collect().map(_.getDouble(4))
+      // scalar PAV: pool adjacent violators on (pos, n) blocks
+      case class Blk(var p: Long, var n: Long)
+      val st = scala.collection.mutable.Stack.empty[Blk]
+      bins.foreach { case (_, n, pos) =>
+        st.push(Blk(pos.toLong, n.toLong))
+        while (st.size >= 2 && {
+          val top = st(0); val und = st(1)
+          top.p.toDouble * und.n < und.p.toDouble * top.n // top rate < under rate
+        }) {
+          val top = st.pop(); val und = st.pop()
+          st.push(Blk(top.p + und.p, top.n + und.n))
+        }
+      }
+      // expand blocks back to bins: each block covers consecutive bins whose
+      // total n equals the block n — rebuild by walking bin sizes
+      val binSizes = bins.map(_._2.toLong)
+      val fits = Array.ofDim[Double](nBins)
+      var bi = 0
+      st.toList.reverse.foreach { blk =>
+        var acc = 0L
+        while (acc < blk.n) { fits(bi) = blk.p.toDouble / blk.n; acc += binSizes(bi); bi += 1 }
+      }
+      got.zip(fits).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) < 1e-9, s"bin $i: got $g expected $e (bins=$bins)")
+      }
+    }
+  }
+
   test("isotonicFit reproduces the hand-computed PAV merge") {
     import spark.implicits._
     // four bins (nBins=4) with pos rates 0.1, 0.3, 0.2, 0.4:
