@@ -381,6 +381,28 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("crossCorrelation equals a scalar Pearson replay on seeded random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = (0L until 40L).map(k => (k, rnd.nextInt(1000).toLong))
+    val ys = (0L until 40L).map(k => (k, rnd.nextInt(1000).toLong))
+    val out = graft.operators.TimeSeries
+      .crossCorrelation(xs.toDF("k", "x"), ys.toDF("k", "y"), "k", "x", "y", 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val ym = ys.toMap
+    (-2 to 2).foreach { lag =>
+      val pairs = xs.flatMap { case (k, x) => ym.get(k + lag).map(y => (x, y)) }
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val exp = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(out(lag) - exp) < 1e-12, s"lag $lag")
+    }
+  }
+
   test("crossCorrelation matches hand-computed Pearson at the aligning lag") {
     import spark.implicits._
     // y(k) = x(k-1) exactly -> r = 1 at lag +1 (y leads by one key)
