@@ -102,6 +102,62 @@ object Pipeline {
     cc.curated.join(novelIds, Seq(idCol), "left_semi")
   }
 
+  /** Shard-routed twin of [[curate]] — the composition a 100 TB corpus
+    * actually runs: every document's content FINGERPRINT is routed to one
+    * of `nShards` shards by rendezvous hashing
+    * ([[graft.operators.Routing.rendezvousAssign]] on the md5 fingerprint,
+    * the dedup key), and the exact-dedup keep-set groups by
+    * `(shard, fingerprint)`. The shard is functionally determined by the
+    * fingerprint, so the groups — and therefore the output SET — are
+    * identical to the global [[curate]] (spec-pinned set-equality;
+    * oracle-gated as `q_curate_sharded`). What the route buys at scale:
+    * equal fingerprints co-shard by construction, and every other stage is
+    * already shard-independent — the quality gate is row-local, the
+    * decontamination join probes a BROADCAST eval-gram set, and the split
+    * label is row-local — so the whole post-gate pipeline can run as
+    * `nShards` independent jobs (different cluster, different day) with
+    * ZERO cross-shard traffic, then a bare union. Rendezvous (not `mod`)
+    * keeps re-sharding cheap: changing `nShards` by one moves ~1/n of the
+    * fingerprint space. Returns `(idCol, shard, split, textCol)` rows —
+    * the shard column is the routing key an external pipeline splits on. */
+  def curateSharded(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      minQuality: Double = 0.83,
+      contaminationNgram: Int = 8
+  ): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val q = docs.repartition(par)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact dedup under the shard route: keep-min-id per (shard, fp) —
+    // identical groups to the global path (shard = f(fp))
+    val routed = graft.operators.Routing.rendezvousAssign(
+      q.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp")),
+      "__fp", nShards)
+    val keepIds = routed
+      .groupBy("shard", "__fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("shard"))
+    val deduped = q.join(keepIds, Seq(idCol))
+    def grams(df: DataFrame) = explode(graft.functions.shingle_hashes(
+      TextAnalysis.tokens(col(textCol)), contaminationNgram)).as("g")
+    val evalPar = evalDocs.repartition(par)
+    val evalGrams = evalPar.select(grams(evalPar)).distinct()
+    val contaminated = deduped.select(col(idCol), grams(deduped))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(idCol).distinct()
+    val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
+    val out = Splits.assignSplit(clean, idCol)
+      .select(col(idCol), col("shard"), col("split"), col(textCol))
+      .localCheckpoint() // eager: release the gated cache before returning
+    q.unpersist()
+    out
+  }
+
   def curateDetailed(
       docs: DataFrame,
       evalDocs: DataFrame,

@@ -1412,6 +1412,17 @@ object SparkEntry {
       cc.unpersist()
       out
     }),
+    // --- round 9: shard-routed curation — the dedup keep-set grouped
+    //     under the rendezvous route of the content fingerprint; output
+    //     set-equal to q_curate (spec-pinned) with the shard id exposed ---
+    "q_curate_sharded" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.Pipeline.curateSharded(
+          docs = d.filter(col("doc_id") % 10 =!= 0),
+          evalDocs = d.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", nShards = 8)
+        .select("doc_id", "shard", "split").orderBy("doc_id")
+    }),
     "q_curate_novel" -> ((s, dir) => {
       // full novelty-gated curation: quality gate -> exact dedup ->
       // decontaminate -> drop docs whose CDC chunks mostly exist in the
@@ -5956,13 +5967,14 @@ object SparkEntry {
         |  len(t[chunk_idx::INT * 48 + 1 : chunk_idx::INT * 48 + 64])::INT AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_winnow" ->
-      // independent winnowing reimplementation: md5 char-7-grams, min of
-      // every 4-window (single window under 4 grams), sorted distinct,
-      // then the shared-fingerprint roll-up
+      // independent winnowing reimplementation: 60-bit md5-prefix BIGINTs
+      // of char-7-grams, min of every 4-window (single window under 4
+      // grams), sorted distinct, then the shared-fingerprint roll-up
       """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
         |           FROM documents),
         |h AS (SELECT doc_id,
-        |        list_transform(range(1, length(nt) - 5), i -> md5(substr(nt, i::INT, 7))) AS hs
+        |        list_transform(range(1, length(nt) - 5),
+        |          i -> ('0x' || substr(md5(substr(nt, i::INT, 7)), 1, 15))::BIGINT) AS hs
         |      FROM d WHERE length(nt) >= 7),
         |wins AS (SELECT doc_id,
         |           list_sort(list_distinct(list_transform(
@@ -7097,6 +7109,57 @@ object SparkEntry {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM clean ORDER BY doc_id""".stripMargin,
+    "q_curate_sharded" ->
+      // q_curate's pipeline with the rendezvous shard of each doc's
+      // content fingerprint exposed: weight(k) = first 15 md5 hex digits
+      // of 'fp:k' as a BIGINT, winner = first index of the max (ties
+      // break toward the smallest shard, matching the engine's struct-max
+      // over (w, -k))
+      """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM t0),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id,
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0) AS raw FROM g),
+        |q AS (SELECT t0.doc_id, t0.text FROM t0 JOIN h USING (doc_id)
+        |  WHERE least(greatest(h.raw, 0.0), 1.0) >= 0.83),
+        |fps AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM q),
+        |shards AS (SELECT doc_id,
+        |  (list_position(ws, list_max(ws)) - 1)::BIGINT AS shard FROM (
+        |    SELECT doc_id, list_transform(range(0, 8),
+        |      k -> ('0x' || substr(md5(fp || ':' || k::VARCHAR), 1, 15))::BIGINT) AS ws
+        |    FROM fps)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+        |dd AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS t FROM documents
+        |        WHERE doc_id % 10 = 0) WHERE len(t) >= 8),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM dd)
+        |  WHERE len(t) >= 8),
+        |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g),
+        |clean AS (SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id, shards.shard,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clean JOIN shards USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_curate_novel" ->
       """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
         |f AS (SELECT doc_id,

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *  1. per-partition MG with `k` counters via a streaming `mapPartitions`
   *     pass (bounded state, no shuffle),
   *  2. union of per-partition survivors = candidate set, ≤ k·#partitions
-  *     rows, collected and broadcast (bounded by the plan, not the data),
-  *  3. one exact counting pass over the corpus filtered to candidates
-  *     MAP-SIDE (`InSet`) — the only shuffle is ≤ k·#partitions keys wide,
+  *     rows, kept as a DataFrame and broadcast (never a driver Set or an
+  *     `isin` plan literal — see the join-site comment),
+  *  3. one exact counting pass over the corpus semi-joined to the
+  *     broadcast candidates MAP-SIDE — the only shuffle is
+  *     ≤ k·#partitions keys wide,
   *  4. emit keys with exact `count ≥ ceil(n/k)` (support `φ = 1/k`).
   *
   * The MG summaries depend on partition order, but the OUTPUT does not:
@@ -31,6 +33,18 @@ object HeavyHitters {
   /** Exact `φ = 1/k` heavy hitters of `keyCol` (string), with exact
     * counts. Returns `(key, cnt)` for every key with `cnt·k ≥ n`. */
   def exactHeavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val (out, keys) = heavyHittersPlan(df, keyCol, k)
+    val res = out.transform(graft.core.Checkpoints.truncate)
+    keys.unpersist()
+    res
+  }
+
+  /** The un-truncated plan of [[exactHeavyHitters]] plus the persisted key
+    * frame (caller unpersists) — split out so specs can assert the
+    * broadcast-semi-join physical shape, which `Checkpoints.truncate`
+    * (eager materialization) otherwise hides behind a Scan ExistingRDD. */
+  private[graft] def heavyHittersPlan(df: DataFrame, keyCol: String,
+      k: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 100000, s"k=$k")
     val keys = df.select(col(keyCol).cast("string").as("__k"))
       .filter(col("__k").isNotNull)
@@ -54,17 +68,27 @@ object HeavyHitters {
       val out = new scala.collection.mutable.ArrayBuffer[String](counters.size)
       counters.keySet().forEach(s => { out += s; () })
       out.iterator
-    }.collect().toSet
-    // 2..4) exact counts over the bounded candidate set only (InSet is a
-    // map-side codegen'd hash probe — no shuffle for non-candidates)
+    }.map(org.apache.spark.sql.Row(_))
+    val candDf = df.sparkSession.createDataFrame(candidates,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.StringType)))).distinct()
+    // 2..4) exact counts restricted to the candidate set via a BROADCAST
+    // semi-join (map-side hash probe — no shuffle for non-candidates).
+    // A broadcast relation, not an `isin` literal: k·#partitions can reach
+    // millions of strings, and an In/InSet literal of that size is a
+    // driver-plan-size hazard (serialized into every task), while the
+    // broadcast path stays off the plan and fails loudly past Spark's
+    // broadcast limits. Candidates never land in a driver Set at all —
+    // the MG pass re-runs from the persisted `keys` when the join
+    // executes, and ANY candidate superset yields the same output (the
+    // exact threshold filter prunes below-φ keys regardless).
     val n = keys.count()
     val thresh = (n + k - 1) / k // ceil(n/k): cnt·k >= n
-    val out = keys.filter(col("__k").isin(candidates.toSeq: _*))
+    val out = keys.join(broadcast(candDf), Seq("__k"), "left_semi")
       .groupBy(col("__k").as("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thresh)
-    val res = out.transform(graft.core.Checkpoints.truncate)
-    keys.unpersist()
-    res
+    (out, keys)
   }
 
   /** Convenience: heavy-hitter TOKENS of a text column (whitespace

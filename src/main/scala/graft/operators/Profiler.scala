@@ -709,11 +709,14 @@ object Profiler {
     val h0 = lit(12.0) * col("n").cast("double") / (col("n").cast("double") + 1) *
       (col("__q").cast("double") / lit(1e6)) -
       lit(3.0) * (col("n").cast("double") + 1)
+    // tie-correction denominator 1 − Σ(t³−t)/(N³−N): zero when every value
+    // ties (one distinct value, or N < 2) — null the degenerate case like
+    // partialCorr/crossCorrelation/wilcoxonSignedRank rather than ±Inf/NaN
+    val tieDenom = lit(1.0) - col("__tt").cast("double") /
+      (col("n").cast("double") * col("n") * col("n") - col("n"))
     val out = gAgg.crossJoin(broadcast(ties)).select(
       col("k"), col("n"), h0.as("h"),
-      (h0 / (lit(1.0) - col("__tt").cast("double")
-        / (col("n").cast("double") * col("n") * col("n") - col("n"))))
-        .as("h_tie"))
+      when(tieDenom > 0, h0 / tieDenom).as("h_tie"))
     val res = out.transform(graft.core.Checkpoints.truncate)
     perVG.unpersist()
     res

@@ -51,12 +51,17 @@ object Shapley {
 
     val rows = channels.zipWithIndex.map { case (ch, ci) =>
       val bit = 1 << ci
-      var num = 0L
+      // BigInt accumulator: with n=8 the weight sum is n! = 40320, so a
+      // plain Long would silently wrap once total cents exceed ~2.3e14
+      // (driver Scala arithmetic gets no ANSI overflow guard) — the exact
+      // value survives any corpus; only the closing division is double.
+      var num = BigInt(0)
       val others = (0 until (1 << n)).filter(s => (s & bit) == 0)
       others.foreach { s =>
         val size = Integer.bitCount(s)
-        num += fact(size) * fact(n - 1 - size) * (v(s | bit) - v(s))
+        num += BigInt(fact(size)) * fact(n - 1 - size) * (v(s | bit) - v(s))
       }
+      // close mirrors the oracle's `num::DOUBLE / n! / 100` division order
       (ch, num.toDouble / fact(n).toDouble / 100.0)
     }
     rows.toDF("channel", "shapley")

@@ -647,16 +647,23 @@ object TextAnalysis {
   /** Winnowing with md5 CHAR-gram hashes — the oracle-reproducible twin of
     * [[winnowingFingerprints]]: identical selection structure (min of every
     * w-window of gram hashes, distinct per doc; single window when fewer
-    * than w grams) over a gram hash any SQL engine can recompute
-    * (lowercase-hex md5 compares in the same order as the unsigned 128-bit
-    * value it encodes). Relational formulation — grams explode to rows so
-    * each md5 is computed exactly ONCE and window minima come from a
-    * bounded rows-frame, not nested array lambdas (an HOF draft of this
-    * re-evaluated the hash array per window: O(grams²) md5 calls, ~500×
-    * slower). One keyed exchange on the doc id. Prefer the rolling-XXH64
-    * kernel at scale; this is the verification surface.
+    * than w grams) over a gram hash any SQL engine can recompute. The gram
+    * hash is the FIRST 60 BITS of the md5, materialized as a BIGINT
+    * (`conv(substr(hex, 1, 15), 16, 10)` — 15 hex chars always fit a
+    * signed long; DuckDB mirrors it as `('0x' || substr(md5(g),1,15))::
+    * BIGINT`). Prefix ordering is a coarsening of full-md5 ordering, so
+    * `min(prefix) == prefix(min)` — the selected fingerprints are the
+    * prefixes of exactly the fingerprints the full-hash formulation picks —
+    * while the window/shuffle compares 8-byte longs instead of 32-char
+    * strings (the round-8 bench showed the string compare dominating at
+    * one-row-per-character fan-out). Relational formulation — grams
+    * explode to rows so each md5 is computed exactly ONCE and window
+    * minima come from a bounded rows-frame, not nested array lambdas (an
+    * HOF draft of this re-evaluated the hash array per window: O(grams²)
+    * md5 calls, ~500× slower). One keyed exchange on the doc id. Prefer
+    * the rolling-XXH64 kernel at scale; this is the verification surface.
     *
-    * Output: (idCol, fp) — one row per distinct fingerprint per doc. */
+    * Output: (idCol, fp BIGINT) — one row per distinct fingerprint per doc. */
   def winnowMd5(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       k: Int = 7, w: Int = 4): org.apache.spark.sql.DataFrame = {
     require(k > 0 && w > 0, "k > 0, w > 0")
@@ -669,7 +676,8 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("__nt")) - lit(k - 1))).as("__pos"),
         col("__nt"))
       .select(col(idCol), col("__g"), col("__pos"),
-        md5(col("__nt").substr(col("__pos"), lit(k))).as("__h"))
+        conv(substring(md5(col("__nt").substr(col("__pos"), lit(k))), 1, 15), 16, 10)
+          .cast("long").as("__h"))
     val win = Window.partitionBy(idCol).orderBy("__pos").rowsBetween(0, w - 1)
     grams
       .withColumn("__m", min(col("__h")).over(win))
@@ -1048,15 +1056,15 @@ object TextAnalysis {
       .select(col("c"), col("n_types"), col("tok_c"), col("cum_types"),
         col("cum_tok"), col("__n"), col("__v"),
         col("__t.p").as("p"),
-        (((col("__n") * col("__t.num")) + col("__t.den") - 1)
-          .cast("long") / col("__t.den")).cast("long").as("target_tokens"))
+        // true integer ceiling division (`div`, == the oracle's `//`):
+        // double `/` + cast loses exactness past 2^53 token counts
+        expr("(__n * __t.num + __t.den - 1) div __t.den").as("target_tokens"))
     crossed
       .filter(col("cum_tok") >= col("target_tokens") &&
         (col("cum_tok") - col("tok_c")) < col("target_tokens"))
       .select(col("p"), col("target_tokens"),
         ((col("cum_types") - col("n_types")) +
-          ((col("target_tokens") - (col("cum_tok") - col("tok_c"))
-            + col("c") - 1).cast("long") / col("c")).cast("long"))
+          expr("(target_tokens - (cum_tok - tok_c) + c - 1) div c"))
           .as("k_types"),
         (col("__v")).as("n_types_total"))
       .withColumn("vocab_share",

@@ -44,4 +44,26 @@ class PipelineSpec extends SparkSpec {
     assert(curated.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).isEmpty &&
       again.select("doc_id", "split").exceptAll(curated.select("doc_id", "split")).isEmpty)
   }
+
+  test("curateSharded output is set-equal to the global curate, any nShards") {
+    for (nShards <- Seq(1, 8)) {
+      val sharded = Pipeline.curateSharded(
+        train, evalDocs, "doc_id", "text", nShards = nShards)
+      val g = curated.select("doc_id", "split")
+      val s = sharded.select("doc_id", "split")
+      assert(g.exceptAll(s).isEmpty && s.exceptAll(g).isEmpty,
+        s"nShards=$nShards diverged from global curate")
+      // the shard column is the rendezvous route of the doc's fingerprint:
+      // in range, and constant per fingerprint (equal fps co-shard)
+      val shards = sharded.select("shard").distinct()
+        .collect().map(_.getLong(0))
+      assert(shards.forall(sh => sh >= 0 && sh < nShards))
+      val fpShards = sharded
+        .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("shard"))
+        .groupBy("fp").agg(countDistinct("shard").as("ns"))
+        .filter(col("ns") > 1).count()
+      assert(fpShards == 0, "a fingerprint routed to two shards")
+    }
+  }
 }

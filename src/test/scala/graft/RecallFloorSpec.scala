@@ -167,4 +167,30 @@ class RecallFloorSpec extends SparkSpec {
     assert(byKmeans === 70L && byLabel === 26L) // deterministic constants
     assert(byKmeans > byLabel) // learned clusters beat arbitrary partitions
   }
+
+  test("q_pq_adc_topk (shipped m=8/k=16) recall@5 vs exact top-k") {
+    import graft.similarity.Pq
+    val exact = matchSet(Similarity.bruteForceTopK(emb, annQueries, "vec_id", "embedding", 5))
+    val adc = matchSet(Pq.pqAdcTopK(emb, annQueries, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16, topK = 5))
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    info(f"q_pq_adc_topk recall@5 = $recall%.4f (${adc.intersect(exact).size}/${exact.size})")
+    assert(exact.size == 50)
+    assert(recall >= 0.60, f"PQ-ADC recall@5 $recall%.4f below floor 0.60")
+  }
+
+  test("q_ivfpq_topk (shipped nProbe=6, m=8/k=16) recall@5; ADC-only is its ceiling") {
+    import graft.similarity.Pq
+    val exact = matchSet(Similarity.bruteForceTopK(emb, annQueries, "vec_id", "embedding", 5))
+    val ivfpq = matchSet(Pq.ivfPqTopK(emb, annQueries, "vec_id", "embedding",
+      dim = 64, nLists = 16, nProbe = 6, m = 8, kCodes = 16, topK = 5))
+    val adc = matchSet(Pq.pqAdcTopK(emb, annQueries, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16, topK = 5))
+    val rIvfpq = ivfpq.intersect(exact).size.toDouble / exact.size
+    val rAdc = adc.intersect(exact).size.toDouble / exact.size
+    info(f"q_ivfpq_topk recall@5 = $rIvfpq%.4f, full-ADC ceiling $rAdc%.4f")
+    // IVF routing can only LOSE candidates relative to scanning all lists
+    assert(rIvfpq <= rAdc + 1e-9, "IVF-PQ cannot beat its own ADC ceiling")
+    assert(rIvfpq >= 0.50, f"IVF-PQ recall@5 $rIvfpq%.4f below floor 0.50")
+  }
 }

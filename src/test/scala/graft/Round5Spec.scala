@@ -63,14 +63,15 @@ class Round5Spec extends SparkSpec {
     )
     val got = graft.text.TextAnalysis
       .winnowMd5(texts.toDF("doc_id", "text"), "doc_id", "text", k = 7, w = 4)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def winnow(text: String, k: Int, w: Int): Set[String] = {
+    def md5prefix60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    def winnow(text: String, k: Int, w: Int): Set[Long] = {
       val nt = text.trim.toLowerCase.replaceAll("\\s+", " ")
       if (nt.length < k) return Set.empty
-      val hs = (0 to nt.length - k).map(i => md5hex(nt.substring(i, i + k)))
+      val hs = (0 to nt.length - k).map(i => md5prefix60(nt.substring(i, i + k)))
       val nw = math.max(hs.length - w + 1, 1)
       (0 until nw).map(p => hs.slice(p, p + w).min).toSet
     }

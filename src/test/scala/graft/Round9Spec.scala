@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: the ADVICE fixes (winnow BIGINT fingerprints,
+  * kruskalWallis degenerate-tie null, heavy-hitter broadcast semi-join,
+  * vocabCoverage true integer division) pinned by spec. */
+class Round9Spec extends SparkSpec {
+
+  test("winnowMd5 fingerprints are 60-bit md5 prefixes (non-negative longs)") {
+    import spark.implicits._
+    val docs = Seq((1L, "The quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fps = graft.text.TextAnalysis
+      .winnowMd5(docs, "doc_id", "text").collect().map(_.getLong(1))
+    assert(fps.nonEmpty)
+    // 15 hex chars = 60 bits: always in [0, 2^60)
+    assert(fps.forall(f => f >= 0L && f < (1L << 60)))
+  }
+
+  test("kruskalWallis nulls h_tie when every value ties (degenerate)") {
+    import spark.implicits._
+    val df = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5), ("c", 5))
+      .toDF("g", "v")
+    val r = graft.operators.Profiler.kruskalWallis(df, "v", "g").collect().head
+    assert(r.isNullAt(r.fieldIndex("h_tie")),
+      "all-tied input must yield null h_tie, not Inf/NaN")
+  }
+
+  test("kruskalWallis h_tie unchanged on a non-degenerate input") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 2), ("c", 5))
+      .toDF("g", "v")
+    val r = graft.operators.Profiler.kruskalWallis(df, "v", "g").collect().head
+    val h = r.getDouble(r.fieldIndex("h"))
+    val ht = r.getDouble(r.fieldIndex("h_tie"))
+    // one tie pair (value 2, t=3^... actually t=2): correction < 1 so h_tie > h
+    assert(ht > h && !ht.isNaN && !ht.isInfinite)
+  }
+
+  test("exactHeavyHitters matches brute force and plans a broadcast semi-join") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => s"k${i % 7}") ++ Seq.fill(300)("hot")
+    val df = rows.toDF("key").repartition(8)
+    val got = graft.operators.HeavyHitters.exactHeavyHitters(df, "key", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = rows.size
+    val brute = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 3 >= n }.toMap
+    assert(got === brute)
+    // the candidate restriction must be a broadcast semi-join, not an
+    // In/InSet literal embedded in the plan (inspect the pre-truncate
+    // plan — Checkpoints.truncate hides it behind a Scan ExistingRDD)
+    val (out, keys) = graft.operators.HeavyHitters.heavyHittersPlan(df, "key", 3)
+    val plan = out.queryExecution.executedPlan.toString
+    keys.unpersist()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join in:\n$plan")
+    assert(!plan.contains(" IN ("), "candidates must not be a plan literal")
+  }
+
+  test("vocabCoverage ceiling divisions are integer-exact (div, not double /)") {
+    import spark.implicits._
+    // 10 tokens total; p=0.50 target = ceil(10*1/2) = 5 tokens
+    val docs = Seq((1L, "a a a a b b c c d e")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis
+      .vocabCoverage(docs, "doc_id", "text", Seq(("0.50", 1, 2)))
+      .collect().head
+    assert(out.getLong(out.fieldIndex("target_tokens")) === 5L)
+    // counts desc: a(4), b(2)|c(2), d|e(1). cum after a=4 < 5; need 1 more
+    // token from the c=2 stratum (b,c: 2 types, ceil(1/2)=1 type) -> k=2
+    assert(out.getLong(out.fieldIndex("k_types")) === 2L)
+  }
+}
