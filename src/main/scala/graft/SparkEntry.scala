@@ -2673,9 +2673,11 @@ object SparkEntry {
           "l_extendedprice", "l_quantity")
         .orderBy("l_extendedprice")
     }),
-    // --- round 4: exact 1-Wasserstein drift (earth-mover, value units) ---
+    // --- round 4: exact 1-Wasserstein drift (earth-mover, value units) —
+    //     gates the WINDOW verification twin; the default wasserstein1
+    //     delegates to the distributed pass (q_wasserstein_dist) ---
     "q_wasserstein" -> ((s, dir) => {
-      graft.operators.Profiler.wasserstein1(t(s, dir, "lineitem"),
+      graft.operators.Profiler.wasserstein1Window(t(s, dir, "lineitem"),
           "l_extendedprice", "l_returnflag", "R", "N")
         .select(col("n_a"), col("n_b"), col("w1"))
     }),

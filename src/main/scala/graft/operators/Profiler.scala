@@ -1553,17 +1553,25 @@ object Profiler {
     * the distribution move" in value units, complementing PSI (binned
     * log-ratio) and KS (max CDF gap): `W₁ = ∫|F_a − F_b| dv`, computed
     * exactly as the sum over the merged distinct-value grid of
-    * `|cdf_a − cdf_b|·(v_next − v)`. One keyed aggregation to the
-    * distinct-value frame + one ordered window (bounded by value
-    * cardinality, not rows); per-gap terms are nano-quantized to longs
-    * so the integral is exact under any accumulation order.
+    * `|cdf_a − cdf_b|·(v_next − v)`; per-gap terms are nano-quantized to
+    * longs so the integral is exact under any accumulation order.
     *
-    * At-scale note: the ordered window runs single-partition over the
-    * DISTINCT-value frame. For discrete/quantized domains (cents,
-    * integer lags) that frame is small; for continuous doubles it
-    * approaches n — pre-quantize the column to a grid first (the W₁ of
-    * the quantized distribution differs by at most the grid step). */
+    * Default = the DISTRIBUTED ordered pass ([[wasserstein1Distributed]]):
+    * no single-partition window anywhere, so a CONTINUOUS value domain
+    * whose distinct-value frame approaches row count still spreads across
+    * the cluster. The single-partition window formulation survives as
+    * [[wasserstein1Window]], the verification twin (bit-identical,
+    * spec-asserted on continuous-domain inputs). */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame =
+    wasserstein1Distributed(df, valueCol, groupCol, groupA, groupB)
+
+  /** The one-window formulation of [[wasserstein1]] — ordered window over
+    * the distinct-value frame, SINGLE-PARTITION by construction (fine for
+    * discrete/quantized domains; the default delegates to the distributed
+    * pass instead). Kept as the independent verification twin: same
+    * arithmetic, op-for-op, so the two paths are bit-identical. */
+  def wasserstein1Window(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
     val v = col(valueCol).cast("double")
     val perVal = df.filter(v.isNotNull &&

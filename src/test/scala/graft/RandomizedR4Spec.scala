@@ -75,15 +75,18 @@ class RandomizedR4Spec extends SparkSpec {
     }
   }
 
-  test("wasserstein1Distributed is BIT-identical to the window formulation") {
+  test("wasserstein1 (distributed default) is BIT-identical to the window twin, continuous domain") {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(41)
+    // CONTINUOUS domain: nextDouble values are pairwise distinct, so the
+    // distinct-value frame ≈ row count — exactly the input whose ordered
+    // pass must stay distributed (no single-partition WindowExec)
     val rows = (1 to 3000).map(_ =>
-      (if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(500) / 10.0))
+      (if (rnd.nextBoolean()) "a" else "b", rnd.nextDouble() * 50.0))
     val df = rows.toDF("g", "v").repartition(7) // force multi-partition sort
-    val w = Profiler.wasserstein1(df, "v", "g", "a", "b").collect().head
-    val d = Profiler.wasserstein1Distributed(df, "v", "g", "a", "b").collect().head
+    val w = Profiler.wasserstein1Window(df, "v", "g", "a", "b").collect().head
+    val d = Profiler.wasserstein1(df, "v", "g", "a", "b").collect().head
     assert(d.getLong(0) == w.getLong(0) && d.getLong(1) == w.getLong(1))
     assert(d.getDouble(2) == w.getDouble(2)) // exact, not approximate
   }
