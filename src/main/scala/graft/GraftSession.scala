@@ -36,4 +36,17 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Long-lived-driver hygiene: the app-status store retains job/stage/
+      // task/SQL-execution bookkeeping even with the UI off (it backs the
+      // status REST API), at defaults of 1000 jobs / 1000 stages / 100k
+      // tasks / 1000 SQL executions. A session that runs hundreds of
+      // multi-job iterative queries (this engine's bench and any standing
+      // 100 TB driver) accumulates that bookkeeping as live driver heap —
+      // measured here as a ~1.4× late-session inflation on the most
+      // job-intensive queries. Bound it; nothing in the engine reads the
+      // status store back.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
 }

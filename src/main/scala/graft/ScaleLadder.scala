@@ -72,7 +72,11 @@ object ScaleLadder {
     // (orders scan + constant DP), Yule/coverage/capture (documents token
     // aggregation), islands (orderkey anti-joins)
     "q_hilbert", "q_best_split", "q_voptimal_hist", "q_yule_k",
-    "q_vocab_coverage", "q_capture_recapture", "q_id_islands")
+    "q_vocab_coverage", "q_capture_recapture", "q_id_islands",
+    // round-9 additions (VERDICT r08 item 6): winnow on the fixed BIGINT
+    // scale path, the series-ln log-loss scan, and the shard-routed
+    // curation composition
+    "q_winnow", "q_log_loss", "q_curate_sharded")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory

@@ -1356,6 +1356,30 @@ object SparkEntry {
         idCol = "doc_id", textCol = "text")
         .orderBy("doc_id")
     }),
+    // --- round 9: standing dedup catalog — three daily batches lifted to
+    //     catalog form and TREE-merged (the monoid compaction shape);
+    //     the final state is one row per distinct fingerprint ---
+    "q_dedup_catalog" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cats = (0 to 2).map(b => graft.dedup.Dedup.dedupCatalogOfBatch(
+        d.filter(col("doc_id") % 3 === b), "doc_id", "text", b.toLong))
+      graft.dedup.Dedup.dedupCatalogMerge(
+          graft.dedup.Dedup.dedupCatalogMerge(cats(0), cats(1)), cats(2))
+        .orderBy("fingerprint")
+    }),
+    // --- round 9: the catalog probe — flag a new day against the standing
+    //     state (O(new + state), never a corpus re-scan) ---
+    "q_dedup_catalog_flag" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val catalog = graft.dedup.Dedup.dedupCatalogMerge(
+        graft.dedup.Dedup.dedupCatalogOfBatch(
+          d.filter(col("doc_id") < 250), "doc_id", "text", 0L),
+        graft.dedup.Dedup.dedupCatalogOfBatch(
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 400), "doc_id", "text", 1L))
+      graft.dedup.Dedup.dedupCatalogFlag(catalog,
+          d.filter(col("doc_id") >= 400), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // --- round 2 batch 2: per-source token budget (corpus mixing) ---
     "q_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -7094,6 +7118,25 @@ object SparkEntry {
         |  (SELECT count(*) FROM supplier
         |    WHERE abs(s_acctbal - (SELECT med FROM m)) > 4.4478 * (SELECT mad FROM d))::BIGINT AS n_outliers""".stripMargin,
     "q_dedup_incremental" ->
+      """WITH cf AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  (CASE WHEN EXISTS (SELECT 1 FROM cf
+        |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |   THEN 1 ELSE 0 END)::INT AS is_dup
+        |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    "q_dedup_catalog" ->
+      // independent replay of the monoid fold: first occurrence is the
+      // lexicographic min over (batch, doc_id), n_seen the total count
+      """WITH b AS (SELECT doc_id, doc_id % 3 AS batch,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |agg AS (SELECT fp, min(batch) AS fb, count(*) AS n FROM b GROUP BY 1)
+        |SELECT b2.fp AS fingerprint, agg.fb::BIGINT AS first_batch,
+        |  min(b2.doc_id) AS first_id, agg.n::BIGINT AS n_seen
+        |FROM agg JOIN b b2 ON b2.fp = agg.fp AND b2.batch = agg.fb
+        |GROUP BY 1, 2, 4 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_catalog_flag" ->
       """WITH cf AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |    FROM documents WHERE doc_id < 400)
         |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -115,6 +115,67 @@ object Dedup {
         when(col("__graft_hit").isNotNull, 1).otherwise(0).as("is_dup"))
   }
 
+  /** The standing dedup CATALOG a daily ingest keeps between runs: one row
+    * per distinct content fingerprint ever seen —
+    * `(fingerprint, first_batch, first_id, n_seen)`. The three operators
+    * below form a COMMUTATIVE MONOID over catalogs (spec-asserted):
+    *
+    *  - [[dedupCatalogOfBatch]]  — lift one batch into catalog form;
+    *  - [[dedupCatalogMerge]]    — associative+commutative merge: first
+    *    occurrence = lexicographic min over `(first_batch, first_id)`,
+    *    `n_seen` sums. ONE keyed aggregation (map-side combined), so
+    *    daily/shard states TREE-MERGE — compaction of a year of daily
+    *    states is a balanced fold, not a 365-step serial replay;
+    *  - [[dedupCatalogFlag]]     — the batch-vs-state probe
+    *    ([[incrementalDedup]] against the catalog instead of re-scanning
+    *    the whole corpus — the reason the state exists).
+    *
+    * Bounded-size invariant (spec-pinned): |merged catalog| equals the
+    * number of DISTINCT fingerprints in the union of its inputs —
+    * growth tracks novel content only, never batch count. That is the
+    * compaction contract: merging k states never produces more rows than
+    * the distinct-content size of their union. */
+  def dedupCatalogOfBatch(batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long): DataFrame =
+    batch
+      .select(col(idCol).cast("long").as("__id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint").agg(
+        lit(batchId).as("first_batch"),
+        min(col("__id")).as("first_id"),
+        count(lit(1)).as("n_seen"))
+
+  /** Merge any number of catalogs (see [[dedupCatalogOfBatch]]): one
+    * union + one keyed aggregation regardless of input count. */
+  def dedupCatalogMerge(catalogs: DataFrame*): DataFrame = {
+    require(catalogs.nonEmpty, "dedupCatalogMerge: no catalogs")
+    catalogs.reduce(_ unionByName _)
+      .groupBy("fingerprint").agg(
+        min(struct(col("first_batch"), col("first_id"))).as("__f"),
+        sum(col("n_seen")).as("n_seen"))
+      .select(col("fingerprint"),
+        col("__f.first_batch").as("first_batch"),
+        col("__f.first_id").as("first_id"),
+        col("n_seen"))
+  }
+
+  /** Flag a new batch against the standing catalog: `(idCol, fingerprint,
+    * is_dup)` with `is_dup = 1` iff the fingerprint is already cataloged.
+    * Identical output contract to [[incrementalDedup]] — but the probe
+    * side is the catalog (distinct-content-sized state), not a re-scan of
+    * the full corpus, which is what makes daily incremental dedup O(new
+    * data + state) instead of O(corpus). */
+  def dedupCatalogFlag(catalog: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val cf = catalog.select(col("fingerprint"))
+      .withColumn("__graft_hit", lit(1))
+    batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .join(cf, Seq("fingerprint"), "left_outer")
+      .select(col(idCol), col("fingerprint"),
+        when(col("__graft_hit").isNotNull, 1).otherwise(0).as("is_dup"))
+  }
+
   /** Cross-dataset n-gram contamination report (train/eval decontamination —
     * the step that keeps benchmark text out of a training corpus). For every
     * eval document: how many train documents share at least one word n-gram

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** Streaming twin of the shard-routed LSH dedup
+  * ([[graft.dedup.Dedup.minHashLshPairsSharded]]) — the daily-ingest shape:
+  * documents arrive in micro-batches, each computes its MinHash signature
+  * ROW-LOCALLY (the same `shingle_hashes` → `minhash_from_hashes` kernels
+  * and band hashing as the batch path, expression-for-expression), band
+  * keys route to `nShards` rendezvous shards
+  * ([[graft.operators.Routing.rendezvousAssign]] — identical routing, so a
+  * shard's stream can run as its own independent query), and each shard
+  * keeps per-bucket member state (`transformWithState` + `MapState`). A
+  * new document emits one candidate row against every earlier member of
+  * each of its buckets, scored by SIGNATURE AGREEMENT — the standard
+  * streaming verify: `est_jaccard = |equal minhash components| / numHashes`
+  * is the unbiased MinHash estimate of the true Jaccard, computable from
+  * state alone (the earlier document's shingle set is long gone; its
+  * 128-long signature is the state the stream keeps).
+  *
+  * Exactly-once pair emission: a (bucket, id) pair is admitted once — a
+  * replayed document re-keyed into a bucket it already occupies emits
+  * nothing (spec-asserted), so the UNION of per-batch outputs equals the
+  * one-shot batch candidate set regardless of how the stream is split
+  * into batches (spec-asserted against the batch front door on the same
+  * fixture).
+  *
+  * Bucket cap: state per bucket is bounded by `maxBucketSize` members; a
+  * full bucket admits no further ids (a degenerate-bucket guard — the
+  * batch path DROPS buckets that exceed the cap outright, which a stream
+  * cannot retroactively do; the two agree whenever no bucket exceeds the
+  * cap, the configuration both are meant to run in). State is therefore
+  * ≤ `maxBucketSize · numHashes` longs per occupied bucket, and bucket
+  * occupancy tracks DISTINCT band keys — corpus-content-sized, the same
+  * state a standing batch index would hold. */
+object StreamingLshDedup {
+
+  /** One candidate pair: `est_jaccard = same_components / num_hashes`. */
+  final case class LshCandidate(shard: Long, ida: Long, idb: Long,
+      sameComponents: Int, numHashes: Int, estJaccard: Double)
+
+  /** Per-bucket members: parallel id/signature sequences. */
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  final class LshProcessor(cap: Int, numHashes: Int)
+      extends StatefulProcessor[Long, (Long, String, Long, Seq[Long]), LshCandidate] {
+    @transient private var buckets: MapState[String, BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buckets = getHandle.getMapState[String, BucketState]("buckets",
+        Encoders.STRING, Encoders.product[BucketState], TTLConfig.NONE)
+
+    override def handleInputRows(shard: Long,
+        rows: Iterator[(Long, String, Long, Seq[Long])],
+        timerValues: TimerValues): Iterator[LshCandidate] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
+      rows.foreach { case (_, bk, id, sig) =>
+        val st = if (buckets.containsKey(bk)) buckets.getValue(bk)
+          else BucketState(Seq.empty, Seq.empty)
+        // admitted once per (bucket, id): replays emit nothing
+        if (!st.ids.contains(id) && st.ids.length < cap) {
+          st.ids.zip(st.sigs).foreach { case (oid, osig) =>
+            val same = osig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+            out += LshCandidate(shard, math.min(id, oid), math.max(id, oid),
+              same, numHashes, same.toDouble / numHashes)
+          }
+          buckets.updateValue(bk, BucketState(st.ids :+ id, st.sigs :+ sig))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Front door: `docs` is a STREAMING frame with `idCol` (long-castable)
+    * and `textCol`. Emits candidate pairs in Update mode; filter
+    * `estJaccard >= threshold` downstream and `distinct()` the pair key
+    * per sink batch (the same pair can surface via different bands).
+    * Requires the RocksDB state-store provider. */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      nShards: Int = 16
+  ): Dataset[LshCandidate] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = bandedSignatures(docs, idCol, textCol, shingleN, numHashes,
+      bands, seed, nShards)
+    banded
+      .select(col("shard"), col("__bk"), col("id"), col("sig"))
+      .as[(Long, String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new LshProcessor(maxBucketSize, numHashes),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The shared (batch/stream) row-local front half: id, full signature,
+    * exploded band keys, rendezvous shard — expression-for-expression the
+    * [[graft.dedup.Dedup.minHashLshPairsSharded]] banding, minus the
+    * corpus repartition (a stream is already partitioned by arrival).
+    * Public so the batch-replay equality spec can collect the IDENTICAL
+    * banded table the processor consumes. */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, seed: Long,
+      nShards: Int): DataFrame = {
+    val r = numHashes / bands
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.shingle_hashes(
+          graft.text.TextAnalysis.tokens(col(textCol)), shingleN, seed).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), graft.functions.minhash_from_hashes(col("sh"), numHashes).as("sig"))
+    val banded = base
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+      .withColumn("__bk",
+        concat(col("band").cast("string"), lit(":"), col("bucket").cast("string")))
+    graft.operators.Routing.rendezvousAssign(banded, "__bk", nShards)
+  }
+}

@@ -59,6 +59,52 @@ class Round9Spec extends SparkSpec {
     assert(!plan.contains(" IN ("), "candidates must not be a plan literal")
   }
 
+  test("dedup catalog is a commutative monoid; merge == one-shot; size is bounded") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val docs = Seq(                       // batch = doc_id % 3
+      (1L, "alpha beta"), (2L, "alpha  BETA"),      // same fp, batches 1/2
+      (3L, "gamma"), (4L, "gamma"),                 // same fp, batches 0/1
+      (5L, "delta"), (6L, "epsilon"), (7L, "alpha beta"))
+      .toDF("doc_id", "text")
+    def batch(b: Long) = docs.filter(col("doc_id") % 3 === b)
+    val cats = (0L to 2L).map(b => Dedup.dedupCatalogOfBatch(batch(b), "doc_id", "text", b))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fingerprint", "first_batch", "first_id", "n_seen")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // associativity + commutativity: any fold order yields the same state
+    val leftFold = rows(Dedup.dedupCatalogMerge(
+      Dedup.dedupCatalogMerge(cats(0), cats(1)), cats(2)))
+    val rightFold = rows(Dedup.dedupCatalogMerge(
+      cats(2), Dedup.dedupCatalogMerge(cats(1), cats(0))))
+    val flat = rows(Dedup.dedupCatalogMerge(cats: _*))
+    assert(leftFold === rightFold && leftFold === flat)
+    // bounded-size invariant: |state| == distinct fingerprints, not batches
+    val nFp = docs.select(graft.text.TextAnalysis.fingerprint(col("text")))
+      .distinct().count()
+    assert(leftFold.size.toLong === nFp)
+    // semantics vs a scalar replay: first = lexicographic min (batch, id)
+    val byFp = docs.collect().map { r =>
+      val id = r.getLong(0)
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString, id % 3, id)
+    }.groupBy(_._1)
+    val want = byFp.map { case (fp, rs) =>
+      val (_, fb, fi) = rs.minBy(t => (t._2, t._3))
+      (fp, fb, fi, rs.size.toLong)
+    }.toSet
+    assert(leftFold === want)
+    // the probe flags exactly the cataloged fingerprints
+    val flagged = Dedup.dedupCatalogFlag(
+      Dedup.dedupCatalogMerge(cats(0), cats(1)),
+      batch(2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // batch 2 = doc_ids {2, 5}: 2 ("alpha  BETA") dups batch-0 doc 1;
+    // 5 ("delta") is novel
+    assert(flagged === Map(2L -> 1, 5L -> 0))
+  }
+
   test("vocabCoverage ceiling divisions are integer-exact (div, not double /)") {
     import spark.implicits._
     // 10 tokens total; p=0.50 target = ceil(10*1/2) = 5 tokens
