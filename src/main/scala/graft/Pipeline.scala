@@ -158,6 +158,82 @@ object Pipeline {
     out
   }
 
+  /** Day-N INCREMENTAL curation against the standing dedup catalog
+    * ([[graft.dedup.Dedup.dedupCatalogOfBatch]] family) — the composition
+    * a daily 100 TB ingest actually runs, where "the corpus so far" is
+    * never re-scanned:
+    *
+    *  1. quality gate   — row-local, as [[curate]];
+    *  2. history dedup  — drop batch docs whose content fingerprint is
+    *     already CATALOGED ([[graft.dedup.Dedup.dedupCatalogFlag]]:
+    *     one probe join against distinct-content-sized state, O(batch +
+    *     state) instead of O(corpus));
+    *  3. in-batch dedup — keep-min-id per fingerprint within the batch;
+    *  4. decontaminate  — broadcast eval-gram anti-join, as [[curate]];
+    *  5. split          — deterministic md5-threshold labels.
+    *
+    * Returns `(curated, updatedCatalog)`: the catalog gains EVERY
+    * quality-gated batch fingerprint (including ones later dropped by
+    * decontamination — re-crawls of contaminated content stay deduped),
+    * via one [[graft.dedup.Dedup.dedupCatalogMerge]]. With an EMPTY
+    * catalog this equals the one-shot [[curate]] output on the batch
+    * (spec-asserted), which is the day-0 bootstrap. */
+  def curateIncremental(
+      catalog: DataFrame,
+      batch: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long,
+      minQuality: Double = 0.83,
+      contaminationNgram: Int = 8
+  ): (DataFrame, DataFrame) = {
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    val q = batch.repartition(par)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. history dedup: the catalog probe
+    val novel = graft.dedup.Dedup.dedupCatalogFlag(catalog, q, idCol, textCol)
+      .filter(col("is_dup") === 0).select(idCol)
+    val fresh = q.join(novel, Seq(idCol), "left_semi")
+    // 3. in-batch exact dedup (keep-min-id)
+    val keepIds = fresh
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val deduped = fresh.join(keepIds, Seq(idCol), "left_semi")
+    // 4. decontamination (broadcast eval grams)
+    def grams(df: DataFrame) = explode(graft.functions.shingle_hashes(
+      TextAnalysis.tokens(col(textCol)), contaminationNgram)).as("g")
+    val evalPar = evalDocs.repartition(par)
+    val evalGrams = evalPar.select(grams(evalPar)).distinct()
+    val contaminated = deduped.select(col(idCol), grams(deduped))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(idCol).distinct()
+    val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
+    // 5. split; eager so the gated cache can be released
+    val curated = Splits.assignSplit(clean, idCol)
+      .select(col(idCol), col("split"), col(textCol))
+      .localCheckpoint()
+    val updated = graft.dedup.Dedup.dedupCatalogMerge(catalog,
+        graft.dedup.Dedup.dedupCatalogOfBatch(q, idCol, textCol, batchId))
+      .localCheckpoint()
+    q.unpersist()
+    (curated, updated)
+  }
+
+  /** Empty catalog frame (day-0 bootstrap for [[curateIncremental]]). */
+  def emptyCatalog(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("fingerprint", StringType),
+        StructField("first_batch", LongType, nullable = false),
+        StructField("first_id", LongType),
+        StructField("n_seen", LongType, nullable = false))))
+  }
+
   def curateDetailed(
       docs: DataFrame,
       evalDocs: DataFrame,

@@ -1447,6 +1447,20 @@ object SparkEntry {
           idCol = "doc_id", textCol = "text", nShards = 8)
         .select("doc_id", "shard", "split").orderBy("doc_id")
     }),
+    // --- round 9: day-N incremental curation — history dedup via the
+    //     standing catalog probe (O(batch + state), no corpus re-scan),
+    //     then in-batch dedup -> decontaminate -> split ---
+    "q_curate_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val catalog = graft.dedup.Dedup.dedupCatalogOfBatch(
+        d.filter(col("doc_id") < 400), "doc_id", "text", 0L)
+      val (curated, _) = graft.Pipeline.curateIncremental(
+        catalog,
+        d.filter(col("doc_id") >= 400 && col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", batchId = 1L)
+      curated.select("doc_id", "split").orderBy("doc_id")
+    }),
     "q_curate_novel" -> ((s, dir) => {
       // full novelty-gated curation: quality gate -> exact dedup ->
       // decontaminate -> drop docs whose CDC chunks mostly exist in the
@@ -7250,6 +7264,55 @@ object SparkEntry {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM clean JOIN shards USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_curate_incremental" ->
+      // the incremental chain: quality gate over the day-1 batch, drop
+      // fingerprints already cataloged (docs < 400), in-batch keep-min
+      // dedup, eval decontamination, split
+      """WITH t0 AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id >= 400 AND doc_id % 10 != 0),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |    ['the','of','and','to','in','is','that','it','a'])) AS DOUBLE) AS stops
+        |  FROM t0),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mtl,
+        |  CASE WHEN nc BETWEEN 20.0 AND 100000.0 THEN 1.0 ELSE 0.0 END AS lok,
+        |  stops FROM f),
+        |h AS (SELECT doc_id,
+        |  0.3 * alpha_ratio + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.2 * lok
+        |    + 0.15 * (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |    + 0.15 * least(stops / 4.0, 1.0) AS raw FROM g),
+        |q AS (SELECT t0.doc_id, t0.text FROM t0 JOIN h USING (doc_id)
+        |  WHERE least(greatest(h.raw, 0.0), 1.0) >= 0.83),
+        |cf AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 400),
+        |fresh AS (SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM q
+        |  WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    NOT IN (SELECT fp FROM cf)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp),
+        |dd AS (SELECT fresh.doc_id, fresh.text FROM fresh JOIN keep USING (doc_id)),
+        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS t FROM documents
+        |        WHERE doc_id % 10 = 0) WHERE len(t) >= 8),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM dd)
+        |  WHERE len(t) >= 8),
+        |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g),
+        |clean AS (SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clean ORDER BY doc_id""".stripMargin,
     "q_curate_novel" ->
       """WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
         |f AS (SELECT doc_id,

@@ -45,6 +45,30 @@ class PipelineSpec extends SparkSpec {
       again.select("doc_id", "split").exceptAll(curated.select("doc_id", "split")).isEmpty)
   }
 
+  test("curateIncremental: empty catalog == one-shot curate; catalog update is the monoid merge") {
+    import graft.dedup.Dedup
+    val (day0, cat0) = Pipeline.curateIncremental(
+      Pipeline.emptyCatalog(spark), train, evalDocs, "doc_id", "text", batchId = 0L)
+    // day-0 bootstrap: no history to dedup against -> identical to curate
+    val g = curated.select("doc_id", "split")
+    val s0 = day0.select("doc_id", "split")
+    assert(g.exceptAll(s0).isEmpty && s0.exceptAll(g).isEmpty)
+    // the updated catalog is exactly merge(old, ofBatch(quality-gated day))
+    val gated = train.filter(
+      graft.text.TextAnalysis.qualityScore(col("text")) >= 0.83)
+    val want = Dedup.dedupCatalogOfBatch(gated, "doc_id", "text", 0L)
+    assert(cat0.exceptAll(want).isEmpty && want.exceptAll(cat0).isEmpty)
+    // day 1 is a FULL REPLAY of day 0: every fingerprint is cataloged,
+    // so nothing survives the history probe...
+    val (day1, cat1) = Pipeline.curateIncremental(
+      cat0, train, evalDocs, "doc_id", "text", batchId = 1L)
+    assert(day1.count() === 0L)
+    // ...and the catalog is SIZE-invariant (bounded by distinct content,
+    // not batch count) with every gated fingerprint seen again
+    assert(cat1.count() === cat0.count())
+    assert(cat1.agg(min("n_seen")).collect().head.getLong(0) >= 2L)
+  }
+
   test("curateSharded output is set-equal to the global curate, any nShards") {
     for (nShards <- Seq(1, 8)) {
       val sharded = Pipeline.curateSharded(
