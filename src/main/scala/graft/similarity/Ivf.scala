@@ -196,6 +196,43 @@ object Ivf {
     centroids
   }
 
+  /** INCREMENTAL index maintenance — the daily-ingest shape: assign a new
+    * batch to the EXISTING centroids (frozen quantizer, the standard IVF
+    * practice: re-training moves every list boundary and forces a full
+    * rebuild, so production indexes freeze the quantizer and re-train
+    * offline when [[indexStats]] shows drift) and APPEND the rows to the
+    * partitioned store. `searchIndex` over an incrementally-grown index is
+    * row-identical to one built in one shot with the same centroids
+    * (spec-asserted): assignment is per-row, the store is append-only, and
+    * probing reads whole lists. */
+  def appendToIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      centroids: Array[Array[Float]]
+  ): Unit =
+    batch
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list_id", argmaxList(col("v"), centroids))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
+  /** Per-list occupancy report for a disk index: `(list_id, n_vectors,
+    * load_ratio)` with `load_ratio` relative to perfect balance — the
+    * operator that decides when the frozen quantizer has drifted enough
+    * to re-train (a hot list degrades probe cost toward a scan). One
+    * aggregation over the index's partition column (list sizes only; the
+    * vectors are never read — column pruning reaches the scan). */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      nLists: Int): DataFrame = {
+    val per = spark.read.parquet(path)
+      .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
+    val tot = per.agg(sum("n_vectors").as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n_vectors"),
+        (col("n_vectors").cast("double") * nLists / col("__tot")).as("load_ratio"))
+  }
+
   /** Query a disk IVF index built by [[buildIndex]]: per-query probe lists
     * become a pushed-down `list_id IN (...)` partition filter. */
   def searchIndex(

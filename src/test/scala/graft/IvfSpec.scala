@@ -120,6 +120,35 @@ class IvfSpec extends SparkSpec {
     assert(a.forall(_.forall(v => math.abs(v) <= 1000000L)))
   }
 
+  test("incremental appendToIndex == one-shot index with the same centroids; stats balance") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: String): Unit = {
+      val f = java.nio.file.Paths.get(p)
+      if (Files.exists(f))
+        Files.walk(f).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    val incPath = "/tmp/graft_ivf_incremental"
+    val oncePath = "/tmp/graft_ivf_oneshot"
+    rmTree(incPath); rmTree(oncePath)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    // freeze the quantizer on day-0 data, then grow the index in batches
+    val centroids = Ivf.buildIndex(half1, "vec_id", "embedding", incPath, nLists = 16)
+    Ivf.appendToIndex(half2, "vec_id", "embedding", incPath, centroids)
+    // one-shot twin: the SAME frozen centroids over the union
+    Ivf.appendToIndex(emb, "vec_id", "embedding", oncePath, centroids)
+    val a = Ivf.searchIndex(spark, incPath, centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val b = Ivf.searchIndex(spark, oncePath, centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // occupancy report: every vector counted once, ratios sum to nLists
+    val stats = Ivf.indexStats(spark, incPath, nLists = 16).collect()
+    assert(stats.map(_.getLong(1)).sum === emb.count())
+    assert(math.abs(stats.map(_.getDouble(2)).sum - 16.0) < 1e-9)
+  }
+
   test("every corpus vector is assigned to exactly one list (partition of corpus)") {
     // at nProbe = nLists every query touches all lists, so candidate set per
     // query = corpus minus itself; k = corpus-1 returns every vector once
