@@ -1380,6 +1380,21 @@ object SparkEntry {
           d.filter(col("doc_id") >= 400), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // --- round 9: static corpus-mixing plan + its applied sample —
+    //     target-weight sampling rates (budget = min n_s/w_s), quantized
+    //     to the md5 sampler's 1/256 resolution ---
+    "q_mixture_plan" -> ((s, dir) => {
+      graft.operators.Splits.mixturePlan(t(s, dir, "documents"), "source",
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .orderBy("source")
+    }),
+    "q_mixture_sample" -> ((s, dir) => {
+      graft.operators.Splits.mixtureSample(t(s, dir, "documents"), "source",
+          "doc_id", size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // --- round 2 batch 2: per-source token budget (corpus mixing) ---
     "q_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -7158,6 +7173,40 @@ object SparkEntry {
         |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |   THEN 1 ELSE 0 END)::INT AS is_dup
         |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH per AS (SELECT source,
+        |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)) t(s, wt)),
+        |j AS (SELECT per.source, per.n_tokens, w.wt
+        |  FROM per LEFT JOIN w ON w.s = per.source),
+        |b AS (SELECT min(n_tokens::DOUBLE / wt) AS budget FROM j WHERE wt IS NOT NULL),
+        |r AS (SELECT source, n_tokens, coalesce(wt, 0.0) AS weight,
+        |    CASE WHEN wt IS NOT NULL
+        |      THEN least(1.0, wt * (SELECT budget FROM b) / n_tokens)
+        |      ELSE 0.0 END AS rate
+        |  FROM j)
+        |SELECT source, n_tokens, weight, rate,
+        |  floor(rate * 256)::INT AS threshold_256
+        |FROM r ORDER BY source""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH per AS (SELECT source,
+        |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)) t(s, wt)),
+        |j AS (SELECT per.source, per.n_tokens, w.wt
+        |  FROM per LEFT JOIN w ON w.s = per.source),
+        |b AS (SELECT min(n_tokens::DOUBLE / wt) AS budget FROM j WHERE wt IS NOT NULL),
+        |t AS (SELECT source,
+        |    floor(CASE WHEN wt IS NOT NULL
+        |      THEN least(1.0, wt * (SELECT budget FROM b) / n_tokens)
+        |      ELSE 0.0 END * 256)::INT AS t256
+        |  FROM j),
+        |thr AS (SELECT source,
+        |    CASE WHEN t256 >= 256 THEN 'zz' ELSE printf('%02x', t256) END AS h
+        |  FROM t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        |WHERE md5(d.doc_id::VARCHAR) < thr.h ORDER BY d.doc_id""".stripMargin,
     "q_token_budget" ->
       """WITH d AS (SELECT doc_id, source,
         |    len(regexp_extract_all(trim(text), '\S+')) AS w FROM documents),

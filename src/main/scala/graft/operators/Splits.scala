@@ -121,6 +121,57 @@ object Splits {
     df.filter(md5(col(idCol).cast("string")) < thr)
   }
 
+  /** Static corpus-mixing plan (the Pile/DoReMi-style "sample each source
+    * toward target weights" step a training pipeline runs before any data
+    * moves): from per-source TOKEN totals and target mixture weights,
+    * compute the largest token budget no source can oversample
+    * (`budget = min_s n_s / w_s` over weighted sources), each source's
+    * sampling rate `w_s · budget / n_s` (exactly 1 for the binding
+    * source), and the quantized 0..256 threshold [[stratifiedSample]]
+    * applies (`floor(rate·256)` — the md5 sampler's resolution; the
+    * REALIZED mixture therefore deviates from the target by ≤ 1/256 per
+    * source, the documented quantization bound). ONE map-side-combined
+    * aggregation + a one-row broadcast: the plan frame is a pure function
+    * of the data, no sampling, no clock. Sources absent from `weights`
+    * get rate 0 (dropped — the "not in the mixture" contract).
+    *
+    * Output: `(source, n_tokens, weight, rate, threshold_256)`. */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokenCount: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0),
+      "mixturePlan: weights must be a non-empty map of positive targets")
+    val wlit = array(weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      struct(lit(s).as("s"), lit(w).as("w"))
+    }: _*)
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCount).as("n_tokens"))
+      .withColumn("__w",
+        try_element_at(filter(wlit, e => e.getField("s") === col("source")), lit(1))
+          .getField("w"))
+    val budget = per.filter(col("__w").isNotNull)
+      .agg(min(col("n_tokens").cast("double") / col("__w")).as("__budget"))
+    per.crossJoin(broadcast(budget))
+      .withColumn("rate", when(col("__w").isNotNull,
+        least(lit(1.0), col("__w") * col("__budget") / col("n_tokens")))
+        .otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("__w"), lit(0.0)).as("weight"),
+        col("rate"),
+        floor(col("rate") * 256).cast("int").as("threshold_256"))
+  }
+
+  /** Apply a [[mixturePlan]]: the plan's per-source thresholds (a
+    * #sources-bounded collect) drive the row-local md5
+    * [[stratifiedSample]] — deterministic, partition-stable, pushed to
+    * the scan. The composition a mixing job actually ships. */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCount: Column, weights: Map[String, Double]): DataFrame = {
+    val plan = mixturePlan(df, sourceCol, tokenCount, weights)
+      .select("source", "threshold_256")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    stratifiedSample(df, sourceCol, idCol, plan, defaultUpper = 0)
+  }
+
   /** Horvitz–Thompson stratified totals from the DETERMINISTIC
     * [[stratifiedSample]]: each stratum's sampled `valueCol` sum is
     * inflated by its known inclusion probability `threshold/256`,

@@ -105,6 +105,32 @@ class Round9Spec extends SparkSpec {
     assert(flagged === Map(2L -> 1, 5L -> 0))
   }
 
+  test("mixturePlan: binding source saturates at rate 1, rates realize weights, absent sources drop") {
+    import spark.implicits._
+    import graft.operators.Splits
+    // src a: 1000 tokens, b: 1000, c: 300, d unweighted
+    val df = Seq(("a", 1000L), ("b", 1000L), ("c", 300L), ("d", 500L))
+      .toDF("source", "tok")
+    val plan = Splits.mixturePlan(df, "source", col("tok"),
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    // budget = min(1000/0.5, 1000/0.3, 300/0.2) = 1500 -> c binds at rate 1
+    assert(plan("c")._3 === 1.0 && plan("c")._4 === 256)
+    assert(math.abs(plan("a")._3 - 0.75) < 1e-12)  // 0.5*1500/1000
+    assert(math.abs(plan("b")._3 - 0.45) < 1e-12)  // 0.3*1500/1000
+    assert(plan("d")._3 === 0.0 && plan("d")._4 === 0)
+    // realized token mixture == target weights exactly at the unquantized
+    // rates: rate_s * n_s = w_s * budget
+    val realized = Seq("a", "b", "c").map(s => plan(s)._3 * plan(s)._1)
+    assert(realized.zip(Seq(0.5, 0.3, 0.2)).forall { case (r, w) =>
+      math.abs(r - w * 1500.0) < 1e-9 })
+    // the sampler only keeps weighted sources
+    val sampled = Splits.mixtureSample(df, "source", "source", col("tok"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(sampled.filter(col("source") === "d").count() === 0L)
+  }
+
   test("vocabCoverage ceiling divisions are integer-exact (div, not double /)") {
     import spark.implicits._
     // 10 tokens total; p=0.50 target = ceil(10*1/2) = 5 tokens
