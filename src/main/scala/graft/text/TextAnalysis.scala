@@ -631,6 +631,31 @@ object TextAnalysis {
         round(col("n_boiler").cast("double") / col("n_grams"), 6))
   }
 
+  /** The 100 TB twin of [[boilerplateStats]]: identical dataflow, but the
+    * exchanged gram key is the 64-bit kernel shingle hash
+    * ([[graft.functions.shingle_hashes]] — sorted distinct per doc, one
+    * codegen pass) instead of the gram STRING, shrinking the two keyed
+    * shuffles to 8 bytes per gram. Output is row-identical to the string
+    * path up to 64-bit hash collisions (spec-asserted equal on the
+    * fixture; collision odds |grams|²/2⁶⁴). The string path remains the
+    * oracle surface — SQL replays its grams verbatim. */
+  def boilerplateStatsHashed(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minDocs: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(n > 0 && minDocs >= 2, "need n > 0 and minDocs >= 2 (1 would flag every gram)")
+    val id = col(idCol)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df.repartition(par)
+      .select(id, explode(graft.functions.shingle_hashes(
+        tokens(col(textCol)), n)).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    grams.withColumn("__n_docs", count(lit(1)).over(w))
+      .groupBy(id).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+  }
+
   /** Winnowing rolling fingerprints (Schleimer et al., SIGMOD'03): hash
     * every k-gram of the whitespace-normalized lowercase text, keep the
     * sorted distinct minima of all w-windows. Backed by a one-pass codegen

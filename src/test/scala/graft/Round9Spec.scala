@@ -131,6 +131,16 @@ class Round9Spec extends SparkSpec {
     assert(sampled.filter(col("source") === "d").count() === 0L)
   }
 
+  test("boilerplateStatsHashed is row-identical to the string-gram path on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "n_boiler", "boiler_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val s = rows(graft.text.TextAnalysis.boilerplateStats(docs, "doc_id", "text"))
+    val h = rows(graft.text.TextAnalysis.boilerplateStatsHashed(docs, "doc_id", "text"))
+    assert(s.nonEmpty && s === h)
+  }
+
   test("vocabCoverage ceiling divisions are integer-exact (div, not double /)") {
     import spark.implicits._
     // 10 tokens total; p=0.50 target = ceil(10*1/2) = 5 tokens
