@@ -76,7 +76,10 @@ object ScaleLadder {
     // round-9 additions (VERDICT r08 item 6): winnow on the fixed BIGINT
     // scale path, the series-ln log-loss scan, and the shard-routed
     // curation composition
-    "q_winnow", "q_log_loss", "q_curate_sharded")
+    "q_winnow", "q_log_loss", "q_curate_sharded",
+    // round-9 second slate: the catalog fold (corpus-wide fingerprint
+    // aggregation x3 batches + monoid merge)
+    "q_dedup_catalog")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
