@@ -1338,6 +1338,16 @@ object SparkEntry {
         idCol = "doc_id", textCol = "text", n = 8)
         .orderBy("eval_id")
     }),
+    // --- round 9: per-example contamination scores (GPT-3 appendix-C
+    //     style: best-matching train doc + overlap fraction per eval doc) ---
+    "q_contamination_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.contaminationScores(
+        train = d.filter(col("doc_id") % 10 =!= 0),
+        eval_ = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy("eval_id")
+    }),
     // --- round 2: embedding norm + int8 quantization audit ---
     "q_embed_quantize" -> ((s, dir) => {
       graft.similarity.Similarity.quantizeSummary(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -7124,6 +7134,30 @@ object SparkEntry {
         |SELECT eg.eval_id, coalesce(n_train_docs, 0)::BIGINT AS n_train_docs,
         |  coalesce(n_shared_grams, 0)::BIGINT AS n_shared_grams, n_eval_grams
         |FROM eg LEFT JOIN hits ON eg.eval_id = hits.eval_id ORDER BY 1""".stripMargin,
+    "q_contamination_scores" ->
+      // best-match selection: rank 1 by (n_shared desc, train_id asc);
+      // zero-overlap eval docs surface with (null, 0, 0.0)
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g FROM toks WHERE len(t) >= 8),
+        |e AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 10 != 0),
+        |pairs AS (SELECT e.doc_id AS eval_id, tr.doc_id AS train_id,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM e JOIN tr ON e.g = tr.g GROUP BY 1, 2),
+        |best AS (SELECT eval_id, train_id, n_shared FROM (
+        |    SELECT eval_id, train_id, n_shared,
+        |      row_number() OVER (PARTITION BY eval_id
+        |        ORDER BY n_shared DESC, train_id ASC) AS rn
+        |    FROM pairs) WHERE rn = 1),
+        |eg AS (SELECT doc_id AS eval_id,
+        |    (CASE WHEN len(t) >= 8 THEN len(list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) ELSE 0 END)::BIGINT AS n_eval_grams
+        |  FROM toks WHERE doc_id % 10 = 0)
+        |SELECT eg.eval_id, best.train_id AS best_train_id,
+        |  coalesce(best.n_shared, 0)::BIGINT AS n_shared, eg.n_eval_grams,
+        |  round(coalesce(best.n_shared, 0)::DOUBLE / greatest(eg.n_eval_grams, 1), 6) AS overlap_frac
+        |FROM eg LEFT JOIN best ON eg.eval_id = best.eval_id ORDER BY 1""".stripMargin,
     "q_embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

@@ -176,6 +176,53 @@ object Dedup {
         when(col("__graft_hit").isNotNull, 1).otherwise(0).as("is_dup"))
   }
 
+  /** Per-example contamination SCORES (the GPT-3 appendix-C style audit,
+    * complementing [[crossNgramContamination]]'s counts): for every eval
+    * document, the single train document sharing the most distinct word
+    * `n`-grams with it, and the overlap fraction
+    * `n_shared / n_eval_grams` — the number an eval-hygiene report ranks
+    * by before deciding what to strike. Same scale shape as the count
+    * report: eval grams broadcast, the train corpus streams through one
+    * narrow explode + broadcast join (never shuffled), and the per-pair
+    * aggregation runs on MATCHES only; the best-match selection is a
+    * rank-1 window over the match frame (`WindowGroupLimit` bounds it
+    * before the exchange). Ties break to the smaller train id. Eval docs
+    * with no overlap report `(null, 0, 0.0)` — absence is the healthy
+    * signal and must be visible.
+    *
+    * Output: `(eval_id, best_train_id, n_shared, n_eval_grams,
+    * overlap_frac)`. */
+  def contaminationScores(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(graft.functions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("g"))
+    val eg = grams(eval_, "eval_id")
+    val tg = grams(train, "train_id")
+    val pairs = tg.join(broadcast(eg), Seq("g"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc side
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
+      .orderBy(col("n_shared").desc, col("train_id").asc)
+    val best = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val evalGramCounts = eval_.select(col(idCol).as("eval_id"),
+      size(graft.functions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), n)).cast("long").as("n_eval_grams"))
+    evalGramCounts.join(best, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"), col("train_id").as("best_train_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_eval_grams"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          greatest(col("n_eval_grams"), lit(1L)), 6).as("overlap_frac"))
+  }
+
   /** Cross-dataset n-gram contamination report (train/eval decontamination —
     * the step that keeps benchmark text out of a training corpus). For every
     * eval document: how many train documents share at least one word n-gram
