@@ -1405,6 +1405,30 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id", "source").orderBy("doc_id")
     }),
+    // --- round 9 second slate: up-sampling epoch plan (LLaMA-style
+    //     repeat factors, binding source at the cap) ---
+    "q_epoch_plan" -> ((s, dir) => {
+      graft.operators.Splits.epochPlan(t(s, dir, "documents"), "source",
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), maxRepeat = 4.0)
+        .orderBy("source")
+    }),
+    // --- round 9 second slate: deterministic md5 corpus shuffle (first
+    //     100 positions of the seeded order) ---
+    "q_det_shuffle" -> ((s, dir) => {
+      graft.operators.Splits.deterministicShuffle(
+          t(s, dir, "documents"), "doc_id", seed = "epoch7")
+        .select("doc_id", "shuffle_key").limit(100)
+        .orderBy("shuffle_key")
+    }),
+    // --- round 9 second slate: sliding-window context chunks with
+    //     overlap + guaranteed tail coverage ---
+    "q_sliding_chunks" -> ((s, dir) => {
+      graft.text.TextAnalysis.slidingChunks(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // --- round 2 batch 2: per-source token budget (corpus mixing) ---
     "q_token_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -7207,6 +7231,39 @@ object SparkEntry {
         |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |   THEN 1 ELSE 0 END)::INT AS is_dup
         |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH per AS (SELECT source,
+        |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)) t(s, wt)),
+        |j AS (SELECT per.source, per.n_tokens, w.wt
+        |  FROM per LEFT JOIN w ON w.s = per.source),
+        |b AS (SELECT min(4.0 * n_tokens::DOUBLE / wt) AS budget FROM j WHERE wt IS NOT NULL)
+        |SELECT source, n_tokens, coalesce(wt, 0.0) AS weight,
+        |  CASE WHEN wt IS NOT NULL
+        |    THEN wt * (SELECT budget FROM b) / n_tokens ELSE 0.0 END AS repeat_factor,
+        |  CASE WHEN wt IS NOT NULL
+        |    THEN wt * (SELECT budget FROM b) ELSE 0.0 END AS planned_tokens
+        |FROM j ORDER BY source""".stripMargin,
+    "q_det_shuffle" ->
+      """SELECT doc_id, md5('epoch7:' || doc_id::VARCHAR) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+    "q_sliding_chunks" ->
+      // same start grid: 1, 1+48, ... capped at len-63, plus the clamped
+      // final start; 0-based chunk_idx over the sorted distinct starts
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+        |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL),
+        |s AS (SELECT doc_id, t,
+        |    list_sort(list_distinct(list_append(
+        |      range(1, greatest(len(t) - 63, 1) + 1, 48),
+        |      greatest(len(t) - 63, 1)::BIGINT))) AS starts
+        |  FROM toks WHERE len(t) > 0),
+        |ex AS (SELECT doc_id, t, starts,
+        |    unnest(range(1, len(starts) + 1)) AS i FROM s)
+        |SELECT doc_id, (i - 1)::INT AS chunk_idx,
+        |  array_to_string(t[starts[i::INT]:starts[i::INT] + 63], ' ') AS chunk_text,
+        |  least(64, len(t) - starts[i::INT] + 1)::INT AS n_tokens
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_mixture_plan" ->
       """WITH per AS (SELECT source,
         |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens

@@ -160,6 +160,55 @@ object Splits {
         floor(col("rate") * 256).cast("int").as("threshold_256"))
   }
 
+  /** Up-sampling epoch plan — [[mixturePlan]]'s complement for the
+    * LLaMA-style recipe where LOW-resource sources REPEAT (epochs > 1) up
+    * to a cap instead of high-resource sources being cut: the budget is
+    * the largest total such that no source repeats more than `maxRepeat`
+    * times (`budget = min_s maxRepeat · n_s / w_s`), and each source's
+    * repeat factor is `w_s · budget / n_s ∈ (0, maxRepeat]` (the binding
+    * source sits exactly at the cap). `planned_tokens = w_s · budget`
+    * realizes the target mixture exactly. Same shape as the mixture
+    * plan: one map-side-combined aggregation + a one-row broadcast.
+    * Unweighted sources plan zero. Output: `(source, n_tokens, weight,
+    * repeat_factor, planned_tokens)`. */
+  def epochPlan(df: DataFrame, sourceCol: String, tokenCount: Column,
+      weights: Map[String, Double], maxRepeat: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0),
+      "epochPlan: weights must be a non-empty map of positive targets")
+    require(maxRepeat >= 1.0, s"epochPlan: maxRepeat=$maxRepeat must be >= 1")
+    val wlit = array(weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      struct(lit(s).as("s"), lit(w).as("w"))
+    }: _*)
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCount).as("n_tokens"))
+      .withColumn("__w",
+        try_element_at(filter(wlit, e => e.getField("s") === col("source")), lit(1))
+          .getField("w"))
+    val budget = per.filter(col("__w").isNotNull)
+      .agg(min(lit(maxRepeat) * col("n_tokens").cast("double") / col("__w"))
+        .as("__budget"))
+    per.crossJoin(broadcast(budget))
+      .withColumn("repeat_factor", when(col("__w").isNotNull,
+        col("__w") * col("__budget") / col("n_tokens")).otherwise(lit(0.0)))
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("__w"), lit(0.0)).as("weight"),
+        col("repeat_factor"),
+        when(col("__w").isNotNull, col("__w") * col("__budget"))
+          .otherwise(lit(0.0)).as("planned_tokens"))
+  }
+
+  /** Deterministic corpus shuffle: a pure ORDER BY on
+    * `md5(seed ':' id)` — reproducible across runs, partitionings, and
+    * engines (any SQL engine derives the identical order), unlike
+    * `orderBy(rand())`. The sort is range-partitioned (Spark's
+    * distributed sort) — no single-partition stage; the seed rotates the
+    * order between training runs. Returns the frame sorted with the sort
+    * key exposed as `shuffle_key`. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .orderBy("shuffle_key")
+
   /** Apply a [[mixturePlan]]: the plan's per-source thresholds (a
     * #sources-bounded collect) drive the row-local md5
     * [[stratifiedSample]] — deterministic, partition-stable, pushed to

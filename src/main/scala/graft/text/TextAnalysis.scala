@@ -656,6 +656,35 @@ object TextAnalysis {
         round(col("n_boiler").cast("double") / col("n_grams"), 6))
   }
 
+  /** Sliding-window context chunks with overlap — the long-document prep
+    * that feeds fixed-window training (stride < window duplicates the
+    * boundary tokens so no span is ever split across examples without a
+    * copy that contains it whole). Window starts are the arithmetic grid
+    * `1, 1+stride, …` capped at `len − window + 1`, PLUS the clamped
+    * final start so the tail tokens are always covered (spec-asserted:
+    * every token index lies in some chunk); documents shorter than
+    * `window` yield one short chunk. Row-local explode — no shuffle, no
+    * state; one row per `(doc, chunk_idx)` with the chunk text and token
+    * count. */
+  def slidingChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window, stride=$stride)")
+    val toks = tokens(col(textCol))
+    val len = size(toks)
+    val g = greatest(len - lit(window - 1), lit(1))
+    val starts = array_sort(array_distinct(concat(
+      sequence(lit(1), g, lit(stride)), array(g))))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"), starts.as("__s"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        posexplode(col("__s")).as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__t"), col("__start"), lit(window)), " ").as("chunk_text"),
+        least(lit(window), size(col("__t")) - col("__start") + 1).as("n_tokens"))
+  }
+
   /** Winnowing rolling fingerprints (Schleimer et al., SIGMOD'03): hash
     * every k-gram of the whitespace-normalized lowercase text, keep the
     * sorted distinct minima of all w-windows. Backed by a one-pass codegen

@@ -141,6 +141,54 @@ class Round9Spec extends SparkSpec {
     assert(s.nonEmpty && s === h)
   }
 
+  test("slidingChunks: full token coverage, exact window/stride grid, short-doc single chunk") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // len 11: starts 1,4,7,8
+      (2L, "a b c"),                                   // len 3 < window -> one chunk
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.slidingChunks(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // grid 1,4,7 capped at len-w+1=8, plus clamped final start 8
+    assert(d1.map(_._3).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t8 t9 t10 t11"))
+    assert(d1.forall(_._4 == 4))
+    // coverage: every token index appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 11).map(i => s"t$i").toSet)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "a b c" && d2.head._4 == 3)
+    assert(!got.exists(t => t._1 == 3L || t._1 == 4L))
+  }
+
+  test("epochPlan: binding source at the cap, planned tokens realize the mixture") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val df = Seq(("a", 1000L), ("b", 100L), ("c", 500L)).toDF("source", "tok")
+    val plan = Splits.epochPlan(df, "source", col("tok"),
+        Map("a" -> 0.5, "b" -> 0.5), maxRepeat = 4.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // budget = min(4*1000/0.5, 4*100/0.5) = 800 -> b binds at repeat 4.0
+    assert(plan("b")._1 === 4.0 && plan("b")._2 === 400.0)
+    assert(math.abs(plan("a")._1 - 0.4) < 1e-12 && plan("a")._2 === 400.0)
+    assert(plan("c") === ((0.0, 0.0))) // unweighted source drops
+  }
+
+  test("deterministicShuffle: identical order across reruns and repartitionings, seed rotates") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val df = (1L to 200L).toDF("id")
+    def order(d: org.apache.spark.sql.DataFrame, seed: String): Seq[Long] =
+      Splits.deterministicShuffle(d, "id", seed).collect().map(_.getLong(0)).toSeq
+    val o1 = order(df, "s1")
+    assert(o1 === order(df.repartition(13), "s1"))
+    assert(o1 !== order(df, "s2"))
+    assert(o1.toSet === (1L to 200L).toSet) // a permutation, nothing lost
+  }
+
   test("vocabCoverage ceiling divisions are integer-exact (div, not double /)") {
     import spark.implicits._
     // 10 tokens total; p=0.50 target = ceil(10*1/2) = 5 tokens
