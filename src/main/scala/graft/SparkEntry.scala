@@ -1405,9 +1405,9 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id", "source").orderBy("doc_id")
     }),
-    // --- round 9 second slate: up-sampling epoch plan (LLaMA-style
+    // --- round 9 second slate: up-sampling repeat plan (LLaMA-style
     //     repeat factors, binding source at the cap) ---
-    "q_epoch_plan" -> ((s, dir) => {
+    "q_repeat_plan" -> ((s, dir) => {
       graft.operators.Splits.epochPlan(t(s, dir, "documents"), "source",
           size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"),
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), maxRepeat = 4.0)
@@ -7231,7 +7231,7 @@ object SparkEntry {
         |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |   THEN 1 ELSE 0 END)::INT AS is_dup
         |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
-    "q_epoch_plan" ->
+    "q_repeat_plan" ->
       """WITH per AS (SELECT source,
         |    sum(len(regexp_extract_all(trim(text), '\S+')))::BIGINT AS n_tokens
         |  FROM documents GROUP BY 1),
