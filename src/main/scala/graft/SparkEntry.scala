@@ -10388,8 +10388,8 @@ object SparkEntry {
         |      - 3.0 * (n::DOUBLE + 1) AS h0, tt.tt
         |  FROM q CROSS JOIN tt)
         |SELECT k, n, floor(h0 * 1e6 + 0.5) / 1e6 AS h,
-        |  floor(h0 / (1.0 - tt::DOUBLE / (n::DOUBLE * n * n - n)) * 1e6 + 0.5)
-        |    / 1e6 AS h_tie
+        |  floor(h0 / NULLIF(1.0 - tt::DOUBLE / (n::DOUBLE * n * n - n), 0.0)
+        |    * 1e6 + 0.5) / 1e6 AS h_tie
         |FROM h""".stripMargin,
     "q_chi2_terms" ->
       raw"""WITH d AS (SELECT doc_id, lang AS class,

@@ -212,9 +212,11 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("train_id").asc)
     val best = pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // greatest(.., 0): size(null) is -1 with ANSI off, and a null-text eval
+    // doc must report 0 grams (the oracle's CASE ... ELSE 0), not -1
     val evalGramCounts = eval_.select(col(idCol).as("eval_id"),
-      size(graft.functions.shingle_hashes(
-        TextAnalysis.tokens(col(textCol)), n)).cast("long").as("n_eval_grams"))
+      greatest(size(graft.functions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), n)), lit(0)).cast("long").as("n_eval_grams"))
     evalGramCounts.join(best, Seq("eval_id"), "left_outer")
       .select(col("eval_id"), col("train_id").as("best_train_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -263,9 +265,10 @@ object Dedup {
       .groupBy(col("eval_id"))
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
         countDistinct(col("g")).as("n_shared_grams"))
+    // greatest(.., 0): null-text eval docs count 0 grams, not size(null) = -1
     val evalGramCounts = eval_.select(col(idCol).as("eval_id"),
-      size(graft.functions.shingle_hashes(
-        TextAnalysis.tokens(col(textCol)), n)).as("n_eval_grams"))
+      greatest(size(graft.functions.shingle_hashes(
+        TextAnalysis.tokens(col(textCol)), n)), lit(0)).as("n_eval_grams"))
     evalGramCounts.join(hits, Seq("eval_id"), "left_outer")
       .select(col("eval_id"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),

@@ -46,27 +46,36 @@ object StreamingDedupCatalog {
     override def handleInputRows(shard: Long,
         rows: Iterator[(Long, String, Long)],
         timerValues: TimerValues): Iterator[CatalogFlag] = {
-      // buffer the batch per fingerprint: admission must be order-free
-      val perFp = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      // Order-free admission needs each fingerprint's batch-MIN id, which is
+      // only known after the full pass — so one buffered pass is inherent.
+      // Memory discipline: ONE flat (fp, id) buffer (O(shard's slice of the
+      // micro-batch) — the executor-memory bound; size micro-batches
+      // accordingly) plus a per-DISTINCT-fingerprint (min, count) map; flags
+      // then stream lazily off the flat buffer instead of materializing a
+      // second batch-sized output list.
+      val flat = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val stats = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
       rows.foreach { case (_, fp, id) =>
-        perFp.getOrElseUpdate(fp, scala.collection.mutable.ArrayBuffer.empty) += id
+        flat += ((fp, id))
+        stats.updateWith(fp) {
+          case Some((mn, c)) => Some((math.min(mn, id), c + 1))
+          case None => Some((id, 1L))
+        }
+        ()
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[CatalogFlag]
-      perFp.foreach { case (fp, ids) =>
+      // resolve first-id per fingerprint (existing catalog entry wins) and
+      // update state EAGERLY — the returned iterator is pure after this
+      val first = stats.map { case (fp, (batchMin, cnt)) =>
         val existing = if (entries.containsKey(fp)) Some(entries.getValue(fp)) else None
-        val first = existing match {
-          case Some(e) => e.firstId
-          case None => ids.min // deterministic in-batch admission
-        }
-        ids.foreach { id =>
-          val dup = existing.isDefined || id != first
-          out += CatalogFlag(id, fp, if (dup) 1 else 0, first)
-        }
-        entries.updateValue(fp,
-          CatEntry(first, existing.map(_.nSeen).getOrElse(0L) + ids.length))
+        val f = existing.map(_.firstId).getOrElse(batchMin)
+        val dupAll = existing.isDefined // cataloged before this batch
+        entries.updateValue(fp, CatEntry(f, existing.map(_.nSeen).getOrElse(0L) + cnt))
+        fp -> ((f, dupAll))
       }
-      out.iterator
+      flat.iterator.map { case (fp, id) =>
+        val (f, dupAll) = first(fp)
+        CatalogFlag(id, fp, if (dupAll || id != f) 1 else 0, f)
+      }
     }
   }
 

@@ -55,19 +55,39 @@ object StreamingLshDedup {
     override def handleInputRows(shard: Long,
         rows: Iterator[(Long, String, Long, Seq[Long])],
         timerValues: TimerValues): Iterator[LshCandidate] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
+      // Buffer the micro-batch per bucket key and admit NEW ids in sorted
+      // (min-first) order: when a bucket fills mid-batch, WHICH ids get
+      // admitted — and therefore which candidate pairs exist — must be a
+      // pure function of (batching, data), never of nondeterministic row
+      // arrival order (the CatalogProcessor admission discipline, applied
+      // to the cap path; cap-overflow spec-asserted).
+      val perBucket = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.TreeMap[Long, Seq[Long]]]
       rows.foreach { case (_, bk, id, sig) =>
-        val st = if (buckets.containsKey(bk)) buckets.getValue(bk)
+        perBucket.getOrElseUpdate(bk,
+          scala.collection.mutable.TreeMap.empty[Long, Seq[Long]])
+          .getOrElseUpdate(id, sig)
+        ()
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
+      perBucket.foreach { case (bk, newbies) =>
+        var st = if (buckets.containsKey(bk)) buckets.getValue(bk)
           else BucketState(Seq.empty, Seq.empty)
-        // admitted once per (bucket, id): replays emit nothing
-        if (!st.ids.contains(id) && st.ids.length < cap) {
-          st.ids.zip(st.sigs).foreach { case (oid, osig) =>
-            val same = osig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
-            out += LshCandidate(shard, math.min(id, oid), math.max(id, oid),
-              same, numHashes, same.toDouble / numHashes)
+        var changed = false
+        // TreeMap iterates ascending by id — deterministic admission order
+        newbies.foreach { case (id, sig) =>
+          // admitted once per (bucket, id): replays emit nothing
+          if (!st.ids.contains(id) && st.ids.length < cap) {
+            st.ids.zip(st.sigs).foreach { case (oid, osig) =>
+              val same = osig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+              out += LshCandidate(shard, math.min(id, oid), math.max(id, oid),
+                same, numHashes, same.toDouble / numHashes)
+            }
+            st = BucketState(st.ids :+ id, st.sigs :+ sig)
+            changed = true
           }
-          buckets.updateValue(bk, BucketState(st.ids :+ id, st.sigs :+ sig))
         }
+        if (changed) buckets.updateValue(bk, st)
       }
       out.iterator
     }

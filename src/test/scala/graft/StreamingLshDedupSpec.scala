@@ -98,6 +98,49 @@ class StreamingLshDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucket cap: mid-batch overflow admits min-first, full buckets emit nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // identical text -> identical signatures -> every doc lands in the SAME
+    // buckets; ids arrive in scrambled order so order-dependent admission
+    // would admit {5, 3} instead of the sorted {1, 3}
+    val text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val scrambled = Seq(5L, 3L, 9L, 1L, 7L).map(id => (id, text))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamingLshDedup.candidatePairs(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = N_HASHES, bands = BANDS, seed = 42L,
+        maxBucketSize = 2, nShards = N_SHARDS)
+      .writeStream.format("memory").queryName("lsh_cap").outputMode("update").start()
+    try {
+      mem.addData(scrambled: _*)
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_cap").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      // deterministic min-first admission: ONLY the two smallest ids occupy
+      // any bucket, so (1, 3) is the only possible pair
+      assert(pairs === Set((1L, 3L)),
+        s"cap admission must be min-first; got $pairs")
+      // a later batch cannot enter the full buckets — nothing is emitted
+      val before = spark.table("lsh_cap").count()
+      mem.addData((0L, text))
+      q.processAllAvailable()
+      assert(spark.table("lsh_cap").count() === before,
+        "full buckets must admit no further ids")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("batch-split invariance: one batch vs doc-at-a-time yield the same set") {
     val s = spark
     import s.implicits._
