@@ -3771,6 +3771,23 @@ object SparkEntry {
           shortlist = 100)
         .orderBy("query_id", "rank")
     }),
+    // --- round 10: the COMPOSED production ANN path (IVFADC-R on disk) —
+    //     one operator: on-disk code store partitioned by IVF list,
+    //     partition-pruned + column-pruned ADC pass over the codes,
+    //     shortlist, then a bounded exact re-rank reading raw vectors for
+    //     |queries|·shortlist rows only. Row-identical to the in-memory
+    //     ivfPqRerankTopK twin (AnnIndexSpec); recall@5 = 0.96 at the
+    //     shipped nProbe=12/16 + shortlist=100 (floor 0.90). ---
+    "q_ann_disk_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_disk_rerank"
+      val model = graft.similarity.AnnIndex.buildIndex(e, "vec_id", "embedding",
+        path, dim = 64, nLists = 16, m = 8, kCodes = 16)
+      graft.similarity.AnnIndex.searchIndex(s, path, model,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          topK = 5, nProbe = 12, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
     // --- round 8: IVF-PQ (IVFADC) — coarse routing + ADC over codes
     //     within the probed lists; the full billion-scale ANN stack ---
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -4763,12 +4780,12 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-PQ twin ([[graft.similarity.Pq.ivfPqTopK]]): the `i`-prefixed
-    * IVF chain (2048-sample dot-Lloyd, corpus list assignment ties to the
-    * SMALLER cid, probe ties to the HIGHER) routes; the shared PQ chain
-    * ([[pqTrainCtes]]) compresses; ADC ranks within the probed lists. */
-  private lazy val ivfPqSql: String =
-    s"""WITH ismp AS (
+  /** Shared IVF routing CTEs (the `i`-prefixed chain: 2048-sample
+    * dot-Lloyd, corpus list assignment ties to the SMALLER cid, probe ties
+    * to the HIGHER): `iasg(vec_id, list_id)` routes the corpus,
+    * `iprb(query_id, list_id)` holds each query's `nProbe` best lists. */
+  private def ivfRouteCtes(nProbe: Int): String =
+    s"""ismp AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048)),
@@ -4793,7 +4810,13 @@ object SparkEntry {
        |iprb AS (
        |  SELECT vec_id AS query_id, cid AS list_id FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS pn
-       |    FROM iad WHERE vec_id < 10) WHERE pn <= 6),
+       |    FROM iad WHERE vec_id < 10) WHERE pn <= $nProbe)""".stripMargin
+
+  /** IVF-PQ twin ([[graft.similarity.Pq.ivfPqTopK]]): the shared IVF
+    * routing chain ([[ivfRouteCtes]]) routes; the shared PQ chain
+    * ([[pqTrainCtes]]) compresses; ADC ranks within the probed lists. */
+  private lazy val ivfPqSql: String =
+    s"""WITH ${ivfRouteCtes(6)},
        |$pqTrainCtes,
        |qlut AS (
        |  SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
@@ -4814,6 +4837,48 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
        |  FROM adc)
        |SELECT query_id, rank::INT AS rank, neighbor_id, adc AS adc_dist
+       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Disk-composed IVFADC-R twin ([[graft.similarity.AnnIndex
+    * .searchIndex]]): the same routing + compression chains at nProbe=12
+    * rank an ADC shortlist of 100 within the probed lists; the exact
+    * cosine pass over the raw embeddings re-ranks it (the pqRerankSql
+    * tail). The engine's disk detour — a partitioned code store, two
+    * pruned scans — is semantically invisible, so the oracle replays the
+    * algebra straight through. */
+  private lazy val annDiskRerankSql: String =
+    s"""WITH ${ivfRouteCtes(12)},
+       |$pqTrainCtes,
+       |qlut AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> ((q.sv[i] - c.cv[i])::DOUBLE) * ((q.sv[i] - c.cv[i])::DOUBLE))) AS lut
+       |  FROM (SELECT * FROM av WHERE vec_id < 10) q
+       |  JOIN pc4 c ON c.sub = q.sub),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM iprb p JOIN iasg a ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.lut)::BIGINT AS adc
+       |  FROM cand c JOIN pasg pa ON pa.vec_id = c.vec_id
+       |  JOIN qlut l ON l.query_id = c.query_id AND l.sub = pa.sub AND l.code = pa.cid
+       |  GROUP BY 1, 2),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS arank
+       |    FROM adc) WHERE arank <= 100),
+       |rx AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS c
+       |  FROM sl s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+       |  FROM rx)
+       |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Bradley–Terry twin: HUGEINT MM iterations over the tiny player
@@ -5044,6 +5109,7 @@ object SparkEntry {
     "q_pq_adc_topk" -> pqAdcSql,
     "q_pq_rerank_topk" -> pqRerankSql,
     "q_ivfpq_topk" -> ivfPqSql,
+    "q_ann_disk_rerank" -> annDiskRerankSql,
     "q_bradley_terry" -> bradleyTerrySql,
     "q_sprt" -> sprtSql,
     "q_krippendorff" ->

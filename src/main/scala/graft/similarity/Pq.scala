@@ -80,7 +80,7 @@ object Pq {
     }
   }
 
-  private def q6(vec: Column): Column =
+  private[similarity] def q6(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000000.0)))
 
   /** Row-local L2² of a quantized subvector against one codebook row. */
@@ -117,6 +117,51 @@ object Pq {
       .withColumn("best", array_min(cands))
       .select(col("id"), col("sub"), col("best.c").as("code"),
         col("best.d").as("err_q"))
+  }
+
+  /** WIDE row-local code assignment — the codes a disk index stores: ONE
+    * `array<int>` of `m` nearest-code ids per vector, same integer-exact
+    * L2 argmin and smaller-code tie rule as [[assignCodes]] (lexicographic
+    * struct-min), but with no explode and no shuffle: the codebook rides
+    * as one literal nested array and the whole assignment is a single
+    * nested-HOF expression in the scan's projection. */
+  private[similarity] def codesArray(
+      vec: Column,
+      dim: Int,
+      m: Int,
+      codebooks: Array[Array[Array[Long]]]
+  ): Column = {
+    val subDim = dim / m
+    val qv = q6(vec)
+    val books3d = typedLit(codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    zip_with(
+      array((0 until m).map(sub => slice(qv, sub * subDim + 1, subDim)): _*),
+      sequence(lit(0), lit(m - 1)),
+      (sv, sub) => array_min(transform(element_at(books3d, sub + 1),
+        (cb, c) => struct(
+          aggregate(zip_with(sv, cb, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          c.as("c")))).getField("c").cast("int"))
+  }
+
+  /** Per-query ADC lookup table as one array column: `m·k` structs
+    * `(sub, code, lut_dist)` of exact subspace L2²s against every
+    * codebook entry — explode + join on `(sub, code)` downstream. */
+  private[similarity] def lutStructs(
+      vec: Column,
+      dim: Int,
+      m: Int,
+      codebooks: Array[Array[Array[Long]]]
+  ): Column = {
+    val subDim = dim / m
+    val qv = q6(vec)
+    val entries = (0 until m).flatMap { sub =>
+      val sv = slice(qv, sub * subDim + 1, subDim)
+      codebooks(sub).toIndexedSeq.zipWithIndex.map { case (cv, c) =>
+        struct(lit(sub).as("sub"), lit(c).as("code"), subDist(sv, cv).as("lut_dist"))
+      }
+    }
+    array(entries: _*)
   }
 
   /** Assign PQ codes: for each input vector, one row per subspace with
@@ -290,6 +335,49 @@ object Pq {
     * corpus embeddings are unit-norm, so L2 and cosine rank identically
     * and the oracle mirrors with `list_cosine_similarity`). Returns
     * `(query_id, rank, neighbor_id, cosine)`, `rank ≤ topK`. */
+  /** IVF-PQ → ADC shortlist → EXACT re-rank: the full IVFADC-R stack
+    * ([[ivfPqTopK]] routing+compression, [[pqAdcRerankTopK]] re-rank
+    * discipline) in one in-memory operator — the verification twin of
+    * [[AnnIndex.searchIndex]], which runs the IDENTICAL algebra against
+    * an on-disk partitioned code store (equality spec-asserted). Cost per
+    * query: nProbe/nLists of the corpus × m LUT adds for the shortlist,
+    * then |queries|·shortlist raw-vector reads for the exact pass.
+    * Returns `(query_id, rank, neighbor_id, cosine)`, `rank ≤ topK`. */
+  def ivfPqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nLists: Int = 16,
+      nProbe: Int = 6,
+      ivfIters: Int = 8,
+      m: Int = 8,
+      kCodes: Int = 16,
+      pqIters: Int = 4,
+      topK: Int = 5,
+      shortlist: Int = 100,
+      ivfSample: Int = 2048,
+      pqSample: Int = 512
+  ): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist < topK=$topK")
+    val short = ivfPqTopK(corpus, queries, idCol, vecCol, dim, nLists, nProbe,
+        ivfIters, m, kCodes, pqIters, shortlist, ivfSample, pqSample)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val exact = short
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.cosine_sim(col("__qv"), col("__nv")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cosine"))
+  }
+
   def pqAdcRerankTopK(
       corpus: DataFrame,
       queries: DataFrame,
