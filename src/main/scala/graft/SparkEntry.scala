@@ -1390,6 +1390,25 @@ object SparkEntry {
           d.filter(col("doc_id") >= 400), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // --- round 10: the PERSISTED catalog lifecycle — day states written
+    //     as fingerprint-bucketed tables, tree-compacted on disk, and the
+    //     new day probed against the compacted table with ZERO exchange on
+    //     the catalog side (the bucketed layout IS the shuffle, paid once
+    //     at write; plan spec-asserted in Round10Spec). Same output
+    //     contract as the in-memory q_dedup_catalog_flag. ---
+    "q_dedup_catalog_disk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.dedupCatalogWrite(graft.dedup.Dedup.dedupCatalogOfBatch(
+        d.filter(col("doc_id") < 250), "doc_id", "text", 0L), "graft_catdisk_d0")
+      graft.dedup.Dedup.dedupCatalogWrite(graft.dedup.Dedup.dedupCatalogOfBatch(
+        d.filter(col("doc_id") >= 250 && col("doc_id") < 400), "doc_id", "text", 1L),
+        "graft_catdisk_d1")
+      graft.dedup.Dedup.dedupCatalogCompact(s,
+        Seq("graft_catdisk_d0", "graft_catdisk_d1"), "graft_catdisk_all")
+      graft.dedup.Dedup.dedupCatalogFlag(s.table("graft_catdisk_all"),
+          d.filter(col("doc_id") >= 400), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // --- round 9: static corpus-mixing plan + its applied sample —
     //     target-weight sampling rates (budget = min n_s/w_s), quantized
     //     to the md5 sampler's 1/256 resolution ---
@@ -7290,6 +7309,18 @@ object SparkEntry {
         |FROM agg JOIN b b2 ON b2.fp = agg.fp AND b2.batch = agg.fb
         |GROUP BY 1, 2, 4 ORDER BY fingerprint""".stripMargin,
     "q_dedup_catalog_flag" ->
+      """WITH cf AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  (CASE WHEN EXISTS (SELECT 1 FROM cf
+        |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |   THEN 1 ELSE 0 END)::INT AS is_dup
+        |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    "q_dedup_catalog_disk" ->
+      // identical algebra to q_dedup_catalog_flag: the engine's disk
+      // detour (bucketed day states, on-disk compaction) is semantically
+      // invisible — the probe against the compacted table must flag
+      // exactly what the in-memory fold flags
       """WITH cf AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |    FROM documents WHERE doc_id < 400)
         |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

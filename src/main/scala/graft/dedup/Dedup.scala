@@ -146,10 +146,23 @@ object Dedup {
         count(lit(1)).as("n_seen"))
 
   /** Merge any number of catalogs (see [[dedupCatalogOfBatch]]): one
-    * union + one keyed aggregation regardless of input count. */
+    * union + one keyed aggregation regardless of input count.
+    *
+    * The `repartition` before the aggregation is a CORRECTNESS
+    * workaround, not tuning: Spark 4.1.2 plans `groupBy` over a union of
+    * identically-BUCKETED table scans with NO exchange (each child scan
+    * reports HashPartitioning(key, n) and the requirement check lets the
+    * union through, but `UnionExec` CONCATENATES partitions — the same
+    * key lives in one partition per input table), silently emitting one
+    * row per (key, input) instead of per key. Minimal repro: two
+    * 16-bucket tables on `k`, `union.groupBy(k).count()` returns
+    * |A|+|B| groups. The explicit repartition forces the real exchange;
+    * for non-bucketed inputs it replaces the aggregation's own exchange,
+    * so the shuffle count is unchanged. */
   def dedupCatalogMerge(catalogs: DataFrame*): DataFrame = {
     require(catalogs.nonEmpty, "dedupCatalogMerge: no catalogs")
     catalogs.reduce(_ unionByName _)
+      .repartition(col("fingerprint"))
       .groupBy("fingerprint").agg(
         min(struct(col("first_batch"), col("first_id"))).as("__f"),
         sum(col("n_seen")).as("n_seen"))
@@ -174,6 +187,45 @@ object Dedup {
       .join(cf, Seq("fingerprint"), "left_outer")
       .select(col(idCol), col("fingerprint"),
         when(col("__graft_hit").isNotNull, 1).otherwise(0).as("is_dup"))
+  }
+
+  /** Persist a catalog state as a table BUCKETED BY FINGERPRINT — the
+    * on-disk lifecycle the scaladoc above assumes ("the three states
+    * arrive from disk"): the catalog is written pre-shuffled on its one
+    * join/aggregation key, so every later [[dedupCatalogFlag]] probe and
+    * every [[dedupCatalogCompact]] merge reads it ALREADY hash-partitioned
+    * — zero exchange on the (large, corpus-distinct-sized) catalog side,
+    * only the small daily batch shuffles (plan spec-asserted,
+    * `Round10Spec`). Sorted within buckets so the merge join needs no
+    * sort either. */
+  def dedupCatalogWrite(catalog: DataFrame, table: String,
+      numBuckets: Int = 16): Unit = {
+    val spark = catalog.sparkSession
+    // a crashed previous session can leave the managed location on disk
+    // without a metastore entry, which makes the CREATE refuse
+    // (LOCATION_ALREADY_EXISTS) — a standing daily job must be re-runnable
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+    graft.sources.Bucketing.writeBucketed(catalog, table,
+      Seq("fingerprint"), numBuckets)
+  }
+
+  /** Tree-merge compaction of PERSISTED daily catalog states: read the
+    * bucketed day tables, fold them through ONE [[dedupCatalogMerge]]
+    * (one union + one keyed aggregation however many days), and write the
+    * compacted state back bucketed. The monoid laws make the fold order
+    * irrelevant, so a year of daily states compacts as a balanced tree of
+    * these calls — each level reads bucketed inputs and writes a bucketed
+    * output, and the output is exactly distinct-content-sized (the
+    * bounded-size invariant, spec-asserted at the sf1 replica). */
+  def dedupCatalogCompact(spark: org.apache.spark.sql.SparkSession,
+      dayTables: Seq[String], outTable: String, numBuckets: Int = 16): Unit = {
+    require(dayTables.nonEmpty, "dedupCatalogCompact: no day tables")
+    dedupCatalogWrite(dedupCatalogMerge(dayTables.map(spark.table): _*),
+      outTable, numBuckets)
   }
 
   /** Per-example contamination SCORES (the GPT-3 appendix-C style audit,
