@@ -445,6 +445,19 @@ object SparkEntry {
           when(f(0) === 3, f(5)).otherwise(f(4)).as("d3"))
         .orderBy("media_id")
     }),
+    // --- round 10: MEDIA-BYTE near-dup — the dedup modality for the
+    //     multimodal pillar: byte-gram SimHash over the payload BODY
+    //     (container headers stripped via the parsed format), banded
+    //     within format blocks, probeBits => exact hamming<=6 pair
+    //     enumeration; the oracle recomputes signatures from the
+    //     generative closed form (body bytes == UTF-8 text) ---
+    "q_media_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesizeMediaPayload(
+        t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+      graft.multimodal.Multimodal.mediaNearDupPairs(media, "media_id", "payload",
+          gramBytes = 8, strideBytes = 8, maxHamming = 6, probeBits = true)
+        .orderBy("ida", "idb")
+    }),
     "q_ann_topk_lsh" -> ((s, dir) => {
       // multi-probe LSH ANN (recall 0.96 vs q_ann_topk at probes=4,
       // floor-asserted in RecallFloorSpec); oracle = exact banding twin
@@ -6254,6 +6267,35 @@ object SparkEntry {
         |  count(*) AS n_blocks,
         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_media_neardup" ->
+      // independent replay: the payload BODY of every fixture container is
+      // the UTF-8 text bytes (png/jpeg trailing pad, wav sample data), so
+      // the oracle rebuilds the hex body from encode(text), re-derives the
+      // fixed-stride 8-byte grams, recomputes the md5 SimHash, and
+      // enumerates pairs brute-force within format blocks
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'riff' END AS kind,
+        |    hex(encode(text)) AS bh, octet_length(encode(text)) AS bl
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, (bl - 8) // 8 + 1),
+        |        i -> substr(bh, (i * 16 + 1)::INT, 16))) AS gram
+        |  FROM m WHERE bl >= 8),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS h FROM g),
+        |n AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY 1),
+        |bits AS (SELECT th.doc_id, j,
+        |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+        |         FROM th CROSS JOIN UNNEST(range(0, 64)) t(j) GROUP BY 1, 2),
+        |sig AS (SELECT b.doc_id,
+        |          bit_or(CASE WHEN 2 * ones > nt THEN 1::UBIGINT << j::INT
+        |                      ELSE 0::UBIGINT END) AS sig
+        |        FROM bits b JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT ka.kind, a.doc_id AS ida, b.doc_id AS idb,
+        |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |JOIN m ka ON ka.doc_id = a.doc_id
+        |JOIN m kb ON kb.doc_id = b.doc_id
+        |WHERE ka.kind = kb.kind AND bit_count(xor(a.sig, b.sig)) <= 6
+        |ORDER BY ida, idb""".stripMargin,
     "q_dedup_simhash" ->
       // independent signature recomputation + brute-force pair enumeration:
       // md5-first-8-bytes token hash, per-bit majority vote, all-pairs

@@ -714,34 +714,52 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("id"), sigExpr.as("sig"))
+      .select(col("id"), sigExpr.as("sig"), lit("").as("__blk"))
+    bandedHammingPairs(sigs, maxHamming, maxBucketSize, probeBits)
+      .select("ida", "idb", "hamming")
+  }
 
-    val banded0 = sigs.select(col("id"), col("sig"),
+  /** Shared SimHash banding/verify core over precomputed signatures:
+    * `sigs` carries `(id, sig, __blk)` — pairs are enumerated only WITHIN
+    * a block (`__blk` = "" for unblocked text; parsed media format for
+    * [[graft.multimodal.Multimodal.mediaNearDupPairs]]), via the 4×16-bit
+    * band buckets, then verified by exact Hamming distance. Same
+    * pigeonhole contracts as [[simHashPairs]] (≤ 3 loss-free; ≤ 7 with
+    * `probeBits`). Output: `(__blk, ida, idb, hamming)`. */
+  private[graft] def bandedHammingPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      probeBits: Boolean
+  ): DataFrame = {
+    val banded0 = sigs.select(col("__blk"), col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
     val banded =
       if (maxBucketSize == Int.MaxValue) banded0
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__blk", "band", "bucket")
         banded0.withColumn("__bs", count(lit(1)).over(w))
           .filter(col("__bs") <= maxBucketSize).drop("__bs")
       }
 
-    val l = banded.select(col("id").as("ida"), col("sig").as("siga"), col("band"), col("bucket"))
+    val l = banded.select(col("__blk"), col("id").as("ida"), col("sig").as("siga"),
+      col("band"), col("bucket"))
     // probe side: exact bucket + (optionally) every hamming-1 neighbor
     // bucket. Probing ONE side suffices — bucket_a = bucket_b ^ bit means
     // a's exact bucket lands in b's probe set — and the pair `distinct`
     // below already absorbs the symmetric double-find.
-    val rBase = banded.select(col("id").as("idb"), col("sig").as("sigb"), col("band"), col("bucket"))
+    val rBase = banded.select(col("__blk"), col("id").as("idb"), col("sig").as("sigb"),
+      col("band"), col("bucket"))
     val rt =
       if (!probeBits) rBase
       else rBase.withColumn("bucket",
         explode(array(col("bucket") +: (0 until 16).map(b =>
           col("bucket").bitwiseXOR(lit(1L << b))): _*)))
-    l.join(rt, Seq("band", "bucket"))
+    l.join(rt, Seq("__blk", "band", "bucket"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
+      .select(col("__blk"), col("ida"), col("idb"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

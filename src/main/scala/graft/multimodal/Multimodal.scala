@@ -189,6 +189,74 @@ object Multimodal {
     })
   }
 
+  /** Container-header length of the fixture formats — where the payload
+    * BODY (the re-encodable content a near-dup hash should cover) starts.
+    * Closed forms for the single-chunk containers [[MediaFixtures]]
+    * writes (PNG sig+IHDR+IEND = 45, JFIF SOI+APP0+SOF0+EOI = 41, WAV
+    * RIFF header = 44); a production pipeline takes body offsets from its
+    * decoder instead — general PNGs/JPEGs have variable chunk lists. */
+  def bodyOffset(kind: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(kind === "png", 45).when(kind === "jpeg", 41)
+      .when(kind === "riff", 44).otherwise(0)
+
+  /** MEDIA-BYTE near-dup pairs — the dedup modality for the multimodal
+    * pillar (text dedup hashes tokens; this hashes the PAYLOAD BYTES, the
+    * signal that survives metadata edits and catches re-uploads /
+    * re-muxes of the same asset): fixed-stride byte `gramBytes`-grams of
+    * the payload body (header stripped via [[bodyOffset]] — two assets
+    * differing only in container metadata still collide), each gram
+    * hashed and majority-voted into a 64-bit SimHash, banded 4×16-bit
+    * WITHIN (sniffed format) blocks, exact-Hamming verified — the
+    * [[graft.dedup.Dedup.simHashPairs]] machinery applied to bytes
+    * (shared core: `Dedup.bandedHammingPairs`; same pigeonhole
+    * guarantees: distance ≤ 3 loss-free, ≤ 7 with `probeBits`).
+    *
+    * Scale shape: grams and signatures are ROW-LOCAL (the gram list is a
+    * bounded `transform` over the hex body — never exploded per gram),
+    * so the corpus-wide pass is one projection; only the 8-byte
+    * signatures shuffle into band buckets. Format blocking keeps pairs
+    * within a modality; block further by parsed dims/duration buckets
+    * upstream (filter or add to the payload frame) when a corpus is
+    * format-skewed. Grams are hashed with md5 so an external SQL engine
+    * replays the signature bit-for-bit (the `simhash64_md5` oracle path).
+    *
+    * Fixed-stride byte grams are deliberately alignment-SENSITIVE: an
+    * insertion shifts every later gram (unlike rolling-window text
+    * shingles), which is the right trade for media — re-encodes preserve
+    * byte alignment, and content-defined chunking covers the shifted
+    * case ([[graft.text.TextAnalysis.cdcChunks]] on bytes).
+    *
+    * Output: `(kind, ida, idb, hamming)`, `hamming <= maxHamming`. */
+  def mediaNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      gramBytes: Int = 8,
+      strideBytes: Int = 8,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = Int.MaxValue,
+      probeBits: Boolean = false
+  ): DataFrame = {
+    require(gramBytes > 0 && strideBytes > 0)
+    val kind = sniffType(col(payloadCol))
+    val off = bodyOffset(kind)
+    val bodyHex = hex(col(payloadCol).substr(off + 1, lit(Int.MaxValue)))
+    val bodyLen = octet_length(col(payloadCol)) - off
+    // integer division (Column / is double division; lengths < 2^31 so the
+    // floor-double detour is exact)
+    val nGrams = floor((bodyLen - gramBytes).cast("double") / strideBytes).cast("int") + 1
+    val grams = transform(sequence(lit(0), nGrams - 1),
+      i => bodyHex.substr(i * (strideBytes * 2) + 1, lit(gramBytes * 2)))
+    val sigs = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .filter(col(payloadCol).isNotNull && bodyLen >= gramBytes)
+      .select(col(idCol).as("id"),
+        graft.functions.simhash64_md5(grams).as("sig"),
+        kind.as("__blk"))
+    graft.dedup.Dedup.bandedHammingPairs(sigs, maxHamming, maxBucketSize, probeBits)
+      .select(col("__blk").as("kind"), col("ida"), col("idb"), col("hamming"))
+  }
+
   /** Typed view over a payload DataFrame. */
   def asRecords(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._

@@ -54,6 +54,41 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("media near-dup: planted byte edits pair within format blocks, headers stripped") {
+    import graft.multimodal.{MediaFixtures, Multimodal}
+    val s = spark
+    import s.implicits._
+    val text = ("the quick brown fox jumps over the lazy dog " * 10).trim
+    val body = text.getBytes("UTF-8")
+    val edited = body.clone(); edited(100) = 'X'.toByte // one-byte body edit
+    val other = ("completely different content about catalyst optimizer internals " * 8)
+      .trim.getBytes("UTF-8")
+    val rows = Seq(
+      (1L, MediaFixtures.pngBytes(100, 80, body)),    // base png
+      (2L, MediaFixtures.pngBytes(100, 80, edited)),  // near-dup: 1 byte edit
+      (3L, MediaFixtures.jpegBytes(100, 80, body)),   // SAME body, other format
+      (4L, MediaFixtures.pngBytes(100, 80, other)),   // unrelated png
+      (5L, MediaFixtures.pngBytes(100, 80, body)),    // exact re-upload
+      (6L, MediaFixtures.pngBytes(999, 777, body)))   // re-encode: new dims, same body
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.mediaNearDupPairs(rows, "media_id", "payload",
+        gramBytes = 8, strideBytes = 8, maxHamming = 7, probeBits = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val pairSet = pairs.map(p => (p._2, p._3)).toSet
+    info(s"planted media pairs: ${pairs.sortBy(p => (p._2, p._3)).mkString(", ")}")
+    // exact re-uploads and re-encodes (same body, new header fields) are
+    // hamming-0: headers are stripped before hashing
+    assert(pairs.filter(p => Set((1L, 5L), (1L, 6L), (5L, 6L))(p._2 -> p._3))
+      .forall(p => p._4 == 0 && p._1 == "png"))
+    // the one-byte edit is a near-dup of every copy of the base body
+    assert(Set((1L, 2L), (2L, 5L), (2L, 6L)).subsetOf(pairSet),
+      s"byte-edited twin must pair with the base copies; got $pairSet")
+    // cross-format pairs are blocked even with identical bodies; unrelated
+    // content never pairs
+    assert(!pairs.exists(p => p._2 == 3L || p._3 == 3L), "format blocking violated")
+    assert(!pairs.exists(p => p._2 == 4L || p._3 == 4L), "unrelated content paired")
+  }
+
   test("bounded-size invariant holds through the disk lifecycle at the sf1 replica") {
     // |compacted state| == #distinct fingerprints of the unioned inputs —
     // growth tracks novel content only, never batch count. Measured at the
