@@ -915,6 +915,39 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — the standing-pipeline form of
+    * [[connectedComponents]]: fold new near-dup pairs into an EXISTING
+    * cluster assignment without replaying the pair history. The previous
+    * assignment `(node, component)` is itself a STAR FOREST whose
+    * connectivity equals the accumulated graph's (every node wired to its
+    * component's min id), so CC over (star edges ∪ new edges) equals CC
+    * over the full edge log (spec-asserted fold == one-shot,
+    * `Round10Spec`) while each step costs O(active nodes + new pairs) —
+    * the pair log itself is never re-read, and labels stay stable: a
+    * component's id is its min node id, which only decreases when a
+    * genuinely new merge happens. Day-0 bootstrap: pass [[emptyAssignment]]. */
+  def incrementalComponents(
+      prevAssign: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20
+  ): DataFrame =
+    connectedComponents(
+      prevAssign.select(col("node").cast("long").as("__a"),
+          col("component").cast("long").as("__b"))
+        .unionByName(newEdges.select(col(srcCol).cast("long").as("__a"),
+          col(dstCol).cast("long").as("__b"))),
+      "__a", "__b", maxIter)
+
+  /** Empty cluster assignment (day-0 bootstrap for [[incrementalComponents]]). */
+  def emptyAssignment(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
+  }
+
   /** End-to-end fuzzy dedup clustering: near-dup pairs (prefix-filtered
     * exact Jaccard) → connected components → (doc_id, cluster_rep) with
     * cluster_rep = smallest doc_id of the cluster. Docs with no near-dup

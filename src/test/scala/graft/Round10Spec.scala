@@ -89,6 +89,130 @@ class Round10Spec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._3 == 4L), "unrelated content paired")
   }
 
+  test("streaming curation: foreachBatch chain == batch fold; ascending arrival == one-shot curate") {
+    import graft.streaming.StreamingCuration
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val all = train.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // three ascending-id micro-batches (ascending arrival => first
+    // occurrence of every fingerprint carries the global min id)
+    val batches = Seq(all.filter(_._1 < 17), all.filter(t => t._1 >= 17 && t._1 < 34),
+      all.filter(_._1 >= 34))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val state = new StreamingCuration.CurationState(spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamingCuration.writer(
+      mem.toDF().toDF("doc_id", "text"), evalDocs, "doc_id", "text", state) {
+      (curated, _) =>
+        got ++= curated.select("doc_id", "split").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        ()
+    }.start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // twin 1: the batch curateIncremental fold over the same splits
+    var cat = Pipeline.emptyCatalog(spark)
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val (curated, updated) = Pipeline.curateIncremental(
+        cat, b.toSeq.toDF("doc_id", "text"), evalDocs, "doc_id", "text", i.toLong)
+      want ++= curated.select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      cat = updated
+    }
+    assert(got.toSet === want.toSet, "stream output must equal the batch fold")
+    assert(got.nonEmpty)
+    // twin 2: under ascending arrival the union equals the ONE-SHOT curate
+    val oneShot = Pipeline.curate(train, evalDocs, "doc_id", "text")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.toSet === oneShot,
+      "ascending-arrival streaming curation must equal one-shot curate")
+    // the carried catalog equals the fold's end state
+    assert(state.catalogState.exceptAll(cat).isEmpty && cat.exceptAll(state.catalogState).isEmpty)
+  }
+
+  test("incrementalComponents: fold over edge batches == one-shot CC, any split") {
+    import graft.dedup.Dedup
+    val s = spark
+    import s.implicits._
+    // chain + clique + isolated pairs; batches deliberately interleave so
+    // merges happen across batches (components must merge incrementally)
+    val edges = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L), (7L, 8L),
+      (6L, 7L), (4L, 5L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val oneShot = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- Seq(1, 3, 10)) {
+      var assign = Dedup.emptyAssignment(spark)
+      edges.grouped(math.max(1, edges.length / k)).foreach { b =>
+        assign = Dedup.incrementalComponents(assign, b.toDF("a", "b"), "a", "b")
+      }
+      val folded = assign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(folded === oneShot, s"fold at $k batches diverged from one-shot CC")
+    }
+  }
+
+  test("streaming LSH clusters: carried assignment == batch CC over the one-shot pair set") {
+    import graft.streaming.{StreamingLshClusters, StreamingLshDedup}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val fixture = Seq(
+      (1L, base), (2L, base + " tonight"), (3L, base.replace("lazy", "sleepy")),
+      (4L, "completely different text about spark catalyst optimizer internals"),
+      (5L, "completely different text about spark catalyst optimizer details"),
+      (6L, "third topic entirely numbers one two three four five six seven eight"),
+      (7L, base), (8L, "third topic entirely numbers one two three four five six seven nine"))
+    val nHashes = 32; val bands = 8; val nShards = 4; val thr = 0.5
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val cands = StreamingLshDedup.candidatePairs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, numHashes = nHashes, bands = bands, seed = 42L, nShards = nShards)
+    val state = new StreamingLshClusters.ClusterState(spark)
+    val q = StreamingLshClusters.writer(cands, state, minEstJaccard = thr) {
+      (_, _) => ()
+    }.start()
+    try {
+      fixture.grouped(3).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    // batch twin: one-shot bucket enumeration at the same threshold -> CC
+    val docs = fixture.toDF("doc_id", "text")
+    val banded = StreamingLshDedup.bandedSignatures(docs, "doc_id", "text",
+        shingleN = 3, numHashes = nHashes, bands = bands, seed = 42L, nShards = nShards)
+      .select(col("shard"), col("__bk"), col("id"), col("sig")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getSeq[Long](3)))
+    val batchPairs = banded.groupBy(t => (t._1, t._2)).iterator.flatMap { case (_, ms) =>
+      val mm = ms.map(m => (m._3, m._4)).distinct
+      for { i <- mm.indices; j <- (i + 1) until mm.length } yield {
+        val (ia, sa) = mm(i); val (ib, sb) = mm(j)
+        val same = sa.zip(sb).count { case (x, y) => x == y }
+        (math.min(ia, ib), math.max(ia, ib), same.toDouble / nHashes)
+      }
+    }.filter(_._3 >= thr).map(t => (t._1, t._2)).toSeq.distinct
+    val want = graft.dedup.Dedup.connectedComponents(
+        batchPairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = state.assignment.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce clusters")
+    assert(got === want, s"stream clusters $got != batch CC $want")
+  }
+
   test("bounded-size invariant holds through the disk lifecycle at the sf1 replica") {
     // |compacted state| == #distinct fingerprints of the unioned inputs —
     // growth tracks novel content only, never batch count. Measured at the
