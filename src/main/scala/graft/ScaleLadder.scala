@@ -74,12 +74,33 @@ object ScaleLadder {
     "q_hilbert", "q_best_split", "q_voptimal_hist", "q_yule_k",
     "q_vocab_coverage", "q_capture_recapture", "q_id_islands",
     // round-9 additions (VERDICT r08 item 6): winnow on the fixed BIGINT
-    // scale path, the series-ln log-loss scan, and the shard-routed
-    // curation composition
-    "q_winnow", "q_log_loss", "q_curate_sharded",
+    // scale path and the series-ln log-loss scan (q_curate_sharded moved
+    // to QualityTail in round 10 — its stopword-based gate needs the
+    // token-statistics-preserving replica)
+    "q_winnow", "q_log_loss",
     // round-9 second slate: the catalog fold (corpus-wide fingerprint
     // aggregation x3 batches + monoid merge)
-    "q_dedup_catalog")
+    "q_dedup_catalog",
+    // round-10 additions (VERDICT r09 items 1/2/5/7): the composed disk
+    // ANN path (build + pruned ADC + re-rank), the persisted catalog
+    // lifecycle, media-byte near-dup (token suffixes shift byte grams too
+    // -> pure weak scaling), and the two round-9 heavies that had no
+    // growth rows yet (broadcast eval grams / ADC shortlist + re-rank)
+    "q_ann_disk_rerank", "q_dedup_catalog_disk", "q_media_neardup",
+    "q_contamination_scores", "q_pq_rerank_topk")
+
+  /** Quality-GATED queries: measured at the `sf1q` replica, which
+    * preserves token statistics (the `_c<N>` per-token suffixes of the
+    * main sf1 replica break stopword matching, so a stopword-based
+    * quality gate passes ~nothing and the "ladder" measures an empty
+    * pipeline — the round-9 q_curate_sharded 0.92x artifact). sf1q
+    * instead appends ONE marker token per copied document: token stats
+    * shift by <1%, the gate sees real text, and exact-dedup workloads
+    * still weak-scale because every copy's fingerprint is distinct.
+    * Shingle-near-dup queries stay on the token-suffixed sf1 replica —
+    * there the suffixes are what PREVENTS 10-way near-dup cliques. */
+  private val QualityTail = Seq(
+    "q_curate_sharded", "q_curate_incremental", "q_curate_novel")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def missing(name: String) = !new java.io.File(s"$outDir/$name.parquet").isDirectory
@@ -144,6 +165,24 @@ object ScaleLadder {
     }
   }
 
+  /** The QUALITY replica (see [[QualityTail]]): 10 copies of `documents`
+    * that preserve token statistics — copy `c > 0` appends one
+    * `zzqcopy<c>` marker token instead of suffixing every token, so
+    * stopword/punctuation/length quality signals are unchanged (<1% token
+    * shift), every copy's exact fingerprint is distinct (dedup
+    * weak-scales), and decontamination grams stay real. */
+  def generateQuality(spark: SparkSession, srcDir: String, qDir: String): Unit = {
+    if (!new java.io.File(s"$qDir/documents.parquet").isDirectory) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val docCopies = (0 until Copies).map { c =>
+        val shifted = docs.withColumn("doc_id", col("doc_id") + lit(c * 5000L))
+        if (c == 0) shifted
+        else shifted.withColumn("text", concat(col("text"), lit(s" zzqcopy$c")))
+      }.reduce(_ unionByName _)
+      docCopies.write.mode("overwrite").parquet(s"$qDir/documents.parquet")
+    }
+  }
+
   private def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
 
   private def median(xs: Seq[Double]): Double = {
@@ -154,6 +193,7 @@ object ScaleLadder {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val sf1Dir = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val sf1qDir = if (args.length > 2) args(2) else "/root/repo/benchdata/sf1q"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder()
       .master(s"local[$cpus]")
@@ -163,6 +203,7 @@ object ScaleLadder {
 
     // per-table idempotent: only missing replica tables are generated
     generate(spark, srcDir, sf1Dir)
+    generateQuality(spark, srcDir, sf1qDir)
 
     def d2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -173,8 +214,12 @@ object ScaleLadder {
       case Some(names) => HeavyTail.filter(names)
       case None => HeavyTail
     }
+    val qTail = only match {
+      case Some(names) => QualityTail.filter(names)
+      case None => QualityTail
+    }
 
-    def benchAt(dir: String): Map[String, Double] = {
+    def benchAt(dir: String, tail: Seq[String]): Map[String, Double] = {
       val qs = tail.map(n => n -> SparkEntry.queries(n))
       // warm-up at the measured dir: steady-state codegen, AQE-final plans
       qs.foreach { case (n, fn) =>
@@ -196,12 +241,22 @@ object ScaleLadder {
       meds
     }
 
-    val at01 = benchAt(srcDir)
-    val at1 = benchAt(sf1Dir)
-    val ratios = tail.map { n =>
-      "\"" + n + "\":" + d2(at1(n) / math.max(at01(n), 1e-9))
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"ladder_ratio_sf1_over_sf01","data_ratio":$Copies,"queries":$ratios}""")
+    if (tail.nonEmpty) {
+      val at01 = benchAt(srcDir, tail)
+      val at1 = benchAt(sf1Dir, tail)
+      val ratios = tail.map { n =>
+        "\"" + n + "\":" + d2(at1(n) / math.max(at01(n), 1e-9))
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"ladder_ratio_sf1_over_sf01","data_ratio":$Copies,"queries":$ratios}""")
+    }
+    if (qTail.nonEmpty) {
+      val at01q = benchAt(srcDir, qTail)
+      val at1q = benchAt(sf1qDir, qTail)
+      val ratios = qTail.map { n =>
+        "\"" + n + "\":" + d2(at1q(n) / math.max(at01q(n), 1e-9))
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"ladder_ratio_sf1q_over_sf01","data_ratio":$Copies,"queries":$ratios}""")
+    }
     spark.stop()
   }
 }
