@@ -458,6 +458,19 @@ object SparkEntry {
           gramBytes = 8, strideBytes = 8, maxHamming = 6, probeBits = true)
         .orderBy("ida", "idb")
     }),
+    // --- round 10: media near-dup pairs -> dedup CLUSTERS (the same
+    //     connectedComponents consumer as the text path — operator
+    //     composability across modalities) ---
+    "q_media_clusters" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesizeMediaPayload(
+        t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+      val pairs = graft.multimodal.Multimodal.mediaNearDupPairs(media,
+        "media_id", "payload", gramBytes = 8, strideBytes = 8,
+        maxHamming = 6, probeBits = true)
+      graft.dedup.Dedup.connectedComponents(pairs, "ida", "idb")
+        .select(col("node").as("media_id"), col("component").as("cluster_rep"))
+        .orderBy("media_id")
+    }),
     "q_ann_topk_lsh" -> ((s, dir) => {
       // multi-probe LSH ANN (recall 0.96 vs q_ann_topk at probes=4,
       // floor-asserted in RecallFloorSpec); oracle = exact banding twin
@@ -3820,6 +3833,19 @@ object SparkEntry {
           topK = 5, nProbe = 12, shortlist = 100)
         .orderBy("query_id", "rank")
     }),
+    // --- round 10: index-maintenance report over the SAME disk store —
+    //     per-list occupancy + load ratio, the numbers that drive the
+    //     frozen-quantizer re-train decision; vectors never read (column
+    //     pruning reaches the scan) ---
+    "q_ann_index_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_index_stats"
+      graft.similarity.AnnIndex.buildIndex(e, "vec_id", "embedding",
+        path, dim = 64, nLists = 16, m = 8, kCodes = 16)
+      graft.similarity.Ivf.indexStats(s, path, nLists = 16)
+        .withColumn("load_ratio", round(col("load_ratio"), 6))
+        .orderBy("list_id")
+    }),
     // --- round 8: IVF-PQ (IVFADC) — coarse routing + ADC over codes
     //     within the probed lists; the full billion-scale ANN stack ---
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -4912,6 +4938,70 @@ object SparkEntry {
        |  FROM rx)
        |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared media near-dup CTEs ([[graft.multimodal.Multimodal
+    * .mediaNearDupPairs]] twin): the payload BODY of every fixture
+    * container is the UTF-8 text bytes (png/jpeg trailing pad, wav sample
+    * data), so the oracle rebuilds the hex body from `encode(text)`,
+    * re-derives the fixed-stride 8-byte grams, recomputes the md5
+    * SimHash, and enumerates pairs brute-force within format blocks —
+    * `mp(kind, ida, idb, hamming)`. */
+  private lazy val mediaPairCtes: String =
+    """m AS (SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'riff' END AS kind,
+      |    hex(encode(text)) AS bh, octet_length(encode(text)) AS bl
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, unnest(list_transform(range(0, (bl - 8) // 8 + 1),
+      |        i -> substr(bh, (i * 16 + 1)::INT, 16))) AS gram
+      |  FROM m WHERE bl >= 8),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS h FROM g),
+      |n AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY 1),
+      |bits AS (SELECT th.doc_id, j,
+      |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+      |         FROM th CROSS JOIN UNNEST(range(0, 64)) t(j) GROUP BY 1, 2),
+      |sig AS (SELECT b.doc_id,
+      |          bit_or(CASE WHEN 2 * ones > nt THEN 1::UBIGINT << j::INT
+      |                      ELSE 0::UBIGINT END) AS sig
+      |        FROM bits b JOIN n USING (doc_id) GROUP BY 1),
+      |mp AS (SELECT ka.kind, a.doc_id AS ida, b.doc_id AS idb,
+      |    bit_count(xor(a.sig, b.sig))::INT AS hamming
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  JOIN m ka ON ka.doc_id = a.doc_id
+      |  JOIN m kb ON kb.doc_id = b.doc_id
+      |  WHERE ka.kind = kb.kind AND bit_count(xor(a.sig, b.sig)) <= 6)""".stripMargin
+
+  private lazy val mediaNearDupSql: String =
+    s"""WITH $mediaPairCtes
+       |SELECT kind, ida, idb, hamming FROM mp ORDER BY ida, idb""".stripMargin
+
+  /** Media clusters twin: the pair CTEs + the [[graft.dedup.Dedup
+    * .connectedComponents]] recursive min-label replay (the
+    * q_dedup_clusters pattern). */
+  private lazy val mediaClustersSql: String =
+    s"""WITH RECURSIVE $mediaPairCtes,
+       |edges AS (SELECT ida AS a, idb AS b FROM mp UNION ALL SELECT idb, ida FROM mp),
+       |lbl(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
+       |SELECT node AS media_id, min(label) AS cluster_rep
+       |FROM lbl GROUP BY node ORDER BY media_id""".stripMargin
+
+  /** Index-stats twin ([[graft.similarity.Ivf.indexStats]] over the
+    * [[graft.similarity.AnnIndex.buildIndex]] store): the shared IVF
+    * routing chain assigns every VALID vector (the index admits only
+    * 64-dim non-null rows) to its list; occupancy and load ratio follow
+    * by arithmetic. */
+  private lazy val annIndexStatsSql: String =
+    s"""WITH ${ivfRouteCtes(1)},
+       |va AS (SELECT a.vec_id, a.list_id FROM iasg a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
+       |per AS (SELECT list_id, count(*)::BIGINT AS n_vectors FROM va GROUP BY 1),
+       |tot AS (SELECT sum(n_vectors)::BIGINT AS t FROM per)
+       |SELECT per.list_id::INT AS list_id, per.n_vectors,
+       |  round(per.n_vectors::DOUBLE * 16 / tot.t, 6) AS load_ratio
+       |FROM per CROSS JOIN tot ORDER BY list_id""".stripMargin
 
   /** Bradley–Terry twin: HUGEINT MM iterations over the tiny player
     * frame, every rounding the same `(2a + b) // 2b` half-up identity as
@@ -6267,35 +6357,9 @@ object SparkEntry {
         |  count(*) AS n_blocks,
         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_media_neardup" ->
-      // independent replay: the payload BODY of every fixture container is
-      // the UTF-8 text bytes (png/jpeg trailing pad, wav sample data), so
-      // the oracle rebuilds the hex body from encode(text), re-derives the
-      // fixed-stride 8-byte grams, recomputes the md5 SimHash, and
-      // enumerates pairs brute-force within format blocks
-      """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'riff' END AS kind,
-        |    hex(encode(text)) AS bh, octet_length(encode(text)) AS bl
-        |  FROM documents WHERE text IS NOT NULL),
-        |g AS (SELECT doc_id, unnest(list_transform(range(0, (bl - 8) // 8 + 1),
-        |        i -> substr(bh, (i * 16 + 1)::INT, 16))) AS gram
-        |  FROM m WHERE bl >= 8),
-        |th AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS h FROM g),
-        |n AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY 1),
-        |bits AS (SELECT th.doc_id, j,
-        |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones
-        |         FROM th CROSS JOIN UNNEST(range(0, 64)) t(j) GROUP BY 1, 2),
-        |sig AS (SELECT b.doc_id,
-        |          bit_or(CASE WHEN 2 * ones > nt THEN 1::UBIGINT << j::INT
-        |                      ELSE 0::UBIGINT END) AS sig
-        |        FROM bits b JOIN n USING (doc_id) GROUP BY 1)
-        |SELECT ka.kind, a.doc_id AS ida, b.doc_id AS idb,
-        |  bit_count(xor(a.sig, b.sig))::INT AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |JOIN m ka ON ka.doc_id = a.doc_id
-        |JOIN m kb ON kb.doc_id = b.doc_id
-        |WHERE ka.kind = kb.kind AND bit_count(xor(a.sig, b.sig)) <= 6
-        |ORDER BY ida, idb""".stripMargin,
+    "q_media_neardup" -> mediaNearDupSql,
+    "q_media_clusters" -> mediaClustersSql,
+    "q_ann_index_stats" -> annIndexStatsSql,
     "q_dedup_simhash" ->
       // independent signature recomputation + brute-force pair enumeration:
       // md5-first-8-bytes token hash, per-bit majority vote, all-pairs

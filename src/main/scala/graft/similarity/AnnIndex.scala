@@ -105,6 +105,43 @@ object AnnIndex {
       .partitionBy("list_id").parquet(path)
   }
 
+  /** Persist the trained quantizers alongside the index — the other half
+    * of the disk lifecycle: a future session (or another cluster) loads
+    * the model and searches/appends WITHOUT re-training, which is what
+    * keeps the frozen-quantizer contract honest across restarts. Three
+    * tiny parquet frames under `path`: `coarse(cid, cv)`,
+    * `books(sub, code, cv)`, `meta(dim, m)` — `nLists·dim + m·k·dim/m`
+    * longs total, written single-file. */
+  def saveModel(spark: SparkSession, model: PqIndexModel, path: String): Unit = {
+    import spark.implicits._
+    model.coarse.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for {
+      (book, sub) <- model.books.zipWithIndex.toSeq
+      (cv, code) <- book.zipWithIndex
+    } yield (sub, code, cv.toSeq)).toDF("sub", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    Seq((model.dim, model.m)).toDF("dim", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model written by [[saveModel]] (search/append round-trip is
+    * spec-asserted identical to the in-session model). */
+  def loadModel(spark: SparkSession, path: String): PqIndexModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (dim, m) = (meta.getInt(0), meta.getInt(1))
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toArray)
+    val flat = spark.read.parquet(s"$path/books")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val books = flat.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    PqIndexModel(coarse, books, dim, m)
+  }
+
   /** Query the disk index: ADC over pruned code partitions → shortlist →
     * exact cosine re-rank over a bounded pruned raw read. Output schema
     * matches [[Similarity.bruteForceTopK]]:

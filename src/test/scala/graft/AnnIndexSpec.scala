@@ -89,6 +89,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("model save/load round-trip: loaded model searches and appends identically") {
+    val idxPath = "/tmp/graft_ann_model_idx"
+    val modelPath = "/tmp/graft_ann_model_store"
+    rmTree(idxPath); rmTree(modelPath)
+    val model = AnnIndex.buildIndex(emb, "vec_id", "embedding", idxPath,
+      dim = 64, nLists = 16, m = 8, kCodes = 16)
+    AnnIndex.saveModel(spark, model, modelPath)
+    val loaded = AnnIndex.loadModel(spark, modelPath)
+    assert(loaded.dim == model.dim && loaded.m == model.m)
+    assert(loaded.coarse.zip(model.coarse).forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.books.zip(model.books).forall { case (ba, bb) =>
+      ba.zip(bb).forall { case (a, b) => a.sameElements(b) } })
+    // a future session's search with the loaded model is row-identical
+    val a = AnnIndex.searchIndex(spark, idxPath, model, queries,
+      "vec_id", "embedding", topK = 5, nProbe = 12, shortlist = 100)
+    val b = AnnIndex.searchIndex(spark, idxPath, loaded, queries,
+      "vec_id", "embedding", topK = 5, nProbe = 12, shortlist = 100)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("probing every list with a corpus-sized shortlist degenerates to brute force") {
     val path = "/tmp/graft_ann_index_full"
     rmTree(path)
