@@ -427,6 +427,27 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // --- round 10: CCNet perplexity BUCKETS (Wenzek et al. 2020) — the
+    //     corpus split the paper actually ships: terciles of the KN LM
+    //     score cut head/middle/tail (head = most fluent; CCNet trains on
+    //     head+middle). Cutoffs via the distributed exact-percentile path
+    //     (no global-sort window); bucket assignment is row-local. ---
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val scores = graft.text.TextAnalysis.knBigramScore(
+        t(s, dir, "documents"), "doc_id", "text").localCheckpoint()
+      val cuts = graft.operators.Profiler.exactPercentiles(
+        scores, "avg_logp", Seq(1.0 / 3, 2.0 / 3))
+      scores
+        .withColumn("bucket",
+          when(col("avg_logp") >= cuts(1), lit("head"))
+            .when(col("avg_logp") >= cuts(0), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+          round(sum(col("avg_logp").cast("decimal(20,4)")).cast("double") /
+            count(lit(1)), 4).as("mean_logp"))
+        .orderBy("bucket")
+    }),
     "q_media_features" -> ((s, dir) => {
       // REAL header decode: deterministic PNG/JPEG/WAV container bytes are
       // synthesized per doc, then parsed back by the pure-JVM
@@ -1458,6 +1479,25 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), maxRepeat = 4.0)
         .orderBy("source")
     }),
+    // --- round 10: the shuffled epoch's FILE MANIFEST — the
+    //     deterministic-shuffle order cut into ~20 KB files by the
+    //     running byte total (distributed prefix scan, no
+    //     single-partition window); one row per planned file with its
+    //     seekable key range ---
+    "q_shuffle_manifest" -> ((s, dir) => {
+      graft.operators.Splits.shardManifest(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", octet_length(encode(col("text"), "UTF-8")),
+          seed = "epoch7", targetBytes = 20000L)
+        .orderBy("file_idx")
+    }),
+    // --- round 10: LSH banding parameter planner — the S-curve table
+    //     that picks (bands, rows) BEFORE a corpus-scale pass; powers as
+    //     explicit left folds so the oracle replays every double
+    //     bit-for-bit ---
+    "q_lsh_param_plan" -> ((s, _) =>
+      graft.dedup.Dedup.lshParamPlan(s, numHashes = 128)
+        .orderBy("bands", "s_pct")),
     // --- round 9 second slate: deterministic md5 corpus shuffle (first
     //     100 positions of the seeded order) ---
     "q_det_shuffle" -> ((s, dir) => {
@@ -4939,6 +4979,31 @@ object SparkEntry {
        |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared Kneser-Ney per-doc score CTEs (the q_kn_bigram twin, reused
+    * by the CCNet bucketing oracle): independent KN rebuild — bigram
+    * starts c(w1.), continuation counts N1+(.w2), distinct-bigram total;
+    * identical double association, per-bigram logp rounded to 6 dp, exact
+    * DECIMAL sum — ending in `ks(doc_id, n_bigrams, avg_logp)`. */
+  private lazy val knScoreCtes: String =
+    """toks AS (SELECT doc_id, unnest(l) AS term,
+      |    generate_subscripts(l, 1) AS pos
+      |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l FROM documents)),
+      |pairs AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      |w1t AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f FROM big GROUP BY 1),
+      |w2t AS (SELECT w2, count(*)::BIGINT AS cont FROM big GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS nbb FROM big),
+      |lp AS (SELECT p.doc_id,
+      |    round(ln((c12::DOUBLE - 0.75) / c1::DOUBLE
+      |      + 0.75 * n1f::DOUBLE / c1::DOUBLE * (cont::DOUBLE / nbb::DOUBLE)), 6)
+      |      ::DECIMAL(18,6) AS lp
+      |  FROM pairs p JOIN big USING (w1, w2) JOIN w1t USING (w1)
+      |    JOIN w2t USING (w2), tot),
+      |ks AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  round(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
+      |FROM lp GROUP BY doc_id)""".stripMargin
+
   /** Shared media near-dup CTEs ([[graft.multimodal.Multimodal
     * .mediaNearDupPairs]] twin): the payload BODY of every fixture
     * container is the UTF-8 text bytes (png/jpeg trailing pad, wav sample
@@ -6762,27 +6827,43 @@ object SparkEntry {
         |  floor(sum(lrm)::DOUBLE / 1e6 / count(*) * 1e4 + 0.5) / 1e4 AS avg_llr
         |FROM bg JOIN lr ON bg.b = lr.b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_kn_bigram" ->
-      // independent KN rebuild: bigram starts c(w1.), continuation counts
-      // N1+(.w2), distinct-bigram total; identical double association,
-      // per-bigram logp rounded to 6 dp, exact DECIMAL sum
-      """WITH toks AS (SELECT doc_id, unnest(l) AS term,
-        |    generate_subscripts(l, 1) AS pos
-        |  FROM (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l FROM documents)),
-        |pairs AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
-        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
-        |w1t AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f FROM big GROUP BY 1),
-        |w2t AS (SELECT w2, count(*)::BIGINT AS cont FROM big GROUP BY 1),
-        |tot AS (SELECT count(*)::BIGINT AS nbb FROM big),
-        |lp AS (SELECT p.doc_id,
-        |    round(ln((c12::DOUBLE - 0.75) / c1::DOUBLE
-        |      + 0.75 * n1f::DOUBLE / c1::DOUBLE * (cont::DOUBLE / nbb::DOUBLE)), 6)
-        |      ::DECIMAL(18,6) AS lp
-        |  FROM pairs p JOIN big USING (w1, w2) JOIN w1t USING (w1)
-        |    JOIN w2t USING (w2), tot)
-        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  round(sum(lp)::DOUBLE / count(*), 4) AS avg_logp
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $knScoreCtes
+         |SELECT doc_id, n_bigrams, avg_logp FROM ks ORDER BY doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      // tercile cutoffs over the (hash-verified-identical) per-doc KN
+      // scores; head/middle/tail assignment row-local; decimal-exact means
+      s"""WITH $knScoreCtes,
+         |cuts AS (SELECT quantile_cont(avg_logp, 1.0/3) AS c1,
+         |                quantile_cont(avg_logp, 2.0/3) AS c2 FROM ks)
+         |SELECT CASE WHEN avg_logp >= c2 THEN 'head'
+         |            WHEN avg_logp >= c1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |  count(*)::BIGINT AS n_docs, sum(n_bigrams)::BIGINT AS n_bigrams,
+         |  round(sum(avg_logp::DECIMAL(20,4))::DOUBLE / count(*), 4) AS mean_logp
+         |FROM ks CROSS JOIN cuts GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_shuffle_manifest" ->
+      """WITH k AS (SELECT md5('epoch7:' || doc_id::VARCHAR) AS shuffle_key,
+        |    octet_length(encode(text))::BIGINT AS b
+        |  FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+        |c AS (SELECT shuffle_key, b, sum(b) OVER (ORDER BY shuffle_key) AS cum FROM k)
+        |SELECT ((cum - b) // 20000)::BIGINT AS file_idx, count(*)::BIGINT AS n_docs,
+        |  sum(b)::BIGINT AS file_bytes,
+        |  min(shuffle_key) AS first_key, max(shuffle_key) AS last_key
+        |FROM c GROUP BY 1 ORDER BY file_idx""".stripMargin,
+    "q_lsh_param_plan" ->
+      // independent S-curve rebuild: p = 1 - (1 - s^r)^b with the powers
+      // as list_reduce LEFT FOLDS — bit-identical to the engine's
+      // repeated-multiplication loops (verified 152/152 rows)
+      """WITH params AS (
+        |  SELECT b.b::INT AS bands, (128 // b.b)::INT AS rpb
+        |  FROM (SELECT unnest(range(1, 129)) AS b) b WHERE 128 % b.b = 0),
+        |grid AS (SELECT bands, rpb, i::INT * 5 AS s_pct, i::DOUBLE / 20 AS s
+        |  FROM params CROSS JOIN (SELECT unnest(range(1, 20)) AS i) g)
+        |SELECT bands, rpb AS rows_per_band, s_pct,
+        |  round(1.0 - list_reduce(list_transform(range(bands), x ->
+        |      1.0 - list_reduce(list_transform(range(rpb), y -> s), (a, c) -> a * c)),
+        |    (a, c) -> a * c), 6) AS p_candidate
+        |FROM grid ORDER BY bands, s_pct""".stripMargin,
     "q_ann_topk_l2" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -209,6 +209,34 @@ object Splits {
         md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
       .orderBy("shuffle_key")
 
+  /** Shuffle-shard MANIFEST — the file layout a shuffled training epoch
+    * actually ships as: documents ordered by the [[deterministicShuffle]]
+    * key (`md5(seed:id)` — reproducible, partition-independent,
+    * engine-replayable), cut into ~`targetBytes` files by the running
+    * byte total, one row per planned file with its key range (the range
+    * a reader seeks by). The running total is the two-sweep distributed
+    * prefix scan ([[graft.operators.Prefix.cumSumLongs]]) — no
+    * single-partition window, so the plan survives a 100 TB epoch.
+    * Returns `(file_idx, n_docs, file_bytes, first_key, last_key)`. */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: Column,
+      seed: String,
+      targetBytes: Long
+  ): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes=$targetBytes")
+    val keyed = df.select(
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("shuffle_key"),
+        bytesCol.cast("long").as("__b"))
+      .filter(col("__b") > 0)
+    graft.operators.Prefix.cumSumLongs(keyed, "shuffle_key", Seq("__b"), Seq("__cum"))
+      .withColumn("file_idx", expr(s"(__cum - __b) div ${targetBytes}L"))
+      .groupBy("file_idx")
+      .agg(count(lit(1)).as("n_docs"), sum("__b").as("file_bytes"),
+        min("shuffle_key").as("first_key"), max("shuffle_key").as("last_key"))
+  }
+
   /** Apply a [[mixturePlan]]: the plan's per-source thresholds (a
     * #sources-bounded collect) drive the row-local md5
     * [[stratifiedSample]] — deterministic, partition-stable, pushed to

@@ -213,6 +213,60 @@ class Round10Spec extends SparkSpec {
     assert(got === want, s"stream clusters $got != batch CC $want")
   }
 
+  test("lshParamPlan: S-curve monotone in s and in bands; known constants") {
+    val plan = Dedup.lshParamPlan(spark, numHashes = 128)
+      .collect().map(r => ((r.getInt(0), r.getInt(2)), r.getDouble(3))).toMap
+    // p(s) monotone non-decreasing in s at fixed (bands, rows)
+    for (b <- Seq(1, 8, 32, 128); i <- 2 to 19)
+      assert(plan((b, i * 5)) >= plan((b, (i - 1) * 5)) - 1e-12)
+    // more bands (shorter rows) -> higher candidate probability at fixed s
+    for (s <- Seq(25, 50, 80))
+      assert(plan((32, s)) >= plan((16, s)) && plan((16, s)) >= plan((8, s)))
+    // b=1, r=128: p = s^128 — essentially 0 until s ~ 1
+    assert(plan((1, 50)) < 1e-12 && plan((1, 95)) < 0.01)
+    // b=128, r=1: p = 1 - (1-s)^128 — essentially 1 well below 0.5
+    assert(plan((128, 50)) > 0.999999)
+    // the shipped text-dedup config (32 bands of 4) catches s=0.8 pairs
+    assert(plan((32, 80)) > 0.99,
+      s"32x4 banding must be near-lossless at s=0.8, got ${plan((32, 80))}")
+  }
+
+  test("shardManifest: conserves bytes/docs, respects the byte budget, key ranges ordered") {
+    val target = 5000L
+    val src = docs.filter(col("text").isNotNull)
+    val m = graft.operators.Splits.shardManifest(src, "doc_id",
+        octet_length(encode(col("text"), "UTF-8")), seed = "epoch7", targetBytes = target)
+      .orderBy("file_idx").collect()
+    val totalBytes = src.agg(sum(octet_length(encode(col("text"), "UTF-8")).cast("long")))
+      .head().getLong(0)
+    assert(m.map(_.getLong(2)).sum === totalBytes, "manifest must conserve bytes")
+    assert(m.map(_.getLong(1)).sum === src.count(), "manifest must conserve docs")
+    // a file exceeds the target only by its LAST doc (cut rule: a doc goes
+    // to the file its starting offset falls in)
+    val maxDoc = src.agg(max(octet_length(encode(col("text"), "UTF-8")).cast("long")))
+      .head().getLong(0)
+    assert(m.forall(_.getLong(2) <= target + maxDoc))
+    // file key ranges are disjoint and ordered — the seekable layout
+    val ranges = m.map(r => (r.getString(3), r.getString(4)))
+    assert(ranges.forall { case (lo, hi) => lo <= hi })
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  test("ccnet buckets: partition the corpus, head scores highest") {
+    val q = SparkEntry.queries("q_ccnet_buckets")(spark, sfDir).collect()
+    val byBucket = q.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    val scored = graft.text.TextAnalysis.knBigramScore(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text").count()
+    assert(q.map(_.getLong(1)).sum === scored, "buckets must partition the scored corpus")
+    assert(byBucket("head")._2 > byBucket("middle")._2 &&
+      byBucket("middle")._2 > byBucket("tail")._2,
+      s"bucket means must order head > middle > tail: $byBucket")
+  }
+
   test("bounded-size invariant holds through the disk lifecycle at the sf1 replica") {
     // |compacted state| == #distinct fingerprints of the unioned inputs —
     // growth tracks novel content only, never batch count. Measured at the
