@@ -3886,6 +3886,22 @@ object SparkEntry {
         .withColumn("load_ratio", round(col("load_ratio"), 6))
         .orderBy("list_id")
     }),
+    // --- round 10: tombstone DELETE on the disk index — deleted ids
+    //     (vec_id % 7 == 0) go to the _tombstones side log and the search
+    //     anti-joins them out; same composed chain otherwise (LSM
+    //     discipline: physical removal at the next rebuildIndex) ---
+    "q_ann_disk_deleted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_disk_deleted"
+      val model = graft.similarity.AnnIndex.buildIndex(e, "vec_id", "embedding",
+        path, dim = 64, nLists = 16, m = 8, kCodes = 16)
+      graft.similarity.AnnIndex.deleteFromIndex(
+        e.filter(col("vec_id") % 7 === 0), "vec_id", path)
+      graft.similarity.AnnIndex.searchIndex(s, path, model,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          topK = 5, nProbe = 12, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
     // --- round 8: IVF-PQ (IVFADC) — coarse routing + ADC over codes
     //     within the probed lists; the full billion-scale ANN stack ---
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -4944,7 +4960,7 @@ object SparkEntry {
     * tail). The engine's disk detour — a partitioned code store, two
     * pruned scans — is semantically invisible, so the oracle replays the
     * algebra straight through. */
-  private lazy val annDiskRerankSql: String =
+  private def annDiskRerankSqlFor(candFilter: String): String =
     s"""WITH ${ivfRouteCtes(12)},
        |$pqTrainCtes,
        |qlut AS (
@@ -4955,7 +4971,7 @@ object SparkEntry {
        |  JOIN pc4 c ON c.sub = q.sub),
        |cand AS (
        |  SELECT p.query_id, a.vec_id
-       |  FROM iprb p JOIN iasg a ON a.list_id = p.list_id AND a.vec_id != p.query_id),
+       |  FROM iprb p JOIN iasg a ON a.list_id = p.list_id AND a.vec_id != p.query_id$candFilter),
        |adc AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.lut)::BIGINT AS adc
        |  FROM cand c JOIN pasg pa ON pa.vec_id = c.vec_id
@@ -4978,6 +4994,14 @@ object SparkEntry {
        |  FROM rx)
        |SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cosine
        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val annDiskRerankSql: String = annDiskRerankSqlFor("")
+
+  /** Tombstone-delete twin: the same composed chain with the deleted ids
+    * (`vec_id % 7 = 0`) excluded from the CANDIDATE side only — queries
+    * still search, deleted vectors can never surface. */
+  private lazy val annDiskDeletedSql: String =
+    annDiskRerankSqlFor(" AND a.vec_id % 7 != 0")
 
   /** Shared Kneser-Ney per-doc score CTEs (the q_kn_bigram twin, reused
     * by the CCNet bucketing oracle): independent KN rebuild — bigram
@@ -5297,6 +5321,7 @@ object SparkEntry {
     "q_pq_rerank_topk" -> pqRerankSql,
     "q_ivfpq_topk" -> ivfPqSql,
     "q_ann_disk_rerank" -> annDiskRerankSql,
+    "q_ann_disk_deleted" -> annDiskDeletedSql,
     "q_bradley_terry" -> bradleyTerrySql,
     "q_sprt" -> sprtSql,
     "q_krippendorff" ->

@@ -105,6 +105,50 @@ object AnnIndex {
       .partitionBy("list_id").parquet(path)
   }
 
+  /** Tombstone DELETE — the remaining CRUD piece of a standing index
+    * (takedown requests, dedup-driven removals): deleted ids append to a
+    * side log under `path/_tombstones` (underscore-prefixed, so the main
+    * partitioned scan never sees it), and [[searchIndex]] anti-joins the
+    * broadcast tombstone set so deleted vectors cannot surface. Physical
+    * removal happens at the next [[rebuildIndex]] — the standard LSM
+    * discipline: rewriting list partitions per delete would be pure
+    * write amplification, while the tombstone set stays
+    * deleted-count-sized and broadcastable. */
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  /** The current tombstone set (empty frame when none were ever written). */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).distinct()
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType, nullable = false))))
+    }
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Compact the store: rewrite `(id, codes, v)` rows minus the tombstone
+    * set to `newPath` under the SAME frozen model (assignment columns are
+    * already materialized, so this is a pure pruned-scan → anti-join →
+    * write — no re-training, no re-encoding). Search over the rebuilt
+    * index equals tombstone-filtered search over the old one
+    * (spec-asserted). */
+  def rebuildIndex(spark: SparkSession, path: String, newPath: String): Unit = {
+    val ts = tombstones(spark, path)
+    spark.read.parquet(path)
+      .join(broadcast(ts.select(col("id"))), Seq("id"), "left_anti")
+      .select("id", "codes", "v", "list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(newPath)
+  }
+
   /** Persist the trained quantizers alongside the index — the other half
     * of the disk lifecycle: a future session (or another cluster) loads
     * the model and searches/appends WITHOUT re-training, which is what
@@ -180,9 +224,18 @@ object AnnIndex {
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     // corpus-wide pass: code columns ONLY (ReadSchema excludes v)
-    val codes = spark.read.parquet(path)
+    val codes0 = spark.read.parquet(path)
       .filter(col("list_id").isin(probedLists: _*))
       .select(col("id").as("neighbor_id"), col("codes"), col("list_id"))
+    // deleted ids can never surface: broadcast anti-join against the
+    // tombstone log (joined only when the log exists, so tombstone-free
+    // indexes keep the exact audited plan); the shortlist and re-rank
+    // inherit the exclusion downstream
+    val codes =
+      if (hasTombstones(spark, path))
+        codes0.join(broadcast(tombstones(spark, path)
+          .select(col("id").as("neighbor_id"))), Seq("neighbor_id"), "left_anti")
+      else codes0
     val lut = qBase
       .select(col(idCol).as("query_id"),
         explode(Pq.lutStructs(col(vecCol), model.dim, model.m, model.books)).as("e"))

@@ -109,6 +109,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("tombstone deletes never surface; rebuild absorbs them physically") {
+    val path = "/tmp/graft_ann_tomb"
+    val cleanPath = "/tmp/graft_ann_tomb_clean"
+    val rebuilt = "/tmp/graft_ann_tomb_rebuilt"
+    Seq(path, cleanPath, rebuilt).foreach(rmTree)
+    val model = AnnIndex.buildIndex(emb, "vec_id", "embedding", path,
+      dim = 64, nLists = 16, m = 8, kCodes = 16)
+    AnnIndex.deleteFromIndex(emb.filter(col("vec_id") % 7 === 0), "vec_id", path)
+    val got = AnnIndex.searchIndex(spark, path, model, queries,
+      "vec_id", "embedding", topK = 5, nProbe = 12, shortlist = 100)
+    assert(got.filter(col("neighbor_id") % 7 === 0).count() === 0,
+      "a deleted id surfaced in search results")
+    // tombstoned search == search over an index of corpus-minus-deleted
+    // built under the SAME frozen model
+    AnnIndex.appendToIndex(emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "embedding", cleanPath, model)
+    val want = AnnIndex.searchIndex(spark, cleanPath, model, queries,
+      "vec_id", "embedding", topK = 5, nProbe = 12, shortlist = 100)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // rebuild: physical removal — same results, no tombstone log carried
+    AnnIndex.rebuildIndex(spark, path, rebuilt)
+    val after = AnnIndex.searchIndex(spark, rebuilt, model, queries,
+      "vec_id", "embedding", topK = 5, nProbe = 12, shortlist = 100)
+    assert(after.exceptAll(got).isEmpty && got.exceptAll(after).isEmpty)
+    assert(AnnIndex.tombstones(spark, rebuilt).count() === 0)
+  }
+
   test("probing every list with a corpus-sized shortlist degenerates to brute force") {
     val path = "/tmp/graft_ann_index_full"
     rmTree(path)
