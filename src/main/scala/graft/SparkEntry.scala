@@ -637,6 +637,55 @@ object SparkEntry {
         n = 1, threshold = 0.9, blockCols = Seq("lang"))
         .orderBy("doc_id")
     }),
+    // --- round 10: SoftDeDup-style per-doc training weights — instead of
+    //     dropping near-dups, down-weight each doc by 1/|cluster| so
+    //     duplicated content contributes one document's worth of gradient
+    //     in aggregate (singletons weigh 1) ---
+    "q_softdedup_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = graft.dedup.Dedup.dedupClusters(d, "doc_id", "text",
+        n = 1, threshold = 0.9, blockCols = Seq("lang"))
+      val assigned = d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      val sizes = assigned.groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+      assigned.join(sizes, Seq("cluster_rep"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+    // --- round 10: NEAR-dup split leakage audit — the cross-split pairs
+    //     exact fingerprints miss (q_split_leakage) and cluster-safe
+    //     splits prevent (q_cluster_split); per split-pair counts ---
+    "q_split_neardup_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 1, threshold = 0.9, blockCols = Seq("lang"))
+      val sp = d.select(col("doc_id"),
+        graft.operators.Splits.splitCol(col("doc_id")).as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("ida"), col("split").as("sa")), Seq("ida"))
+        .join(sp.select(col("doc_id").as("idb"), col("split").as("sb")), Seq("idb"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
+    // --- round 10: per-source exact-dup telemetry (the FineWeb-style
+    //     dedup-rate-per-snapshot report a curation run publishes) ---
+    "q_dedup_rate_by_source" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(graft.text.TextAnalysis.fingerprint(col("text")))
+            .as("n_distinct"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
     // --- outlier / distribution checks (accuracy dimension) ---
     "q_outlier_metric" -> ((s, dir) => {
       // events.value has a genuine heavy tail (unlike the uniform TPC-H
@@ -5003,6 +5052,28 @@ object SparkEntry {
   private lazy val annDiskDeletedSql: String =
     annDiskRerankSqlFor(" AND a.vec_id % 7 != 0")
 
+  /** Shared text near-dup CLUSTER CTEs (the q_dedup_clusters twin, reused
+    * by soft-dedup weights and near-dup split leakage): distinct-token
+    * Jaccard pairs within language blocks at threshold 0.9
+    * (`pairs(ida, idb)`), then the recursive min-label propagation
+    * (`lbl(node, label)`). Callers prepend `WITH RECURSIVE`. */
+  private lazy val textClusterCtes: String =
+    """d AS (SELECT doc_id, lang,
+      |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
+      |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
+      |cnt AS (SELECT doc_id, len(s) AS c FROM d),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+      |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT ida, idb FROM inter
+      |  JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+      |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
+      |lbl(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)""".stripMargin
+
   /** Shared Kneser-Ney per-doc score CTEs (the q_kn_bigram twin, reused
     * by the CCNet bucketing oracle): independent KN rebuild — bigram
     * starts c(w1.), continuation counts N1+(.w2), distinct-bigram total;
@@ -6959,23 +7030,46 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, lang,
-        |  list_distinct(regexp_extract_all(trim(text), '\S+')) AS s FROM documents),
-        |ex AS (SELECT doc_id, lang, unnest(s) AS tk FROM d),
-        |cnt AS (SELECT doc_id, len(s) AS c FROM d),
-        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
-        |  FROM ex a JOIN ex b ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT ida, idb FROM inter
-        |  JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-        |  WHERE CAST(m AS DOUBLE) / (ca.c + cb.c - m) >= 0.9),
-        |edges AS (SELECT ida AS a, idb AS b FROM pairs UNION ALL SELECT idb, ida FROM pairs),
-        |lbl(node, label) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, l.label FROM lbl l JOIN edges e ON l.node = e.a WHERE l.label < e.b)
-        |SELECT node AS doc_id, min(label) AS cluster_rep
-        |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $textClusterCtes
+         |SELECT node AS doc_id, min(label) AS cluster_rep
+         |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q_softdedup_weights" ->
+      // SoftDeDup-style down-weighting: weight = 1 / |near-dup cluster|
+      // (singletons weigh 1) — the clusters are the q_dedup_clusters
+      // recursive min-label replay over the same verified pair set
+      s"""WITH RECURSIVE $textClusterCtes,
+         |cl AS (SELECT node, min(label) AS rep FROM lbl GROUP BY node),
+         |j AS (SELECT d0.doc_id, coalesce(cl.rep, d0.doc_id) AS cluster_rep
+         |  FROM documents d0 LEFT JOIN cl ON cl.node = d0.doc_id),
+         |sz AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size FROM j GROUP BY 1)
+         |SELECT j.doc_id, j.cluster_rep, sz.cluster_size,
+         |  round(1.0 / sz.cluster_size, 6) AS weight
+         |FROM j JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "q_split_neardup_leakage" ->
+      // NEAR-dup pairs that cross split boundaries — the leakage exact
+      // fingerprints miss (q_split_leakage) and cluster-safe splits
+      // prevent (q_cluster_split); same verified pair set, md5 split
+      // thresholds
+      s"""WITH RECURSIVE $textClusterCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+         |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |  greatest(sa.split, sb.split) AS split_b,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM pairs p JOIN sp sa ON sa.doc_id = p.ida
+         |JOIN sp sb ON sb.doc_id = p.idb
+         |WHERE sa.split != sb.split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_rate_by_source" ->
+      // FineWeb-style per-snapshot dedup telemetry: exact-duplicate rate
+      // per source from the fingerprint groups
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::BIGINT AS n_distinct,
+        |  round(1.0 - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::DOUBLE
+        |    / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_outlier_metric" ->
       """WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd FROM events)
         |SELECT 'value_outlier' AS metric_name,
