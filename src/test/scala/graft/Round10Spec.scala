@@ -267,6 +267,46 @@ class Round10Spec extends SparkSpec {
       s"bucket means must order head > middle > tail: $byBucket")
   }
 
+  test("softdedup weights: every cluster contributes exactly one doc's worth of weight") {
+    val out = SparkEntry.queries("q_softdedup_weights")(spark, sfDir)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // Σ weights == #clusters (size × 1/size = 1 per cluster, up to rounding)
+    val nClusters = rows.map(_._2).distinct.length
+    assert(math.abs(rows.map(_._4).sum - nClusters) < 1e-3)
+    // weight is exactly the reciprocal of the carried cluster size
+    assert(rows.forall { case (_, _, sz, w) =>
+      math.abs(w - BigDecimal(1.0 / sz).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12 })
+  }
+
+  test("near-dup leakage audit validates cluster-safe splits: zero cross-split pairs") {
+    // the audit (q_split_neardup_leakage's algebra) applied to the split
+    // that clusterSafeSplit produces must find NOTHING — the preventer and
+    // the auditor agree end-to-end
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.9, blockCols = Seq("lang"))
+    val safe = graft.operators.Splits.clusterSafeSplit(docs, "doc_id", "text",
+        n = 1, threshold = 0.9, blockCols = Seq("lang"))
+      .select(col("doc_id"), col("split"))
+    val crossing = pairs
+      .join(safe.select(col("doc_id").as("ida"), col("split").as("sa")), Seq("ida"))
+      .join(safe.select(col("doc_id").as("idb"), col("split").as("sb")), Seq("idb"))
+      .filter(col("sa") =!= col("sb"))
+    assert(crossing.count() === 0,
+      "clusterSafeSplit must leave no near-dup pair crossing a split")
+    // while the plain md5 split DOES leak on this fixture (the audit has
+    // something to find — q_split_neardup_leakage is non-vacuous)
+    val plain = docs.select(col("doc_id"),
+      graft.operators.Splits.splitCol(col("doc_id")).as("split"))
+    val plainCrossing = pairs
+      .join(plain.select(col("doc_id").as("ida"), col("split").as("sa")), Seq("ida"))
+      .join(plain.select(col("doc_id").as("idb"), col("split").as("sb")), Seq("idb"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(plainCrossing > 0, "fixture must exhibit near-dup leakage under the plain split")
+  }
+
   test("bounded-size invariant holds through the disk lifecycle at the sf1 replica") {
     // |compacted state| == #distinct fingerprints of the unioned inputs —
     // growth tracks novel content only, never batch count. Measured at the
