@@ -87,7 +87,12 @@ object ScaleLadder {
     // -> pure weak scaling), and the two round-9 heavies that had no
     // growth rows yet (broadcast eval grams / ADC shortlist + re-rank)
     "q_ann_disk_rerank", "q_dedup_catalog_disk", "q_media_neardup",
-    "q_contamination_scores", "q_pq_rerank_topk")
+    "q_contamination_scores", "q_pq_rerank_topk",
+    // round-10 late slate: tombstoned disk search, soft-dedup weights
+    // (full near-dup cluster pipeline + size join), near-dup leakage audit
+    // (pair gen + split joins) — token-suffixed replica keeps pair gen
+    // weak-scaled for all three
+    "q_ann_disk_deleted", "q_softdedup_weights", "q_split_neardup_leakage")
 
   /** Quality-GATED queries: measured at the `sf1q` replica, which
     * preserves token statistics (the `_c<N>` per-token suffixes of the
