@@ -31,9 +31,17 @@ object StreamingCuration {
 
   /** The cross-batch loop state: the standing dedup catalog. Thread-safe:
     * `foreachBatch` invocations are serialized by the streaming runtime,
-    * but state reads (audits) may come from other threads. */
-  final class CurationState(spark: SparkSession) {
-    @volatile private var catalog: DataFrame = graft.Pipeline.emptyCatalog(spark)
+    * but state reads (audits) may come from other threads.
+    *
+    * RESTART RECOVERY: construct with `initial = spark.table(<catalog
+    * table>)` to resume from a state persisted by a `catalogTable`-enabled
+    * [[writer]] — the resumed run continues exactly where the crashed one
+    * left off (spec-asserted equal to the uninterrupted run, Round10Spec).
+    * Pair with an idempotent sink keyed on batch id for exactly-once
+    * output across the restart. */
+  final class CurationState(spark: SparkSession, initial: Option[DataFrame] = None) {
+    @volatile private var catalog: DataFrame =
+      initial.getOrElse(graft.Pipeline.emptyCatalog(spark))
 
     /** Current catalog state (one row per distinct fingerprint seen). */
     def catalogState: DataFrame = catalog
@@ -52,12 +60,22 @@ object StreamingCuration {
       textCol: String,
       state: CurationState,
       minQuality: Double = 0.83,
-      contaminationNgram: Int = 8
+      contaminationNgram: Int = 8,
+      /** When set, the post-batch catalog is ALSO persisted to this
+        * fingerprint-bucketed table ([[graft.dedup.Dedup
+        * .dedupCatalogWrite]]) every micro-batch — the restart-recovery
+        * half of the lifecycle: a crashed driver resumes by constructing
+        * [[CurationState]] from `spark.table(catalogTable)`. The write is
+        * an overwrite of distinct-content-sized state, and the bucketed
+        * layout makes the NEXT session's probes zero-exchange from the
+        * first batch. */
+      catalogTable: Option[String] = None
   )(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val (curated, updated) = graft.Pipeline.curateIncremental(
         state.catalogState, batch, evalDocs, idCol, textCol, batchId,
         minQuality, contaminationNgram)
+      catalogTable.foreach(t => graft.dedup.Dedup.dedupCatalogWrite(updated, t))
       state.advance(updated)
       sink(curated, batchId)
     }

@@ -137,6 +137,49 @@ class Round10Spec extends SparkSpec {
     assert(state.catalogState.exceptAll(cat).isEmpty && cat.exceptAll(state.catalogState).isEmpty)
   }
 
+  test("streaming curation restart recovery: resumed-from-table run == uninterrupted run") {
+    import graft.streaming.StreamingCuration
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val all = train.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = Seq(all.filter(_._1 < 17), all.filter(t => t._1 >= 17 && t._1 < 34),
+      all.filter(_._1 >= 34))
+    def run(bs: Seq[Array[(Long, String)]], state: StreamingCuration.CurationState,
+        table: Option[String]): Seq[Set[(Long, String)]] = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val outs = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String)]]
+      val q = StreamingCuration.writer(mem.toDF().toDF("doc_id", "text"),
+        evalDocs, "doc_id", "text", state, catalogTable = table) { (curated, _) =>
+        outs += curated.select("doc_id", "split").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        ()
+      }.start()
+      try bs.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+      outs.toSeq
+    }
+    try {
+      // uninterrupted run over all three batches
+      val full = run(batches, new StreamingCuration.CurationState(spark), None)
+      // crashed run: batches 1-2 persist the catalog per batch...
+      val crashed = run(batches.take(2),
+        new StreamingCuration.CurationState(spark), Some("r10_cur_cat"))
+      // ...then a NEW session resumes from the persisted table for batch 3
+      val resumed = run(batches.drop(2),
+        new StreamingCuration.CurationState(spark, Some(spark.table("r10_cur_cat"))),
+        None)
+      assert(crashed === full.take(2))
+      assert(resumed.head === full(2),
+        "resumed-from-disk batch 3 must equal the uninterrupted run's batch 3")
+      assert(full(2).nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS r10_cur_cat")
+  }
+
   test("incrementalComponents: fold over edge batches == one-shot CC, any split") {
     import graft.dedup.Dedup
     val s = spark
