@@ -1425,6 +1425,18 @@ object SparkEntry {
       graft.text.TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // --- round 10: SURGICAL span decontamination — cut only the
+    //     eval-overlapping n-gram windows, keep the rest of the doc (the
+    //     GPT-3 appendix-C remediation; whole-doc dropping is the blunt
+    //     variant) ---
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.decontaminateSpans(
+          train = d.filter(col("doc_id") % 10 =!= 0 && col("text").isNotNull),
+          eval_ = d.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy("doc_id")
+    }),
     // --- round 2: train/eval decontamination (cross-dataset 8-gram overlap) ---
     "q_decontaminate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -7534,6 +7546,35 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 1 THEN round(coalesce(bs.top_bg, 0)::DOUBLE / (n_tokens - 1), 6)
         |       ELSE 0.0 END AS top_bigram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin,
+    "q_decontaminate_spans" ->
+      // positional replay: same md5(space-joined window) gram hashes,
+      // covered positions = union of matching windows, clean text = the
+      // surviving tokens rejoined in order
+      """WITH tt AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+        |  FROM documents WHERE doc_id % 10 != 0 AND text IS NOT NULL),
+        |eg AS (SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM (SELECT regexp_extract_all(trim(text), '\S+') AS t
+        |        FROM documents WHERE doc_id % 10 = 0) e,
+        |  unnest(range(1, len(t) - 8 + 2)) u(i) WHERE len(t) >= 8),
+        |tg AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM tt, unnest(range(1, len(t) - 8 + 2)) u(i) WHERE len(t) >= 8),
+        |mt AS (SELECT tg.doc_id, tg.i FROM tg JOIN eg USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, ci
+        |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS ci FROM mt)),
+        |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1),
+        |pos AS (SELECT doc_id, u.i AS ix, t[u.i::INT] AS tok
+        |  FROM tt, unnest(range(1, len(t) + 1)) u(i)),
+        |keep AS (SELECT p.doc_id, p.ix, p.tok FROM pos p
+        |  LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.ci = p.ix
+        |  WHERE c.ci IS NULL),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ix) AS ctext
+        |  FROM keep GROUP BY doc_id)
+        |SELECT tt.doc_id, len(tt.t)::BIGINT AS n_tokens,
+        |  coalesce(nr.n_removed, 0)::BIGINT AS n_removed,
+        |  md5(coalesce(cl.ctext, '')) AS clean_md5
+        |FROM tt LEFT JOIN nr ON nr.doc_id = tt.doc_id
+        |LEFT JOIN cl ON cl.doc_id = tt.doc_id
+        |ORDER BY tt.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),

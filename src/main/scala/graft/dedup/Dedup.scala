@@ -277,6 +277,57 @@ object Dedup {
           greatest(col("n_eval_grams"), lit(1L)), 6).as("overlap_frac"))
   }
 
+  /** SURGICAL span decontamination — remove the contaminated SPANS, not
+    * the documents (the GPT-3 appendix-C remediation: docs sharing an
+    * `n`-gram with an eval set lose the overlapping window, keeping the
+    * rest of the document's signal; whole-doc dropping is the blunt
+    * variant [[crossNgramContamination]] feeds): every train token
+    * covered by ANY eval-matching `n`-gram window is cut, and the doc is
+    * re-emitted with the surviving tokens.
+    *
+    * Scale shape: eval grams (md5 of the space-joined window) broadcast;
+    * the train side explodes positional grams ONCE, the match join keeps
+    * only hits, covered positions aggregate per doc (matches-only —
+    * clean docs never shuffle their positions), and the final cut is a
+    * row-local filter over the token array. Gram hashing is md5 so an
+    * external engine replays the positions exactly.
+    *
+    * Output: `(idCol, n_tokens, n_removed, clean_md5)` — the md5 of the
+    * space-rejoined surviving tokens (narrow, hash-checkable; emit the
+    * cleaned text itself by adapting the last select). */
+  def decontaminateSpans(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    def positionalGrams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(as), posexplode(transform(
+        sequence(lit(1), size(col("__t")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("__t"), i, lit(n)))))).as(Seq("__p0", "g")))
+      .select(col(as), (col("__p0") + 1).as("i"), col("g"))
+    val evalGrams = positionalGrams(eval_, "eval_id").select("g").distinct()
+    val covered = positionalGrams(train, "__id")
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("__id"), explode(sequence(col("i"), col("i") + (n - 1))).as("ci"))
+      .groupBy("__id").agg(collect_set(col("ci")).as("__cov"))
+    train
+      .select(col(idCol), toks.as("__t"))
+      .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", filter(
+          zip_with(col("__t"), sequence(lit(1), size(col("__t"))),
+            (tk, ix) => struct(tk.as("tk"), ix.as("ix"))),
+          e => !array_contains(coalesce(col("__cov"), typedLit(Seq.empty[Int])),
+            e.getField("ix"))).getField("tk"))).as("clean_md5"))
+  }
+
   /** Cross-dataset n-gram contamination report (train/eval decontamination —
     * the step that keeps benchmark text out of a training corpus). For every
     * eval document: how many train documents share at least one word n-gram

@@ -180,6 +180,30 @@ class Round10Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS r10_cur_cat")
   }
 
+  test("decontaminateSpans: cuts exactly the overlapping window, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
+    val train = Seq(
+      // eval gram embedded mid-doc: the 8 covered tokens go, prefix+suffix stay
+      (1L, "one two three " + evalText + " four five six"),
+      // clean doc: unchanged
+      (2L, "totally unrelated content with enough tokens to matter here today"),
+      // doc shorter than n: no grams, unchanged
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, evalText)).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.decontaminateSpans(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5of(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._1 === 14L && out(1L)._2 === 8L)
+    assert(out(1L)._3 === md5of("one two three four five six"),
+      "only the covered window may be cut")
+    assert(out(2L)._2 === 0L &&
+      out(2L)._3 === md5of("totally unrelated content with enough tokens to matter here today"))
+    assert(out(3L)._2 === 0L && out(3L)._3 === md5of("tiny doc"))
+  }
+
   test("incrementalComponents: fold over edge batches == one-shot CC, any split") {
     import graft.dedup.Dedup
     val s = spark
