@@ -1517,6 +1517,20 @@ object SparkEntry {
           d.filter(col("doc_id") >= 400), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // --- round 10: catalog FORGET — takedown-driven state GC: forgotten
+    //     fingerprints stop suppressing, so re-submitted content is
+    //     admitted as novel again (the dual of the ANN tombstone) ---
+    "q_dedup_catalog_forget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val catalog = graft.dedup.Dedup.dedupCatalogOfBatch(
+        d.filter(col("doc_id") < 400), "doc_id", "text", 0L)
+      // takedown: forget every fingerprint whose first doc id is % 5 == 0
+      val forget = catalog.filter(col("first_id") % 5 === 0)
+      graft.dedup.Dedup.dedupCatalogFlag(
+          graft.dedup.Dedup.dedupCatalogForget(catalog, forget, "fingerprint"),
+          d.filter(col("doc_id") >= 400), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // --- round 9: static corpus-mixing plan + its applied sample —
     //     target-weight sampling rates (budget = min n_s/w_s), quantized
     //     to the md5 sampler's 1/256 resolution ---
@@ -7661,6 +7675,19 @@ object SparkEntry {
         |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  (CASE WHEN EXISTS (SELECT 1 FROM cf
         |     WHERE cf.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |   THEN 1 ELSE 0 END)::INT AS is_dup
+        |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    "q_dedup_catalog_forget" ->
+      // catalog minus the forgotten fingerprints (first occurrence doc_id
+      // % 5 == 0), then the standard probe — forgotten content flags 0
+      """WITH b AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 400),
+        |cat AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY 1),
+        |kept AS (SELECT fp FROM cat WHERE first_id % 5 != 0)
+        |SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  (CASE WHEN EXISTS (SELECT 1 FROM kept
+        |     WHERE kept.fp = md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
         |   THEN 1 ELSE 0 END)::INT AS is_dup
         |FROM documents WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
     "q_dedup_catalog_disk" ->

@@ -189,6 +189,20 @@ object Dedup {
         when(col("__graft_hit").isNotNull, 1).otherwise(0).as("is_dup"))
   }
 
+  /** FORGET entries — the takedown/right-to-erasure half of the catalog
+    * lifecycle (the dual of the ANN tombstone: there deleted vectors must
+    * never SURFACE; here forgotten fingerprints must no longer SUPPRESS —
+    * content removed from the corpus has to be re-admittable, else the
+    * catalog silently censors future legitimate re-submissions): one
+    * broadcast anti-join of the forget-set (takedown-request-sized)
+    * against the standing state. Monoid-compatible: forgetting after a
+    * merge equals merging pre-forgotten states minus the set. */
+  def dedupCatalogForget(catalog: DataFrame, forget: DataFrame,
+      fingerprintCol: String): DataFrame =
+    catalog.join(
+      broadcast(forget.select(col(fingerprintCol).as("fingerprint")).distinct()),
+      Seq("fingerprint"), "left_anti")
+
   /** Persist a catalog state as a table BUCKETED BY FINGERPRINT — the
     * on-disk lifecycle the scaladoc above assumes ("the three states
     * arrive from disk"): the catalog is written pre-shuffled on its one

@@ -374,6 +374,28 @@ class Round10Spec extends SparkSpec {
     assert(plainCrossing > 0, "fixture must exhibit near-dup leakage under the plain split")
   }
 
+  test("catalog forget: forgotten content re-admits as novel, the rest stays suppressed") {
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val cat = Dedup.dedupCatalogOfBatch(batch, "doc_id", "text", 0L)
+    // forget half the fingerprints (by first_id parity)
+    val forget = cat.filter(col("first_id") % 2 === 0)
+    val kept = Dedup.dedupCatalogForget(cat, forget, "fingerprint")
+    assert(kept.count() === cat.count() - forget.count())
+    // replay the SAME batch against the forgotten state: content whose
+    // fingerprint was forgotten flags as novel again (takedown semantics),
+    // everything else stays suppressed
+    val flags = Dedup.dedupCatalogFlag(kept, batch, "doc_id", "text")
+    val forgottenFps = forget.select("fingerprint").collect().map(_.getString(0)).toSet
+    val byFp = flags.collect().map(r => (r.getString(1), r.getInt(2)))
+    val (offFps, onFps) = byFp.partition(t => forgottenFps(t._1))
+    assert(offFps.nonEmpty && onFps.nonEmpty)
+    // forgotten fingerprints: at most the batch's min id per fp is novel —
+    // every row of a forgotten fp EXCEPT in-batch dups flags 0; cataloged
+    // fps all flag 1
+    assert(onFps.forall(_._2 == 1), "non-forgotten content must stay suppressed")
+    assert(offFps.exists(_._2 == 0), "forgotten content must re-admit")
+  }
+
   test("bounded-size invariant holds through the disk lifecycle at the sf1 replica") {
     // |compacted state| == #distinct fingerprints of the unioned inputs —
     // growth tracks novel content only, never batch count. Measured at the
