@@ -92,7 +92,15 @@ object ScaleLadder {
     // (full near-dup cluster pipeline + size join), near-dup leakage audit
     // (pair gen + split joins) — token-suffixed replica keeps pair gen
     // weak-scaled for all three
-    "q_ann_disk_deleted", "q_softdedup_weights", "q_split_neardup_leakage")
+    "q_ann_disk_deleted", "q_softdedup_weights", "q_split_neardup_leakage",
+    // round-11 late-slate rows (VERDICT r10 item 6): surgical span cuts
+    // (train/eval split per copy — suffixes keep gram matches copy-local),
+    // catalog forget (fingerprint workload), per-source dup rates (one
+    // keyed agg), media near-dup clusters (suffixes shift body bytes ->
+    // weak-scaled pair gen; CC on top), and the retrain lifecycle (build
+    // v1 on half, retrain + verify + promote on the full replica)
+    "q_decontaminate_spans", "q_dedup_catalog_forget",
+    "q_dedup_rate_by_source", "q_media_clusters", "q_ann_retrain")
 
   /** Quality-GATED queries: measured at the `sf1q` replica, which
     * preserves token statistics (the `_c<N>` per-token suffixes of the

@@ -430,13 +430,17 @@ object SparkEntry {
     // --- round 10: CCNet perplexity BUCKETS (Wenzek et al. 2020) — the
     //     corpus split the paper actually ships: terciles of the KN LM
     //     score cut head/middle/tail (head = most fluent; CCNet trains on
-    //     head+middle). Cutoffs via the distributed exact-percentile path
-    //     (no global-sort window); bucket assignment is row-local. ---
+    //     head+middle). Cutoffs via the distributed exact-VALUE path —
+    //     type-1 (lower data value) terciles at integer ranks (n-1)/3 and
+    //     2(n-1)/3, never interpolated: an interpolated cut can differ by
+    //     an ulp across engines and flip the bucket of every tied row.
+    //     Bucket assignment is row-local. ---
     "q_ccnet_buckets" -> ((s, dir) => {
       val scores = graft.text.TextAnalysis.knBigramScore(
         t(s, dir, "documents"), "doc_id", "text").localCheckpoint()
-      val cuts = graft.operators.Profiler.exactPercentiles(
-        scores, "avg_logp", Seq(1.0 / 3, 2.0 / 3))
+      val n = scores.count()
+      val cuts = graft.operators.Profiler.exactValuesAtRanks(
+        scores, "avg_logp", Seq((n - 1) / 3, 2 * (n - 1) / 3))
       scores
         .withColumn("bucket",
           when(col("avg_logp") >= cuts(1), lit("head"))
@@ -1506,14 +1510,18 @@ object SparkEntry {
     //     contract as the in-memory q_dedup_catalog_flag. ---
     "q_dedup_catalog_disk" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // app-id-scoped table names: the managed locations live under the
+      // (possibly shared) warehouse dir, so concurrent harness processes
+      // must never write the same table
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       graft.dedup.Dedup.dedupCatalogWrite(graft.dedup.Dedup.dedupCatalogOfBatch(
-        d.filter(col("doc_id") < 250), "doc_id", "text", 0L), "graft_catdisk_d0")
+        d.filter(col("doc_id") < 250), "doc_id", "text", 0L), s"graft_catdisk_d0_$app")
       graft.dedup.Dedup.dedupCatalogWrite(graft.dedup.Dedup.dedupCatalogOfBatch(
         d.filter(col("doc_id") >= 250 && col("doc_id") < 400), "doc_id", "text", 1L),
-        "graft_catdisk_d1")
+        s"graft_catdisk_d1_$app")
       graft.dedup.Dedup.dedupCatalogCompact(s,
-        Seq("graft_catdisk_d0", "graft_catdisk_d1"), "graft_catdisk_all")
-      graft.dedup.Dedup.dedupCatalogFlag(s.table("graft_catdisk_all"),
+        Seq(s"graft_catdisk_d0_$app", s"graft_catdisk_d1_$app"), s"graft_catdisk_all_$app")
+      graft.dedup.Dedup.dedupCatalogFlag(s.table(s"graft_catdisk_all_$app"),
           d.filter(col("doc_id") >= 400), "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -3940,7 +3948,9 @@ object SparkEntry {
     //     shipped nProbe=12/16 + shortlist=100 (floor 0.90). ---
     "q_ann_disk_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_disk_rerank"
+      // app-id suffix: two concurrent harness processes (bench + gate) must
+      // never interleave writes on one index directory
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_disk_rerank_${s.sparkContext.applicationId}"
       val model = graft.similarity.AnnIndex.buildIndex(e, "vec_id", "embedding",
         path, dim = 64, nLists = 16, m = 8, kCodes = 16)
       graft.similarity.AnnIndex.searchIndex(s, path, model,
@@ -3954,7 +3964,9 @@ object SparkEntry {
     //     pruning reaches the scan) ---
     "q_ann_index_stats" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_index_stats"
+      // app-id suffix: two concurrent harness processes (bench + gate) must
+      // never interleave writes on one index directory
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_index_stats_${s.sparkContext.applicationId}"
       graft.similarity.AnnIndex.buildIndex(e, "vec_id", "embedding",
         path, dim = 64, nLists = 16, m = 8, kCodes = 16)
       graft.similarity.Ivf.indexStats(s, path, nLists = 16)
@@ -3967,12 +3979,40 @@ object SparkEntry {
     //     discipline: physical removal at the next rebuildIndex) ---
     "q_ann_disk_deleted" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_disk_deleted"
+      // app-id suffix: two concurrent harness processes (bench + gate) must
+      // never interleave writes on one index directory
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_disk_deleted_${s.sparkContext.applicationId}"
       val model = graft.similarity.AnnIndex.buildIndex(e, "vec_id", "embedding",
         path, dim = 64, nLists = 16, m = 8, kCodes = 16)
       graft.similarity.AnnIndex.deleteFromIndex(
         e.filter(col("vec_id") % 7 === 0), "vec_id", path)
       graft.similarity.AnnIndex.searchIndex(s, path, model,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          topK = 5, nProbe = 12, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
+    // --- round 11: the RETRAIN lifecycle end-to-end — v1 trained on a
+    //     drifted half-corpus, then drift-driven retrain on the full
+    //     corpus with blue/green cutover (candidate verified against a
+    //     recall floor on the probe set, atomic pointer swap, old store
+    //     GC'd). The promoted version equals a one-shot build on the new
+    //     corpus (training is deterministic), so the oracle replays
+    //     exactly the q_ann_disk_rerank algebra. ---
+    "q_ann_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_retrain_${s.sparkContext.applicationId}"
+      // stale v1: trained on the first half only (the drifted state)
+      graft.similarity.AnnIndex.buildVersioned(e.filter(col("vec_id") < 2500),
+        "vec_id", "embedding", base, dim = 64, nLists = 16)
+      // floor 0.75: deliberately below the measured recalls at every gated
+      // SF (0.84 at sf0.001, 0.96 at sf0.01/sf0.1) so the lifecycle
+      // PROMOTES wherever the harness smokes it — the bit-exact gate is
+      // the oracle equality below, which only holds for the promoted v2
+      val res = graft.similarity.AnnIndex.retrain(e, "vec_id", "embedding",
+        base, dim = 64, probeQueries = e.filter(col("vec_id") < 10),
+        nLists = 16, topK = 5, nProbe = 12, shortlist = 100, recallFloor = 0.75)
+      require(res.promoted, s"retrain must promote (recall=${res.recall})")
+      graft.similarity.AnnIndex.searchCurrent(s, base,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           topK = 5, nProbe = 12, shortlist = 100)
         .orderBy("query_id", "rank")
@@ -5419,6 +5459,9 @@ object SparkEntry {
     "q_ivfpq_topk" -> ivfPqSql,
     "q_ann_disk_rerank" -> annDiskRerankSql,
     "q_ann_disk_deleted" -> annDiskDeletedSql,
+    // the promoted retrain == a one-shot build on the new corpus, so the
+    // oracle is the disk-rerank replay verbatim
+    "q_ann_retrain" -> annDiskRerankSql,
     "q_bradley_terry" -> bradleyTerrySql,
     "q_sprt" -> sprtSql,
     "q_krippendorff" ->
@@ -6952,11 +6995,18 @@ object SparkEntry {
       s"""WITH $knScoreCtes
          |SELECT doc_id, n_bigrams, avg_logp FROM ks ORDER BY doc_id""".stripMargin,
     "q_ccnet_buckets" ->
-      // tercile cutoffs over the (hash-verified-identical) per-doc KN
-      // scores; head/middle/tail assignment row-local; decimal-exact means
+      // type-1 tercile cutoffs over the (hash-verified-identical) per-doc
+      // KN scores: the cut at p is the exact data value at INTEGER rank
+      // (n-1)//3 resp. 2(n-1)//3 (row_number()-1 ordered by score) — the
+      // engine's exactValuesAtRanks definition, integer-exact on both
+      // sides; head/middle/tail assignment row-local; decimal-exact means
       s"""WITH $knScoreCtes,
-         |cuts AS (SELECT quantile_cont(avg_logp, 1.0/3) AS c1,
-         |                quantile_cont(avg_logp, 2.0/3) AS c2 FROM ks)
+         |ranked AS (SELECT avg_logp AS v,
+         |    row_number() OVER (ORDER BY avg_logp) - 1 AS rn,
+         |    count(*) OVER () AS n FROM ks),
+         |cuts AS (SELECT
+         |    max(CASE WHEN rn = (n-1)//3 THEN v END) AS c1,
+         |    max(CASE WHEN rn = 2*(n-1)//3 THEN v END) AS c2 FROM ranked)
          |SELECT CASE WHEN avg_logp >= c2 THEN 'head'
          |            WHEN avg_logp >= c1 THEN 'middle'
          |            ELSE 'tail' END AS bucket,

@@ -158,11 +158,26 @@ object Dedup {
     * 16-bucket tables on `k`, `union.groupBy(k).count()` returns
     * |A|+|B| groups. The explicit repartition forces the real exchange;
     * for non-bucketed inputs it replaces the aggregation's own exchange,
-    * so the shuffle count is unchanged. */
+    * so the shuffle count is unchanged.
+    *
+    * The partition COUNT is chosen against the union's CLAIMED physical
+    * partitioning (round 11): a bare `repartition(col)` lands on
+    * `spark.sql.shuffle.partitions`, and whenever that EQUALS the input
+    * tables' bucket count the planner judges the shuffle redundant and
+    * REMOVES it — silently reinstating the upstream bug (measured: with
+    * 4-bucket inputs and 4 shuffle partitions the "worked-around" merge
+    * still emitted one row per (key, table)). Probing
+    * `sparkPlan.outputPartitioning` and bumping the count by one when it
+    * matches makes the exchange impossible to elide in every
+    * configuration; the Round11Spec canary pins both the upstream bug
+    * and this hazard config. */
   def dedupCatalogMerge(catalogs: DataFrame*): DataFrame = {
     require(catalogs.nonEmpty, "dedupCatalogMerge: no catalogs")
-    catalogs.reduce(_ unionByName _)
-      .repartition(col("fingerprint"))
+    val u = catalogs.reduce(_ unionByName _)
+    val defaultN = u.sparkSession.sessionState.conf.numShufflePartitions
+    val claimedN = u.queryExecution.sparkPlan.outputPartitioning.numPartitions
+    val n = if (claimedN == defaultN) defaultN + 1 else defaultN
+    u.repartition(n, col("fingerprint"))
       .groupBy("fingerprint").agg(
         min(struct(col("first_batch"), col("first_id"))).as("__f"),
         sum(col("n_seen")).as("n_seen"))
@@ -215,16 +230,79 @@ object Dedup {
   def dedupCatalogWrite(catalog: DataFrame, table: String,
       numBuckets: Int = 16): Unit = {
     val spark = catalog.sparkSession
+    // the write must never destroy data its own input still has to read:
+    // a catalog whose lineage scans `table` (e.g. a compaction whose
+    // output name collides with an input day table) would have its source
+    // dropped/deleted below BEFORE being read — refuse loudly instead
+    require(!planReadsTable(catalog, table),
+      s"dedupCatalogWrite: the input plan reads the target table '$table' — " +
+        "write to a different name (or use dedupCatalogWriteAtomic, which " +
+        "stages the full write before touching the target)")
     // a crashed previous session can leave the managed location on disk
     // without a metastore entry, which makes the CREATE refuse
-    // (LOCATION_ALREADY_EXISTS) — a standing daily job must be re-runnable
+    // (LOCATION_ALREADY_EXISTS) — a standing daily job must be re-runnable.
+    // The location is resolved through the SESSION CATALOG (current
+    // database + catalog layout), never by string-concatenating
+    // warehouse.dir, which would point at an unrelated default-db path
+    // when the session's current database is non-default.
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) { fs.delete(loc, true); () }
     graft.sources.Bucketing.writeBucketed(catalog, table,
       Seq("fingerprint"), numBuckets)
+  }
+
+  /** Whether `df`'s analyzed plan scans the catalog table `table`
+    * (resolved against the session's CURRENT database when unqualified). */
+  private def planReadsTable(df: DataFrame, table: String): Boolean = {
+    val spark = df.sparkSession
+    val target = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = target.database
+      .getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.identifier
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.isDefined => l.catalogTable.get.identifier
+    }.exists { id =>
+      id.table.equalsIgnoreCase(target.table) &&
+        id.database.forall(_.equalsIgnoreCase(db))
+    }
+  }
+
+  /** CRASH-SAFE variant of [[dedupCatalogWrite]] for per-batch streaming
+    * persistence: the new state is written COMPLETELY to a staging table
+    * first, then swapped in (drop old + rename staging). At every instant
+    * a complete state exists on disk — during the staging write the
+    * previous `table` is untouched; once the swap starts, the staging
+    * table is already complete — so a driver crash at ANY point leaves
+    * [[dedupCatalogResume]] a full catalog to recover (write-in-place has
+    * a drop→rewrite window with NO state at all, the round-10 advisor
+    * finding). Staging also makes a lineage that reads `table` safe: the
+    * read completes into the staging write before the old table drops. */
+  def dedupCatalogWriteAtomic(catalog: DataFrame, table: String,
+      numBuckets: Int = 16): Unit = {
+    val spark = catalog.sparkSession
+    val staging = table + "__staging"
+    dedupCatalogWrite(catalog, staging, numBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** Recover the most recent complete catalog persisted by
+    * [[dedupCatalogWriteAtomic]]: prefer `table` (normal case); fall back
+    * to the staging table (crash happened between drop and rename — the
+    * staging write was already complete); `None` when neither exists. */
+  def dedupCatalogResume(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] = {
+    def exists(t: String) = spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    if (exists(table)) Some(spark.table(table))
+    else if (exists(table + "__staging")) Some(spark.table(table + "__staging"))
+    else None
   }
 
   /** Tree-merge compaction of PERSISTED daily catalog states: read the
@@ -238,6 +316,11 @@ object Dedup {
   def dedupCatalogCompact(spark: org.apache.spark.sql.SparkSession,
       dayTables: Seq[String], outTable: String, numBuckets: Int = 16): Unit = {
     require(dayTables.nonEmpty, "dedupCatalogCompact: no day tables")
+    // compacting INTO one of the inputs would drop that input before the
+    // merge reads it (dedupCatalogWrite's plan guard would also catch it,
+    // but the explicit check names the actual mistake)
+    require(!dayTables.exists(_.equalsIgnoreCase(outTable)),
+      s"dedupCatalogCompact: outTable '$outTable' is one of the day tables")
     dedupCatalogWrite(dedupCatalogMerge(dayTables.map(spark.table): _*),
       outTable, numBuckets)
   }

@@ -459,6 +459,30 @@ object Profiler {
     }
   }
 
+  /** Exact data values at INTEGER zero-based ranks of the sorted column —
+    * the non-interpolating (type-1 / lower-value) quantile path. Same
+    * distributed range-partitioned sort as [[exactPercentiles]], but the
+    * selected cut is always an exact data value at a caller-computed
+    * integer rank, so an external engine replaying `row_number() - 1 =
+    * rank` gets the BIT-IDENTICAL cut: interpolated quantiles can differ
+    * by an ulp across engines, and a 1-ulp cut divergence flips the bucket
+    * of every row whose value ties the cut (the q_ccnet_buckets hazard —
+    * compute ranks with integer arithmetic, e.g. `(n-1)/3`, never
+    * `floor((n-1)*p)` whose double product rounds below exact multiples). */
+  def exactValuesAtRanks(df: DataFrame, column: String, ranks: Seq[Long]): Seq[Double] = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 0), "ranks must be >= 0")
+    val vals = df.select(col(column).cast("double").as("v")).filter(col("v").isNotNull)
+    val needed = ranks.toSet
+    val byIdx = vals.orderBy("v").queryExecution.toRdd
+      .map(_.getDouble(0))
+      .zipWithIndex()
+      .filter { case (_, i) => needed.contains(i) }
+      .map(_.swap)
+      .collectAsMap()
+    ranks.map(r => byIdx.getOrElse(r,
+      throw new IllegalArgumentException(s"rank $r out of range (n <= $r)")))
+  }
+
   /** Krippendorff's alpha for NOMINAL data (Krippendorff 2004) — the
     * inter-annotator agreement score that, unlike Cohen's kappa, handles
     * ANY number of raters and missing ratings: units rated by fewer than

@@ -114,19 +114,28 @@ object AnnIndex {
     * discipline: rewriting list partitions per delete would be pure
     * write amplification, while the tombstone set stays
     * deleted-count-sized and broadcastable. */
-  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    // tombstones carry the INDEX's own id type (read from the store
+    // schema), never a hard-coded long: [[writeRows]] stores `idCol`
+    // verbatim, and an anti-join between mismatched types would coerce
+    // through double (or null out under a cast) and silently fail to
+    // suppress deleted string/decimal ids
+    val idType = ids.sparkSession.read.parquet(path).schema("id").dataType
+    ids.select(col(idCol).cast(idType).as("id")).distinct()
       .write.mode("append").parquet(s"$path/_tombstones")
+  }
 
-  /** The current tombstone set (empty frame when none were ever written). */
+  /** The current tombstone set (empty frame — typed like the store's id
+    * column — when none were ever written). */
   def tombstones(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(p.toString).distinct()
     else {
       import org.apache.spark.sql.types._
+      val idType = spark.read.parquet(path).schema("id").dataType
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", LongType, nullable = false))))
+        StructType(Seq(StructField("id", idType, nullable = false))))
     }
   }
 
@@ -184,6 +193,185 @@ object AnnIndex {
     val books = flat.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
     PqIndexModel(coarse, books, dim, m)
+  }
+
+  // ===== versioned blue/green lifecycle (round 11) ======================
+  //
+  // A STANDING index can't be retrained in place: searches run while the
+  // new store builds, and a half-written store must never be visible. The
+  // lifecycle below keeps full index versions under `base/v<k>` (each with
+  // its model at `v<k>/_model`) and ONE pointer file `base/CURRENT`,
+  // updated by atomic rename — searches resolve the pointer at call time,
+  // so during a cutover they read a complete store (old or new, never a
+  // mix), and after promotion the old version is GC'd.
+
+  /** Outcome of one [[retrain]] attempt: the candidate is PROMOTED only
+    * when its measured recall@k on the probe set clears the floor;
+    * otherwise it is deleted and the current version keeps serving. */
+  final case class RetrainResult(fromVersion: Int, toVersion: Int,
+      promoted: Boolean, recall: Double)
+
+  /** Corpus-sized `nLists` rule: `nLists ≈ √N` balances the two per-query
+    * costs — the centroid scan (∝ nLists) and the probed-list scan
+    * (∝ nProbe·N/nLists) — the standard IVF sizing (FAISS guidelines use
+    * √N..16√N; at the √N point an average list holds √N vectors, so
+    * probe pruning reads nProbe·√N rows instead of N). Clamped so an
+    * average list still holds ≥ `minListSize` vectors: tiny corpora
+    * degrade gracefully to fewer lists rather than 1-vector lists whose
+    * centroid table outweighs the data. */
+  def suggestNLists(n: Long, minListSize: Long = 64): Int =
+    math.max(1L, math.min(math.round(math.sqrt(n.toDouble)),
+      n / math.max(minListSize, 1L))).toInt
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The currently-serving version number (None before the first build). */
+  def currentVersion(spark: SparkSession, base: String): Option[Int] = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$base/CURRENT")
+    val fs = fsOf(spark, base)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        Some(buf.readLine().trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Store path of a version. */
+  def versionPath(base: String, v: Int): String = s"$base/v$v"
+
+  /** Atomically repoint `base/CURRENT` at version `v`: the new pointer is
+    * written complete to a temp file first, then renamed over CURRENT
+    * (`Options.Rename.OVERWRITE` — an atomic same-directory rename on
+    * POSIX and HDFS), so a concurrent [[searchCurrent]] reads either the
+    * old pointer or the new one, never a torn write. */
+  def repoint(spark: SparkSession, base: String, v: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/.CURRENT.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$base/CURRENT")
+    val fs = fsOf(spark, base)
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** First build of a versioned index: train + materialize at `v1` (or
+    * the next version if some exist), persist the model INSIDE the
+    * version (`v<k>/_model` — underscore-prefixed, invisible to the
+    * store scan), and repoint. Returns the version number. Pass
+    * `nLists = 0` to size by [[suggestNLists]]. */
+  def buildVersioned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      base: String,
+      dim: Int,
+      nLists: Int = 0,
+      m: Int = 8,
+      kCodes: Int = 16
+  ): Int = {
+    val spark = corpus.sparkSession
+    val v = currentVersion(spark, base).getOrElse(0) + 1
+    val nl = if (nLists > 0) nLists else suggestNLists(corpus.count())
+    val vp = versionPath(base, v)
+    val model = buildIndex(corpus, idCol, vecCol, vp, dim, nLists = nl, m = m,
+      kCodes = kCodes)
+    saveModel(spark, model, s"$vp/_model")
+    repoint(spark, base, v)
+    v
+  }
+
+  /** Search whatever version `base/CURRENT` points at — resolved at CALL
+    * time, so a search issued during a [[retrain]] cutover is served by a
+    * complete store (the promotion is one atomic pointer swap). */
+  def searchCurrent(
+      spark: SparkSession,
+      base: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topK: Int,
+      nProbe: Int,
+      shortlist: Int = 100
+  ): DataFrame = {
+    val v = currentVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no CURRENT index under $base"))
+    val vp = versionPath(base, v)
+    val model = loadModel(spark, s"$vp/_model")
+    searchIndex(spark, vp, model, queries, idCol, vecCol, topK,
+      math.min(nProbe, model.coarse.length), shortlist)
+  }
+
+  /** DRIFT-DRIVEN RETRAIN with blue/green cutover — what composes the
+    * three existing pieces ([[Ivf.indexStats]] emits the drift signal,
+    * [[buildIndex]] the mechanism, the pointer the atomicity): train
+    * FRESH quantizers on `corpus` into the next version, measure
+    * recall@`topK` of the candidate against exact brute force on
+    * `probeQueries`, and PROMOTE (atomic repoint + GC of the old store)
+    * only if recall ≥ `recallFloor` — a bad candidate is deleted and the
+    * old version keeps serving, so the floor is a safety gate, not a
+    * hope. Searches issued at any point see a complete store: before the
+    * swap the old one, after it the new one (spec-asserted,
+    * `AnnRetrainSpec`). The promoted index equals a one-shot
+    * [[buildIndex]] on the same corpus (training is deterministic), which
+    * is what the q_ann_retrain oracle replays in SQL. */
+  def retrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      base: String,
+      dim: Int,
+      probeQueries: DataFrame,
+      nLists: Int = 0,
+      m: Int = 8,
+      kCodes: Int = 16,
+      topK: Int = 5,
+      nProbe: Int = 12,
+      shortlist: Int = 100,
+      recallFloor: Double = 0.90,
+      /** Delete the old version immediately on promotion. A deployment
+        * with long-running searches sets `false` and GCs `v<from>` after
+        * a grace period instead — a search that resolved the pointer
+        * BEFORE the swap keeps reading the old (complete, untouched)
+        * store and stays result-correct (spec-asserted). */
+      gcOldVersion: Boolean = true
+  ): RetrainResult = {
+    val spark = corpus.sparkSession
+    val from = currentVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"retrain: no CURRENT index under $base"))
+    val cand = from + 1
+    val nl = if (nLists > 0) nLists else suggestNLists(corpus.count())
+    val vp = versionPath(base, cand)
+    val model = buildIndex(corpus, idCol, vecCol, vp, dim, nLists = nl, m = m,
+      kCodes = kCodes)
+    saveModel(spark, model, s"$vp/_model")
+    // recall@topK of the candidate vs exact brute force on the probe set
+    val got = searchIndex(spark, vp, model, probeQueries, idCol, vecCol, topK,
+        math.min(nProbe, nl), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, probeQueries, idCol, vecCol, topK)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    val recall = if (exact.isEmpty) 0.0
+      else got.intersect(exact).size.toDouble / exact.size
+    val fs = fsOf(spark, base)
+    if (recall >= recallFloor) {
+      repoint(spark, base, cand)
+      if (gcOldVersion) {
+        fs.delete(new org.apache.hadoop.fs.Path(versionPath(base, from)), true)
+        ()
+      }
+      RetrainResult(from, cand, promoted = true, recall)
+    } else {
+      fs.delete(new org.apache.hadoop.fs.Path(vp), true)
+      RetrainResult(from, cand, promoted = false, recall)
+    }
   }
 
   /** Query the disk index: ADC over pruned code partitions → shortlist →

@@ -309,11 +309,15 @@ object Ivf {
       iters: Int = 8,
       sampleSize: Int = 2048
   ): Array[Array[Long]] = {
+    // deterministic sample order: numeric ids sort exactly as before (the
+    // oracle's ORDER BY id); non-castable ids (try_cast -> null) fall back
+    // to string order instead of throwing under ANSI
     val sample: Array[Array[Long]] = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy("id").limit(sampleSize)
+      .select(col(idCol).try_cast("long").as("id"),
+        col(idCol).cast("string").as("ids"), col(vecCol).as("v"))
+      .orderBy("id", "ids").limit(sampleSize)
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e6).toLong))
+      .map(_.getSeq[Float](2).toArray.map(x => math.floor(x.toDouble * 1e6).toLong))
     require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
     val dim = sample.head.length
     var centroids = Array.tabulate(nLists)(i => sample((i * sample.length) / nLists).clone())

@@ -39,12 +39,16 @@ object Pq {
   ): Array[Array[Array[Long]]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
+    // deterministic sample order: numeric ids sort exactly as before (the
+    // oracle's ORDER BY id); non-castable ids (try_cast -> null) fall back
+    // to string order instead of throwing under ANSI
     val sample: Array[Array[Long]] = df
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy("id").limit(sampleSize)
+      .select(col(idCol).try_cast("long").as("id"),
+        col(idCol).cast("string").as("ids"), col(vecCol).as("v"))
+      .orderBy("id", "ids").limit(sampleSize)
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e6).toLong))
+      .map(_.getSeq[Float](2).toArray.map(x => math.floor(x.toDouble * 1e6).toLong))
     require(sample.length >= k, s"sample ${sample.length} < k $k")
     Array.tabulate(m) { sub =>
       val off = sub * subDim

@@ -33,10 +33,12 @@ object StreamingCuration {
     * `foreachBatch` invocations are serialized by the streaming runtime,
     * but state reads (audits) may come from other threads.
     *
-    * RESTART RECOVERY: construct with `initial = spark.table(<catalog
-    * table>)` to resume from a state persisted by a `catalogTable`-enabled
-    * [[writer]] — the resumed run continues exactly where the crashed one
-    * left off (spec-asserted equal to the uninterrupted run, Round10Spec).
+    * RESTART RECOVERY: construct with `initial =
+    * Dedup.dedupCatalogResume(spark, <catalog table>)` to resume from a
+    * state persisted by a `catalogTable`-enabled [[writer]] — the resumed
+    * run continues exactly where the crashed one left off (spec-asserted
+    * equal to the uninterrupted run, Round10Spec; the resume helper also
+    * recovers the staging table if the crash hit mid-swap, Round11Spec).
     * Pair with an idempotent sink keyed on batch id for exactly-once
     * output across the restart. */
   final class CurationState(spark: SparkSession, initial: Option[DataFrame] = None) {
@@ -62,20 +64,24 @@ object StreamingCuration {
       minQuality: Double = 0.83,
       contaminationNgram: Int = 8,
       /** When set, the post-batch catalog is ALSO persisted to this
-        * fingerprint-bucketed table ([[graft.dedup.Dedup
-        * .dedupCatalogWrite]]) every micro-batch — the restart-recovery
-        * half of the lifecycle: a crashed driver resumes by constructing
-        * [[CurationState]] from `spark.table(catalogTable)`. The write is
-        * an overwrite of distinct-content-sized state, and the bucketed
-        * layout makes the NEXT session's probes zero-exchange from the
-        * first batch. */
+        * fingerprint-bucketed table every micro-batch via the CRASH-SAFE
+        * staged swap ([[graft.dedup.Dedup.dedupCatalogWriteAtomic]]: the
+        * new state lands completely in a staging table before the old one
+        * is touched, so a driver crash at ANY point — including mid-swap —
+        * leaves a complete state for [[graft.dedup.Dedup
+        * .dedupCatalogResume]] to recover; write-in-place would open a
+        * drop→rewrite window with NO persisted state every batch). A
+        * crashed driver resumes by constructing [[CurationState]] from
+        * `Dedup.dedupCatalogResume(spark, catalogTable)`. The write is
+        * distinct-content-sized, and the bucketed layout makes the NEXT
+        * session's probes zero-exchange from the first batch. */
       catalogTable: Option[String] = None
   )(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val (curated, updated) = graft.Pipeline.curateIncremental(
         state.catalogState, batch, evalDocs, idCol, textCol, batchId,
         minQuality, contaminationNgram)
-      catalogTable.foreach(t => graft.dedup.Dedup.dedupCatalogWrite(updated, t))
+      catalogTable.foreach(t => graft.dedup.Dedup.dedupCatalogWriteAtomic(updated, t))
       state.advance(updated)
       sink(curated, batchId)
     }

@@ -34,26 +34,49 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * cap, the configuration both are meant to run in). State is therefore
   * ≤ `maxBucketSize · numHashes` longs per occupied bucket, and bucket
   * occupancy tracks DISTINCT band keys — corpus-content-sized, the same
-  * state a standing batch index would hold. */
+  * state a standing batch index would hold.
+  *
+  * State RETENTION (round 11): [[candidatePairsWithForget]] takes a
+  * second streaming input of takedown documents — each forgotten doc's
+  * band keys are recomputed with the SAME kernels, routed to the same
+  * shards, and the id is REMOVED from every bucket it occupies, so (a)
+  * the forgotten document stops generating candidate pairs, (b) a
+  * re-submission is admitted and pairs afresh (erasure must not censor
+  * future legitimate content — the [[graft.dedup.Dedup
+  * .dedupCatalogForget]] semantics), and (c) state shrinks by the id's
+  * bucket entries (ack rows carry the per-shard removal count,
+  * spec-asserted). Within a micro-batch ALL forgets resolve BEFORE any
+  * admission — deterministic whatever the row interleaving. Optional
+  * `ttl` ages whole buckets out for retention-policy deployments
+  * (TimeMode becomes ProcessingTime); default `None` keeps state
+  * permanent. */
 object StreamingLshDedup {
 
-  /** One candidate pair: `est_jaccard = same_components / num_hashes`. */
+  /** One candidate pair: `est_jaccard = same_components / num_hashes`.
+    * Forget acks reuse the shape with `idb = -1`, `estJaccard = -1.0` and
+    * `sameComponents` = the number of bucket entries removed in the
+    * shard. */
   final case class LshCandidate(shard: Long, ida: Long, idb: Long,
       sameComponents: Int, numHashes: Int, estJaccard: Double)
 
   /** Per-bucket members: parallel id/signature sequences. */
   final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
 
-  final class LshProcessor(cap: Int, numHashes: Int)
-      extends StatefulProcessor[Long, (Long, String, Long, Seq[Long]), LshCandidate] {
+  private val OpIngest = 0L
+  private val OpForget = 1L
+
+  final class LshProcessor(cap: Int, numHashes: Int,
+      ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, (Long, String, Long, Seq[Long], Long), LshCandidate] {
     @transient private var buckets: MapState[String, BucketState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       buckets = getHandle.getMapState[String, BucketState]("buckets",
-        Encoders.STRING, Encoders.product[BucketState], TTLConfig.NONE)
+        Encoders.STRING, Encoders.product[BucketState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(shard: Long,
-        rows: Iterator[(Long, String, Long, Seq[Long])],
+        rows: Iterator[(Long, String, Long, Seq[Long], Long)],
         timerValues: TimerValues): Iterator[LshCandidate] = {
       // Buffer the micro-batch per bucket key and admit NEW ids in sorted
       // (min-first) order: when a bucket fills mid-batch, WHICH ids get
@@ -63,13 +86,41 @@ object StreamingLshDedup {
       // to the cap path; cap-overflow spec-asserted).
       val perBucket = scala.collection.mutable.LinkedHashMap
         .empty[String, scala.collection.mutable.TreeMap[Long, Seq[Long]]]
-      rows.foreach { case (_, bk, id, sig) =>
-        perBucket.getOrElseUpdate(bk,
-          scala.collection.mutable.TreeMap.empty[Long, Seq[Long]])
-          .getOrElseUpdate(id, sig)
+      // forgotten (bucket, id) entries, buffered so removal happens FIRST
+      val perBucketForgets = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.TreeSet[Long]]
+      rows.foreach { case (_, bk, id, sig, op) =>
+        if (op == OpForget)
+          perBucketForgets.getOrElseUpdate(bk,
+            scala.collection.mutable.TreeSet.empty[Long]) += id
+        else
+          perBucket.getOrElseUpdate(bk,
+            scala.collection.mutable.TreeMap.empty[Long, Seq[Long]])
+            .getOrElseUpdate(id, sig)
         ()
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
+      // forgets first: drop the id from every bucket it occupies; ack one
+      // row per forgotten id with the shard's removal count (0 = the id
+      // held no state here)
+      val removedPerId = scala.collection.mutable.TreeMap.empty[Long, Int]
+      perBucketForgets.foreach { case (bk, ids) =>
+        ids.foreach { id => removedPerId.getOrElseUpdate(id, 0); () }
+        if (buckets.containsKey(bk)) {
+          val st = buckets.getValue(bk)
+          val keep = st.ids.zip(st.sigs).filterNot { case (i, _) => ids.contains(i) }
+          if (keep.length != st.ids.length) {
+            st.ids.filter(ids.contains).foreach { i =>
+              removedPerId.updateWith(i)(c => Some(c.getOrElse(0) + 1)); ()
+            }
+            if (keep.isEmpty) buckets.removeKey(bk)
+            else buckets.updateValue(bk, BucketState(keep.map(_._1), keep.map(_._2)))
+          }
+        }
+      }
+      removedPerId.foreach { case (id, n) =>
+        out += LshCandidate(shard, id, -1L, n, numHashes, -1.0)
+      }
       perBucket.foreach { case (bk, newbies) =>
         var st = if (buckets.containsKey(bk)) buckets.getValue(bk)
           else BucketState(Seq.empty, Seq.empty)
@@ -107,19 +158,54 @@ object StreamingLshDedup {
       bands: Int = 32,
       seed: Long = 42L,
       maxBucketSize: Int = 1000,
-      nShards: Int = 16
+      nShards: Int = 16,
+      ttl: Option[java.time.Duration] = None
   ): Dataset[LshCandidate] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val banded = bandedSignatures(docs, idCol, textCol, shingleN, numHashes,
-      bands, seed, nShards)
+      bands, seed, nShards).withColumn("op", lit(OpIngest))
+    pairsOf(banded, maxBucketSize, numHashes, ttl)
+  }
+
+  /** [[candidatePairs]] plus a takedown stream: `forgets` rows (same
+    * schema — the takedown carries the document, whose band keys are
+    * recomputed with the same kernels) REMOVE the id from every bucket it
+    * occupies. Forgets resolve before admissions within a micro-batch;
+    * each acks with `idb = -1`, `estJaccard = -1` and the shard's removal
+    * count (see class doc). Filter `estJaccard >= 0` for the pair
+    * stream. */
+  def candidatePairsWithForget(
+      docs: DataFrame,
+      forgets: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      nShards: Int = 16,
+      ttl: Option[java.time.Duration] = None
+  ): Dataset[LshCandidate] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val ingest = bandedSignatures(docs, idCol, textCol, shingleN, numHashes,
+      bands, seed, nShards).withColumn("op", lit(OpIngest))
+    val forget = bandedSignatures(forgets, idCol, textCol, shingleN, numHashes,
+      bands, seed, nShards).withColumn("op", lit(OpForget))
+    pairsOf(ingest.unionByName(forget), maxBucketSize, numHashes, ttl)
+  }
+
+  private def pairsOf(banded: DataFrame, maxBucketSize: Int, numHashes: Int,
+      ttl: Option[java.time.Duration]): Dataset[LshCandidate] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded
-      .select(col("shard"), col("__bk"), col("id"), col("sig"))
-      .as[(Long, String, Long, Seq[Long])]
+      .select(col("shard"), col("__bk"), col("id"), col("sig"), col("op"))
+      .as[(Long, String, Long, Seq[Long], Long)]
       .groupByKey(_._1)
-      .transformWithState(new LshProcessor(maxBucketSize, numHashes),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new LshProcessor(maxBucketSize, numHashes, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** The shared (batch/stream) row-local front half: id, full signature,
