@@ -4815,21 +4815,21 @@ object SparkEntry {
     * embedded twice in one statement — see [[ivfPqSql]]). */
   private def ivfIterSql(n: Int, prev: String, smp: String = "smp",
       p: String = ""): String =
-    s"""${p}d$n AS (
+    s"""${p}d$n AS MATERIALIZED (
        |  SELECT s.rnk, c.cid,
        |    list_dot_product(list_transform(s.qv, x -> x::DOUBLE),
        |                     list_transform(c.cv, x -> x::DOUBLE)) AS d
        |  FROM $smp s CROSS JOIN $prev c),
-       |${p}a$n AS (
+       |${p}a$n AS MATERIALIZED (
        |  SELECT rnk, cid FROM (
        |    SELECT rnk, cid, row_number() OVER (PARTITION BY rnk ORDER BY d DESC, cid ASC) AS rn
        |    FROM ${p}d$n) WHERE rn = 1),
-       |${p}m$n AS (
+       |${p}m$n AS MATERIALIZED (
        |  SELECT a.cid, p.i AS pos,
        |    CAST(floor(CAST(sum(s.qv[p.i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
        |  FROM ${p}a$n a JOIN $smp s ON s.rnk = a.rnk CROSS JOIN range(1, 65) p(i)
        |  GROUP BY a.cid, p.i),
-       |${p}c$n AS (
+       |${p}c$n AS MATERIALIZED (
        |  SELECT $prev.cid, coalesce(m.cv, $prev.cv) AS cv
        |  FROM $prev LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS cv
        |                        FROM ${p}m$n GROUP BY cid) m USING (cid))""".stripMargin
@@ -4882,23 +4882,23 @@ object SparkEntry {
     * subvector to its nearest code (ties to the smaller cid), then
     * floor-mean update each non-empty code. */
   private def pqIterSql(n: Int, prev: String): String =
-    s"""pd$n AS (
+    s"""pd$n AS MATERIALIZED (
        |  SELECT s.sub, s.rnk, c.cid,
        |    list_sum(list_transform(range(1, 9),
        |      i -> ((s.sv[i] - c.cv[i])::DOUBLE) * ((s.sv[i] - c.cv[i])::DOUBLE))) AS d
        |  FROM ssub s JOIN $prev c ON c.sub = s.sub),
-       |pa$n AS (
+       |pa$n AS MATERIALIZED (
        |  SELECT sub, rnk, cid FROM (
        |    SELECT sub, rnk, cid,
        |      row_number() OVER (PARTITION BY sub, rnk ORDER BY d ASC, cid ASC) AS rn
        |    FROM pd$n) WHERE rn = 1),
-       |pm$n AS (
+       |pm$n AS MATERIALIZED (
        |  SELECT a.sub, a.cid, p.i AS pos,
        |    CAST(floor(CAST(sum(s.sv[p.i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
        |  FROM pa$n a JOIN ssub s ON s.sub = a.sub AND s.rnk = a.rnk
        |  CROSS JOIN range(1, 9) p(i)
        |  GROUP BY a.sub, a.cid, p.i),
-       |pc$n AS (
+       |pc$n AS MATERIALIZED (
        |  SELECT cp.sub, cp.cid, coalesce(m.cv, cp.cv) AS cv
        |  FROM $prev cp LEFT JOIN (SELECT sub, cid, list(val ORDER BY pos) AS cv
        |                           FROM pm$n GROUP BY sub, cid) m
@@ -4911,24 +4911,24 @@ object SparkEntry {
     * over the whole corpus. L2² over q6 longs is ≤ 3·10¹³ — exact in
     * double, so `d::BIGINT` equals the engine's long. */
   private lazy val pqTrainCtes: String =
-    s"""smp AS (
+    s"""smp AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
        |  FROM (SELECT vec_id, embedding FROM embeddings
        |        WHERE embedding IS NOT NULL AND len(embedding) = 64
        |        ORDER BY vec_id LIMIT 512)),
-       |psn AS (SELECT count(*) AS s FROM smp),
-       |subs AS (SELECT unnest(range(0, 8)) AS sub),
-       |ssub AS (
+       |psn AS MATERIALIZED (SELECT count(*) AS s FROM smp),
+       |subs AS MATERIALIZED (SELECT unnest(range(0, 8)) AS sub),
+       |ssub AS MATERIALIZED (
        |  SELECT smp.rnk, subs.sub,
        |    list_transform(range(1, 9), d -> qv[subs.sub * 8 + d]) AS sv
        |  FROM smp CROSS JOIN subs),
-       |pc0 AS (
+       |pc0 AS MATERIALIZED (
        |  SELECT s.sub, r.c AS cid, s.sv AS cv
        |  FROM range(0, 16) r(c) JOIN ssub s
        |    ON s.rnk = (r.c * (SELECT s FROM psn)) // 16),
        |${(1 to 4).map(n => pqIterSql(n, s"pc${n - 1}")).mkString(",\n")},
-       |av AS (
+       |av AS MATERIALIZED (
        |  SELECT e.vec_id, subs.sub,
        |    list_transform(range(1, 9), d -> e.qv[subs.sub * 8 + d]) AS sv
        |  FROM (SELECT vec_id,
@@ -4937,12 +4937,12 @@ object SparkEntry {
        |        FROM embeddings
        |        WHERE embedding IS NOT NULL AND len(embedding) = 64) e
        |  CROSS JOIN subs),
-       |fd AS (
+       |fd AS MATERIALIZED (
        |  SELECT v.vec_id, v.sub, c.cid,
        |    list_sum(list_transform(range(1, 9),
        |      i -> ((v.sv[i] - c.cv[i])::DOUBLE) * ((v.sv[i] - c.cv[i])::DOUBLE))) AS d
        |  FROM av v JOIN pc4 c ON c.sub = v.sub),
-       |pasg AS (
+       |pasg AS MATERIALIZED (
        |  SELECT vec_id, sub, cid, d FROM (
        |    SELECT vec_id, sub, cid, d,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
@@ -5014,29 +5014,29 @@ object SparkEntry {
     * to the HIGHER): `iasg(vec_id, list_id)` routes the corpus,
     * `iprb(query_id, list_id)` holds each query's `nProbe` best lists. */
   private def ivfRouteCtes(nProbe: Int): String =
-    s"""ismp AS (
+    s"""ismp AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rnk,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048)),
-       |isn AS (SELECT count(*) AS s FROM ismp),
-       |ic0 AS (
+       |isn AS MATERIALIZED (SELECT count(*) AS s FROM ismp),
+       |ic0 AS MATERIALIZED (
        |  SELECT r.i AS cid, s.qv AS cv
        |  FROM range(0, 16) r(i) JOIN ismp s ON s.rnk = (r.i * (SELECT s FROM isn)) // 16),
        |${(1 to 8).map(n => ivfIterSql(n, s"ic${n - 1}", "ismp", "i")).mkString(",\n")},
-       |iallq AS (
+       |iallq AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |iad AS (
+       |iad AS MATERIALIZED (
        |  SELECT e.vec_id, c.cid,
        |    list_dot_product(list_transform(e.qv, x -> x::DOUBLE),
        |                     list_transform(c.cv, x -> x::DOUBLE)) AS d
        |  FROM iallq e CROSS JOIN ic8 c),
-       |iasg AS (
+       |iasg AS MATERIALIZED (
        |  SELECT vec_id, cid AS list_id FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
        |    FROM iad) WHERE rn = 1),
-       |iprb AS (
+       |iprb AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cid AS list_id FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid DESC) AS pn
        |    FROM iad WHERE vec_id < 10) WHERE pn <= $nProbe)""".stripMargin

@@ -101,6 +101,13 @@ object AnnIndex {
         (array_position(scores, array_max(scores)) - 1).cast("int"))
       .withColumn("codes", Pq.codesArray(col("v"), model.dim, model.m, model.books))
       .select("id", "codes", "v", "list_id")
+      // co-locate each list before the partitioned write: without this,
+      // EVERY write task emits a file into EVERY list directory — at
+      // nLists = √N the store degenerates into tasks·nLists tiny files
+      // (measured: 176k files for a 500k-vector/707-list build, and
+      // every subsequent search pays the full listing+open cost). One
+      // hash shuffle on list_id bounds the store at ~one file per list.
+      .repartition(col("list_id"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("list_id").parquet(path)
   }

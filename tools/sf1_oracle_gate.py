@@ -53,7 +53,9 @@ def run_oracle(sfdir, sql, q):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written replica: a directory of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     try:
         q.put(("ok", canon(con.execute(sql).fetchdf())))
@@ -75,14 +77,18 @@ def main(sfdir, outdir, artifact, timeout_s):
         q = mp.Queue()
         proc = mp.Process(target=run_oracle, args=(sfdir, sql, q))
         proc.start()
-        proc.join(timeout_s)
-        if proc.is_alive():
+        # get() BEFORE join(): a child whose result frame exceeds the pipe
+        # buffer blocks in put() until the parent reads — join-first
+        # deadlocks every large-result query into a fake timeout
+        try:
+            status, want = q.get(timeout=timeout_s)
+        except Exception:  # queue.Empty
             proc.terminate()
             proc.join()
             results[name] = {"status": "oracle_timeout", "timeout_s": timeout_s}
             print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s", flush=True)
             continue
-        status, want = q.get()
+        proc.join()
         if status == "error":
             results[name] = {"status": "oracle_error", "error": want}
             print(f"FAIL {name}: oracle error {want}", flush=True)
