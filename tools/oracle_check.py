@@ -18,13 +18,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if s.dtype.kind == 'f':
-            out[c] = s.round(9)
+            out[c] = s.astype('float64').round(9)
         else:
             out[c] = s.astype(str)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    os.makedirs('/tmp/graft_duckdb_tmp', exist_ok=True)
+    con.execute("SET temp_directory='/tmp/graft_duckdb_tmp'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):

@@ -41,7 +41,7 @@ def canon(df):
     for c in df.columns:
         s = df[c]
         if s.dtype.kind == 'f':
-            out[c] = s.round(9)
+            out[c] = s.astype('float64').round(9)
         else:
             out[c] = s.astype(str)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
@@ -51,6 +51,8 @@ def run_oracle(sfdir, sql, q):
     """Child process: run one oracle SQL, put the canonical frame on q."""
     import duckdb
     con = duckdb.connect()
+    os.makedirs('/tmp/graft_duckdb_tmp', exist_ok=True)
+    con.execute("SET temp_directory='/tmp/graft_duckdb_tmp'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written replica: a directory of parts
