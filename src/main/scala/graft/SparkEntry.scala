@@ -4007,7 +4007,11 @@ object SparkEntry {
       // floor 0.75: deliberately below the measured recalls at every gated
       // SF (0.84 at sf0.001, 0.96 at sf0.01/sf0.1) so the lifecycle
       // PROMOTES wherever the harness smokes it — the bit-exact gate is
-      // the oracle equality below, which only holds for the promoted v2
+      // the oracle equality below, which only holds for the promoted v2.
+      // The 0.09 margin (0.75 floor vs 0.84 worst measured) means a future
+      // fixture change that erodes recall fails LOUDLY at the require
+      // below — the right place — rather than surfacing as an opaque
+      // oracle hash diff over the still-serving v1
       val res = graft.similarity.AnnIndex.retrain(e, "vec_id", "embedding",
         base, dim = 64, probeQueries = e.filter(col("vec_id") < 10),
         nLists = 16, topK = 5, nProbe = 12, shortlist = 100, recallFloor = 0.75)

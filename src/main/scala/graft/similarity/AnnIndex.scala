@@ -45,14 +45,22 @@ object AnnIndex {
   /** Train both quantizers and materialize the index at `path`.
     * Append new batches with [[appendToIndex]] (frozen quantizers — the
     * [[Ivf.appendToIndex]] discipline); re-train offline when
-    * [[Ivf.indexStats]] over `path` shows list drift. */
+    * [[Ivf.indexStats]] over `path` shows list drift.
+    *
+    * `nLists = 0` (the default) sizes the list count by
+    * [[suggestNLists]] (≈ √N — one extra `count()` job at build time), so
+    * a user following the README path gets the corpus-scaled store, not a
+    * toy constant. The GATED queries pin `nLists = 16` explicitly: the
+    * DuckDB oracle replays the assignment algebra with a fixed list
+    * count, so oracle reproducibility requires pinning it — that pin is a
+    * property of the gate, not a recommended production setting. */
   def buildIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       path: String,
       dim: Int,
-      nLists: Int = 16,
+      nLists: Int = 0,
       m: Int = 8,
       kCodes: Int = 16,
       ivfIters: Int = 8,
@@ -60,7 +68,8 @@ object AnnIndex {
       ivfSample: Int = 2048,
       pqSample: Int = 512
   ): PqIndexModel = {
-    val coarse = Ivf.trainCentroidsQuantized(corpus, idCol, vecCol, nLists,
+    val nl = if (nLists > 0) nLists else suggestNLists(corpus.count())
+    val coarse = Ivf.trainCentroidsQuantized(corpus, idCol, vecCol, nl,
       ivfIters, ivfSample)
     val books = Pq.trainCodebooks(corpus, idCol, vecCol, dim, m, kCodes,
       pqIters, pqSample)
@@ -284,10 +293,9 @@ object AnnIndex {
   ): Int = {
     val spark = corpus.sparkSession
     val v = currentVersion(spark, base).getOrElse(0) + 1
-    val nl = if (nLists > 0) nLists else suggestNLists(corpus.count())
     val vp = versionPath(base, v)
-    val model = buildIndex(corpus, idCol, vecCol, vp, dim, nLists = nl, m = m,
-      kCodes = kCodes)
+    val model = buildIndex(corpus, idCol, vecCol, vp, dim, nLists = nLists,
+      m = m, kCodes = kCodes)
     saveModel(spark, model, s"$vp/_model")
     repoint(spark, base, v)
     v
@@ -346,7 +354,23 @@ object AnnIndex {
         * a grace period instead — a search that resolved the pointer
         * BEFORE the swap keeps reading the old (complete, untouched)
         * store and stays result-correct (spec-asserted). */
-      gcOldVersion: Boolean = true
+      gcOldVersion: Boolean = true,
+      /** CATCH-UP (closes the retrain ↔ streaming-ingest seam): vectors
+        * that reached the SERVING store after the caller snapshotted
+        * `corpus` — e.g. a concurrent [[graft.streaming
+        * .StreamingAnnIngest]] batch — would otherwise vanish from the
+        * promoted version. When `true`, the serving store's live rows
+        * (tombstones excluded) are anti-joined against the snapshot's ids
+        * and the delta is re-encoded into the candidate under its FRESH
+        * model before the recall gate, which then verifies against brute
+        * force over `corpus ∪ delta`. The residual race is the window
+        * between this read and the pointer swap: a batch landing there
+        * goes to the old store only — run retrain from the ingest
+        * stream's `onBatch` quiesce point, or keep `gcOldVersion = false`
+        * and re-drive stragglers from the stream checkpoint. When the
+        * snapshot covers the store (the gated q_ann_retrain shape) the
+        * delta is empty and this is a no-op anti-join. */
+      catchupFromCurrent: Boolean = true
   ): RetrainResult = {
     val spark = corpus.sparkSession
     val from = currentVersion(spark, base).getOrElse(
@@ -357,14 +381,36 @@ object AnnIndex {
     val model = buildIndex(corpus, idCol, vecCol, vp, dim, nLists = nl, m = m,
       kCodes = kCodes)
     saveModel(spark, model, s"$vp/_model")
+    val delta: Option[DataFrame] = if (!catchupFromCurrent) None else {
+      val oldPath = versionPath(base, from)
+      val live0 = spark.read.parquet(oldPath).select(col("id"), col("v"))
+      val live = if (hasTombstones(spark, oldPath))
+        live0.join(broadcast(tombstones(spark, oldPath)), Seq("id"), "left_anti")
+      else live0
+      // store ids vs snapshot ids: both sides corpus-sized, a plain keyed
+      // anti-join (sort-merge at scale); the delta itself is gap-sized
+      val d = live
+        .join(corpus.select(col(idCol).cast(
+          live.schema("id").dataType).as("id")).distinct(), Seq("id"), "left_anti")
+        .select(col("id").as(idCol), col("v").as(vecCol))
+        .persist()
+      if (d.head(1).nonEmpty) { appendToIndex(d, idCol, vecCol, vp, model); Some(d) }
+      else { d.unpersist(); None }
+    }
     // recall@topK of the candidate vs exact brute force on the probe set
+    // (over corpus ∪ caught-up delta — what the candidate actually holds)
     val got = searchIndex(spark, vp, model, probeQueries, idCol, vecCol, topK,
         math.min(nProbe, nl), shortlist)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.get(0), r.get(1))).toSet
-    val exact = Similarity.bruteForceTopK(corpus, probeQueries, idCol, vecCol, topK)
+    val exactCorpus = delta match {
+      case Some(d) => corpus.select(col(idCol), col(vecCol)).unionByName(d)
+      case None => corpus
+    }
+    val exact = Similarity.bruteForceTopK(exactCorpus, probeQueries, idCol, vecCol, topK)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.get(0), r.get(1))).toSet
+    delta.foreach { d => d.unpersist(); () }
     val recall = if (exact.isEmpty) 0.0
       else got.intersect(exact).size.toDouble / exact.size
     val fs = fsOf(spark, base)
