@@ -4021,6 +4021,27 @@ object SparkEntry {
           topK = 5, nProbe = 12, shortlist = 100)
         .orderBy("query_id", "rank")
     }),
+    // --- round 12: store COMPACTION under the versioned lifecycle — the
+    //     LSM maintenance step between streaming ingest and full retrain:
+    //     build v1, tombstone vec_id % 7, compact into v2 (tombstones
+    //     physically removed, same frozen model, atomic pointer swap,
+    //     ~one file per list again). Search over the compacted store is
+    //     IDENTICAL to tombstone-filtered search over the old one, so the
+    //     oracle is the disk-deleted replay verbatim. ---
+    "q_ann_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q_ann_compact_${s.sparkContext.applicationId}"
+      graft.similarity.AnnIndex.buildVersioned(e, "vec_id", "embedding",
+        base, dim = 64, nLists = 16)
+      graft.similarity.AnnIndex.deleteFromIndex(
+        e.filter(col("vec_id") % 7 === 0), "vec_id",
+        graft.similarity.AnnIndex.versionPath(base, 1))
+      graft.similarity.AnnIndex.compactVersioned(s, base)
+      graft.similarity.AnnIndex.searchCurrent(s, base,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          topK = 5, nProbe = 12, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
     // --- round 8: IVF-PQ (IVFADC) — coarse routing + ADC over codes
     //     within the probed lists; the full billion-scale ANN stack ---
     "q_ivfpq_topk" -> ((s, dir) => {
@@ -5463,6 +5484,9 @@ object SparkEntry {
     "q_ivfpq_topk" -> ivfPqSql,
     "q_ann_disk_rerank" -> annDiskRerankSql,
     "q_ann_disk_deleted" -> annDiskDeletedSql,
+    // compaction physically removes what the tombstone filter removed
+    // logically — search is identical, so the oracle is the same replay
+    "q_ann_compact" -> annDiskDeletedSql,
     // the promoted retrain == a one-shot build on the new corpus, so the
     // oracle is the disk-rerank replay verbatim
     "q_ann_retrain" -> annDiskRerankSql,

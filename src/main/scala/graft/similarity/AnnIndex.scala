@@ -322,6 +322,50 @@ object AnnIndex {
       math.min(nProbe, model.coarse.length), shortlist)
   }
 
+  /** STORE COMPACTION under the versioned lifecycle — the LSM maintenance
+    * step between append-heavy ingest and a full [[retrain]]: a standing
+    * index accumulates one `b<batchId>-` file per touched list per
+    * streaming micro-batch (the exactly-once publish discipline of
+    * [[graft.streaming.StreamingAnnIngest]]) plus a growing tombstone
+    * log, and at √N lists × thousands of batches that is a small-files
+    * incident and a per-search anti-join, forever. Compaction rewrites
+    * the CURRENT version's live rows (tombstones physically removed)
+    * into the next version — one hash shuffle on `list_id`, so the new
+    * store is bounded at ~one file per list again — copies the SAME
+    * frozen model (no re-training, no re-encoding: the assignment
+    * columns are already materialized), and cuts over with the same
+    * atomic pointer swap as retrain. Searches during compaction read a
+    * complete store (old or new, never a mix); search results are
+    * IDENTICAL before and after (the tombstone filter becomes physical —
+    * spec-asserted). The ingest marker lives at `base`, so a batch
+    * re-delivered across the compaction cutover is still recognized as
+    * committed. Returns the new version number. */
+  def compactVersioned(
+      spark: SparkSession,
+      base: String,
+      gcOldVersion: Boolean = true
+  ): Int = {
+    val from = currentVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"compact: no CURRENT index under $base"))
+    val cand = from + 1
+    val vp = versionPath(base, from)
+    val np = versionPath(base, cand)
+    spark.read.parquet(vp)
+      .join(broadcast(tombstones(spark, vp).select(col("id"))),
+        Seq("id"), "left_anti")
+      .select("id", "codes", "v", "list_id")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(np)
+    saveModel(spark, loadModel(spark, s"$vp/_model"), s"$np/_model")
+    repoint(spark, base, cand)
+    if (gcOldVersion) {
+      fsOf(spark, base).delete(
+        new org.apache.hadoop.fs.Path(vp), true)
+      ()
+    }
+    cand
+  }
+
   /** DRIFT-DRIVEN RETRAIN with blue/green cutover — what composes the
     * three existing pieces ([[Ivf.indexStats]] emits the drift signal,
     * [[buildIndex]] the mechanism, the pointer the atomicity): train

@@ -160,6 +160,57 @@ class Round12Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------------------------- versioned store compaction
+
+  test("compactVersioned: small files bounded, tombstones physically removed, " +
+      "search identical across the cutover") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = tmp("compact")
+    assert(AnnIndex.buildVersioned(emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", base, dim = 64, nLists = 8) === 1)
+    val v1 = AnnIndex.versionPath(base, 1)
+    // three exactly-once ingest batches -> b0-/b1-/b2- files accumulate
+    (0 until 3).foreach { b =>
+      val lo = 200 + b * 30
+      StreamingAnnIngest.appendBatchIdempotent(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 30)
+          .select("vec_id", "embedding"),
+        "vec_id", "embedding", v1,
+        AnnIndex.loadModel(spark, s"$v1/_model"), b, markerDir = Some(base))
+    }
+    AnnIndex.deleteFromIndex(emb.filter(col("vec_id") % 7 === 0), "vec_id", v1)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows() = AnnIndex.searchCurrent(spark, base, queries, "vec_id",
+      "embedding", topK = 5, nProbe = 8).collect().map(_.toString).sorted.toSeq
+    val before = rows() // v1, tombstone-filtered
+    val dataFiles = (p: String) => new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("list_id="))
+      .map(d => d.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(dataFiles(v1).max > 1, "ingest batches must have accumulated files")
+    assert(AnnIndex.compactVersioned(spark, base) === 2)
+    val v2 = AnnIndex.versionPath(base, 2)
+    // identical results across the cutover — the filter became physical
+    assert(rows() === before, "compaction must not change search results")
+    // ~one file per list again; no tombstone log; old version GC'd
+    assert(dataFiles(v2).max === 1, "compacted store must be one file per list")
+    assert(!new java.io.File(s"$v2/_tombstones").exists())
+    assert(!new java.io.File(v1).exists(), "old version must be GC'd")
+    val ids = spark.read.parquet(v2).select("id").as[Long].collect().toSet
+    assert(ids.forall(_ % 7 != 0), "tombstoned ids must be physically gone")
+    assert(ids.contains(201L) && ids.contains(261L),
+      "live ingested rows must survive compaction")
+    // ingest continues into the compacted version; the base-level marker
+    // still recognizes the already-committed batches
+    assert(!StreamingAnnIngest.appendBatchIdempotent(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", v2,
+      AnnIndex.loadModel(spark, s"$v2/_model"), 2L, markerDir = Some(base)),
+      "a batch committed before compaction must not re-ingest after it")
+  }
+
   // ----------------------------------------------- RocksDB TTL eviction
 
   test("catalog TTL: entries age out and content re-admits without a takedown") {
